@@ -1,0 +1,332 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{ForwardFill, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational breadth over the harness star schema (SURVEY.md §2.3): scans,
+  * filters, projections, joins (inner/semi/anti/broadcast), aggregations,
+  * windows, sort/limit/top-k, set ops, dedup-keep-latest.
+  *
+  * Float discipline: double aggregation order differs between Spark's
+  * partial aggregates and DuckDB's sequential scan, so every SUM over a
+  * double column is computed in exact DECIMAL and only cast to double at the
+  * end — bit-identical on both sides regardless of partitioning.
+  */
+object CoreQueries {
+
+  /** Exact money arithmetic: cast double inputs to DECIMAL(12,4) pre-sum. */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 4))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // --- F1 on real data: LOCF daily grid over the events stream -------------
+
+  private val locfEvents = QueryDef(
+    fn = (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val changes = ev.select(
+        col("user_id"), to_date(col("ts")).as("day"),
+        col("value"), col("ts_ns"), col("event_id"))
+      ForwardFill
+        .dailyGrid(changes, "user_id", "day", "value",
+          tieBreak = Seq("ts_ns", "event_id"), start = "2024-01-08", end = "2024-01-25")
+        .orderBy("user_id", "day")
+    },
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, value, ts, event_id
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) <= DATE '2024-01-25' AND value IS NOT NULL),
+        |grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(DATE '2024-01-08', DATE '2024-01-25',
+        |                                INTERVAL 1 day))::DATE AS d
+        |  FROM (SELECT DISTINCT user_id FROM c)),
+        |u AS (
+        |  SELECT user_id, d, value, 0 AS kind, ts, event_id FROM c
+        |  UNION ALL SELECT user_id, d, NULL, 1, NULL, NULL FROM grid),
+        |f AS (
+        |  SELECT user_id, d, kind,
+        |         last_value(value IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY d, kind, ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |  FROM u)
+        |SELECT user_id, d AS day, value
+        |FROM f WHERE kind = 1 AND value IS NOT NULL
+        |ORDER BY user_id, day""".stripMargin))
+
+  // --- aggregation (TPC-H Q1 shape): filter -> groupBy -> multi-agg --------
+
+  private val q1Agg = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      li.filter(to_date(col("l_shipdate")) <= to_date(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    oracle = Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  // --- multi-way join: facts x dims, dims broadcast -------------------------
+
+  private val joinNationRevenue = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val n = Tables.nation(spark, dir)
+      val r = Tables.region(spark, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" && col("o_orderstatus") =!= "P")
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("n_name")
+    },
+    oracle = Some(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderstatus <> 'P'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin))
+
+  // --- semi / anti joins -----------------------------------------------------
+
+  private val semiJoin = QueryDef(
+    fn = (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val bigOrders = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 150000.0)
+      c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    oracle = Some(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        |ORDER BY c_custkey""".stripMargin))
+
+  private val antiJoin = QueryDef(
+    fn = (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val urgent = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    oracle = Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin))
+
+  // --- top-k per group (window rank over exact-decimal revenue) -------------
+
+  private val topkPerGroup = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val p = Tables.part(spark, dir)
+      val rev = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("rev_dec"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("rev_dec").desc, col("p_partkey").asc)
+      rev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("p_partkey"),
+          col("rev_dec").cast("double").as("revenue"), col("rn"))
+        .orderBy("p_brand", "rn")
+    },
+    oracle = Some(
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS rev_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey),
+        |ranked AS (
+        |  SELECT p_brand, p_partkey, rev_dec,
+        |         row_number() OVER (PARTITION BY p_brand
+        |                            ORDER BY rev_dec DESC, p_partkey ASC) AS rn
+        |  FROM rev)
+        |SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rn
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY p_brand, rn""".stripMargin))
+
+  // --- running windows: frames, lag, rank ------------------------------------
+
+  private val windowRunning = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .filter(to_date(col("l_shipdate")).between(
+          to_date(lit("1997-01-01")), to_date(lit("1997-01-31"))))
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      li.select(
+          col("l_suppkey"), to_date(col("l_shipdate")).as("ship_day"),
+          col("l_orderkey"), col("l_linenumber"),
+          sum(dec(col("l_extendedprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_rev"),
+          lag(dec(col("l_extendedprice")), 1).over(w)
+            .cast("double").as("prev_price"),
+          row_number().over(w).as("rn"))
+        .orderBy("l_suppkey", "rn")
+    },
+    oracle = Some(
+      """SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_day,
+        |  l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev,
+        |  CAST(lag(CAST(l_extendedprice AS DECIMAL(12,4)), 1) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) AS prev_price,
+        |  row_number() OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-01-31'
+        |ORDER BY l_suppkey, rn""".stripMargin))
+
+  // --- sort / limit -----------------------------------------------------------
+
+  private val sortLimit = QueryDef(
+    fn = (spark, dir) =>
+      Tables.orders(spark, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(10),
+    oracle = Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin))
+
+  // --- distinct ---------------------------------------------------------------
+
+  private val distinctQ = QueryDef(
+    fn = (spark, dir) =>
+      Tables.customer(spark, dir)
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey"),
+    oracle = Some(
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin))
+
+  // --- set ops: union / intersect / except ------------------------------------
+
+  private val setOps = QueryDef(
+    fn = (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.intersect(open).orderBy("o_custkey")
+    },
+    oracle = Some(
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin))
+
+  private val exceptOp = QueryDef(
+    fn = (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      f.except(p).orderBy("o_custkey")
+    },
+    oracle = Some(
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin))
+
+  private val unionOp = QueryDef(
+    fn = (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"), lit("urgent").as("bucket"))
+      val high = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey"), lit("high").as("bucket"))
+      urgent.union(high).distinct().orderBy("o_custkey", "bucket")
+    },
+    oracle = Some(
+      """SELECT DISTINCT * FROM (
+        |  SELECT o_custkey, 'urgent' AS bucket FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_custkey, 'high' AS bucket FROM orders
+        |  WHERE o_orderpriority = '2-HIGH')
+        |ORDER BY o_custkey, bucket""".stripMargin))
+
+  // --- dedup keep-latest (K1 upsert proxy, SURVEY §7.2 step 4) ----------------
+
+  private val dedupKeepLatest = QueryDef(
+    fn = (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    },
+    oracle = Some(
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin))
+
+  val defs: Map[String, QueryDef] = Map(
+    "f1_locf_events" -> locfEvents,
+    "q1_agg" -> q1Agg,
+    "q_join_nation_revenue" -> joinNationRevenue,
+    "q_semi_join" -> semiJoin,
+    "q_anti_join" -> antiJoin,
+    "q_topk_per_group" -> topkPerGroup,
+    "q_window_running" -> windowRunning,
+    "q_sort_limit" -> sortLimit,
+    "q_distinct" -> distinctQ,
+    "q_intersect" -> setOps,
+    "q_except" -> exceptOp,
+    "q_union" -> unionOp,
+    "q_dedup_keep_latest" -> dedupKeepLatest)
+}
