@@ -10,7 +10,7 @@ import graft.queries._
 object SparkEntry {
 
   private def all: Map[String, QueryDef] =
-    CoreQueries.defs ++ PricenowQueries.defs
+    CoreQueries.defs ++ PricenowQueries.defs ++ FunctionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
