@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   private def all: Map[String, QueryDef] =
-    CoreQueries.defs ++ PricenowQueries.defs ++ FunctionQueries.defs
+    CoreQueries.defs ++ PricenowQueries.defs ++ FunctionQueries.defs ++
+      ExtensionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §2.4): exact keyed dedup, MinHash+LSH
+  * near-dup candidate generation with exact-Jaccard verification, SimHash
+  * signatures + Hamming pairing, and n-gram Jaccard similarity.
+  *
+  * Scale design (100 TB): the MinHash path never materializes the O(n^2)
+  * pair space — signatures are banded and candidates come from an equi-join
+  * on (band, band-signature), i.e. a shuffle on a high-cardinality key that
+  * AQE can split on skew. The exact verification join only touches candidate
+  * pairs. The brute-force Jaccard operator exists as the small-scale oracle
+  * twin and takes a pre-sampled input.
+  *
+  * Determinism: hash = first 8 hex chars of md5 (bit-identical in DuckDB),
+  * minhash coefficients are fixed literals from a seeded LCG, all arithmetic
+  * exact 64-bit — every output column hash-matches the SQL oracle.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first row per key under `orderBy` ascending. */
+  def exactKeepFirst(df: DataFrame, keys: Seq[String], orderBy: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Mersenne prime 2^31-1: the minhash universe. */
+  val P: Long = 2147483647L
+
+  /** Fixed (a,b) coefficient pairs for the k minhash permutations
+    * h_i(x) = (a_i * x + b_i) mod P, generated once from a seeded LCG so
+    * the SQL oracle can embed the identical literals. a in [1,P), b in [0,P).
+    */
+  def coefficients(k: Int): Seq[(Long, Long)] = {
+    var s = 42L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; s }
+    (0 until k).map(_ => (next() % (P - 1) + 1, next() % P))
+  }
+
+  /** MinHash signature (array<long> of length k) over a string-array column.
+    * Token hash is reduced mod P before the affine map so every product
+    * stays < 2^62 (no overflow). Pure per-row expression — no shuffle.
+    */
+  def minhashSignature(tokenSet: Column, k: Int): Column = {
+    val hs = transform(tokenSet, t => TextAnalysis.tokenHash32(t) % P)
+    array(coefficients(k).map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % P))
+    }: _*)
+  }
+
+  /** Explode a signature into (band, band_key) rows: `bands` bands of
+    * `rowsPerBand` values, key = values joined with ':'. Docs sharing any
+    * band key are near-dup candidates.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array_join(transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+          v => v.cast("string")), ":").as("band_key"))
+    }: _*)
+
+  /** MinHash+LSH near-dup pairs with exact Jaccard verification.
+    *
+    * @param df      input with an id column and a text column
+    * @param minJaccard keep pairs whose EXACT token-set Jaccard >= this
+    * @return (id_a, id_b, jaccard) with id_a < id_b, rounded to 6 digits
+    */
+  def nearDupMinhash(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val base = df.select(
+      col(idCol).as("id"),
+      TextAnalysis.tokenSet(col(textCol)).as("toks"))
+    val sigs = base.withColumn("sig", minhashSignature(col("toks"), k))
+    val banded = sigs
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val a = base.select(col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = base.select(col("id").as("id_b"), col("toks").as("toks_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard over two distinct-element arrays, rounded to 6 digits:
+    * |A∩B| / (|A|+|B|-|A∩B|), integer counts divided once in double.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    TextAnalysis.round6(inter / (size(a) + size(b) - inter))
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted shingle index: explode
+    * shingles, equi-join postings on the shingle, count shared shingles per
+    * pair, then join back the set sizes. For minJaccard > 0 this is
+    * output-identical to the quadratic all-pairs form (a pair with zero
+    * shared shingles can never reach the threshold) but touches only pairs
+    * that co-occur in some posting list — the join key is the shingle
+    * (high cardinality, shuffle-friendly, AQE-skew-splittable), so it scales
+    * where a cross join cannot.
+    */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0, "inverted-index Jaccard requires minJaccard > 0")
+    val base = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("gs"))
+    val sizes = base.select(col("id"), size(col("gs")).as("sz"))
+    val idx = base.select(col("id"), explode(col("gs")).as("g"))
+    val inter = idx.as("x")
+      .join(idx.as("y"), col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("ni"))
+    val ia = inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    val interD = col("ni").cast("double")
+    ia.select(col("id_a"), col("id_b"),
+        TextAnalysis.round6(interD / (col("sz_a") + col("sz_b") - interD)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 32-bit SimHash over a pre-computed token-hash array column: bit j of
+    * the signature is set iff sum over tokens of (+1 if bit j of hash(token)
+    * else -1) > 0. The 32 per-bit sums are unrolled Scala-side into plain
+    * codegen'd expressions over `hashes` — no shuffle, no UDF. Callers
+    * project `tokenHashes` into a column first so md5 runs once per token.
+    */
+  def simhash32(hashes: Column): Column =
+    (0 until 32).map { j =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Per-token 32-bit hashes (project this once, then feed `simhash32`). */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => TextAnalysis.tokenHash32(t))
+
+  /** SimHash near-dup pairs on a pre-sampled input: Hamming(sig_a, sig_b)
+    * <= maxHamming. At scale, band the 32 bits into chunks and equi-join on
+    * exact chunk match first (pigeonhole) — here the input is sampled so the
+    * quadratic pair join is the clearer (and oracle-checkable) form.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"),
+        tokenHashes(TextAnalysis.tokens(col(textCol))).as("hs"))
+      .select(col("id"), simhash32(col("hs")).as("sig"))
+    sigs.as("x").join(sigs.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `array<float>` embedding column
+  * (SURVEY.md §2.4): exact brute-force cosine top-k as the baseline and an
+  * LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Dot products are higher-order `zip_with`/`aggregate` expressions — fully
+  * codegen'd, no UDF — accumulated in double in array order so the result is
+  * bit-deterministic (and matches DuckDB's sequential list_cosine_similarity
+  * after rounding).
+  *
+  * Scale notes: brute force is a broadcast nested-loop of Q queries × N
+  * corpus rows — linear scans parallelize perfectly but cost O(Q·N·d); the
+  * sign-LSH variant buckets both sides on r hyperplane sign bits so the join
+  * becomes an equi-join on bucket id (shuffle hash join, prunable,
+  * AQE-skew-splittable), trading recall for a ~2^r fan-in reduction.
+  */
+object Similarity {
+
+  /** Sequential-order double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to 6 digits (cross-engine float discipline —
+    * see TextAnalysis.round6 on why not the builtin `round`). */
+  def cosine(a: Column, b: Column): Column =
+    TextAnalysis.round6(dot(a, b) / (norm(a) * norm(b)))
+
+  /** Exact brute-force top-k: for every query row, the k nearest corpus rows
+    * by cosine (self-match excluded), ties broken by corpus id ascending.
+    * The query side should be small — Catalyst broadcasts it under the join
+    * threshold; at scale this is the ground-truth/recall-eval operator.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Sign-LSH bucket id from the signs of `nBits` fixed coordinates
+    * (axis-aligned hyperplanes — deterministic, oracle-expressible).
+    * Bit i is set iff vec[i] >= 0; bucket in [0, 2^nBits).
+    */
+  def signBucket(vec: Column, nBits: Int): Column =
+    (0 until nBits).map { i =>
+      when(element_at(vec, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: queries only meet corpus rows in the
+    * same sign bucket. Recall < 1 by design; compare against
+    * `bruteForceTopK` for the quality gate. The join is a plain equi-join on
+    * `bucket` — at 100 TB both sides shuffle-partition by bucket, no
+    * broadcast needed, and bucket skew is AQE-splittable.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signBucket(col(vecCol), nBits).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), nBits).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs on a pre-sampled input:
+    * all (id_a < id_b) pairs with cosine >= minCosine. The quadratic form is
+    * the oracle twin; at scale route through `lshTopK`-style bucketing.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosine(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

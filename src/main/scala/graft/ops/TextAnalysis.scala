@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline extension surface
+  * (SURVEY.md §2.4, BASELINE.json north star): tokenization, token counting,
+  * n-gram shingling, language ID (stopword heuristic), quality scoring and
+  * rolling-hash fingerprinting over the `documents` table.
+  *
+  * Everything is built from codegen'd Catalyst expressions (split /
+  * higher-order functions / regexp) — no UDFs — so the whole pipeline stays
+  * inside WholeStageCodegen and scales embarrassingly parallel: every op here
+  * is a pure per-row map, no shuffle at 100 TB.
+  *
+  * Cross-engine determinism: token hashing uses the first 8 hex chars of
+  * md5 (available and bit-identical in Spark and DuckDB), and all integer
+  * arithmetic is exact — oracles hash-match exactly.
+  */
+object TextAnalysis {
+
+  /** Cross-engine-stable 6-digit rounding: floor(x*1e6 + 0.5)/1e6 as plain
+    * IEEE ops. Spark's `round` routes through BigDecimal.valueOf (shortest
+    * decimal repr) while DuckDB multiplies-and-rounds — the two disagree on
+    * values whose 7th digit is exactly 5; this explicit form is identical
+    * everywhere.
+    */
+  def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  /** Lower-cased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Distinct token set (order-normalized by sort for determinism). */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
+
+  /** Deterministic 32-bit token hash: first 8 hex chars of md5 as a long.
+    * Range [0, 2^32); DuckDB twin: fold hex chars of substr(md5(t),1,8). */
+  def tokenHash32(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** Word n-gram shingles (space-joined), empty when fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Whitespace token count — the cheap "how many tokens" estimator. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: split on word boundaries/punct and count runs of
+    * <=4 chars — a deterministic proxy for tokenizer cost (no external vocab).
+    * ceil(len/4) per word + punctuation runs counted separately.
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** Tiny per-language stopword lists for the heuristic language ID.
+    * Real function-word lists (public knowledge); deterministic.
+    */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "eine"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "los", "que", "y", "de", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Count of tokens (with multiplicity) found in `words`. */
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Heuristic language ID: argmax of stopword hits, lexicographic tie-break
+    * (first language in `StopwordLists` order wins ties, mirroring a stable
+    * max). Returns (lang_pred, lang_score) as a struct.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // struct(score, negIdx) max = highest score, earliest list on ties
+    val scored = StopwordLists.zipWithIndex.map { case ((lang, words), i) =>
+      struct(stopwordHits(toks, words).as("score"),
+        lit(-i).as("neg_idx"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    struct(best.getField("lang").as("lang_pred"),
+      best.getField("score").as("lang_score"))
+  }
+
+  /** English stopword ratio, punctuation ratio, mean token length — the
+    * classic cheap quality signals — blended into one deterministic score.
+    * All-double arithmetic evaluated in a fixed order; rounded to 6 digits
+    * so the DuckDB twin hash-matches.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = regexp_count(text, lit("[.,;:!?]")).cast("double")
+    val stop = stopwordHits(toks, StopwordLists.toMap.apply("en")).cast("double")
+    val avgLen = when(nTok > 0, aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / nTok).otherwise(lit(0.0))
+    val score =
+      least(nTok / 100.0, lit(1.0)) * 0.3 +
+        when(nTok > 0, stop / nTok).otherwise(lit(0.0)) * 0.3 +
+        (lit(1.0) - least(when(nChar > 0, punct / nChar).otherwise(lit(0.0)), lit(1.0))) * 0.2 +
+        least(avgLen / 8.0, lit(1.0)) * 0.2
+    round6(score)
+  }
+
+  /** Rolling polynomial fingerprint over the raw characters:
+    * acc := (acc * 31 + codepoint) mod (2^31-1). Exact integer arithmetic —
+    * identical in any engine; DuckDB twin uses list_reduce over the chars.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)
+}

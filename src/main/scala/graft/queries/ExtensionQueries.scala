@@ -1,0 +1,326 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Dedup, Similarity, Tables, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** North-star extension queries (SURVEY.md §2.4): text analysis, exact +
+  * near-dup dedup (MinHash/LSH, SimHash, n-gram Jaccard), embedding cosine
+  * similarity search (brute force + sign-LSH). Each oracle reimplements the
+  * identical deterministic arithmetic in DuckDB SQL: token hash = first 8
+  * hex chars of md5 folded to a long, minhash coefficients shared literals,
+  * doubles accumulated in the same order and rounded to 6 digits.
+  *
+  * Pair-space queries sample their input by key modulus so the quadratic
+  * verification stays bounded at every scale factor; the scalable paths
+  * (banded LSH equi-joins) are what run unsampled at 100 TB.
+  */
+object ExtensionQueries {
+
+  // ---- DuckDB expression snippets shared across oracles --------------------
+
+  /** tokens: lower, split on whitespace, drop empties. */
+  private def dToks(c: String) =
+    s"""list_filter(regexp_split_to_array(lower($c), '\\s+'), t -> t <> '')"""
+
+  /** distinct sorted token set. */
+  private def dTokSet(c: String) = s"list_sort(list_distinct(${dToks(c)}))"
+
+  /** 32-bit md5-prefix hash of a string expression -> BIGINT. */
+  private def dHash32(c: String) =
+    s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |  list_transform(string_split(substr(md5($c), 1, 8), ''),
+       |    ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT))),
+       |  (a, b) -> a * 16 + b)""".stripMargin
+
+  /** sum of a BIGINT list (list_reduce with explicit 0 init). */
+  private def dSum(list: String) =
+    s"list_reduce(list_concat([CAST(0 AS BIGINT)], $list), (a, b) -> a + b)"
+
+  private def dSumD(list: String) =
+    s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], $list), (a, b) -> a + b)"
+
+  /** sequential double dot product of two float lists (same order as the
+    * Spark zip_with/aggregate — bit-identical). */
+  private def dDot(a: String, b: String) =
+    dSumD(s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+
+  private def dCos(a: String, b: String) =
+    s"floor((${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) * 1000000.0 + 0.5) / 1000000.0"
+
+  // ---- text analysis -------------------------------------------------------
+
+  private val textTokens = QueryDef(
+    fn = (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+      d.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+        size(TextAnalysis.tokenSet(col("text"))).as("n_distinct"),
+        length(col("text")).cast("int").as("len_chars"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""SELECT doc_id,
+         |  CAST(len(${dToks("text")}) AS INTEGER) AS n_tokens,
+         |  ${dSum(s"list_transform(${dToks("text")}, t -> CAST(ceil(len(t) / 4.0) AS BIGINT))")} AS n_subwords,
+         |  CAST(len(${dTokSet("text")}) AS INTEGER) AS n_distinct,
+         |  CAST(len(text) AS INTEGER) AS len_chars
+         |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val langIdQ = QueryDef(
+    fn = (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+      val lid = TextAnalysis.langId(col("text"))
+      d.select(col("doc_id"), col("lang").as("lang_declared"),
+        lid.getField("lang_pred").as("lang_pred"),
+        lid.getField("lang_score").as("lang_score"))
+        .orderBy("doc_id")
+    },
+    oracle = Some {
+      val hits = TextAnalysis.StopwordLists.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(${dToks("text")}, t -> list_contains($arr, t))) AS INTEGER) AS h_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.StopwordLists.map(_._1)
+      // first-in-list wins ties, mirroring the Spark greatest(struct) tie-break
+      val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+      val scoreExpr = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+        s"WHEN $rest THEN h_$l"
+      }.mkString("CASE ", " ", s" ELSE h_${langs.last} END")
+      s"""WITH h AS (SELECT doc_id, lang AS lang_declared,
+         |  $hits
+         |FROM documents)
+         |SELECT doc_id, lang_declared, $caseExpr AS lang_pred,
+         |  $scoreExpr AS lang_score
+         |FROM h ORDER BY doc_id""".stripMargin
+    })
+
+  private val qualityQ = QueryDef(
+    fn = (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+    oracle = Some {
+      val en = TextAnalysis.StopwordLists.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(len(${dToks("text")}) AS DOUBLE) AS n_tok,
+         |  CAST(len(text) AS DOUBLE) AS n_char,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(${dToks("text")}, t -> list_contains($en, t))) AS DOUBLE) AS stop,
+         |  ${dSum(s"list_transform(${dToks("text")}, t -> CAST(len(t) AS BIGINT))")} AS tok_chars
+         |FROM documents)
+         |SELECT doc_id, floor((
+         |  least(n_tok / 100.0, 1.0) * 0.3
+         |  + (CASE WHEN n_tok > 0 THEN stop / n_tok ELSE 0.0 END) * 0.3
+         |  + (1.0 - least(CASE WHEN n_char > 0 THEN punct / n_char ELSE 0.0 END, 1.0)) * 0.2
+         |  + least((CASE WHEN n_tok > 0 THEN CAST(tok_chars AS DOUBLE) / n_tok ELSE 0.0 END) / 8.0, 1.0) * 0.2
+         |  ) * 1000000.0 + 0.5) / 1000000.0 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    })
+
+  private val fingerprintQ = QueryDef(
+    fn = (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""SELECT doc_id,
+         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |    (a, c) -> (a * 31 + c) % 2147483647) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---- dedup ---------------------------------------------------------------
+
+  private val dedupExact = QueryDef(
+    fn = (spark, dir) =>
+      Dedup.exactKeepFirst(Tables.documents(spark, dir),
+          keys = Seq("text"), orderBy = Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin))
+
+  /** Shared oracle CTE computing minhash signatures band keys for sampled
+    * docs — mirrors Dedup.minhashSignature/bandKeys literal-for-literal. */
+  private def minhashOracle: String = {
+    val coefValues = Dedup.coefficients(16).zipWithIndex
+      .map { case ((a, b), i) => s"($i, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+      .mkString(", ")
+    s"""docs AS (
+       |  SELECT doc_id AS id, ${dTokSet("text")} AS toks
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |tok AS (SELECT id, unnest(toks) AS t FROM docs),
+       |th AS (SELECT id, ${dHash32("t")} % 2147483647 AS h FROM tok),
+       |coef AS (SELECT * FROM (VALUES $coefValues) c(i, a, b)),
+       |mh AS (SELECT id, i, min((a * h + b) % 2147483647) AS v
+       |       FROM th CROSS JOIN coef GROUP BY id, i),
+       |bands AS (SELECT id, i // 4 AS band,
+       |                 string_agg(v::VARCHAR, ':' ORDER BY i) AS band_key
+       |          FROM mh GROUP BY id, i // 4),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id),
+       |jac AS (SELECT id_a, id_b,
+       |  floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |        / (len(a.toks) + len(b.toks)
+       |           - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+       |  FROM cand JOIN docs a ON cand.id_a = a.id JOIN docs b ON cand.id_b = b.id)""".stripMargin
+  }
+
+  private val dedupMinhash = QueryDef(
+    fn = (spark, dir) =>
+      Dedup.nearDupMinhash(
+          Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", k = 16, bands = 4, minJaccard = 0.5)
+        .orderBy("id_a", "id_b"),
+    oracle = Some(
+      s"""WITH $minhashOracle
+         |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin))
+
+  /** SimHash signature oracle CTE over a sampled doc set. */
+  private def simhashOracle(sample: String): String =
+    s"""docs AS (SELECT doc_id AS id, ${dToks("text")} AS toks
+       |         FROM documents $sample),
+       |tok AS (SELECT id, unnest(toks) AS t FROM docs),
+       |th AS (SELECT id, ${dHash32("t")} AS h FROM tok),
+       |bits AS (SELECT id, j,
+       |  sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j) GROUP BY id, j),
+       |sigs AS (SELECT id,
+       |  ${dSum("list(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)")} AS sig
+       |  FROM bits GROUP BY id)""".stripMargin
+
+  private val simhashSigs = QueryDef(
+    fn = (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("hs"))
+        .select(col("doc_id"), Dedup.simhash32(col("hs")).as("sig"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH ${simhashOracle("")}
+         |SELECT id AS doc_id, sig FROM sigs ORDER BY doc_id""".stripMargin))
+
+  private val simhashPairs = QueryDef(
+    fn = (spark, dir) =>
+      Dedup.simhashPairs(
+          Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", maxHamming = 10)
+        .orderBy("id_a", "id_b"),
+    oracle = Some(
+      s"""WITH ${simhashOracle("WHERE doc_id % 10 = 0")}
+         |SELECT x.id AS id_a, y.id AS id_b,
+         |  CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+         |FROM sigs x JOIN sigs y ON x.id < y.id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 10
+         |ORDER BY id_a, id_b""".stripMargin))
+
+  private val jaccardNgram = QueryDef(
+    fn = (spark, dir) =>
+      Dedup.jaccardPairs(
+          Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 3, minJaccard = 0.01)
+        .orderBy("id_a", "id_b"),
+    oracle = Some {
+      val toks = dToks("text")
+      s"""WITH docs AS (SELECT doc_id AS id,
+         |  list_sort(list_distinct(CASE WHEN len($toks) >= 3 THEN
+         |    list_transform(range(1, len($toks) - 1),
+         |      i -> array_to_string(($toks)[i:i+2], ' '))
+         |  ELSE [] END)) AS gs
+         |  FROM documents WHERE doc_id % 10 = 0)
+         |SELECT x.id AS id_a, y.id AS id_b,
+         |  floor((CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+         |        / (len(x.gs) + len(y.gs)
+         |           - CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |FROM docs x JOIN docs y ON x.id < y.id
+         |WHERE floor((CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+         |        / (len(x.gs) + len(y.gs)
+         |           - CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 >= 0.01
+         |ORDER BY id_a, id_b""".stripMargin
+    })
+
+  // ---- similarity search ---------------------------------------------------
+
+  private val embPairs = QueryDef(
+    fn = (spark, dir) =>
+      Similarity.cosineNearDupPairs(
+          Tables.embeddings(spark, dir).filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", minCosine = 0.2)
+        .orderBy("id_a", "id_b"),
+    oracle = Some(
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS e
+         |           FROM embeddings WHERE vec_id % 5 = 0)
+         |SELECT x.id AS id_a, y.id AS id_b, ${dCos("x.e", "y.e")} AS cos
+         |FROM v x JOIN v y ON x.id < y.id
+         |WHERE ${dCos("x.e", "y.e")} >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin))
+
+  private val annBrute = QueryDef(
+    fn = (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, ${dCos("qv", "cv")} AS cos
+         |           FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         |ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  private val annLsh = QueryDef(
+    fn = (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, nBits = 8)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some {
+      val bucket = dSum(
+        "list_transform(range(0, 8), i -> CASE WHEN e[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)")
+      s"""WITH v AS (SELECT vec_id, embedding AS e, $bucket AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qv, bucket FROM v WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, e AS cv, bucket FROM v),
+         |scored AS (SELECT query_id, neighbor_id, ${dCos("qv", "cv")} AS cos
+         |           FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+         |ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_text_tokens" -> textTokens,
+    "q_text_lang_id" -> langIdQ,
+    "q_text_quality" -> qualityQ,
+    "q_text_fingerprint" -> fingerprintQ,
+    "q_dedup_exact_docs" -> dedupExact,
+    "q_dedup_minhash_pairs" -> dedupMinhash,
+    "q_dedup_simhash_sigs" -> simhashSigs,
+    "q_dedup_simhash_pairs" -> simhashPairs,
+    "q_dedup_ngram_jaccard" -> jaccardNgram,
+    "q_sim_cosine_pairs" -> embPairs,
+    "q_sim_ann_brute" -> annBrute,
+    "q_sim_ann_lsh" -> annLsh)
+}
