@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{Dedup, Similarity, Tables, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, Tables, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** North-star extension queries (SURVEY.md §2.4): text analysis, exact +
@@ -310,7 +310,62 @@ object ExtensionQueries {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     })
 
+  // ---- multimodal binary plumbing -----------------------------------------
+
+  private val mmMeta = QueryDef(
+    fn = (spark, dir) =>
+      Multimodal.withPayload(Tables.documents(spark, dir), "doc_id", "text")
+        .select(col("doc_id"),
+          col("media_meta.format").as("format"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      // text is ASCII (verified) so octet_length(encode(text)) == len(text)
+      """SELECT doc_id, 'bin/v1' AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(len(text) % 64 + 1 AS INTEGER) AS width,
+        |  CAST(len(text) % 48 + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val mmFrames = QueryDef(
+    fn = (spark, dir) =>
+      Multimodal.frameSample(
+          Multimodal.withPayload(
+            Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+            "doc_id", "text"),
+          "doc_id", "payload", frameBytes = 32, stride = 24)
+        .select(col("doc_id"), col("frame_idx"),
+          decode(col("frame"), "UTF-8").as("frame_text"))
+        .orderBy("doc_id", "frame_idx"),
+    oracle = Some(
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(0, greatest((len(text) - 32) // 24 + 1, 0))) AS frame_idx
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT f.doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
+        |  substr(d.text, CAST(1 + f.frame_idx * 24 AS INTEGER), 32) AS frame_text
+        |FROM f JOIN documents d ON f.doc_id = d.doc_id
+        |WHERE len(substr(d.text, CAST(1 + f.frame_idx * 24 AS INTEGER), 32)) = 32
+        |ORDER BY f.doc_id, frame_idx""".stripMargin))
+
+  /** Batched stub-decode feature extraction — not SQL-expressible (the
+    * decode is partition-local Scala); driver records a rows-only check. */
+  private val mmFeatures = QueryDef(
+    fn = (spark, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.withPayload(Tables.documents(spark, dir), "doc_id", "text"),
+          "doc_id", "payload")
+        .select(col("doc_id"), col("n_bytes"),
+          TextAnalysis.round6(element_at(col("features"), 1).cast("double")).as("f0"),
+          TextAnalysis.round6(element_at(col("features"), 8).cast("double")).as("f7"))
+        .orderBy("doc_id"),
+    oracle = None)
+
   val defs: Map[String, QueryDef] = Map(
+    "q_multimodal_meta" -> mmMeta,
+    "q_multimodal_frames" -> mmFrames,
+    "q_multimodal_features" -> mmFeatures,
     "q_text_tokens" -> textTokens,
     "q_text_lang_id" -> langIdQ,
     "q_text_quality" -> qualityQ,
