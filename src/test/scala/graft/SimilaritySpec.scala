@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, Array(1f, 0f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f)),
+    (3L, Array(0f, 1f, 0f)),
+    (4L, Array(-1f, 0f, 0f)),
+    (5L, Array(0.8f, 0.2f, 0f))).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f), Array(3f, -1.5f, 0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("same"),
+      Similarity.cosine(col("a"), col("c")).as("orth"),
+      Similarity.cosine(col("a"), expr("transform(a, x -> -x)")).as("opp"))
+      .collect().head
+    assert(r.getAs[Double]("same") == 1.0)
+    assert(r.getAs[Double]("orth") == 0.0)
+    assert(r.getAs[Double]("opp") == -1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc, excludes self, k rows per query") {
+    val got = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(got.map(_._2).toSeq == Seq(2L, 5L, 3L)) // 0.994, 0.970, 0.0
+    assert(got.map(_._4).toSeq == Seq(1, 2, 3))
+    assert(got.forall(_._1 == 1L))
+  }
+
+  test("signBucket packs sign bits of leading dims") {
+    val got = Seq((Array(1f, -1f, 1f, -1f)))
+      .toDF("v").select(Similarity.signBucket(col("v"), 4).as("b"))
+      .as[Long].collect().head
+    assert(got == (1 | 4)) // bits 0 and 2 set
+  }
+
+  test("lshTopK only pairs within a bucket; results are a subset of brute force") {
+    val brute = Similarity.bruteForceTopK(corpus, corpus, "vec_id", "embedding", 3)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val lsh = Similarity.lshTopK(corpus, corpus, "vec_id", "embedding", 3, nBits = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.map(r => (r._1, r._2)).toSet.subsetOf(brute))
+    // vec 4 (negative x) sits alone in its bucket -> no neighbors
+    assert(!lsh.exists(_._1 == 4L))
+  }
+
+  test("cosineNearDupPairs returns ordered pairs above threshold") {
+    val got = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    // cos(1,2)=0.994, cos(1,5)=0.970, cos(2,5)=0.991 — all >= 0.95
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 5L), (2L, 5L)))
+    assert(got.forall(p => p._1 < p._2 && p._3 >= 0.95))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq(1).toDF("x").select(c.as("r")).collect().head.getAs[T]("r")
+
+  private def oneSeq(c: org.apache.spark.sql.Column): Seq[String] =
+    Seq(1).toDF("x").select(c.as("r")).collect().head
+      .getAs[scala.collection.Seq[String]]("r").toSeq
+
+  test("tokens: lower-cases, splits on runs of whitespace, drops empties") {
+    val got = oneSeq(TextAnalysis.tokens(lit("  Hello\t WORLD  x ")))
+    assert(got == Seq("hello", "world", "x"))
+  }
+
+  test("tokenHash32 equals the md5-prefix reference value") {
+    // md5("tok") = 60ae136e... -> 0x60ae136e = 1622020974
+    assert(one[Long](TextAnalysis.tokenHash32(lit("tok"))) == 1622020974L)
+  }
+
+  test("shingles: n-grams in order; short input yields empty") {
+    assert(oneSeq(TextAnalysis.shingles(lit("a b c d"), 3)) ==
+      Seq("a b c", "b c d"))
+    assert(oneSeq(TextAnalysis.shingles(lit("a b"), 3)).isEmpty)
+  }
+
+  test("fingerprint: rolling 31-polynomial mod 2^31-1") {
+    // "ab": ((0*31+97)*31 + 98) mod p = 3105
+    assert(one[Long](TextAnalysis.fingerprint(lit("ab"))) == 3105L)
+  }
+
+  test("langId picks the max-hit language; ties go to first list order") {
+    val de = one[org.apache.spark.sql.Row](TextAnalysis.langId(lit("der hund und die katze")))
+    assert(de.getAs[String]("lang_pred") == "de" && de.getAs[Int]("lang_score") == 3)
+    // no hits anywhere -> all scores 0 -> first language in list order
+    val none = one[org.apache.spark.sql.Row](TextAnalysis.langId(lit("xyzzy quux")))
+    assert(none.getAs[String]("lang_pred") ==
+      TextAnalysis.StopwordLists.head._1 && none.getAs[Int]("lang_score") == 0)
+  }
+
+  test("exactKeepFirst keeps exactly one row per key, first by order") {
+    val df = Seq(("a", 2, "x2"), ("a", 1, "x1"), ("b", 5, "y5"))
+      .toDF("k", "ord", "payload")
+    val got = Dedup.exactKeepFirst(df, Seq("k"), Seq("ord"))
+      .select("k", "payload").as[(String, String)].collect().sorted
+    assert(got.toSeq == Seq(("a", "x1"), ("b", "y5")))
+  }
+
+  test("minhash: identical token sets get identical signatures; signature is k long") {
+    val df = Seq("b a c", "a b c", "a b x").toDF("text")
+      .select(Dedup.minhashSignature(TextAnalysis.tokenSet(col("text")), 16).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs.forall(_.length == 16))
+    assert(sigs(0) == sigs(1)) // order-insensitive
+    assert(sigs(0) != sigs(2))
+    assert(sigs.flatten.forall(v => v >= 0 && v < Dedup.P))
+  }
+
+  test("minhash similarity tracks jaccard (statistical sanity)") {
+    val near = Seq(("a b c d e f g h", "a b c d e f g x"))
+      .toDF("t1", "t2")
+      .select(
+        Dedup.minhashSignature(TextAnalysis.tokenSet(col("t1")), 64).as("s1"),
+        Dedup.minhashSignature(TextAnalysis.tokenSet(col("t2")), 64).as("s2"))
+      .as[(Seq[Long], Seq[Long])].collect().head
+    val agree = near._1.zip(near._2).count { case (a, b) => a == b } / 64.0
+    // true jaccard = 7/9 ≈ 0.78; 64 permutations -> agreement within ~0.25
+    assert(agree > 0.5, s"agreement $agree")
+  }
+
+  test("nearDupMinhash finds the duplicate pair and reports exact jaccard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val got = Dedup.nearDupMinhash(docs, "doc_id", "text", k = 16, bands = 4,
+        minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    // token sets: {the,quick,brown,fox,jumps,over,lazy,dog|cat}: 7 shared / 9
+    assert(math.abs(got.head._3 - 0.777778) < 1e-6)
+  }
+
+  test("simhash: equal multisets equal sigs; near docs have small hamming") {
+    val sigs = Seq((1L, "a b c d e f g h"), (2L, "h g f e d c b a"),
+        (3L, "a b c d e f g h"), (4L, "p q r s t u v w"))
+      .toDF("id", "text")
+      .select(col("id"), Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("hs"))
+      .select(col("id"), Dedup.simhash32(col("hs")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L) && sigs(1L) == sigs(3L))
+    assert(sigs(1L) != sigs(4L))
+    assert(sigs.values.forall(s => s >= 0 && s <= 0xFFFFFFFFL))
+  }
+
+  test("jaccardPairs (inverted index) matches the brute-force definition") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a x y z w")).toDF("id", "text")
+    val got = Dedup.jaccardPairs(docs, "id", "text", n = 1, minJaccard = 0.05)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    // sets: 12 share 4/6, 13 share 1/9, 23 share 1/9
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(math.abs(got(0)._3 - 4.0 / 6.0) < 1e-5)
+    assert(math.abs(got(1)._3 - 1.0 / 9.0) < 1e-5)
+  }
+}
