@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.sink.JdbcUpsert
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2.3 streaming row): the
+  * reference is batch-only (cron 2×/day = micro-batch by scheduler), so
+  * these operators are the north-star extension — the same pipeline
+  * semantics expressed as an always-on stream.
+  *
+  *  - [[windowedStats]]: tumbling event-time windows + watermark (late-data
+  *    policy made explicit, where the reference relies on rerun-idempotence);
+  *  - [[latestPerKey]]: keyed running state via flatMapGroupsWithState —
+  *    the streaming twin of dedup-keep-latest / the upsert's last-write-wins;
+  *  - [[upsertSink]]: foreachBatch → [[JdbcUpsert]], giving every
+  *    micro-batch the reference's idempotent keyed-upsert semantics (K1),
+  *    exactly-once effective through key overwrite.
+  *
+  * Scale notes: state per key is O(1) (one value + timestamp), watermark
+  * bounds state retention; both operators shuffle once on the grouping key
+  * and stream state lives in the state store (RocksDB at production scale).
+  */
+object StreamingOps {
+
+  /** Tumbling-window per-type stats with a watermark: counts and value sums
+    * per (window, event_type). Late rows beyond the watermark are dropped —
+    * the explicit version of the reference's "rerun overwrites" policy.
+    */
+  def windowedStats(
+      events: DataFrame, tsCol: String, typeCol: String, valueCol: String,
+      windowLen: String = "10 minutes", watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(typeCol), col("n_events"), col("sum_value"))
+
+  case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
+  case class LatestState(ts: Long, value: Double)
+
+  /** Latest value per key as an update stream: every micro-batch emits the
+    * keys whose latest (by event time) value changed — the streaming
+    * forward-fill seed / keep-latest dedup. State: one (ts, value) per key.
+    */
+  def latestPerKey(events: Dataset[KeyedValue]): Dataset[(Long, java.sql.Timestamp, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[LatestState, (Long, java.sql.Timestamp, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[KeyedValue], state: GroupState[LatestState]) =>
+          val incoming = rows.maxByOption(r => (r.ts.getTime, r.value))
+          val prev = state.getOption
+          incoming match {
+            case Some(r) if prev.forall(_.ts <= r.ts.getTime) =>
+              state.update(LatestState(r.ts.getTime, r.value))
+              Iterator((key, r.ts, r.value))
+            case _ => Iterator.empty
+          }
+      }
+  }
+
+  /** Stream → keyed JDBC upsert: each micro-batch runs the K1 sink, so the
+    * stream inherits the reference's idempotent last-write-wins load
+    * (`scripts/pricenow_etl.py:98-112`) — replayed batches converge.
+    */
+  def upsertSink(
+      df: DataFrame, url: String, table: String, keys: Seq[String],
+      dialect: JdbcUpsert.Dialect, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        JdbcUpsert.upsert(batch, url, table, keys, dialect)
+      }
+      .start()
+}

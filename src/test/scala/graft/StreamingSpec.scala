@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.{DriverManager, Timestamp}
+import graft.sink.JdbcUpsert
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.KeyedValue
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedStats: tumbling windows aggregate counts and sums") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingOps.windowedStats(
+        in.toDF().toDF("ts", "event_type", "value"), "ts", "event_type", "value")
+      .writeStream.format("memory").queryName("winstats")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:01:00"), "click", 1.0),
+        (ts("2024-01-01 00:02:00"), "click", 2.0),
+        (ts("2024-01-01 00:03:00"), "view", 5.0),
+        (ts("2024-01-01 00:11:00"), "click", 7.0))
+      q.processAllAvailable()
+      val got = spark.table("winstats")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect()
+        .map { case (w, t, n, s) => (w.toString, t, n, s) }.sorted.toSeq
+      assert(got == Seq(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 00:00:00.0", "view", 1L, 5.0),
+        ("2024-01-01 00:10:00.0", "click", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("latestPerKey: stateful keep-latest across micro-batches, stale rows ignored") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[KeyedValue]
+    val q = StreamingOps.latestPerKey(in.toDS())
+      .toDF("key", "ts", "value")
+      .writeStream.format("memory").queryName("latest")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        KeyedValue(1L, ts("2024-01-01 00:00:00"), 10.0),
+        KeyedValue(2L, ts("2024-01-01 00:00:00"), 20.0))
+      q.processAllAvailable()
+      // batch 2: key 1 advances, key 2 gets a STALE (older) event -> no emit
+      in.addData(
+        KeyedValue(1L, ts("2024-01-02 00:00:00"), 11.0),
+        KeyedValue(2L, ts("2023-12-31 00:00:00"), 99.0))
+      q.processAllAvailable()
+      val got = spark.table("latest").as[(Long, Timestamp, Double)].collect()
+        .map { case (k, t, v) => (k, t.toString, v) }.sorted.toSeq
+      assert(got == Seq(
+        (1L, "2024-01-01 00:00:00.0", 10.0),
+        (1L, "2024-01-02 00:00:00.0", 11.0),
+        (2L, "2024-01-01 00:00:00.0", 20.0)))
+    } finally q.stop()
+  }
+
+  test("upsertSink: micro-batches land as idempotent keyed upserts") {
+    val url = "jdbc:derby:memory:streamsink;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().execute("DROP TABLE latest_vals")
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute(
+        "CREATE TABLE latest_vals (k BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
+    } finally conn.close()
+
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    in.addData((1L, 1.0), (2L, 2.0))
+    val q1 = StreamingOps.upsertSink(in.toDF().toDF("k", "v"), url,
+      "latest_vals", Seq("k"), JdbcUpsert.Dialect.Generic, ckpt)
+    q1.awaitTermination()
+    in.addData((2L, 22.0), (3L, 3.0)) // update + insert
+    val q2 = StreamingOps.upsertSink(in.toDF().toDF("k", "v"), url,
+      "latest_vals", Seq("k"), JdbcUpsert.Dialect.Generic, ckpt)
+    q2.awaitTermination()
+
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery("SELECT k, v FROM latest_vals ORDER BY k")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (rs.next()) buf += ((rs.getLong(1), rs.getDouble(2)))
+      assert(buf.toSeq == Seq((1L, 1.0), (2L, 22.0), (3L, 3.0)))
+    } finally c2.close()
+  }
+}
