@@ -28,10 +28,18 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity rounded to 6 digits (cross-engine float discipline —
-    * see TextAnalysis.round6 on why not the builtin `round`). */
-  def cosine(a: Column, b: Column): Column =
+  /** Higher-order-function cosine (reference form; 4 array passes). Kept for
+    * the equivalence spec against the fused native expression. */
+  def cosineHof(a: Column, b: Column): Column =
     TextAnalysis.round6(dot(a, b) / (norm(a) * norm(b)))
+
+  /** Cosine similarity rounded to 6 digits (cross-engine float discipline —
+    * see TextAnalysis.round6 on why not the builtin `round`). Uses the
+    * fused single-pass codegen expression [[graft.functions.CosineSimilarity]];
+    * bit-identical to [[cosineHof]] (same index-order double accumulation).
+    */
+  def cosine(a: Column, b: Column): Column =
+    TextAnalysis.round6(graft.functions.CosineSimilarity.cosineFast(a, b))
 
   /** Exact brute-force top-k: for every query row, the k nearest corpus rows
     * by cosine (self-match excluded), ties broken by corpus id ascending.

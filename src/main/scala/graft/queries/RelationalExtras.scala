@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.Tables
+import graft.functions.WeightedMean
+import org.apache.spark.sql.functions._
+
+/** Remaining §2.3 checklist categories: scalar subqueries, CTE reuse, range
+  * joins, approximate distinct (HLL), and the typed-Aggregator UDAF surface.
+  *
+  * The subquery/CTE pair runs through `spark.sql` over temp views with
+  * ANSI-portable text — the SAME string is the DuckDB oracle, which also
+  * exercises the SQL front-end path of the engine. Comparisons against
+  * averages are re-expressed as exact decimal cross-multiplications
+  * (`x * n > sum` instead of `x > sum/n`) so no engine-specific division
+  * semantics leak into results.
+  */
+object RelationalExtras {
+
+  private val subquerySql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(12,4)) * (SELECT COUNT(*) FROM orders)
+      |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val subqueryScalar = QueryDef(
+    fn = (spark, dir) => {
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      spark.sql(subquerySql)
+    },
+    oracle = Some(subquerySql))
+
+  private val cteSql =
+    """WITH custrev AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS rev,
+      |         COUNT(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey),
+      |tot AS (SELECT SUM(rev) AS s, COUNT(*) AS n FROM custrev)
+      |SELECT o_custkey, CAST(rev AS DOUBLE) AS rev, n_orders
+      |FROM custrev, tot
+      |WHERE rev * tot.n > tot.s
+      |ORDER BY o_custkey""".stripMargin
+
+  private val cteReuse = QueryDef(
+    fn = (spark, dir) => {
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      spark.sql(cteSql)
+    },
+    oracle = Some(cteSql))
+
+  private val rangeJoin = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"))
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("order_day"))
+      li.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("ship_day") >= col("order_day") &&
+          col("ship_day") <= date_add(col("order_day"), 90))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+        | AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** HLL sketch counts are implementation-specific — no cross-engine oracle;
+    * the spec asserts <5% relative error against exact countDistinct. */
+  private val approxDistinct = QueryDef(
+    fn = (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    oracle = None)
+
+  private val weightedMeanQ = QueryDef(
+    fn = (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(udaf(WeightedMean).apply(col("l_extendedprice"), col("l_quantity"))
+          .as("w_mean_price"))
+        .orderBy("l_returnflag"),
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS w_mean_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_subquery_scalar" -> subqueryScalar,
+    "q_cte_reuse" -> cteReuse,
+    "q_range_join" -> rangeJoin,
+    "q_approx_distinct" -> approxDistinct,
+    "q_weighted_mean" -> weightedMeanQ)
+}

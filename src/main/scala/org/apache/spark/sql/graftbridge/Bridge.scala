@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal Column <-> catalyst Expression bridge. Spark 4 made the
+  * converters `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`,
+  * columnNodeSupport.scala), so libraries registering custom expressions do
+  * it from a sub-package of org.apache.spark.sql — the established pattern
+  * for Catalyst extension libraries. This is the ONLY non-`graft` package in
+  * the codebase and holds no logic.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

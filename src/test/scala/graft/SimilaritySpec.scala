@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Similarity
+import graft.ops.{Similarity, Tables}
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
@@ -24,6 +24,17 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("same") == 1.0)
     assert(r.getAs[Double]("orth") == 0.0)
     assert(r.getAs[Double]("opp") == -1.0)
+  }
+
+  test("fused native CosineSimilarity expression is bit-identical to the HOF form") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val both = emb.as("x").join(emb.as("y"),
+        col("x.vec_id") % 7 === 0 && col("y.vec_id") % 11 === 0)
+      .select(
+        Similarity.cosine(col("x.embedding"), col("y.embedding")).as("fused"),
+        Similarity.cosineHof(col("x.embedding"), col("y.embedding")).as("hof"))
+    assert(both.filter(col("fused") =!= col("hof")).count() == 0)
+    assert(both.count() > 1000)
   }
 
   test("bruteForceTopK ranks by cosine desc, excludes self, k rows per query") {
