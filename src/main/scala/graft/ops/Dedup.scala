@@ -137,11 +137,17 @@ object Dedup {
 
   /** 32-bit SimHash over a pre-computed token-hash array column: bit j of
     * the signature is set iff sum over tokens of (+1 if bit j of hash(token)
-    * else -1) > 0. The 32 per-bit sums are unrolled Scala-side into plain
-    * codegen'd expressions over `hashes` — no shuffle, no UDF. Callers
-    * project `tokenHashes` into a column first so md5 runs once per token.
+    * else -1) > 0. Routed through the fused native expression
+    * [[graft.functions.SimHash32Expr]] (one pass, stack-local counts);
+    * callers project `tokenHashes` into a column first so md5 runs once per
+    * token.
     */
   def simhash32(hashes: Column): Column =
+    graft.functions.SimHash32Expr.simhashFast(hashes)
+
+  /** Higher-order-function SimHash (32 aggregate walks) — kept as the
+    * reference implementation for the equivalence spec. */
+  def simhash32Hof(hashes: Column): Column =
     (0 until 32).map { j =>
       val bitSum = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))

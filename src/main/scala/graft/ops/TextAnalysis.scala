@@ -35,8 +35,17 @@ object TextAnalysis {
   def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
 
   /** Deterministic 32-bit token hash: first 8 hex chars of md5 as a long.
-    * Range [0, 2^32); DuckDB twin: fold hex chars of substr(md5(t),1,8). */
+    * Range [0, 2^32); DuckDB twin: fold hex chars of substr(md5(t),1,8).
+    * Routed through the native digest-bytes expression (no hex round-trip);
+    * [[tokenHash32Sql]] keeps the composed built-in form for the
+    * equivalence spec.
+    */
   def tokenHash32(tok: Column): Column =
+    graft.functions.TokenHash32Expr.tokenHashFast(tok)
+
+  /** Built-in-function twin of [[tokenHash32]] (definitionally the DuckDB
+    * oracle's arithmetic). */
+  def tokenHash32Sql(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
   /** Word n-gram shingles (space-joined), empty when fewer than n tokens. */

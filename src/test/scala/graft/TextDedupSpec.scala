@@ -23,6 +23,14 @@ class TextDedupSpec extends SparkSpec {
     assert(one[Long](TextAnalysis.tokenHash32(lit("tok"))) == 1622020974L)
   }
 
+  test("native TokenHash32Expr equals the conv(substring(md5)) form on real tokens") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+    val diff = toks.filter(
+      TextAnalysis.tokenHash32(col("t")) =!= TextAnalysis.tokenHash32Sql(col("t")))
+    assert(diff.count() == 0)
+  }
+
   test("shingles: n-grams in order; short input yields empty") {
     assert(oneSeq(TextAnalysis.shingles(lit("a b c d"), 3)) ==
       Seq("a b c", "b c d"))
@@ -96,6 +104,16 @@ class TextDedupSpec extends SparkSpec {
     assert(sigs(1L) == sigs(2L) && sigs(1L) == sigs(3L))
     assert(sigs(1L) != sigs(4L))
     assert(sigs.values.forall(s => s >= 0 && s <= 0xFFFFFFFFL))
+  }
+
+  test("fused SimHash32Expr is bit-identical to the HOF form on real docs") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs
+      .select(Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("hs"))
+      .select(Dedup.simhash32(col("hs")).as("fused"),
+        Dedup.simhash32Hof(col("hs")).as("hof"))
+    assert(both.filter(col("fused") =!= col("hof")).count() == 0)
+    assert(both.count() == 500)
   }
 
   test("jaccardPairs (inverted index) matches the brute-force definition") {
