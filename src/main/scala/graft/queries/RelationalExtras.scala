@@ -96,7 +96,25 @@ object RelationalExtras {
         |  / CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS w_mean_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Salted two-phase agg must equal the direct GROUP BY — the oracle is
+    * that direct form, making the equivalence the checked property. */
+  private val saltedAgg = QueryDef(
+    fn = (spark, dir) =>
+      graft.ops.Skew.saltedSumCount(
+          Tables.lineitem(spark, dir),
+          keyCols = Seq("l_returnflag", "l_linestatus"),
+          valueCol = "l_extendedprice",
+          saltSource = col("l_orderkey"), salts = 16)
+        .orderBy("l_returnflag", "l_linestatus"),
+    oracle = Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_salted_agg" -> saltedAgg,
     "q_subquery_scalar" -> subqueryScalar,
     "q_cte_reuse" -> cteReuse,
     "q_range_join" -> rangeJoin,

@@ -40,6 +40,36 @@ object StreamingOps {
         col("window.end").as("window_end"),
         col(typeCol), col("n_events"), col("sum_value"))
 
+  /** Sliding event-time windows (length `windowLen`, hop `slide`): each
+    * event contributes to windowLen/slide windows — Spark expands via the
+    * window generator, shuffle on (window, type) as usual.
+    */
+  def slidingStats(
+      events: DataFrame, tsCol: String, typeCol: String, valueCol: String,
+      windowLen: String = "10 minutes", slide: String = "5 minutes",
+      watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(typeCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(typeCol), col("n_events"), col("sum_value"))
+
+  /** Session windows per key: a session closes after `gap` of inactivity.
+    * State = open session bounds per key, bounded by the watermark.
+    */
+  def sessionStats(
+      events: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "5 minutes", watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"))
+
   case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
   case class LatestState(ts: Long, value: Double)
 

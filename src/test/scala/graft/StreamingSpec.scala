@@ -38,6 +38,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingStats: each event lands in windowLen/slide overlapping windows") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingOps.slidingStats(
+        in.toDF().toDF("ts", "event_type", "value"), "ts", "event_type", "value")
+      .writeStream.format("memory").queryName("slide")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((ts("2024-01-01 00:07:00"), "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("slide")
+        .select("window_start", "n_events").as[(Timestamp, Long)]
+        .collect().map(_._1.toString).sorted.toSeq
+      // 10-min window / 5-min slide -> two windows contain 00:07
+      assert(got == Seq("2024-01-01 00:00:00.0", "2024-01-01 00:05:00.0"))
+    } finally q.stop()
+  }
+
+  test("sessionStats: events within the gap merge; sessions emit as the watermark closes them") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    // session windows only support Append: rows emit once the watermark
+    // passes the session end, so later batches drive emission
+    val q = StreamingOps.sessionStats(
+        in.toDF().toDF("ts", "user_id"), "ts", "user_id", gap = "5 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:03:00"), 1L),  // merges (gap < 5m)
+        (ts("2024-01-01 00:20:00"), 1L))  // separate session
+      q.processAllAvailable()             // watermark -> 00:15
+      in.addData((ts("2024-01-01 01:00:00"), 2L)) // closes session A
+      q.processAllAvailable()             // watermark -> 00:55
+      in.addData((ts("2024-01-01 02:00:00"), 2L)) // closes session B
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .select("session_start", "session_end", "n_events")
+        .as[(Timestamp, Timestamp, Long)].collect()
+        .map { case (s, e, n) => (s.toString, e.toString, n) }.sorted.toSeq
+      // the 02:00 event advances the watermark to 01:55, which also closes
+      // user 2's 01:00 session within the same processAllAvailable drain
+      assert(got == Seq(
+        ("2024-01-01 00:00:00.0", "2024-01-01 00:08:00.0", 2L),
+        ("2024-01-01 00:20:00.0", "2024-01-01 00:25:00.0", 1L),
+        ("2024-01-01 01:00:00.0", "2024-01-01 01:05:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("latestPerKey: stateful keep-latest across micro-batches, stale rows ignored") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[KeyedValue]
