@@ -113,7 +113,40 @@ object RelationalExtras {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
+  /** Pivot = conditional aggregation; the oracle spells out the FILTER
+    * columns, which is also exactly how Catalyst lowers pivot. */
+  private val pivotQ = QueryDef(
+    fn = (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority"),
+    oracle = Some(
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Array aggregation: collect_set is order-nondeterministic, so results
+    * normalize through sort_array — same discipline as DuckDB list_sort. */
+  private val arrayAgg = QueryDef(
+    fn = (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id"),
+    oracle = Some(
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_pivot" -> pivotQ,
+    "q_array_agg" -> arrayAgg,
     "q_salted_agg" -> saltedAgg,
     "q_subquery_scalar" -> subqueryScalar,
     "q_cte_reuse" -> cteReuse,
