@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.{ForwardFill, PricenowPricing, Validation}
+import graft.sink.JdbcUpsert
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The complete reference pipeline (`scripts/pricenow_etl.py:426-453`
+  * `__main__`) as one composed Spark job — the "a user of the reference
+  * could switch" surface:
+  *
+  *   EP1  catalog: DSv2 page scan -> flatten/filter/derive (S1/S5,T1-T6)
+  *   EP2  prices:  change points -> dense-grid LOCF -> broadcast duration
+  *        join -> days_between/active -> run-stamp (F1,T10-T14)
+  *   EP3  load:    PK validation -> keyed upserts, prices before products,
+  *        idempotent on rerun (V1/V2,K1-K3)
+  *
+  * Differences by design (SURVEY.md §3): the driver-side id-list collect at
+  * ref :439 disappears — the engine joins instead; both tables derive from
+  * lazy plans and load in two actions.
+  */
+object PricenowPipeline {
+
+  case class Config(
+      seasonStart: String = "2025-12-13", // ref :331
+      seasonEnd: String = "2026-04-12",   // ref :332
+      updatedAt: String,                  // ONE stamp per run (ref :432)
+      jdbcUrl: String,
+      dialect: JdbcUpsert.Dialect = JdbcUpsert.Dialect.Postgres,
+      productsTable: String = "pricenow_products",
+      pricesTable: String = "pricenow_prices",
+      writePartitions: Option[Int] = None)
+
+  /** EP1: catalog scan -> pricenow_products shape. */
+  def products(spark: SparkSession, pagesPath: String, cfg: Config): DataFrame =
+    spark.read.format("graft.sources.PricenowCatalogSource")
+      .option("path", pagesPath).load()
+      .withColumn("updated_at", to_timestamp(lit(cfg.updatedAt)))
+
+  /** EP2: change points (product_id, valid_at DATE, price, ingest ord) ->
+    * dense daily pricenow_prices with active flags. */
+  def prices(changes: DataFrame, catalog: DataFrame, cfg: Config): DataFrame = {
+    val filled = ForwardFill.dailyGrid(
+        changes, "product_id", "valid_at", "price",
+        tieBreak = Seq("ord"), start = cfg.seasonStart, end = cfg.seasonEnd)
+      .withColumnRenamed("valid_at", "valid_from")
+    PricenowPricing.priceTable(
+        filled, catalog.select(col("product_id"), col("duration_days")),
+        "valid_from", cfg.seasonEnd, cfg.updatedAt)
+      .select(col("product_id"), col("valid_from"), col("price"),
+        col("active"), col("updated_at"))
+  }
+
+  /** EP3: validate PKs then upsert — prices before products, matching the
+    * reference's load order (ref :448 vs :452, no FK ordering assumed). */
+  def load(productsDf: DataFrame, pricesDf: DataFrame, cfg: Config): Unit = {
+    Validation.requireNonNull(productsDf, Seq("product_id"))     // V1, ref :248-251
+    Validation.requireNonNull(pricesDf, Seq("product_id", "valid_from")) // V2, ref :271-274
+    JdbcUpsert.upsert(pricesDf, cfg.jdbcUrl, cfg.pricesTable,
+      Seq("product_id", "valid_from"), cfg.dialect,
+      writePartitions = cfg.writePartitions)                     // K3, ref :448
+    JdbcUpsert.upsert(productsDf, cfg.jdbcUrl, cfg.productsTable,
+      Seq("product_id"), cfg.dialect,
+      writePartitions = cfg.writePartitions)                     // K2, ref :452
+  }
+
+  /** Full run: EP1 -> EP2 -> EP3. */
+  def run(spark: SparkSession, pagesPath: String, changes: DataFrame, cfg: Config): Unit = {
+    val cat = products(spark, pagesPath, cfg)
+    val pr = prices(changes, cat, cfg)
+    load(
+      cat.select("product_id", "category", "age", "duration", "updated_at"),
+      pr, cfg)
+  }
+}

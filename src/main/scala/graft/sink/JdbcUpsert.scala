@@ -44,16 +44,22 @@ object JdbcUpsert {
   /** Upsert `df` into `table` on `keys`.
     *
     * @param batchSize rows per executed batch / commit (reference: 1000)
+    * @param writePartitions cap on concurrent writer connections (None =
+    *   df's partitioning). Postgres takes full parallelism; embedded
+    *   databases with coarse lock escalation (Derby probing absent keys
+    *   takes index gap locks) want 1.
     */
   def upsert(
       df: DataFrame, url: String, table: String, keys: Seq[String],
       dialect: Dialect, batchSize: Int = 1000,
-      connectionProps: Map[String, String] = Map.empty): Unit = {
+      connectionProps: Map[String, String] = Map.empty,
+      writePartitions: Option[Int] = None): Unit = {
     val schema = df.schema
     val cols = schema.fieldNames.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains), s"keys $keys must be columns")
 
-    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    val writeDf = writePartitions.map(df.coalesce).getOrElse(df)
+    writeDf.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val props = new java.util.Properties()
         connectionProps.foreach { case (k, v) => props.setProperty(k, v) }
