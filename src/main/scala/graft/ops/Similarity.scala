@@ -92,6 +92,70 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Column-wise centroids per cell from a labeled corpus — the IVF
+    * "training" step, here using a provided coarse label. Per-dimension
+    * sums go through DECIMAL(20,10) so partial-aggregation order cannot
+    * perturb the result (floats quantized at 1e-10, far below float32
+    * noise); the centroid is the rounded double mean.
+    * Returns (cellCol, centroid array<double> ordered by dimension).
+    */
+  def centroids(corpus: DataFrame, cellCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    corpus
+      .select(col(cellCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(cellCol), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") / count(lit(1)))
+        .as("m"))
+      .groupBy(col(cellCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col(cellCol),
+        transform(col("pm"), e => e.getField("m")).as("centroid"))
+  }
+
+  /** IVF-style approximate top-k: corpus rows are indexed by their cell
+    * (coarse label); each query probes only its `nprobe` nearest cells by
+    * centroid cosine. The probe join is an equi-join on cell id — at
+    * 100 TB the corpus shuffles once by cell (or is written bucketed by
+    * cell and never shuffles again), and scan cost drops by
+    * ~nprobe/n_cells versus brute force, trading recall like any IVF
+    * index. Centroid table is tiny — broadcast.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, cellCol: String,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cAsDouble = cents.select(col(cellCol).as("cell"), col("centroid"))
+    // rank cells per query by cosine(query, centroid); keep nprobe cells
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qCells = qv.join(broadcast(cAsDouble))
+      .withColumn("ccos", TextAnalysis.round6(
+        dotD(col("qv"), col("centroid"))
+          / (norm(col("qv")) * normD(col("centroid")))))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("cell").asc)))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(cellCol).as("cell"))
+    val scored = cv.join(qCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** float-array × double-array dot (query vs centroid), sequential. */
+  private def dotD(f: Column, d: Column): Column =
+    aggregate(zip_with(f, d, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def normD(d: Column): Column =
+    sqrt(aggregate(zip_with(d, d, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
+
   /** Embedding-cosine near-duplicate pairs on a pre-sampled input:
     * all (id_a < id_b) pairs with cosine >= minCosine. The quadratic form is
     * the oracle twin; at scale route through `lshTopK`-style bucketing.

@@ -362,7 +362,48 @@ object ExtensionQueries {
         .orderBy("doc_id"),
     oracle = None)
 
+  private val annIvf = QueryDef(
+    fn = (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") < 8),
+          Similarity.centroids(emb, "label", "embedding"),
+          "vec_id", "embedding", "label", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some {
+      val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
+      val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
+      val normQ = s"sqrt(${dDot("qv", "qv")})"
+      s"""WITH ce AS (
+         |  SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
+         |         unnest(embedding) AS v
+         |  FROM embeddings),
+         |cm AS (
+         |  SELECT cell, pos,
+         |         CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM ce GROUP BY cell, pos),
+         |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |qc AS (
+         |  SELECT query_id, qv, cell,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      floor(($dotQC / ($normQ * $normC)) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |      cell ASC) AS crank
+         |  FROM q CROSS JOIN cent),
+         |probe AS (SELECT query_id, qv, cell FROM qc WHERE crank <= 2),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cell FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${dCos("qv", "cv")} AS cos
+         |  FROM c JOIN probe USING (cell) WHERE query_id <> neighbor_id),
+         |ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
+    "q_sim_ann_ivf" -> annIvf,
     "q_multimodal_meta" -> mmMeta,
     "q_multimodal_frames" -> mmFrames,
     "q_multimodal_features" -> mmFeatures,

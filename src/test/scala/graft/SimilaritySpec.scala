@@ -65,6 +65,26 @@ class SimilaritySpec extends SparkSpec {
     assert(!lsh.exists(_._1 == 4L))
   }
 
+  test("ivfTopK: centroids are per-cell means; probing all cells equals brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.centroids(emb, "label", "embedding")
+    val nCells = cents.count().toInt
+    assert(nCells > 1)
+    // with nprobe = all cells, IVF degenerates to exact brute force
+    val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+        cents, "vec_id", "embedding", "label", k = 3, nprobe = nCells)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ivf == brute)
+    // with nprobe = 1, results are a (possibly strict) subset per query
+    val ivf1 = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+        cents, "vec_id", "embedding", "label", k = 3, nprobe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf1.nonEmpty)
+  }
+
   test("cosineNearDupPairs returns ordered pairs above threshold") {
     val got = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95)
       .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
