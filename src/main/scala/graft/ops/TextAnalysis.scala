@@ -121,6 +121,29 @@ object TextAnalysis {
     round6(score)
   }
 
+  /** Text normalization for pipeline hygiene: strip control chars,
+    * collapse whitespace runs to single spaces, trim. Pure regexp chain —
+    * codegen'd, shuffle-free. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\p{Cntrl}]", " "), "\\s+", " "))
+
+  /** Deterministic bucket in [0, buckets) from the md5-prefix hash of a key
+    * — the engine's sampling/split primitive: unlike `df.sample`, the
+    * assignment is a pure function of the key (stable across runs, engines,
+    * partitionings, and cluster sizes), which is what a reproducible
+    * training-data pipeline needs. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(tokenHash32(key.cast("string")), lit(buckets.toLong))
+
+  /** Train/val/test assignment by hash percentile (80/10/10 by default). */
+  def assignSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(key, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Rolling polynomial fingerprint over the raw characters:
     * acc := (acc * 31 + codepoint) mod (2^31-1). Exact integer arithmetic —
     * identical in any engine; DuckDB twin uses list_reduce over the chars.

@@ -137,6 +137,50 @@ object ExtensionQueries {
          |    (a, c) -> (a * 31 + c) % 2147483647) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin))
 
+  private val textClean = QueryDef(
+    fn = (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextAnalysis.cleanText(concat(lit("  x\t\ty "), col("text"), lit("  ")))
+            .as("cleaned"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace('  x' || chr(9) || chr(9) || 'y ' || text || '  ',
+        |    '[\p{Cc}]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Corpus token frequency: the vocabulary-building aggregation. */
+  private val tokenFreq = QueryDef(
+    fn = (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(20),
+    oracle = Some(
+      s"""SELECT token, COUNT(*) AS freq
+         |FROM (SELECT unnest(${dToks("text")}) AS token FROM documents)
+         |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin))
+
+  /** Deterministic hash split: stable across runs/engines/partitionings —
+    * the reproducible alternative to df.sample for train/val/test. */
+  private val hashSplit = QueryDef(
+    fn = (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextAnalysis.hashBucket(col("doc_id"), 100).as("bucket"),
+          TextAnalysis.assignSplit(col("doc_id")).as("split"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""SELECT doc_id,
+         |  ${dHash32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |  CASE WHEN ${dHash32("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${dHash32("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin))
+
   // ---- dedup ---------------------------------------------------------------
 
   private val dedupExact = QueryDef(
@@ -403,6 +447,9 @@ object ExtensionQueries {
     })
 
   val defs: Map[String, QueryDef] = Map(
+    "q_text_clean" -> textClean,
+    "q_token_freq" -> tokenFreq,
+    "q_hash_split" -> hashSplit,
     "q_sim_ann_ivf" -> annIvf,
     "q_multimodal_meta" -> mmMeta,
     "q_multimodal_frames" -> mmFrames,
