@@ -96,6 +96,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over an undirected pair graph — the survivor-
+    * selection step that turns near-dup PAIRS into dedup DECISIONS: every
+    * node gets the minimum id reachable from it (its canonical
+    * representative).
+    *
+    * Implementation is iterative min-label propagation (Pregel-style as
+    * plain DataFrame joins): per round, each node takes the min of its own
+    * label and its neighbors' labels; converged when no label changes.
+    * Rounds needed = graph diameter (near-dup clusters are shallow — pairs
+    * share a band key — so a handful of rounds in practice); each round is
+    * one shuffle join on id, and `localCheckpoint` cuts the growing lineage
+    * so plans stay flat at scale.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("comp", "ncomp"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("ncomp")).as("mincomp"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.filter(col("comp") =!= col("old")).count()
+      labels = next.select("id", "comp")
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Keep one survivor per near-dup cluster: rows whose id is its cluster's
+    * canonical (minimum) id survive; ids not in any pair survive trivially.
+    */
+  def survivors(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
+
   /** Exact Jaccard over two distinct-element arrays, rounded to 6 digits:
     * |A∩B| / (|A|+|B|-|A∩B|), integer counts divided once in double.
     */

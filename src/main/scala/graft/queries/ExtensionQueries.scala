@@ -234,6 +234,38 @@ object ExtensionQueries {
          |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Survivor selection over the minhash pair graph: connected components
+    * via iterative min-label propagation; oracle computes the same
+    * components with a DuckDB recursive CTE over the identical pair set. */
+  private val dedupComponents = QueryDef(
+    fn = (spark, dir) => {
+      val sample = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
+      val pairs = Dedup.nearDupMinhash(sample, "doc_id", "text",
+        k = 16, bands = 4, minJaccard = 0.5)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      sample.select(col("doc_id")).join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"),
+          (coalesce(col("comp"), col("doc_id")) === col("doc_id")).as("survivor"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE $minhashOracle,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT d.id AS doc_id, COALESCE(c.comp, d.id) AS comp,
+         |  (COALESCE(c.comp, d.id) = d.id) AS survivor
+         |FROM docs d LEFT JOIN comp c ON d.id = c.id
+         |ORDER BY doc_id""".stripMargin))
+
   /** SimHash signature oracle CTE over a sampled doc set. */
   private def simhashOracle(sample: String): String =
     s"""docs AS (SELECT doc_id AS id, ${dToks("text")} AS toks
@@ -460,6 +492,7 @@ object ExtensionQueries {
     "q_text_fingerprint" -> fingerprintQ,
     "q_dedup_exact_docs" -> dedupExact,
     "q_dedup_minhash_pairs" -> dedupMinhash,
+    "q_dedup_components" -> dedupComponents,
     "q_dedup_simhash_sigs" -> simhashSigs,
     "q_dedup_simhash_pairs" -> simhashPairs,
     "q_dedup_ngram_jaccard" -> jaccardNgram,

@@ -1,0 +1,41 @@
+package graft
+
+/** Regression guards on the physical-plan properties the 100 TB design
+  * depends on: dimension joins must broadcast (not sort-merge), scans must
+  * push filters into parquet, and the scale-path dedup/similarity joins
+  * must be equi-joins (no nested-loop cartesian products).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("star joins broadcast every dimension, none fall back to sort-merge") {
+    val p = plan("q_join_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("filters push into the parquet scans") {
+    Seq("q1_agg", "f1_locf_events", "q_semi_join").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("PushedFilters: ["), s"$q has no pushed filters section")
+      assert(!p.contains("PushedFilters: []"), s"$q pushed nothing")
+    }
+  }
+
+  test("scale-path near-dup and ANN joins are equi-joins, not cartesian") {
+    Seq("q_dedup_minhash_pairs", "q_dedup_ngram_jaccard", "q_sim_ann_lsh",
+      "q_sim_ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product")
+    }
+  }
+
+  test("the quadratic oracle twins are the ONLY sanctioned cross joins") {
+    // documented exception: pre-sampled pair queries are quadratic by design
+    val p = plan("q_sim_cosine_pairs")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+  }
+}

@@ -116,6 +116,19 @@ class TextDedupSpec extends SparkSpec {
     assert(both.count() == 500)
   }
 
+  test("connectedComponents labels transitive clusters; survivors keep cluster minima") {
+    // clusters: {1,2,3} (chain), {5,6}; 9 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val kept = Dedup.survivors(docs, "doc_id", pairs, "id_a", "id_b")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 5L, 9L)) // cluster minima + the unpaired doc
+  }
+
   test("jaccardPairs (inverted index) matches the brute-force definition") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a x y z w")).toDF("id", "text")
