@@ -126,7 +126,9 @@ object Dedup {
       val next = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        // lazy checkpoint: the convergence count below materializes it in
+        // the same job (eager would run a second job per round)
+        .localCheckpoint(false)
       changed = next.filter(col("comp") =!= col("old")).count()
       labels = next.select("id", "comp")
       rounds += 1

@@ -144,7 +144,68 @@ object RelationalExtras {
         |  COUNT(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Higher-order array functions over per-order quantity arrays:
+    * transform/filter/aggregate/exists/forall (SURVEY §2.3 array row).
+    * Arrays are sort_array'd so aggregation order is deterministic. */
+  private val arrayFuncs = QueryDef(
+    fn = (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+        .select(
+          col("l_orderkey"),
+          size(col("qs")).as("n"),
+          aggregate(col("qs"), lit(0.0), (a, x) => a + x).as("q_sum"),
+          array_max(col("qs")).as("q_max"),
+          size(filter(col("qs"), _ > 25.0)).as("n_big"),
+          exists(col("qs"), _ > 45.0).as("any_huge"),
+          forall(col("qs"), _ > 0.0).as("all_positive"),
+          aggregate(transform(col("qs"), x => x * x), lit(0.0), (a, x) => a + x)
+            .as("q_sumsq"))
+        .orderBy("l_orderkey"),
+    oracle = Some(
+      """SELECT l_orderkey,
+        |  CAST(len(qs) AS INTEGER) AS n,
+        |  list_reduce(list_concat([CAST(0.0 AS DOUBLE)], qs), (a, x) -> a + x) AS q_sum,
+        |  list_max(qs) AS q_max,
+        |  CAST(len(list_filter(qs, x -> x > 25.0)) AS INTEGER) AS n_big,
+        |  len(list_filter(qs, x -> x > 45.0)) > 0 AS any_huge,
+        |  len(list_filter(qs, x -> NOT (x > 0.0))) = 0 AS all_positive,
+        |  list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |    list_transform(qs, x -> x * x)), (a, x) -> a + x) AS q_sumsq
+        |FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+        |      FROM lineitem GROUP BY l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin))
+
+  /** Map functions: build, access, introspect (values re-expressed as
+    * scalars in the oracle — map semantics live on the Spark side). */
+  private val mapFuncs = QueryDef(
+    fn = (spark, dir) => {
+      val m = map_from_arrays(
+        array(lit("status"), lit("priority")),
+        array(col("o_orderstatus"), col("o_orderpriority")))
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), m.as("m"))
+        .select(
+          col("o_orderkey"),
+          element_at(col("m"), "status").as("status"),
+          element_at(col("m"), "priority").as("priority"),
+          element_at(col("m"), "missing").as("absent"),
+          size(col("m")).as("m_size"),
+          array_join(map_keys(col("m")), ",").as("keys"))
+        .orderBy("o_orderkey")
+    },
+    oracle = Some(
+      """SELECT o_orderkey,
+        |  o_orderstatus AS status, o_orderpriority AS priority,
+        |  CAST(NULL AS VARCHAR) AS absent,
+        |  CAST(2 AS INTEGER) AS m_size,
+        |  'status,priority' AS keys
+        |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_array_funcs" -> arrayFuncs,
+    "q_map_funcs" -> mapFuncs,
     "q_pivot" -> pivotQ,
     "q_array_agg" -> arrayAgg,
     "q_salted_agg" -> saltedAgg,
