@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.{CosineSimilarity, SimHash32Expr, TokenHash32Expr}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the engine's native expressions: with this
+  * installed, `spark.sql("SELECT cosine_similarity(a, b) ...")` plans the
+  * fused codegen expressions directly — the full Catalyst extension-point
+  * story (custom Expression + SparkSessionExtensions), no Column-API
+  * required.
+  *
+  * Two installation paths:
+  *  - config: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (applied at session build via `injectFunction`);
+  *  - runtime: `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (identifier, info, builder) triples shared by both install paths. */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32Expr].getName, null, "simhash32"),
+      (args: Seq[Expression]) => SimHash32Expr(args.head)),
+    (FunctionIdentifier("token_hash32"),
+      new ExpressionInfo(classOf[TokenHash32Expr].getName, null, "token_hash32"),
+      (args: Seq[Expression]) => TokenHash32Expr(args.head)))
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, inf, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, id, inf, builder)
+    }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("register exposes the native expressions to spark.sql") {
+    GraftExtensions.register(spark)
+    val h = spark.sql("SELECT token_hash32('tok') AS h").as[Long].collect().head
+    assert(h == 1622020974L) // md5("tok") prefix
+
+    Seq((Array(1f, 0f), Array(1f, 0f))).toDF("a", "b").createOrReplaceTempView("v")
+    val cos = spark.sql("SELECT cosine_similarity(a, b) AS c FROM v")
+      .as[Double].collect().head
+    assert(cos == 1.0)
+
+    val sig = spark.sql(
+      "SELECT simhash32(transform(array('a','b'), t -> token_hash32(t))) AS s")
+      .as[Long].collect().head
+    val viaColumn = Seq("a b").toDF("text")
+      .select(graft.ops.Dedup.tokenHashes(graft.ops.TextAnalysis.tokens($"text")).as("hs"))
+      .select(graft.ops.Dedup.simhash32($"hs"))
+      .as[Long].collect().head
+    assert(sig == viaColumn)
+  }
+
+  test("the extensions class injects without error (spark.sql.extensions path)") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // would throw on malformed descriptors
+  }
+}
