@@ -315,7 +315,42 @@ object CoreQueries {
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id""".stripMargin))
 
+  // --- general backward as-of join (F1's unrestricted sibling) --------------
+
+  private val asofJoin = QueryDef(
+    fn = (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("value"))
+      graft.ops.AsOfJoin.backward(
+          clicks, purchases, keyCols = Seq("user_id"),
+          leftTime = "ts_ns", rightTime = "ts_ns",
+          valueCols = Seq("value", "event_id"), rightTieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_value"), col("asof_event_id"))
+        .orderBy("event_id")
+    },
+    oracle = Some(
+      // DuckDB's native ASOF JOIN is the differential oracle; right rows
+      // sharing (user_id, ts) dedup to the max event_id first, matching the
+      // operator's last-in-tie-break-order convention
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id DESC) = 1)
+        |SELECT c.event_id, c.user_id,
+        |  p.value AS asof_value, p.event_id AS asof_event_id
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_asof_join" -> asofJoin,
     "f1_locf_events" -> locfEvents,
     "q1_agg" -> q1Agg,
     "q_join_nation_revenue" -> joinNationRevenue,
