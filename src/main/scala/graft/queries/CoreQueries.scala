@@ -124,6 +124,34 @@ object CoreQueries {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin))
 
+  // --- supplier dimension: dim->dim broadcast chain + grouped stats ---------
+
+  private val supplierStats = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val s = Tables.supplier(spark, dir)
+      val n = Tables.nation(spark, dir)
+      li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          countDistinct(col("s_suppkey")).as("n_suppliers"),
+          dsum(col("l_extendedprice")).as("supply_value"),
+          (sum(dec(col("l_quantity"))).cast("double") /
+            countDistinct(col("s_suppkey"))).as("qty_per_supplier"))
+        .orderBy("n_name")
+    },
+    oracle = Some(
+      """SELECT n_name,
+        |  COUNT(DISTINCT s_suppkey) AS n_suppliers,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS supply_value,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+        |    / COUNT(DISTINCT s_suppkey) AS qty_per_supplier
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
   // --- semi / anti joins -----------------------------------------------------
 
   private val semiJoin = QueryDef(
@@ -354,6 +382,7 @@ object CoreQueries {
     "f1_locf_events" -> locfEvents,
     "q1_agg" -> q1Agg,
     "q_join_nation_revenue" -> joinNationRevenue,
+    "q_supplier_stats" -> supplierStats,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_topk_per_group" -> topkPerGroup,
