@@ -110,11 +110,18 @@ object Dedup {
     * so plans stay flat at scale.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edgesAll = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(true)
+    // right-size the iteration: every round schedules jobs over these
+    // partitions, so a small graph on many partitions pays pure scheduling
+    // overhead (~1M edges per partition is comfortable)
+    val parts = math.max(1, math.min(edgesAll.rdd.getNumPartitions,
+      (edgesAll.count() / 1000000L).toInt + 1))
+    val edges = edgesAll.coalesce(parts) // narrow — reads the checkpoint
     val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("comp", col("id")).localCheckpoint(true)
+    var labels = nodes.withColumn("comp", col("id"))
+      .coalesce(parts).localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
