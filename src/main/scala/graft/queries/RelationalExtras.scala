@@ -203,7 +203,28 @@ object RelationalExtras {
         |  'status,priority' AS keys
         |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** Exact percentiles: Spark `percentile` and DuckDB `quantile_cont` both
+    * sort and linearly interpolate — on these small-integer-valued doubles
+    * the interpolation arithmetic is identical. */
+  private val percentiles = QueryDef(
+    fn = (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90"),
+          min(col("l_quantity")).as("q_min"),
+          max(col("l_quantity")).as("q_max"))
+        .orderBy("l_returnflag"),
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  min(l_quantity) AS q_min, max(l_quantity) AS q_max
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_percentiles" -> percentiles,
     "q_array_funcs" -> arrayFuncs,
     "q_map_funcs" -> mapFuncs,
     "q_pivot" -> pivotQ,

@@ -55,6 +55,24 @@ class SourcesSpec extends SparkSpec {
     assert(viaSource.sortBy(_._1) == viaExpr.sortBy(_._1))
   }
 
+  test("catalog flatten tolerates malformed or empty payloads (no rows, no crash)") {
+    val bad = Seq(
+      "not json at all",
+      "{\"data\": \"oops-not-an-array\"}",
+      "{}",
+      "[]").toDF("json")
+    assert(graft.ops.PricenowCatalog.flatten(bad, "json").count() == 0)
+    // mixed batch: good rows survive alongside garbage
+    val mixed = Seq(
+      "garbage{{{",
+      """{"data": [{"name": "x", "productDefinitions": [
+        | {"id": 1, "attributes": {"age": {"value": "adult"}, "duration": {"value": "2d"}}}]}]}""".stripMargin)
+      .toDF("json")
+    val got = graft.ops.PricenowCatalog.flatten(mixed, "json")
+      .as[(Long, String, String, String, Option[Int])].collect().toSeq
+    assert(got == Seq((1L, "x", "adult", "2d", Some(2))))
+  }
+
   test("client: token cached in memory, disk, refreshed inside the 60s margin") {
     var now = 1000L
     var fetches = 0

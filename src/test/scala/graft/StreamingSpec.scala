@@ -114,6 +114,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedStats: data later than the watermark is dropped, not aggregated") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingOps.windowedStats(
+        in.toDF().toDF("ts", "event_type", "value"), "ts", "event_type", "value",
+        windowLen = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("latedrop")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((ts("2024-01-01 01:00:00"), "click", 1.0))
+      q.processAllAvailable() // watermark -> 00:55
+      // 00:10 is far behind the watermark: its window [00:10,00:20) is closed
+      in.addData((ts("2024-01-01 00:10:00"), "click", 99.0))
+      q.processAllAvailable()
+      val windows = spark.table("latedrop")
+        .select("window_start").as[Timestamp].collect().map(_.toString).toSeq
+      assert(windows == Seq("2024-01-01 01:00:00.0")) // late row never surfaced
+    } finally q.stop()
+  }
+
   test("upsertSink: micro-batches land as idempotent keyed upserts") {
     val url = "jdbc:derby:memory:streamsink;create=true"
     val conn = DriverManager.getConnection(url)
