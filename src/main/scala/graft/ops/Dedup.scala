@@ -124,15 +124,26 @@ object Dedup {
       .coalesce(parts).localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < 64) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("comp", "ncomp"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("ncomp")).as("mincomp"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
+      val stepped = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
+      // pointer jumping (path halving): also adopt the label OF one's
+      // label — labels always reference node ids, so this lookup is a
+      // self-join. Plain neighbor propagation moves the min one hop per
+      // round (a diameter-d chain needs d rounds); with halving the
+      // distance shrinks geometrically, so 64 rounds covers any graph
+      // this side of 2^64 nodes.
+      val next = stepped.as("l")
+        .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
+          col("l.comp") === col("p.pid"), "left")
+        .select(col("l.id").as("id"), col("l.old").as("old"),
+          least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"))
         // lazy checkpoint: the convergence count below materializes it in
         // the same job (eager would run a second job per round)
         .localCheckpoint(false)

@@ -129,6 +129,14 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 5L, 9L)) // cluster minima + the unpaired doc
   }
 
+  test("connectedComponents converges on a 200-node chain (worst-case diameter)") {
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(comps.length == 200)
+    assert(comps.forall(_._2 == 1L), "every chain node must label to the minimum")
+  }
+
   test("jaccardPairs (inverted index) matches the brute-force definition") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a x y z w")).toDF("id", "text")
