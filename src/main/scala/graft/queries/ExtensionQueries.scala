@@ -478,7 +478,79 @@ object ExtensionQueries {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     })
 
+  /** ANN quality gate: recall of the LSH and IVF paths against brute-force
+    * ground truth on the same queries — the evaluation operator any
+    * approximate index needs next to it. Exact integer counts; the oracle
+    * recomputes all three searches.
+    */
+  private val annRecall = QueryDef(
+    fn = (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val qs = emb.filter(col("vec_id") < 8)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id"), col("neighbor_id"))
+      val brute = pairs(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5))
+      val lsh = pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5, nBits = 8))
+      val ivf = pairs(Similarity.ivfTopK(emb, qs,
+        Similarity.centroids(emb, "label", "embedding"),
+        "vec_id", "embedding", "label", k = 5, nprobe = 2))
+      brute
+        .join(lsh.withColumn("in_lsh", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .join(ivf.withColumn("in_ivf", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          count(lit(1)).as("n_truth"),
+          sum(coalesce(col("in_lsh"), lit(0))).as("lsh_hits"),
+          sum(coalesce(col("in_ivf"), lit(0))).as("ivf_hits"))
+    },
+    oracle = Some {
+      val bucket = dSum(
+        "list_transform(range(0, 8), i -> CASE WHEN e[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)")
+      val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
+      val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
+      val normQ = s"sqrt(${dDot("qv", "qv")})"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cell FROM embeddings),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY ${dCos("qv", "cv")} DESC, neighbor_id ASC) AS r
+         |    FROM c CROSS JOIN q WHERE query_id <> neighbor_id) WHERE r <= 5),
+         |vb AS (SELECT vec_id, embedding AS e, $bucket AS bucket FROM embeddings),
+         |lsh AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id, row_number() OVER (
+         |      PARTITION BY x.vec_id ORDER BY
+         |        floor((${dDot("x.e", "y.e")} / (sqrt(${dDot("x.e", "x.e")}) * sqrt(${dDot("y.e", "y.e")}))) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |        y.vec_id ASC) AS r
+         |    FROM vb x JOIN vb y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+         |    WHERE x.vec_id < 8) WHERE r <= 5),
+         |ce AS (SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
+         |       unnest(embedding) AS v FROM embeddings),
+         |cm AS (SELECT cell, pos,
+         |       CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+         |       FROM ce GROUP BY cell, pos),
+         |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+         |qc AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT query_id, qv, cell, row_number() OVER (PARTITION BY query_id ORDER BY
+         |      floor(($dotQC / ($normQ * $normC)) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |      cell ASC) AS cr
+         |    FROM q CROSS JOIN cent) WHERE cr <= 2),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY ${dCos("qv", "cv")} DESC, neighbor_id ASC) AS r
+         |    FROM c JOIN qc USING (cell) WHERE query_id <> neighbor_id) WHERE r <= 5)
+         |SELECT COUNT(*) AS n_truth,
+         |  CAST(SUM(CASE WHEN l.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
+         |  CAST(SUM(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits
+         |FROM brute b
+         |LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+         |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
+    "q_ann_recall" -> annRecall,
     "q_text_clean" -> textClean,
     "q_token_freq" -> tokenFreq,
     "q_hash_split" -> hashSplit,
