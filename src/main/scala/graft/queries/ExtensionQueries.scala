@@ -181,6 +181,49 @@ object ExtensionQueries {
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Corpus profile: composition of the text signals grouped by the
+    * (lang, source) facets — the dataset-card aggregation. */
+  private val docProfile = QueryDef(
+    fn = (spark, dir) =>
+      Tables.documents(spark, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          // quality is already 6-decimal; the DECIMAL cast makes the SUM
+          // order-insensitive (double partials would drift in the last ulp)
+          TextAnalysis.round6(
+            sum(TextAnalysis.qualityScore(col("text"))
+              .cast(org.apache.spark.sql.types.DecimalType(12, 6)))
+              .cast("double") / count(lit(1)))
+            .as("avg_quality"))
+        .orderBy("lang", "source"),
+    oracle = Some {
+      val en = TextAnalysis.StopwordLists.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT lang, source, n_chars,
+         |  CAST(len(${dToks("text")}) AS DOUBLE) AS n_tok,
+         |  CAST(len(text) AS DOUBLE) AS n_char,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(${dToks("text")}, t -> list_contains($en, t))) AS DOUBLE) AS stop,
+         |  ${dSum(s"list_transform(${dToks("text")}, t -> CAST(len(t) AS BIGINT))")} AS tok_chars
+         |FROM documents),
+         |s AS (SELECT lang, source, n_chars, CAST(n_tok AS BIGINT) AS n_tok,
+         |  floor((
+         |    least(n_tok / 100.0, 1.0) * 0.3
+         |    + (CASE WHEN n_tok > 0 THEN stop / n_tok ELSE 0.0 END) * 0.3
+         |    + (1.0 - least(CASE WHEN n_char > 0 THEN punct / n_char ELSE 0.0 END, 1.0)) * 0.2
+         |    + least((CASE WHEN n_tok > 0 THEN CAST(tok_chars AS DOUBLE) / n_tok ELSE 0.0 END) / 8.0, 1.0) * 0.2
+         |    ) * 1000000.0 + 0.5) / 1000000.0 AS q
+         |FROM m)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |  SUM(n_chars) AS sum_chars, SUM(n_tok) AS sum_tokens,
+         |  floor((CAST(SUM(CAST(q AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS avg_quality
+         |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin
+    })
+
   // ---- dedup ---------------------------------------------------------------
 
   private val dedupExact = QueryDef(
@@ -550,6 +593,7 @@ object ExtensionQueries {
     })
 
   val defs: Map[String, QueryDef] = Map(
+    "q_doc_profile" -> docProfile,
     "q_ann_recall" -> annRecall,
     "q_text_clean" -> textClean,
     "q_token_freq" -> tokenFreq,
