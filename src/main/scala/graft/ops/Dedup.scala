@@ -138,12 +138,16 @@ object Dedup {
       // self-join. Plain neighbor propagation moves the min one hop per
       // round (a diameter-d chain needs d rounds); with halving the
       // distance shrinks geometrically, so 64 rounds covers any graph
-      // this side of 2^64 nodes.
-      val next = stepped.as("l")
-        .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
-          col("l.comp") === col("p.pid"), "left")
-        .select(col("l.id").as("id"), col("l.old").as("old"),
-          least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"))
+      // this side of 2^64 nodes. Dense near-dup graphs converge in 2-3
+      // neighbor rounds alone, so the extra join only engages once the
+      // round count suggests a deep structure.
+      val jumped = if (rounds < 2) stepped
+        else stepped.as("l")
+          .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
+            col("l.comp") === col("p.pid"), "left")
+          .select(col("l.id").as("id"), col("l.old").as("old"),
+            least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"))
+      val next = jumped
         // lazy checkpoint: the convergence count below materializes it in
         // the same job (eager would run a second job per round)
         .localCheckpoint(false)

@@ -68,8 +68,13 @@ object CoreQueries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
+          // DECIMAL(30,8), not double: the scale-8 sum exceeds 2^53 when
+          // int128-scaled, and DuckDB's decimal->double cast double-rounds
+          // there while BigDecimal.toDouble rounds once (diverges at sf0.1).
+          // Scale stays 8 — down-scaling would hit Spark-HALF_UP vs
+          // DuckDB-truncate; a same-scale cast never rounds.
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
+            .cast(DecimalType(30, 8)).as("sum_disc_price"),
           (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -79,7 +84,7 @@ object CoreQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
+        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(30,8)) AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -103,8 +108,9 @@ object CoreQueries {
         .filter(col("r_name") === "ASIA" && col("o_orderstatus") =!= "P")
         .groupBy(col("n_name"))
         .agg(
+          // DECIMAL(30,8): see q1_agg sum_disc_price
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("revenue"),
+            .cast(DecimalType(30, 8)).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_lines"))
         .orderBy("n_name")
@@ -112,7 +118,7 @@ object CoreQueries {
     oracle = Some(
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(30,8)) AS revenue,
         |  COUNT(DISTINCT o_orderkey) AS n_orders,
         |  COUNT(*) AS n_lines
         |FROM lineitem
