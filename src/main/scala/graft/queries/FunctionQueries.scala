@@ -90,13 +90,15 @@ object FunctionQueries {
           abs(col("l_discount") - 0.05).as("absd"),
           // rounding a 2-dp money value lands exactly on .xx5 boundaries where
           // Spark (rounds the shortest decimal repr) and DuckDB (rounds the
-          // exact binary value) disagree — round an irrational instead
-          round(sqrt(col("l_extendedprice")), 4).as("rounded"),
+          // exact binary value) disagree — round an irrational instead, and
+          // use the explicit floor form (TextAnalysis.round6 rationale) so
+          // even near-boundary irrationals cannot split the engines
+          (floor(sqrt(col("l_extendedprice")) * 1e4 + 0.5) / 1e4).as("rounded"),
           floor(col("l_quantity")).as("fl"),
           ceil(col("l_quantity")).as("ce"),
           sqrt(col("l_quantity")).as("sq"),
-          round(log(col("l_extendedprice")), 6).as("lnp"),
-          round(exp(col("l_discount")), 8).as("expd"),
+          (floor(log(col("l_extendedprice")) * 1e6 + 0.5) / 1e6).as("lnp"),
+          (floor(exp(col("l_discount")) * 1e8 + 0.5) / 1e8).as("expd"),
           (col("l_quantity") * col("l_quantity")).as("qty2"),
           signum(col("l_discount") - 0.05).cast("int").as("sgn"),
           greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
@@ -106,12 +108,12 @@ object FunctionQueries {
     oracle = Some(
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_discount - 0.05) AS absd,
-        |  round(sqrt(l_extendedprice), 4) AS rounded,
+        |  floor(sqrt(l_extendedprice) * 1e4 + 0.5) / 1e4 AS rounded,
         |  CAST(floor(l_quantity) AS BIGINT) AS fl,
         |  CAST(ceil(l_quantity) AS BIGINT) AS ce,
         |  sqrt(l_quantity) AS sq,
-        |  round(ln(l_extendedprice), 6) AS lnp,
-        |  round(exp(l_discount), 8) AS expd,
+        |  floor(ln(l_extendedprice) * 1e6 + 0.5) / 1e6 AS lnp,
+        |  floor(exp(l_discount) * 1e8 + 0.5) / 1e8 AS expd,
         |  l_quantity * l_quantity AS qty2,
         |  CAST(sign(l_discount - 0.05) AS INTEGER) AS sgn,
         |  greatest(l_quantity, l_discount * 100) AS gr,
