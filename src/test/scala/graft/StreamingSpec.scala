@@ -134,6 +134,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming facts enrich against a static dimension") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("user_id", "amount")
+      .join(dim, Seq("user_id"), "left") // static side: no state, re-read per batch
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .as[(Long, Double, Option[String])].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 10.0, Some("gold")), (3L, 30.0, None)))
+    } finally q.stop()
+  }
+
   test("upsertSink: micro-batches land as idempotent keyed upserts") {
     val url = "jdbc:derby:memory:streamsink;create=true"
     val conn = DriverManager.getConnection(url)
