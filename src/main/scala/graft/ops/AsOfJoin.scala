@@ -40,11 +40,17 @@ object AsOfJoin {
     val carry = "__asof_carry"
     val leftCols = left.columns.toSeq
 
+    // SQL join semantics: NULL keys never match. Window.partitionBy would
+    // group null keys into one partition and happily carry null-key right
+    // values into null-key left rows — drop null-key RIGHT rows instead
+    // (null-key LEFT rows stay, with null asof values, as LEFT join does).
+    val rightClean = right.na.drop(keyCols)
+
     val tbs = rightTieBreak.zipWithIndex.map { case (_, i) => s"__asof_tb_$i" }
     // all right values ride in ONE struct so a match is all-or-nothing —
     // per-column fills could mix values from different right rows when some
     // columns are null
-    val r = right.select(
+    val r = rightClean.select(
       (keyCols.map(col) :+ col(rightTime).as(t) :+ lit(0).as(side) :+
         struct(valueCols.map(col): _*).as(carry)) ++
         rightTieBreak.zip(tbs).map { case (c, a) => col(c).as(a) }: _*)

@@ -73,10 +73,17 @@ object Dedup {
   def nearDupMinhash(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands (rowsPerBand=0 would " +
+        "collapse every band key and cross-join the whole corpus)")
     val rowsPerBand = k / bands
+    // persisted: the signature stage and both sides of the verification
+    // join reuse the token sets — without this the corpus is re-scanned and
+    // re-tokenized three times (token sets are far smaller than raw text)
     val base = df.select(
       col(idCol).as("id"),
       TextAnalysis.tokenSet(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = base.withColumn("sig", minhashSignature(col("toks"), k))
     val banded = sigs
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -174,7 +181,11 @@ object Dedup {
     */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    TextAnalysis.round6(inter / (size(a) + size(b) - inter))
+    val union = size(a) + size(b) - inter
+    // two empty sets: 0/0 = NaN, and NaN >= threshold is TRUE in Spark —
+    // every empty doc would count as a near-dup of every other and get
+    // dropped by survivors(). NULL fails the filter instead.
+    when(union > 0, TextAnalysis.round6(inter / union))
   }
 
   /** Exact n-gram Jaccard pairs via an inverted shingle index: explode

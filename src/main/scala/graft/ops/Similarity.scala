@@ -28,18 +28,28 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** NaN -> NULL: a zero-norm (all-zero) vector yields 0/0 = NaN, and Spark
+    * orders NaN ABOVE every real number, so without this guard a broken
+    * embedding would top-rank as everyone's nearest neighbor and pass every
+    * `cos >= t` filter. NULL instead sorts last under desc and fails
+    * threshold filters — the correct "no similarity defined" semantics. */
+  private def nanToNull(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
+
   /** Higher-order-function cosine (reference form; 4 array passes). Kept for
-    * the equivalence spec against the fused native expression. */
+    * the equivalence spec against the fused native expression.
+    * NOTE: nanToNull must wrap the RAW ratio — Spark's floor() maps NaN to
+    * 0, so round6(NaN) would silently become 0.0 and dodge the guard. */
   def cosineHof(a: Column, b: Column): Column =
-    TextAnalysis.round6(dot(a, b) / (norm(a) * norm(b)))
+    TextAnalysis.round6(nanToNull(dot(a, b) / (norm(a) * norm(b))))
 
   /** Cosine similarity rounded to 6 digits (cross-engine float discipline —
     * see TextAnalysis.round6 on why not the builtin `round`). Uses the
     * fused single-pass codegen expression [[graft.functions.CosineSimilarity]];
-    * bit-identical to [[cosineHof]] (same index-order double accumulation).
+    * bit-identical to [[cosineHof]] (same index-order double accumulation),
+    * with zero-norm inputs mapped to NULL.
     */
   def cosine(a: Column, b: Column): Column =
-    TextAnalysis.round6(graft.functions.CosineSimilarity.cosineFast(a, b))
+    TextAnalysis.round6(nanToNull(graft.functions.CosineSimilarity.cosineFast(a, b)))
 
   /** Exact brute-force top-k: for every query row, the k nearest corpus rows
     * by cosine (self-match excluded), ties broken by corpus id ascending.
@@ -53,6 +63,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos").isNotNull) // zero-norm/corrupt vectors are not neighbors
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -85,6 +96,7 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -141,6 +153,7 @@ object Similarity {
     val scored = cv.join(qCells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos").isNotNull)
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id").asc)))

@@ -78,6 +78,22 @@ object JdbcUpsert {
     }
   }
 
+  /** NULL/NaN key values would never match ON CONFLICT or the UPDATE probe
+    * (SQL NULL != NULL), so reruns would silently insert duplicates —
+    * fail loudly instead, mirroring the reference's PK asserts
+    * (ref :248-251, :271-274). */
+  private def requireKey(row: org.apache.spark.sql.Row, keys: Seq[String]): Unit =
+    keys.foreach { k =>
+      val v = row.get(row.fieldIndex(k))
+      val nan = v match {
+        case d: Double => d.isNaN
+        case f: Float => f.isNaN
+        case _ => false
+      }
+      require(v != null && !nan,
+        s"upsert key '$k' is null/NaN in $row — duplicates would accumulate")
+    }
+
   /** NaN → NULL at the sink edge (ref `:93` `df.where(pd.notnull(df), None)`)
     * plus java.sql type bridging for the parameter at `idx`.
     */
@@ -110,6 +126,7 @@ object JdbcUpsert {
     try {
       var n = 0
       rows.foreach { row =>
+        requireKey(row, keys)
         cols.zipWithIndex.foreach { case (c, i) =>
           bind(ps, i + 1, row.get(row.fieldIndex(c)), schema(c).dataType)
         }
@@ -140,6 +157,7 @@ object JdbcUpsert {
     try {
       var n = 0
       rows.foreach { row =>
+        requireKey(row, keys)
         (updatable ++ keys).zipWithIndex.foreach { case (c, i) =>
           bind(up, i + 1, row.get(row.fieldIndex(c)), schema(c).dataType)
         }

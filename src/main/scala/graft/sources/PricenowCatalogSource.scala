@@ -18,7 +18,9 @@ import scala.jdk.CollectionConverters._
   * nested JSON in the plan.
   *
   * `spark.read.format("graft.sources.PricenowCatalogSource")
-  *    .option("path", "/dir/with/page-*.json").load()`
+  *    .option("path", "/dir/of/page/json/files").load()`
+  * (`path` is a directory — every `*.json` inside becomes one partition —
+  * or a single payload file.)
   *
   * Ingest is file-based: one JSON document per file, each the verbatim
   * body a `GET /api/products/admin/?page=N` returns (the CI environment has
@@ -53,12 +55,15 @@ object PricenowCatalogSource {
     StructField("duration", StringType),
     StructField("duration_days", IntegerType)))
 
-  /** `'4h'` counts as one day; otherwise strip the `d` suffix
-    * (ref `scripts/pricenow_etl.py:315-318`). */
+  /** `'4h'` counts as one day; otherwise remove ALL `d` characters and
+    * parse — `replace("d", "")`, not a suffix strip, to stay
+    * value-identical with the reference (`scripts/pricenow_etl.py:315-318`)
+    * and with `PricenowCatalog.durationDays` (regexp_replace) on every
+    * input including malformed ones. */
   def durationDays(duration: String): Option[Int] =
     if (duration == null) None
     else if (duration == "4h") Some(1)
-    else scala.util.Try(duration.stripSuffix("d").toInt).toOption
+    else scala.util.Try(duration.replace("d", "").toInt).toOption
 
   /** Envelope normalizer (S5): data/items/results wrapper or bare array. */
   def extractRows(root: JsonNode): Iterator[JsonNode] =
@@ -83,10 +88,12 @@ private class PricenowCatalogTable(path: String) extends Table with SupportsRead
       override def planInputPartitions(): Array[InputPartition] = {
         val p = java.nio.file.Paths.get(path)
         val files: Seq[String] =
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.list(p).iterator().asScala
+          if (java.nio.file.Files.isDirectory(p)) {
+            val stream = java.nio.file.Files.list(p)
+            try stream.iterator().asScala
               .filter(_.toString.endsWith(".json")).map(_.toString).toSeq.sorted
-          else Seq(path)
+            finally stream.close()
+          } else Seq(path)
         files.map(f => PricenowPagePartition(f): InputPartition).toArray
       }
 

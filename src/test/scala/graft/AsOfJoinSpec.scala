@@ -30,6 +30,15 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 14L, None, None)))        // B's quote is later
   }
 
+  test("null keys follow SQL join semantics: no null-to-null matching") {
+    val q = Seq((Option.empty[String], 5L, 9.9, 1)).toDF("sym", "t", "px", "seq")
+    val trades = Seq((Option.empty[String], 10L)).toDF("sym", "t")
+    val got = AsOfJoin.backward(trades, q, Seq("sym"), "t", "t",
+        valueCols = Seq("px"), rightTieBreak = Seq("seq"))
+      .as[(Option[String], Long, Option[Double])].collect().head
+    assert(got == ((None, 10L, None))) // left row kept, nothing matched
+  }
+
   test("values travel as one row: no cross-row mixing when a column is null") {
     val q2 = Seq(("A", 10L, Some(1.0), 1), ("A", 20L, None, 2))
       .toDF("sym", "t", "px", "seq")

@@ -78,6 +78,18 @@ class JdbcUpsertSpec extends SparkSpec {
     }
   }
 
+  test("null keys fail loudly instead of silently accumulating duplicates") {
+    withTable(
+      "CREATE TABLE nullkey (k BIGINT, v BIGINT)", "nullkey") {
+      val df = Seq((Some(1L), 1L), (None, 2L)).toDF("k", "v")
+      val e = intercept[org.apache.spark.SparkException] {
+        JdbcUpsert.upsert(df, url, "nullkey", Seq("k"), JdbcUpsert.Dialect.Generic)
+      }
+      assert(e.getMessage.contains("upsert key") ||
+        Option(e.getCause).exists(_.getMessage.contains("upsert key")))
+    }
+  }
+
   test("many partitions write concurrently without losing rows") {
     withTable(
       "CREATE TABLE wide (k BIGINT NOT NULL PRIMARY KEY, v BIGINT)",

@@ -85,6 +85,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf1.nonEmpty)
   }
 
+  test("zero vectors never rank as neighbors and never pass near-dup thresholds") {
+    val withZero = corpus.union(
+      Seq((99L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopK(withZero,
+        withZero.filter(col("vec_id") === 1), "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(!top.exists(_._2 == 99L), "zero vector must not be a neighbor")
+    val pairs = Similarity.cosineNearDupPairs(withZero, "vec_id", "embedding", 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
+  test("fused cosine yields NULL on length mismatch, like the HOF twin") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("fused"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("cosineNearDupPairs returns ordered pairs above threshold") {
     val got = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95)
       .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq

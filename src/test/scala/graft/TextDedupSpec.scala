@@ -81,6 +81,16 @@ class TextDedupSpec extends SparkSpec {
     assert(agree > 0.5, s"agreement $agree")
   }
 
+  test("empty documents are not near-duplicates of each other (0/0 is null, not NaN)") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "real words here")).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text", 16, 4, 0.1)
+    assert(pairs.count() == 0)
+    // and bad banding parameters are rejected, not silently degenerate
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupMinhash(docs, "doc_id", "text", k = 16, bands = 20)
+    }
+  }
+
   test("nearDupMinhash finds the duplicate pair and reports exact jaccard") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
