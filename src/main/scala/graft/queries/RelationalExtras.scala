@@ -223,7 +223,24 @@ object RelationalExtras {
         |  min(l_quantity) AS q_min, max(l_quantity) AS q_max
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Histogram: fixed-width bucketing with explicit floor arithmetic
+    * (identical IEEE ops in both engines — no width_bucket availability
+    * questions) — the profiling aggregation for numeric columns. */
+  private val histogram = QueryDef(
+    fn = (spark, dir) =>
+      Tables.orders(spark, dir)
+        .select(least(floor(col("o_totalprice") / 50000.0), lit(9.0))
+          .cast("int").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+    oracle = Some(
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS INTEGER) AS bucket,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_histogram" -> histogram,
     "q_percentiles" -> percentiles,
     "q_array_funcs" -> arrayFuncs,
     "q_map_funcs" -> mapFuncs,
