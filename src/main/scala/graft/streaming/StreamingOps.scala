@@ -70,6 +70,18 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"))
 
+  /** Streaming exact dedup: drop repeats of `keys` arriving within the
+    * watermark horizon — the streaming twin of `Dedup.exactKeepFirst`.
+    * State per key is bounded by the watermark (unlike dropDuplicates,
+    * whose state grows forever on an unbounded stream).
+    */
+  def dedupWithinWatermark(
+      events: DataFrame, tsCol: String, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
   case class LatestState(ts: Long, value: Double)
 

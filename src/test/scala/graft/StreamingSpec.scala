@@ -134,6 +134,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: repeats inside the horizon are dropped, state stays bounded") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamingOps.dedupWithinWatermark(
+        in.toDF().toDF("ts", "event_id", "value"), "ts", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedupw")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), 1L, 1.0),
+        (ts("2024-01-01 00:00:30"), 1L, 1.0), // duplicate within horizon
+        (ts("2024-01-01 00:01:00"), 2L, 2.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:02:00"), 1L, 1.0)) // still within horizon
+      q.processAllAvailable()
+      val got = spark.table("dedupw").as[(Timestamp, Long, Double)]
+        .collect().map(_._2).sorted.toSeq
+      assert(got == Seq(1L, 2L)) // each key surfaced exactly once
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming facts enrich against a static dimension") {
     implicit val sc = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
