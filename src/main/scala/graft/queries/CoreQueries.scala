@@ -260,6 +260,52 @@ object CoreQueries {
         |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-01-31'
         |ORDER BY l_suppkey, rn""".stripMargin))
 
+  // --- batch sessionization (gaps-and-islands) -------------------------------
+
+  /** Per-user sessions from the event stream: a session breaks after >30
+    * minutes of inactivity. The batch twin of the streaming session window:
+    * lag + conditional flag + running sum — two window passes over one
+    * shuffle on user_id. ts_ns keeps the arithmetic integer-exact.
+    */
+  private val sessionize = QueryDef(
+    fn = (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      // microseconds, not nanos: DuckDB reads the TIMESTAMP(NANOS) parquet
+      // at micro precision, so the shared time unit is micros (exact
+      // truncation on both sides)
+      val gapUs = 30L * 60 * 1000000L
+      // integral div: `/` would route a 1.7e18 nanosecond count through
+      // double division and lose the low digits
+      ev.select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1)
+            .otherwise(lit(0)))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .orderBy("user_id", "session_id")
+    },
+    oracle = Some(
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id)
+        |         > CAST(30 AS BIGINT) * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin))
+
   // --- sort / limit -----------------------------------------------------------
 
   private val sortLimit = QueryDef(
@@ -398,5 +444,6 @@ object CoreQueries {
     "q_intersect" -> setOps,
     "q_except" -> exceptOp,
     "q_union" -> unionOp,
-    "q_dedup_keep_latest" -> dedupKeepLatest)
+    "q_dedup_keep_latest" -> dedupKeepLatest,
+    "q_sessionize" -> sessionize)
 }

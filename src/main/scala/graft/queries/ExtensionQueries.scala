@@ -224,6 +224,48 @@ object ExtensionQueries {
          |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin
     })
 
+  /** TF-IDF top terms per document: tf from the token multiset, idf =
+    * ln(N / df) over distinct-doc term frequencies, top-3 terms per doc by
+    * the floor-rounded score (ties by token asc). Two aggregations — one on
+    * (doc, token), one on token — both shuffle-friendly; N is a scalar
+    * broadcast. ln() via the floor form so libm last-ulp noise can't split
+    * the engines.
+    */
+  private val tfidf = QueryDef(
+    fn = (spark, dir) => {
+      val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
+      val n = docs.count() // scalar: the corpus size literal in both engines
+      val tokens = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df_, "token")
+        .withColumn("tfidf",
+          floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1e6 + 0.5) / 1e6)
+      scored
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("tfidf").desc, col("token").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("token"), col("tfidf"), col("rn"))
+        .orderBy("doc_id", "rn")
+    },
+    oracle = Some(
+      s"""WITH docs AS (SELECT doc_id, ${dToks("text")} AS toks
+         |             FROM documents WHERE doc_id % 10 = 0),
+         |n AS (SELECT COUNT(*) AS n FROM docs),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |scored AS (
+         |  SELECT doc_id, token,
+         |    floor(tf * ln(CAST(n.n AS DOUBLE) / df) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+         |  FROM tf JOIN df USING (token) CROSS JOIN n),
+         |ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn FROM scored)
+         |SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rn
+         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin))
+
   // ---- dedup ---------------------------------------------------------------
 
   private val dedupExact = QueryDef(
@@ -593,6 +635,7 @@ object ExtensionQueries {
     })
 
   val defs: Map[String, QueryDef] = Map(
+    "q_tfidf_top_terms" -> tfidf,
     "q_doc_profile" -> docProfile,
     "q_ann_recall" -> annRecall,
     "q_text_clean" -> textClean,
