@@ -68,11 +68,16 @@ object Dedup {
     *
     * @param df      input with an id column and a text column
     * @param minJaccard keep pairs whose EXACT token-set Jaccard >= this
+    * @param eager   materialize the pair set and release the cached token
+    *                corpus before returning (default). Pass false to get the
+    *                lazy plan (e.g. for plan inspection) — the caller then
+    *                owns unpersisting the corpus cache.
     * @return (id_a, id_b, jaccard) with id_a < id_b, rounded to 6 digits
     */
   def nearDupMinhash(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.5,
+      eager: Boolean = true): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must divide evenly into bands=$bands (rowsPerBand=0 would " +
         "collapse every band key and cross-join the whole corpus)")
@@ -97,10 +102,18 @@ object Dedup {
       .distinct()
     val a = base.select(col("id").as("id_a"), col("toks").as("toks_a"))
     val b = base.select(col("id").as("id_b"), col("toks").as("toks_b"))
-    candidates.join(a, "id_a").join(b, "id_b")
+    val pairs = candidates.join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+    // materialize the (small) verified pair set eagerly so the cached
+    // token corpus can be released before returning — repeated invocations
+    // in a long-lived session no longer accumulate cached partitions
+    if (eager) {
+      val out = pairs.localCheckpoint(true)
+      base.unpersist()
+      out
+    } else pairs
   }
 
   /** Connected components over an undirected pair graph — the survivor-

@@ -72,9 +72,12 @@ object CoreQueries {
           // int128-scaled, and DuckDB's decimal->double cast double-rounds
           // there while BigDecimal.toDouble rounds once (diverges at sf0.1).
           // Scale stays 8 — down-scaling would hit Spark-HALF_UP vs
-          // DuckDB-truncate; a same-scale cast never rounds.
+          // DuckDB-truncate. Emitted as its plain string form: int128-backed
+          // decimals hash differently across engines in the driver's
+          // comparator even when values are equal; the scale-8 string
+          // ("…#.########") is identical by construction on both sides.
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast(DecimalType(30, 8)).as("sum_disc_price"),
+            .cast(DecimalType(30, 8)).cast("string").as("sum_disc_price"),
           (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -83,8 +86,8 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(30,8)) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(30,8)) AS VARCHAR) AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -108,17 +111,17 @@ object CoreQueries {
         .filter(col("r_name") === "ASIA" && col("o_orderstatus") =!= "P")
         .groupBy(col("n_name"))
         .agg(
-          // DECIMAL(30,8): see q1_agg sum_disc_price
+          // DECIMAL(30,8) emitted as string: see q1_agg sum_disc_price
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast(DecimalType(30, 8)).as("revenue"),
+            .cast(DecimalType(30, 8)).cast("string").as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_lines"))
         .orderBy("n_name")
     },
     oracle = Some(
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(30,8)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(30,8)) AS VARCHAR) AS revenue,
         |  COUNT(DISTINCT o_orderkey) AS n_orders,
         |  COUNT(*) AS n_lines
         |FROM lineitem
@@ -298,8 +301,10 @@ object CoreQueries {
         |  FROM events),
         |sess AS (
         |  SELECT user_id, ts_us,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    -- CAST: DuckDB SUM(INTEGER) yields HUGEINT (int128), which the
+        |    -- driver's comparator hashes differently from Spark's BIGINT
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us

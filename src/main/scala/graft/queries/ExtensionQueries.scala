@@ -218,7 +218,10 @@ object ExtensionQueries {
          |    ) * 1000000.0 + 0.5) / 1000000.0 AS q
          |FROM m)
          |SELECT lang, source, COUNT(*) AS n_docs,
-         |  SUM(n_chars) AS sum_chars, SUM(n_tok) AS sum_tokens,
+         |  -- CAST: DuckDB SUM over BIGINT yields HUGEINT (int128), which the
+         |  -- driver's comparator hashes differently from Spark's BIGINT
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
          |  floor((CAST(SUM(CAST(q AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*))
          |        * 1000000.0 + 0.5) / 1000000.0 AS avg_quality
          |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin

@@ -131,16 +131,20 @@ object RelationalExtras {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
   /** Array aggregation: collect_set is order-nondeterministic, so results
-    * normalize through sort_array — same discipline as DuckDB list_sort. */
+    * normalize through sort_array — same discipline as DuckDB list_sort.
+    * The sorted set is emitted joined to a scalar string: the driver's
+    * comparator cannot hash raw array cells (numpy.ndarray is unhashable),
+    * so the verified surface is the csv form on both sides. */
   private val arrayAgg = QueryDef(
     fn = (spark, dir) =>
       Tables.events(spark, dir)
         .groupBy(col("user_id"))
-        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id"),
     oracle = Some(
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 

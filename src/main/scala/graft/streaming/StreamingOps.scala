@@ -18,9 +18,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    micro-batch the reference's idempotent keyed-upsert semantics (K1),
   *    exactly-once effective through key overwrite.
   *
-  * Scale notes: state per key is O(1) (one value + timestamp), watermark
-  * bounds state retention; both operators shuffle once on the grouping key
-  * and stream state lives in the state store (RocksDB at production scale).
+  * Scale notes: state per key is O(1) (one value + timestamp); watermark +
+  * event-time idle timeout bound state retention (idle keys are evicted);
+  * both operators shuffle once on the grouping key and stream state lives
+  * in the state store (RocksDB at production scale).
   */
 object StreamingOps {
 
@@ -87,22 +88,40 @@ object StreamingOps {
 
   /** Latest value per key as an update stream: every micro-batch emits the
     * keys whose latest (by event time) value changed — the streaming
-    * forward-fill seed / keep-latest dedup. State: one (ts, value) per key.
+    * forward-fill seed / keep-latest dedup. State: one (ts, value) per key,
+    * and state retention IS bounded: a watermark on `ts` plus an event-time
+    * idle timeout evict keys silent for `idleTtlMs` beyond the watermark,
+    * so total state is O(active keys), not O(all keys ever seen).
     */
-  def latestPerKey(events: Dataset[KeyedValue]): Dataset[(Long, java.sql.Timestamp, Double)] = {
+  def latestPerKey(
+      events: Dataset[KeyedValue],
+      watermarkDelay: String = "1 hour",
+      idleTtlMs: Long = 24L * 3600 * 1000): Dataset[(Long, java.sql.Timestamp, Double)] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
       .flatMapGroupsWithState[LatestState, (Long, java.sql.Timestamp, Double)](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, rows: Iterator[KeyedValue], state: GroupState[LatestState]) =>
-          val incoming = rows.maxByOption(r => (r.ts.getTime, r.value))
-          val prev = state.getOption
-          incoming match {
-            case Some(r) if prev.forall(_.ts <= r.ts.getTime) =>
-              state.update(LatestState(r.ts.getTime, r.value))
-              Iterator((key, r.ts, r.value))
-            case _ => Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = rows.maxByOption(r => (r.ts.getTime, r.value))
+            val prev = state.getOption
+            val out = incoming match {
+              case Some(r) if prev.forall(_.ts <= r.ts.getTime) =>
+                state.update(LatestState(r.ts.getTime, r.value))
+                Iterator((key, r.ts, r.value))
+              case _ => Iterator.empty
+            }
+            // re-arm on every visit: the key stays live while it keeps
+            // receiving rows (even stale ones), and expires idleTtl past
+            // the watermark otherwise
+            if (state.exists)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTtlMs)
+            out
           }
       }
   }
