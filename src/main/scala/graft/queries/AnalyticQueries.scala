@@ -1,0 +1,392 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Tables, TextAnalysis}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-2 analytic breadth: statistical aggregates, argmin/argmax,
+  * ranking-window family, RANGE frames, grouping sets + IN-subqueries via
+  * the spark.sql front-end, full outer join, unpivot, positional explode,
+  * bitwise functions, and embedding normalization/quantization.
+  *
+  * Numeric discipline follows CoreQueries: every double SUM routes through
+  * DECIMAL so partial-aggregation order can't split the engines, and every
+  * derived double (stddev, corr, norms) is computed from those exact sums
+  * with an identical expression tree on both sides, then floor-rounded to
+  * 6 digits.
+  */
+object AnalyticQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 4))
+
+  /** floor-form round-to-6: bit-identical in Spark and DuckDB (builtin
+    * round() differs at exact .5 boundaries between the engines). */
+  private def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  // --- statistical aggregates from exact decimal sums -----------------------
+
+  /** stddev/variance/correlation per return flag — computed from DECIMAL
+    * power sums (not the builtin stddev/corr, whose double partials are
+    * accumulation-order-dependent and diverge across engines). One shuffle,
+    * all moments in a single aggregate pass.
+    */
+  private val statsAgg = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val agg = li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).as("sx"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"),
+          sum(dec(col("l_extendedprice"))).as("sy"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).as("syy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("sxy"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+      val sy = col("sy").cast("double"); val syy = col("syy").cast("double")
+      val sxy = col("sxy").cast("double")
+      agg.select(
+          col("l_returnflag"),
+          col("n"),
+          r6(sx / n).as("mean_qty"),
+          r6(sqrt((sxx - sx * sx / n) / (n - lit(1.0)))).as("stddev_qty"),
+          r6((sxx - sx * sx / n) / (n - lit(1.0))).as("var_qty"),
+          r6((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    oracle = Some(
+      // factor casts are DECIMAL(19,4) so the product is int128-backed
+      // (int64 DECIMAL(24,8) products overflow in DuckDB); every sum
+      // round-trips decimal -> VARCHAR -> DOUBLE because DuckDB's direct
+      // big-decimal->double cast double-rounds once the scaled integer
+      // passes 2^53, while strtod (like BigDecimal.doubleValue) rounds once
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+        |             * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+        |             * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+        |             * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  floor((sx / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_qty,
+        |  floor(sqrt((sxx - sx * sx / n) / (n - 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS stddev_qty,
+        |  floor(((sxx - sx * sx / n) / (n - 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS var_qty,
+        |  floor(((n * sxy - sx * sy)
+        |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin))
+
+  // --- argmin / argmax ------------------------------------------------------
+
+  /** max_by/min_by keyed on the unique o_orderkey (a non-unique ordering
+    * key would make the winner engine-dependent). */
+  private val minmaxBy = QueryDef(
+    fn = (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+          min_by(col("o_orderpriority"), col("o_orderkey")).as("first_priority"),
+          max(col("o_orderkey")).as("max_key"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey"),
+    oracle = Some(
+      """SELECT o_custkey,
+        |  max_by(o_orderstatus, o_orderkey) AS latest_status,
+        |  min_by(o_orderpriority, o_orderkey) AS first_priority,
+        |  MAX(o_orderkey) AS max_key,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+
+  // --- ranking window family ------------------------------------------------
+
+  /** dense_rank / ntile / percent_rank / cume_dist / lead / first_value /
+    * nth_value under one total order (totalprice desc, key asc — unique, so
+    * every function is deterministic). percent_rank and cume_dist are exact
+    * integer ratios divided once in double: identical across engines.
+    */
+  private val windowRanks = QueryDef(
+    fn = (spark, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "P")
+        .select(
+          col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          r6(percent_rank().over(w)).as("prank"),
+          r6(cume_dist().over(w)).as("cdist"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          first_value(col("o_orderkey")).over(w).as("top_key"),
+          nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+        .orderBy("o_orderpriority", "drank", "o_orderkey")
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drank,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS prank,
+        |  floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cdist,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER w AS top_key,
+        |  nth_value(o_orderkey, 3) OVER w AS third_key
+        |FROM orders
+        |WHERE o_orderstatus = 'P'
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, drank, o_orderkey""".stripMargin))
+
+  // --- RANGE frame (value-bounded, not row-bounded) -------------------------
+
+  /** Trailing 5-minute event stats per user: RANGE BETWEEN over the exact
+    * integer microsecond timestamp. Peers (equal ts) enter the frame
+    * together in both engines, so ties cannot split the result.
+    */
+  private val rangeWindow = QueryDef(
+    fn = (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("ts_us"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-300000000L, 0L) // 5 min in micros
+      ev.select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_5min"),
+          sum(dec(col("value"))).over(w).cast("double").as("sum_5min"))
+        .orderBy("event_id")
+    },
+    oracle = Some(
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  COUNT(*) OVER w AS n_5min,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) AS sum_5min
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin))
+
+  // --- grouping sets via the SQL front-end ----------------------------------
+
+  /** GROUPING SETS with grouping() markers, entered through spark.sql — the
+    * SQL surface twin of the rollup/cube DataFrame queries. */
+  private val groupingSets = QueryDef(
+    fn = (spark, dir) => {
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gsets")
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+          |  COUNT(*) AS n
+          |FROM lineitem_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)
+    },
+    oracle = Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin))
+
+  /** IN / NOT IN subqueries through spark.sql (both keys are non-null, so
+    * the NOT IN null trap cannot bite — documented, not dodged silently). */
+  private val inSubquery = QueryDef(
+    fn = (spark, dir) => {
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_insub")
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_insub")
+      spark.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus
+          |FROM orders_insub
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer_insub
+          |                    WHERE c_mktsegment = 'BUILDING')
+          |  AND o_custkey NOT IN (SELECT c_custkey FROM customer_insub
+          |                        WHERE c_acctbal < 0)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+    oracle = Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                        WHERE c_acctbal < 0)
+        |ORDER BY o_orderkey""".stripMargin))
+
+  // --- full outer join ------------------------------------------------------
+
+  /** Customer presence vs supplier presence per nation: FULL OUTER keeps
+    * nations appearing on either side only. */
+  private val fullOuter = QueryDef(
+    fn = (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val s = Tables.supplier(spark, dir)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(s, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+        .orderBy("nationkey")
+    },
+    oracle = Some(
+      """WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        |           FROM customer GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+        |      FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  COALESCE(n_customers, 0) AS n_customers,
+        |  COALESCE(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin))
+
+  // --- unpivot (wide -> long) -----------------------------------------------
+
+  /** Aggregate-then-melt: per-flag metric columns unpivoted to
+    * (flag, metric, value) rows — Dataset.unpivot, the inverse of pivot. */
+  private val unpivotQ = QueryDef(
+    fn = (spark, dir) => {
+      val wide = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+          sum(dec(col("l_discount"))).cast("double").as("sum_disc"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    },
+    oracle = Some(
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_disc', sum_disc FROM wide)
+        |ORDER BY l_returnflag, metric""".stripMargin))
+
+  // --- positional explode ---------------------------------------------------
+
+  /** Tokens with their 0-based position (posexplode) — the order-preserving
+    * flatten a sequence-labeling pipeline needs. Sampled: position output is
+    * O(corpus tokens). */
+  private val posExplode = QueryDef(
+    fn = (spark, dir) =>
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos"),
+    oracle = Some(
+      """SELECT doc_id, CAST(pos - 1 AS INTEGER) AS pos, token FROM (
+        |  SELECT doc_id,
+        |    generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    t -> t <> ''), 1) AS pos,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       t -> t <> '')) AS token
+        |  FROM documents WHERE doc_id % 50 = 0)
+        |ORDER BY doc_id, pos""".stripMargin))
+
+  // --- bitwise functions ----------------------------------------------------
+
+  private val bitwiseQ = QueryDef(
+    fn = (spark, dir) =>
+      Tables.events(spark, dir)
+        .filter(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          (col("event_id").bitwiseAND(255)).as("b_and"),
+          (col("event_id").bitwiseOR(4096)).as("b_or"),
+          (col("event_id").bitwiseXOR(col("user_id"))).as("b_xor"),
+          shiftleft(col("event_id"), 3).as("b_shl"),
+          shiftright(col("event_id"), 2).as("b_shr"),
+          bit_count(col("event_id")).as("b_pop"))
+        .orderBy("event_id"),
+    oracle = Some(
+      """SELECT event_id,
+        |  event_id & 255 AS b_and,
+        |  event_id | 4096 AS b_or,
+        |  xor(event_id, user_id) AS b_xor,
+        |  -- DuckDB << widens; Spark shiftleft stays in the long domain
+        |  CAST(event_id << 3 AS BIGINT) AS b_shl,
+        |  CAST(event_id >> 2 AS BIGINT) AS b_shr,
+        |  CAST(bit_count(event_id) AS INTEGER) AS b_pop
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin))
+
+  // --- embedding normalization + int8 quantization --------------------------
+
+  /** L2 norm and symmetric int8 scalar quantization per embedding — the
+    * storage-shrink step before ANN indexing. Exact: norm from a sequential
+    * double dot product (same order both engines), quantized code =
+    * floor(x / max_abs * 127 + 0.5) on the float-to-double promoted value.
+    * Zero vectors quantize to null, not a division blowup.
+    */
+  private val embQuantize = QueryDef(
+    fn = (spark, dir) => {
+      val e = col("embedding")
+      val norm = sqrt(aggregate(e, lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      val maxAbs = array_max(transform(e, x => abs(x.cast("double"))))
+      def q(x: Column) =
+        when(maxAbs > 0, floor(x.cast("double") / maxAbs * 127 + 0.5).cast("int"))
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          r6(norm).as("l2_norm"),
+          r6(maxAbs).as("max_abs"),
+          q(element_at(e, 1)).as("q_first"),
+          q(element_at(e, 64)).as("q_last"))
+        .orderBy("vec_id")
+    },
+    oracle = Some(
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (a, b) -> a + b)) AS l2_norm,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+        |    CAST(embedding[1] AS DOUBLE) AS e1,
+        |    CAST(embedding[64] AS DOUBLE) AS e64
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  floor(l2_norm * 1000000.0 + 0.5) / 1000000.0 AS l2_norm,
+        |  floor(max_abs * 1000000.0 + 0.5) / 1000000.0 AS max_abs,
+        |  CASE WHEN max_abs > 0
+        |       THEN CAST(floor(e1 / max_abs * 127 + 0.5) AS INTEGER) END AS q_first,
+        |  CASE WHEN max_abs > 0
+        |       THEN CAST(floor(e64 / max_abs * 127 + 0.5) AS INTEGER) END AS q_last
+        |FROM v ORDER BY vec_id""".stripMargin))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_stats_agg" -> statsAgg,
+    "q_minmax_by" -> minmaxBy,
+    "q_window_ranks" -> windowRanks,
+    "q_range_window" -> rangeWindow,
+    "q_grouping_sets" -> groupingSets,
+    "q_in_subquery" -> inSubquery,
+    "q_full_outer" -> fullOuter,
+    "q_unpivot" -> unpivotQ,
+    "q_posexplode" -> posExplode,
+    "q_bitwise" -> bitwiseQ,
+    "q_emb_quantize" -> embQuantize)
+}
