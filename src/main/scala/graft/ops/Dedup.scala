@@ -44,9 +44,17 @@ object Dedup {
 
   /** MinHash signature (array<long> of length k) over a string-array column.
     * Token hash is reduced mod P before the affine map so every product
-    * stays < 2^62 (no overflow). Pure per-row expression — no shuffle.
+    * stays < 2^62 (no overflow). Pure per-row expression — no shuffle;
+    * routed through the fused native [[graft.functions.MinHashSigExpr]]
+    * (one pass over the tokens for all k permutations).
     */
-  def minhashSignature(tokenSet: Column, k: Int): Column = {
+  def minhashSignature(tokenSet: Column, k: Int): Column =
+    graft.functions.MinHashSigExpr.minhashFast(
+      transform(tokenSet, t => TextAnalysis.tokenHash32(t)), coefficients(k))
+
+  /** Expression-composition MinHash (k array_min/transform walks) — kept as
+    * the reference implementation for the equivalence spec. */
+  def minhashSignatureHof(tokenSet: Column, k: Int): Column = {
     val hs = transform(tokenSet, t => TextAnalysis.tokenHash32(t) % P)
     array(coefficients(k).map { case (a, b) =>
       array_min(transform(hs, h => (lit(a) * h + lit(b)) % P))
@@ -66,30 +74,29 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs with exact Jaccard verification.
     *
+    * Scan discipline: the corpus is read twice and cached never. Pass 1
+    * tokenizes every document once to produce banded signatures (a fused
+    * one-pass expression, [[minhashSignature]]); pass 2 re-tokenizes ONLY
+    * the documents that appear in some candidate pair (candidates ≪ corpus
+    * by construction — that is the point of LSH). Caching the token corpus
+    * instead would pin O(corpus) storage across the operator (and leak it
+    * past return), and at data sizes where this operator matters the cache
+    * cannot fit anyway, degrading to the same re-scan plus eviction churn.
+    *
     * @param df      input with an id column and a text column
     * @param minJaccard keep pairs whose EXACT token-set Jaccard >= this
-    * @param eager   materialize the pair set and release the cached token
-    *                corpus before returning (default). Pass false to get the
-    *                lazy plan (e.g. for plan inspection) — the caller then
-    *                owns unpersisting the corpus cache.
     * @return (id_a, id_b, jaccard) with id_a < id_b, rounded to 6 digits
     */
   def nearDupMinhash(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.5,
-      eager: Boolean = true): DataFrame = {
+      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must divide evenly into bands=$bands (rowsPerBand=0 would " +
         "collapse every band key and cross-join the whole corpus)")
     val rowsPerBand = k / bands
-    // persisted: the signature stage and both sides of the verification
-    // join reuse the token sets — without this the corpus is re-scanned and
-    // re-tokenized three times (token sets are far smaller than raw text)
-    val base = df.select(
+    val sigs = df.select(
       col(idCol).as("id"),
-      TextAnalysis.tokenSet(col(textCol)).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = base.withColumn("sig", minhashSignature(col("toks"), k))
+      minhashSignature(TextAnalysis.tokenSet(col(textCol)), k).as("sig"))
     val banded = sigs
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
@@ -100,20 +107,21 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val a = base.select(col("id").as("id_a"), col("toks").as("toks_a"))
-    val b = base.select(col("id").as("id_b"), col("toks").as("toks_b"))
-    val pairs = candidates.join(a, "id_a").join(b, "id_b")
+    // tokenize only candidate docs: join the raw text to the candidate id
+    // set FIRST, then tokenize — the optimizer cannot hoist an expression
+    // below a join on its own, so the order is explicit here
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id")))
+      .distinct()
+    val candToks = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(candIds, "id")
+      .select(col("id"), TextAnalysis.tokenSet(col("__text")).as("toks"))
+    val a = candToks.select(col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = candToks.select(col("id").as("id_b"), col("toks").as("toks_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-    // materialize the (small) verified pair set eagerly so the cached
-    // token corpus can be released before returning — repeated invocations
-    // in a long-lived session no longer accumulate cached partitions
-    if (eager) {
-      val out = pairs.localCheckpoint(true)
-      base.unpersist()
-      out
-    } else pairs
   }
 
   /** Connected components over an undirected pair graph — the survivor-
@@ -138,6 +146,9 @@ object Dedup {
     // overhead (~1M edges per partition is comfortable)
     val parts = math.max(1, math.min(edgesAll.rdd.getNumPartitions,
       (edgesAll.count() / 1000000L).toInt + 1))
+    // note: pinning the loop's shuffles to `parts` with AQE disabled was
+    // measured SLOWER than leaving AQE to coalesce (4.6s vs 3.8s at sf0.1)
+    // — adaptive stays on
     val edges = edgesAll.coalesce(parts) // narrow — reads the checkpoint
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("comp", col("id"))

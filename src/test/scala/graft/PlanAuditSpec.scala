@@ -26,17 +26,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("scale-path near-dup and ANN joins are equi-joins, not cartesian") {
-    Seq("q_dedup_ngram_jaccard", "q_sim_ann_lsh", "q_sim_ann_ivf").foreach { q =>
+    Seq("q_dedup_minhash_pairs", "q_dedup_ngram_jaccard", "q_sim_ann_lsh",
+      "q_sim_ann_ivf").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product")
     }
-    // the minhash query checkpoints its output (to free the corpus cache),
-    // so audit the operator's lazy form directly
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val p = graft.ops.Dedup
-      .nearDupMinhash(docs, "doc_id", "text", eager = false)
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct"), "minhash pairs contain a cartesian product")
   }
 
   test("the quadratic oracle twins are the ONLY sanctioned cross joins") {

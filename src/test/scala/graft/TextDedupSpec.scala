@@ -126,6 +126,23 @@ class TextDedupSpec extends SparkSpec {
     assert(both.count() == 500)
   }
 
+  test("fused MinHashSigExpr is value-identical to the HOF form on real docs") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs
+      .select(TextAnalysis.tokenSet(col("text")).as("toks"))
+      .select(Dedup.minhashSignature(col("toks"), 16).as("fused"),
+        Dedup.minhashSignatureHof(col("toks"), 16).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.length == 500)
+    both.foreach { case (f, h) => assert(f == h) }
+    // empty token set: fused yields null signature (HOF yields k nulls) —
+    // neither can band-match, so pair semantics are unchanged
+    val empty = Seq("").toDF("text")
+      .select(Dedup.minhashSignature(TextAnalysis.tokenSet(col("text")), 16).as("sig"))
+      .collect().head
+    assert(empty.isNullAt(0))
+  }
+
   test("connectedComponents labels transitive clusters; survivors keep cluster minima") {
     // clusters: {1,2,3} (chain), {5,6}; 9 unpaired
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
