@@ -224,6 +224,42 @@ object AnalyticQueries {
         |                        WHERE c_acctbal < 0)
         |ORDER BY o_orderkey""".stripMargin))
 
+  /** TPC-H Q3-shaped shipping-priority query through the SQL front-end:
+    * 3-way join, pre-aggregation filters on both fact and dim, group, top-10
+    * by revenue (unique-key tie-break so LIMIT is deterministic). Per-order
+    * revenue sums stay far below 2^53 scaled, so the direct DOUBLE cast is
+    * exact on both engines. */
+  private val shipPriority = QueryDef(
+    fn = (spark, dir) => {
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_q3")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_q3")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q3")
+      spark.sql(
+        """SELECT l_orderkey,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+          |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+          |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+          |FROM customer_q3 JOIN orders_q3 ON c_custkey = o_custkey
+          |JOIN lineitem_q3 ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND CAST(o_orderdate AS DATE) < DATE '1997-03-15'
+          |  AND CAST(l_shipdate AS DATE) > DATE '1997-03-15'
+          |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+    },
+    oracle = Some(
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1997-03-15'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
+
   // --- full outer join ------------------------------------------------------
 
   /** Customer presence vs supplier presence per nation: FULL OUTER keeps
@@ -384,6 +420,7 @@ object AnalyticQueries {
     "q_range_window" -> rangeWindow,
     "q_grouping_sets" -> groupingSets,
     "q_in_subquery" -> inSubquery,
+    "q_ship_priority" -> shipPriority,
     "q_full_outer" -> fullOuter,
     "q_unpivot" -> unpivotQ,
     "q_posexplode" -> posExplode,

@@ -126,6 +126,31 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join: left events matched to right events of
+    * the same key whose timestamp lies in [left.ts - lookback, left.ts].
+    * Both sides carry watermarks, so each side's join state is bounded to
+    * the watermark horizon + lookback — the streaming twin of the backward
+    * as-of join (all matches in the interval, not just the latest; the
+    * downstream consumer picks, since "latest so far" is not well-defined
+    * until the watermark closes the interval).
+    *
+    * Column contract: left has (`keyCol`, `leftTsCol`, ...), right has
+    * (`keyCol`, `rightTsCol`, ...); output is the inner join of the two.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      lookback: String = "10 minutes",
+      watermark: String = "5 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $lookback") &&
+        r(rightTsCol) <= l(leftTsCol))
+      .drop(r(keyCol))
+  }
+
   /** Stream → keyed JDBC upsert: each micro-batch runs the K1 sink, so the
     * stream inherits the reference's idempotent last-write-wins load
     * (`scripts/pricenow_etl.py:98-112`) — replayed batches converge.

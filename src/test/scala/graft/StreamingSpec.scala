@@ -114,6 +114,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: right rows match left rows of the same key within the lookback") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDF().toDF("user_id", "click_ts"),
+      views.toDF().toDF("user_id", "view_ts"),
+      "user_id", "click_ts", "view_ts", lookback = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(
+        (1L, ts("2024-01-01 00:00:00")),  // in window for the 00:05 click
+        (1L, ts("2024-01-01 00:04:00")),  // in window
+        (2L, ts("2024-01-01 00:04:00")),  // wrong key
+        (1L, ts("2024-01-01 00:06:00")))  // after the click -> excluded
+      clicks.addData((1L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      val got = spark.table("ivj")
+        .select("user_id", "view_ts").as[(Long, Timestamp)].collect()
+        .map { case (u, v) => (u, v.toString) }.sorted.toSeq
+      assert(got == Seq(
+        (1L, "2024-01-01 00:00:00.0"),
+        (1L, "2024-01-01 00:04:00.0")))
+    } finally q.stop()
+  }
+
   test("windowedStats: data later than the watermark is dropped, not aggregated") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
