@@ -269,6 +269,80 @@ object ExtensionQueries {
          |SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rn
          |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin))
 
+  /** PII-style scrubbing over the JSON props stream: numeric literals are
+    * redacted to a placeholder and the redaction count is kept for the
+    * audit trail — the shape of a pre-training scrub pass (here digits;
+    * swap the pattern for emails/phones/keys in production). */
+  private val textRedact = QueryDef(
+    fn = (spark, dir) =>
+      Tables.events(spark, dir)
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<num>").as("redacted"),
+          size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+            .as("n_redactions"))
+        .orderBy("event_id"),
+    oracle = Some(
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '<num>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_redactions
+        |FROM events WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin))
+
+  /** Deterministic stratified sampling: per-language keep-rates applied via
+    * the stable hash bucket (not df.sample, whose output depends on
+    * partitioning) — the data-mixing step of corpus assembly, reproducible
+    * across engines, runs, and cluster sizes. */
+  private val stratifiedSample = QueryDef(
+    fn = (spark, dir) => {
+      val rate = when(col("lang") === "en", 80).otherwise(50)
+      Tables.documents(spark, dir)
+        .withColumn("bucket", TextAnalysis.hashBucket(col("doc_id"), 100))
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang,
+         |    ${dHash32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents)
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 80 ELSE 50 END
+         |ORDER BY doc_id""".stripMargin))
+
+  /** Benchmark decontamination: training docs sharing any 8-gram shingle
+    * with the held-out set (doc_id % 97 = 0) are flagged with their match
+    * count. Inverted shingle index + equi-join — the same
+    * no-quadratic-pair-space discipline as the near-dup path, so it scales
+    * to a full corpus against a benchmark suite. */
+  private val decontaminate = QueryDef(
+    fn = (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val shingled = docs.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("text"), 4))).as("g"))
+      val eval_ = shingled.filter(col("doc_id") % 97 === 0)
+        .withColumnRenamed("doc_id", "eval_id")
+      val train = shingled.filter(col("doc_id") % 97 =!= 0)
+      train.join(eval_, "g")
+        .select(col("doc_id"), col("eval_id")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_eval_matches"))
+        .orderBy("doc_id")
+    },
+    oracle = Some {
+      val toks = dToks("text")
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len($toks) >= 4 THEN
+         |    list_transform(range(1, len($toks) - 2),
+         |      i -> array_to_string(($toks)[i:i+3], ' '))
+         |  ELSE [] END)) AS g
+         |  FROM documents),
+         |ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_eval_matches FROM (
+         |  SELECT DISTINCT tr.doc_id, ev.eval_id FROM tr JOIN ev USING (g))
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
   // ---- dedup ---------------------------------------------------------------
 
   private val dedupExact = QueryDef(
@@ -642,6 +716,9 @@ object ExtensionQueries {
     "q_doc_profile" -> docProfile,
     "q_ann_recall" -> annRecall,
     "q_text_clean" -> textClean,
+    "q_text_redact" -> textRedact,
+    "q_stratified_sample" -> stratifiedSample,
+    "q_decontaminate" -> decontaminate,
     "q_token_freq" -> tokenFreq,
     "q_hash_split" -> hashSplit,
     "q_sim_ann_ivf" -> annIvf,
