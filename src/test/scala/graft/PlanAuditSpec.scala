@@ -27,9 +27,22 @@ class PlanAuditSpec extends SparkSpec {
 
   test("scale-path near-dup and ANN joins are equi-joins, not cartesian") {
     Seq("q_dedup_minhash_pairs", "q_dedup_ngram_jaccard", "q_sim_ann_lsh",
-      "q_sim_ann_ivf").foreach { q =>
+      "q_sim_ann_ivf", "q_decontaminate").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product")
+    }
+  }
+
+  test("SQL-front-end joins pick hash strategies and push their filters") {
+    Seq("q_ship_priority", "q_in_subquery").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        s"$q has no hash/merge join")
+      assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product")
+      // the driving fact scan may legitimately have nothing to push (its
+      // predicates became joins); the filtered dim scans must push
+      assert(p.contains("PushedFilters: [Is"),
+        s"$q pushed no filters into any scan")
     }
   }
 
