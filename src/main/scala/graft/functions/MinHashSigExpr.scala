@@ -17,9 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * (same affine map, same modulus) — property-tested against the HOF twin,
   * shares its DuckDB oracle.
   *
-  * Empty input yields a null signature (the HOF form yields an array of k
-  * null mins): neither can band-match, so pair outputs are identical —
-  * empty documents are never near-dup candidates.
+  * Empty (or all-null-element) input yields a null signature (the HOF form
+  * yields an array of k null mins): neither can band-match, so pair
+  * outputs are identical — empty documents are never near-dup candidates.
   */
 case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
     extends UnaryExpression {
@@ -42,12 +42,15 @@ case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
   override protected def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
-    if (n == 0) null
-    else {
-      val k = as.length
-      val mins = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      while (i < n) {
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < n) {
+      // null slots are skipped, matching array_min's null handling in the
+      // HOF twin (a null token hash must not fold b_j%P into every min)
+      if (!hs.isNullAt(i)) {
+        seen = true
         val h = hs.getLong(i) % P
         var j = 0
         while (j < k) {
@@ -55,10 +58,10 @@ case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
           if (v < mins(j)) mins(j) = v
           j += 1
         }
-        i += 1
       }
-      new GenericArrayData(mins)
+      i += 1
     }
+    if (!seen) null else new GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -72,20 +75,25 @@ case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
       val h = ctx.freshName("h")
       val v = ctx.freshName("v")
       val mins = ctx.freshName("mins")
+      val seen = ctx.freshName("seen")
       s"""
          |int $n = $hs.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long[] $mins = new long[$k];
-         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$hs.isNullAt($i)) {
+         |    $seen = true;
          |    long $h = $hs.getLong($i) % ${P}L;
          |    for (int $j = 0; $j < $k; $j++) {
          |      long $v = ($aRef[$j] * $h + $bRef[$j]) % ${P}L;
          |      if ($v < $mins[$j]) $mins[$j] = $v;
          |    }
          |  }
+         |}
+         |if (!$seen) {
+         |  ${ev.isNull} = true;
+         |} else {
          |  ${ev.value} =
          |    new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
          |}

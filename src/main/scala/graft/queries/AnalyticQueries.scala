@@ -22,9 +22,9 @@ object AnalyticQueries {
 
   private def dec(c: Column): Column = c.cast(DecimalType(12, 4))
 
-  /** floor-form round-to-6: bit-identical in Spark and DuckDB (builtin
-    * round() differs at exact .5 boundaries between the engines). */
-  private def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+  /** The shared floor-form cross-engine rounding (one definition repo-wide
+    * so the discipline cannot drift). */
+  private def r6(c: Column): Column = TextAnalysis.round6(c)
 
   // --- statistical aggregates from exact decimal sums -----------------------
 

@@ -309,7 +309,7 @@ object ExtensionQueries {
          |WHERE bucket < CASE WHEN lang = 'en' THEN 80 ELSE 50 END
          |ORDER BY doc_id""".stripMargin))
 
-  /** Benchmark decontamination: training docs sharing any 8-gram shingle
+  /** Benchmark decontamination: training docs sharing any 4-gram shingle
     * with the held-out set (doc_id % 97 = 0) are flagged with their match
     * count. Inverted shingle index + equi-join — the same
     * no-quadratic-pair-space discipline as the near-dup path, so it scales

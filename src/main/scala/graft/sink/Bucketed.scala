@@ -34,8 +34,10 @@ object Bucketed {
   def join(
       spark: SparkSession, leftTable: String, rightTable: String,
       leftKey: String, rightKey: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    spark.table(leftTable)
-      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+    // side-qualified refs: bucketed tables commonly share the key's column
+    // name (incl. self-joins), where bare col(...) would be ambiguous
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
   }
 }

@@ -92,6 +92,15 @@ object StreamingOps {
     * and state retention IS bounded: a watermark on `ts` plus an event-time
     * idle timeout evict keys silent for `idleTtlMs` beyond the watermark,
     * so total state is O(active keys), not O(all keys ever seen).
+    *
+    * Late-data policy (the price of bounded state): rows with `ts` behind
+    * the global watermark are dropped BEFORE reaching the state function —
+    * a key whose source lags more than `watermarkDelay` behind the fastest
+    * source stops updating, and after `idleTtlMs` its state is evicted, so
+    * a subsequent late row re-seeds from empty and may re-emit an older
+    * value than was already emitted. Size `watermarkDelay` to the worst
+    * cross-source skew you need to absorb; the unbounded-state alternative
+    * is exactly the round-1 behavior this replaced.
     */
   def latestPerKey(
       events: Dataset[KeyedValue],
@@ -116,9 +125,9 @@ object StreamingOps {
                 Iterator((key, r.ts, r.value))
               case _ => Iterator.empty
             }
-            // re-arm on every visit: the key stays live while it keeps
-            // receiving rows (even stale ones), and expires idleTtl past
-            // the watermark otherwise
+            // re-arm on every visit: each non-late row (the watermark
+            // filters older ones upstream) pushes expiry to idleTtl past
+            // the current watermark
             if (state.exists)
               state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTtlMs)
             out

@@ -65,9 +65,11 @@ class AnalyticQueriesSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
-  test("q_full_outer: nations with suppliers but no customers survive the join") {
+  test("q_full_outer: one-sided nations survive the join with a zero count") {
     val got = q("q_full_outer")
-    assert(got.filter($"n_customers" === 0 || $"n_suppliers" === 0).count() >= 0)
+    // sf0.001 has 15 nations with customers but no suppliers; an inner
+    // join would lose them
+    assert(got.filter($"n_suppliers" === 0).count() > 0)
     // row set = union of both sides' nation keys
     val c = spark.read.parquet(s"$sf/customer.parquet").select($"c_nationkey".as("k")).distinct()
     val s = spark.read.parquet(s"$sf/supplier.parquet").select($"s_nationkey".as("k")).distinct()
@@ -93,8 +95,9 @@ class AnalyticQueriesSpec extends SparkSpec {
     val df = q("q_emb_quantize").cache()
     try {
       assert(df.filter(abs($"q_first") > 127 || abs($"q_last") > 127).count() == 0)
-      // the max-abs component itself quantizes to ±127 somewhere in the corpus
-      assert(df.filter(abs($"q_first") === 127 || abs($"q_last") === 127).count() >= 0)
+      // 20 sf0.001 vectors have their max-abs component first or last, so
+      // the scale anchor ±127 must actually be reached
+      assert(df.filter(abs($"q_first") === 127 || abs($"q_last") === 127).count() > 0)
       assert(df.filter($"l2_norm" < 0).count() == 0)
     } finally df.unpersist()
   }
