@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, SimHash32Expr, TokenHash32Expr}
+import graft.functions.{CosineSimilarity, MinHashSigExpr, SimHash32Expr, TokenHash32Expr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,7 +33,21 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash32Expr(args.head)),
     (FunctionIdentifier("token_hash32"),
       new ExpressionInfo(classOf[TokenHash32Expr].getName, null, "token_hash32"),
-      (args: Seq[Expression]) => TokenHash32Expr(args.head)))
+      (args: Seq[Expression]) => TokenHash32Expr(args.head)),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, null, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        // k must be a literal: the permutation coefficients are baked into
+        // the expression at plan time (and into the DuckDB oracle as the
+        // same seeded-LCG literals)
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig(hashes, k): k must be an integer literal, got $other")
+        }
+        val coefs = graft.ops.Dedup.coefficients(k)
+        MinHashSigExpr(args.head, coefs.map(_._1), coefs.map(_._2))
+      }))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -135,6 +135,35 @@ object StreamingOps {
       }
   }
 
+  /** Streaming fuzzy-dedup-at-ingest: keep the first document per MinHash
+    * signature within the watermark horizon. Two documents collide on the
+    * full k-element signature with probability jaccard^k, so an identical
+    * signature marks a very-near duplicate (k tunes precision: larger k =
+    * fewer false drops). This is the streaming entry point of the batch
+    * near-dup pipeline — cheap whole-signature dedup at ingest, exact
+    * banded LSH + Jaccard verification downstream in batch.
+    *
+    * State = one signature per unique doc within the watermark, evicted as
+    * event time advances (`dropDuplicatesWithinWatermark`); no unbounded
+    * aggregation state. Output mode Append; rows pass through unchanged.
+    */
+  def nearDupFilter(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      k: Int = 16, watermark: String = "10 minutes"): DataFrame = {
+    val sig = graft.ops.Dedup.minhashSignature(
+      graft.ops.TextAnalysis.tokenSet(col(textCol)), k)
+    docs
+      // null signature (empty doc) must not collide with other empties into
+      // one surviving doc (batch near-dup never pairs empties either):
+      // key those rows by their own id instead
+      .withColumn("__sig",
+        coalesce(array_join(transform(sig, _.cast("string")), ":"),
+          concat(lit("__empty__"), col(idCol).cast("string"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__sig"))
+      .drop("__sig")
+  }
+
   /** Stream-stream interval join: left events matched to right events of
     * the same key whose timestamp lies in [left.ts - lookback, left.ts].
     * Both sides carry watermarks, so each side's join state is bounded to

@@ -23,6 +23,15 @@ class GraftExtensionsSpec extends SparkSpec {
       .select(graft.ops.Dedup.simhash32($"hs"))
       .as[Long].collect().head
     assert(sig == viaColumn)
+
+    val mh = spark.sql(
+      "SELECT minhash_sig(transform(array('a','b'), t -> token_hash32(t)), 16) AS s")
+      .as[Seq[Long]].collect().head
+    val mhColumn = Seq("a b").toDF("text")
+      .select(graft.ops.Dedup.minhashSignature(
+        graft.ops.TextAnalysis.tokenSet($"text"), 16).as("s"))
+      .as[Seq[Long]].collect().head
+    assert(mh == mhColumn && mh.length == 16)
   }
 
   test("the extensions class injects without error (spark.sql.extensions path)") {

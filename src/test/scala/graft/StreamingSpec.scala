@@ -114,6 +114,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupFilter: repeated signatures drop, distinct docs and empties pass") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.nearDupFilter(
+        in.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("ndf")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps", ts("2024-01-01 00:00:00")),
+        (2L, "quick the brown jumps fox", ts("2024-01-01 00:01:00")), // same token SET -> same sig
+        (3L, "completely different words here", ts("2024-01-01 00:02:00")),
+        (4L, "", ts("2024-01-01 00:03:00")),
+        (5L, "   ", ts("2024-01-01 00:04:00")))
+      q.processAllAvailable()
+      val got = spark.table("ndf").select("doc_id").as[Long].collect().sorted.toSeq
+      // one of {1,2} survives (same-batch winner is arbitrary), 3 passes,
+      // both empty docs pass (empties are not near-dups of each other)
+      assert(got.length == 4 && got.contains(3L) && got.contains(4L) && got.contains(5L))
+      assert(got.contains(1L) || got.contains(2L))
+    } finally q.stop()
+  }
+
   test("intervalJoin: right rows match left rows of the same key within the lookback") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]
