@@ -260,6 +260,59 @@ object AnalyticQueries {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
 
+  /** Recursive CTE (Spark 4.1 WITH RECURSIVE): a complete month spine
+    * generated by recursion, left-joined to per-month order counts so
+    * empty months survive with 0 — the gap-free time dimension every
+    * reporting pipeline needs. */
+  private val recursiveCte = QueryDef(
+    fn = (spark, dir) => {
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_rec")
+      spark.sql(
+        """WITH RECURSIVE months(m, idx) AS (
+          |  SELECT CAST('1995-01-01' AS DATE), 0
+          |  UNION ALL
+          |  SELECT add_months(m, 1), idx + 1 FROM months WHERE idx < 23)
+          |SELECT m AS month_start, idx, COALESCE(n, CAST(0 AS BIGINT)) AS n_orders
+          |FROM months
+          |LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+          |                  COUNT(*) AS n
+          |           FROM orders_rec GROUP BY 1) o ON om = m
+          |ORDER BY idx""".stripMargin)
+    },
+    oracle = Some(
+      """WITH RECURSIVE months(m, idx) AS (
+        |  SELECT CAST('1995-01-01' AS DATE), 0
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), idx + 1 FROM months WHERE idx < 23)
+        |SELECT m AS month_start, CAST(idx AS INT) AS idx,
+        |  COALESCE(n, CAST(0 AS BIGINT)) AS n_orders
+        |FROM months
+        |LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+        |                  COUNT(*) AS n
+        |           FROM orders GROUP BY 1) o ON om = m
+        |ORDER BY idx""".stripMargin))
+
+  /** Correlated LATERAL subquery: per-nation top-2 customers by balance —
+    * the "top-k related rows per outer row" shape, with the unique-key
+    * tie-break keeping the LIMIT deterministic. */
+  private val lateralTopk = QueryDef(
+    fn = (spark, dir) => {
+      Tables.nation(spark, dir).createOrReplaceTempView("nation_lat")
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_lat")
+      spark.sql(
+        """SELECT n_name, c_name, c_acctbal FROM nation_lat n,
+          |LATERAL (SELECT c_name, c_acctbal FROM customer_lat
+          |         WHERE c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+    },
+    oracle = Some(
+      """SELECT n_name, c_name, c_acctbal FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin))
+
   // --- full outer join ------------------------------------------------------
 
   /** Customer presence vs supplier presence per nation: FULL OUTER keeps
@@ -421,6 +474,8 @@ object AnalyticQueries {
     "q_grouping_sets" -> groupingSets,
     "q_in_subquery" -> inSubquery,
     "q_ship_priority" -> shipPriority,
+    "q_recursive_cte" -> recursiveCte,
+    "q_lateral_topk" -> lateralTopk,
     "q_full_outer" -> fullOuter,
     "q_unpivot" -> unpivotQ,
     "q_posexplode" -> posExplode,
