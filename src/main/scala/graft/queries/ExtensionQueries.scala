@@ -587,8 +587,13 @@ object ExtensionQueries {
         |WHERE len(substr(d.text, CAST(1 + f.frame_idx * 24 AS INTEGER), 32)) = 32
         |ORDER BY f.doc_id, frame_idx""".stripMargin))
 
-  /** Batched stub-decode feature extraction — not SQL-expressible (the
-    * decode is partition-local Scala); driver records a rows-only check. */
+  /** Batched stub-decode feature extraction. The decode runs as
+    * partition-local Scala (the mapInPandas-analog batch path), but the
+    * STUB's arithmetic — normalized byte-histogram moments over ASCII
+    * payloads, float32 division — is reproducible in SQL, so the oracle
+    * verifies the full batched pipeline end-to-end: f_j = count of bytes
+    * with (b & 7) = j divided by n_bytes, in FLOAT, promoted to double,
+    * floor-rounded. */
   private val mmFeatures = QueryDef(
     fn = (spark, dir) =>
       Multimodal.extractFeatures(
@@ -598,7 +603,19 @@ object ExtensionQueries {
           TextAnalysis.round6(element_at(col("features"), 1).cast("double")).as("f0"),
           TextAnalysis.round6(element_at(col("features"), 8).cast("double")).as("f7"))
         .orderBy("doc_id"),
-    oracle = None)
+    oracle = Some {
+      // text is ASCII (verified in mmMeta), so byte value = unicode(char)
+      def m(j: Int) =
+        s"""CASE WHEN len(text) = 0 THEN 0.0 ELSE floor(CAST(
+           |  CAST(len(list_filter(list_transform(string_split(text, ''),
+           |         c -> unicode(c)), b -> b % 8 = $j)) AS FLOAT)
+           |  / CAST(len(text) AS FLOAT) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END""".stripMargin
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  ${m(0)} AS f0,
+         |  ${m(7)} AS f7
+         |FROM documents ORDER BY doc_id""".stripMargin
+    })
 
   private val annIvf = QueryDef(
     fn = (spark, dir) => {

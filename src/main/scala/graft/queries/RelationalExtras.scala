@@ -73,14 +73,28 @@ object RelationalExtras {
 
   /** HLL sketch counts are implementation-specific — no cross-engine oracle;
     * the spec asserts <5% relative error against exact countDistinct. */
+  /** HLL sketch with its accuracy contract as the verified output: the
+    * oracle can't reproduce Spark's HLL++ estimate, but it CAN verify the
+    * property that matters — the estimate lands within 5% (2.5σ at
+    * rsd=0.02) of the exact distinct count. The sketch is merge-commutative,
+    * so the boolean is partitioning-independent and hash-stable. */
   private val approxDistinct = QueryDef(
     fn = (spark, dir) =>
       Tables.lineitem(spark, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          count(lit(1)).as("n_rows"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"),
+          (abs(approx_count_distinct(col("l_partkey"), 0.02).cast("double")
+              - countDistinct(col("l_partkey")))
+            <= countDistinct(col("l_partkey")) * 0.05).as("hll_within_5pct"))
         .orderBy("l_returnflag"),
-    oracle = None)
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(*) AS n_rows,
+        |  TRUE AS hll_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   private val weightedMeanQ = QueryDef(
     fn = (spark, dir) =>
