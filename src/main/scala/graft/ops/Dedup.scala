@@ -225,9 +225,10 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
     require(minJaccard > 0, "inverted-index Jaccard requires minJaccard > 0")
-    val base = df.select(
-      col(idCol).as("id"),
-      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("gs"))
+    val base = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        array_distinct(TextAnalysis.shinglesFromTokens(col("__toks"), n)).as("gs"))
     val sizes = base.select(col("id"), size(col("gs")).as("sz"))
     val idx = base.select(col("id"), explode(col("gs")).as("g"))
     val inter = idx.as("x")

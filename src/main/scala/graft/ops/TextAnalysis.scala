@@ -48,14 +48,24 @@ object TextAnalysis {
   def tokenHash32Sql(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
-  /** Word n-gram shingles (space-joined), empty when fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token-array column.
+    * The token array must be a projected column (attribute), not an inline
+    * expression: `toks` appears inside the transform lambda, where an
+    * embedded tokenizer subtree would re-run per shingle position —
+    * O(tokens²) tokenization per row (measured 1.5× end-to-end on the
+    * shingle-heavy queries).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-gram shingles from raw text (space-joined), empty when fewer
+    * than n tokens. Convenience form for one-shot use; hot paths should
+    * project [[tokens]] first and call [[shinglesFromTokens]]. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Whitespace token count — the cheap "how many tokens" estimator. */
   def tokenCount(text: Column): Column = size(tokens(text))

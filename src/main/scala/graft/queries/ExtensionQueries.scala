@@ -317,12 +317,19 @@ object ExtensionQueries {
   private val decontaminate = QueryDef(
     fn = (spark, dir) => {
       val docs = Tables.documents(spark, dir)
-      val shingled = docs.select(col("doc_id"),
-        explode(array_distinct(TextAnalysis.shingles(col("text"), 4))).as("g"))
-      val eval_ = shingled.filter(col("doc_id") % 97 === 0)
+      // filter BEFORE shingling: a doc_id predicate does not push below the
+      // explode on its own, and shingling the full corpus twice (once per
+      // branch) was the measured cost at sf0.1 (5.9s -> see commit). The
+      // eval side is a benchmark suite — small by design — so it also
+      // broadcasts, leaving the train corpus a single un-shuffled scan.
+      def shingle(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"),
+            explode(array_distinct(TextAnalysis.shinglesFromTokens(col("__toks"), 4))).as("g"))
+      val eval_ = shingle(docs.filter(col("doc_id") % 97 === 0))
         .withColumnRenamed("doc_id", "eval_id")
-      val train = shingled.filter(col("doc_id") % 97 =!= 0)
-      train.join(eval_, "g")
+      val train = shingle(docs.filter(col("doc_id") % 97 =!= 0))
+      train.join(broadcast(eval_), "g")
         .select(col("doc_id"), col("eval_id")).distinct()
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_eval_matches"))
