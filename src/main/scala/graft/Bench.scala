@@ -21,10 +21,18 @@ object Bench {
       spark.range(0, 1000000).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).count()
       // warm the custom-expression codegen paths (minhash/tokenhash/cosine)
-      // on the smallest SF so their one-time compile cost doesn't land on
-      // whichever family member happens to run first alphabetically
-      SparkEntry.queries("q_dedup_minhash_pairs")(spark, "/root/testdata/sf0.001").count()
-      SparkEntry.queries("q_sim_cosine_pairs")(spark, "/root/testdata/sf0.001").count()
+      // so their one-time compile cost doesn't land on whichever family
+      // member happens to run first alphabetically; prefer the sibling
+      // smallest SF, fall back to the bench dir itself
+      val warmDir = {
+        val sibling = new java.io.File(sfDir).getParentFile match {
+          case null => null
+          case p => new java.io.File(p, "sf0.001")
+        }
+        if (sibling != null && sibling.isDirectory) sibling.getPath else sfDir
+      }
+      SparkEntry.queries("q_dedup_minhash_pairs")(spark, warmDir).count()
+      SparkEntry.queries("q_sim_cosine_pairs")(spark, warmDir).count()
     } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -37,13 +37,15 @@ object GraftExtensions {
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, null, "minhash_sig"),
       (args: Seq[Expression]) => {
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"minhash_sig(hashes, k) expects 2 arguments, got ${args.length}")
         // k must be a literal: the permutation coefficients are baked into
         // the expression at plan time (and into the DuckDB oracle as the
         // same seeded-LCG literals)
         val k = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v > 0 => v
           case other => throw new IllegalArgumentException(
-            s"minhash_sig(hashes, k): k must be an integer literal, got $other")
+            s"minhash_sig(hashes, k): k must be a positive integer literal, got $other")
         }
         val coefs = graft.ops.Dedup.coefficients(k)
         MinHashSigExpr(args.head, coefs.map(_._1), coefs.map(_._2))

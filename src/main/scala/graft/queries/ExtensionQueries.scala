@@ -319,9 +319,10 @@ object ExtensionQueries {
       val docs = Tables.documents(spark, dir)
       // filter BEFORE shingling: a doc_id predicate does not push below the
       // explode on its own, and shingling the full corpus twice (once per
-      // branch) was the measured cost at sf0.1 (5.9s -> see commit). The
-      // eval side is a benchmark suite — small by design — so it also
-      // broadcasts, leaving the train corpus a single un-shuffled scan.
+      // branch) was the measured cost at sf0.1 (5.9s -> see commit). No
+      // broadcast hint on the eval side: here it is a corpus FRACTION
+      // (grows with input), so the size-based choice stays with AQE — a
+      // real fixed-size benchmark suite could be hinted.
       def shingle(d: org.apache.spark.sql.DataFrame) =
         d.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
           .select(col("doc_id"),
@@ -329,7 +330,7 @@ object ExtensionQueries {
       val eval_ = shingle(docs.filter(col("doc_id") % 97 === 0))
         .withColumnRenamed("doc_id", "eval_id")
       val train = shingle(docs.filter(col("doc_id") % 97 =!= 0))
-      train.join(broadcast(eval_), "g")
+      train.join(eval_, "g")
         .select(col("doc_id"), col("eval_id")).distinct()
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_eval_matches"))

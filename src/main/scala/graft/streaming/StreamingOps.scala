@@ -146,6 +146,9 @@ object StreamingOps {
     * State = one signature per unique doc within the watermark, evicted as
     * event time advances (`dropDuplicatesWithinWatermark`); no unbounded
     * aggregation state. Output mode Append; rows pass through unchanged.
+    *
+    * `idCol` must be a non-null key: it disambiguates empty documents
+    * (null-id empties would share one dedup key and collapse).
     */
   def nearDupFilter(
       docs: DataFrame, idCol: String, textCol: String, tsCol: String,
