@@ -29,6 +29,20 @@ class FileFormatsSpec extends SparkSpec {
     assert(viaCsv.orderBy("doc_id").collect().toSeq == expected)
   }
 
+  test("documents round-trip through orc with predicate pushdown intact") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars", "text")
+    val base = Files.createTempDirectory("fmt3").toString
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    val viaOrc = spark.read.orc(s"$base/orc")
+    assert(viaOrc.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    // ORC scans push filters just like parquet (columnar, typed footers)
+    val plan = viaOrc.filter(col("lang") === "de").select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"))
+  }
+
   test("csv read pushes filters and prunes columns like any file scan") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "lang")
