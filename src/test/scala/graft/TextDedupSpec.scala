@@ -141,6 +141,19 @@ class TextDedupSpec extends SparkSpec {
       .select(Dedup.minhashSignature(TextAnalysis.tokenSet(col("text")), 16).as("sig"))
       .collect().head
     assert(empty.isNullAt(0))
+    // null slots in the hash array are skipped (array_min semantics), and
+    // an all-null array degrades to the null signature like empty input
+    val coefs = Dedup.coefficients(4)
+    val mixed = Seq(1).toDF("x").select(
+      graft.functions.MinHashSigExpr.minhashFast(
+        expr("array(CAST(7 AS BIGINT), CAST(null AS BIGINT), CAST(11 AS BIGINT))"), coefs).as("m"),
+      graft.functions.MinHashSigExpr.minhashFast(
+        expr("array(CAST(7 AS BIGINT), CAST(11 AS BIGINT))"), coefs).as("nn"),
+      graft.functions.MinHashSigExpr.minhashFast(
+        expr("array(CAST(null AS BIGINT))"), coefs).as("an"))
+      .collect().head
+    assert(mixed.getSeq[Long](0) == mixed.getSeq[Long](1))
+    assert(mixed.isNullAt(2))
   }
 
   test("connectedComponents labels transitive clusters; survivors keep cluster minima") {
