@@ -81,6 +81,52 @@ object Multimodal {
       .toDF(idCol, "n_bytes", "features")
   }
 
+  /** STUB nearest-neighbor resize: the payload is read as a row-major
+    * `w`×`h` grid and sampled down to `w2`×`h2` — out-of-range sample
+    * indices clamp to the last byte (fake dims need not match the byte
+    * count). Pure integer arithmetic, so the SQL oracle can replicate it
+    * byte-for-byte; a real system swaps ONLY this function for the codec's
+    * scaler.
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int, w2: Int, h2: Int): Array[Byte] =
+    if (bytes.isEmpty) Array.emptyByteArray
+    else {
+      val out = new Array[Byte](w2 * h2)
+      var k = 0
+      while (k < out.length) {
+        val r2 = k / w2
+        val c2 = k % w2
+        val idx = math.min((r2 * h / h2) * w + (c2 * w / w2), bytes.length - 1)
+        out(k) = bytes(idx)
+        k += 1
+      }
+      out
+    }
+
+  /** Batched partition-local resize over (id, payload, width, height) rows
+    * — same batch shape as [[extractFeatures]]: a real scaler (libvips/
+    * ffmpeg) receives whole batches without changing the plan.
+    */
+  def resize(
+      df: DataFrame, idCol: String, payloadCol: String,
+      widthCol: String, heightCol: String,
+      targetW: Int, targetH: Int, batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol),
+        col(widthCol).cast("int"), col(heightCol).cast("int"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // real impl: hand `batch` to the scaler in one call
+          batch.iterator.map { case (id, payload, w, h) =>
+            (id, targetW, targetH, resizeStub(payload, w, h, targetW, targetH))
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "resized")
+  }
+
   /** "Frame sampling": every `stride`-th fixed-size byte window of the
     * payload, as (id, frame_idx, frame) rows — pure expression arithmetic
     * (posexplode over computed offsets), no UDF, no shuffle.

@@ -625,6 +625,37 @@ object ExtensionQueries {
          |FROM documents ORDER BY doc_id""".stripMargin
     })
 
+  /** Batched stub resize: payloads sampled down to an 8×6 "thumbnail" via
+    * nearest-neighbor over the fake media dims. The stub's integer
+    * arithmetic is replicated byte-for-byte in the oracle (payloads are
+    * ASCII text stand-ins), verifying the batched partition-local resize
+    * pipeline end-to-end like the feature-extract twin. */
+  private val mmResize = QueryDef(
+    fn = (spark, dir) =>
+      Multimodal.resize(
+          Multimodal.withPayload(
+              Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+              "doc_id", "text")
+            .select(col("doc_id"), col("payload"),
+              col("media_meta.width").as("w"), col("media_meta.height").as("h")),
+          "doc_id", "payload", "w", "h", targetW = 8, targetH = 6)
+        .select(col("doc_id"), col("width"), col("height"),
+          decode(col("resized"), "UTF-8").as("thumb"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      """WITH d AS (
+        |  SELECT doc_id, text, len(text) AS n,
+        |         len(text) % 64 + 1 AS w, len(text) % 48 + 1 AS h
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id, 8 AS width, 6 AS height,
+        |  CASE WHEN n = 0 THEN '' ELSE
+        |    array_to_string(list_transform(range(0, 48), k ->
+        |      substr(text,
+        |        CAST(least((k // 8) * h // 6 * w + (k % 8) * w // 8,
+        |                   n - 1) AS INTEGER) + 1, 1)), '')
+        |  END AS thumb
+        |FROM d ORDER BY doc_id""".stripMargin))
+
   private val annIvf = QueryDef(
     fn = (spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
@@ -750,6 +781,7 @@ object ExtensionQueries {
     "q_multimodal_meta" -> mmMeta,
     "q_multimodal_frames" -> mmFrames,
     "q_multimodal_features" -> mmFeatures,
+    "q_multimodal_resize" -> mmResize,
     "q_text_tokens" -> textTokens,
     "q_text_lang_id" -> langIdQ,
     "q_text_quality" -> qualityQ,

@@ -27,6 +27,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeStub(Array.emptyByteArray).forall(_ == 0f))
   }
 
+  test("resizeStub: nearest-neighbor sampling, clamped when dims exceed bytes") {
+    // 2x2 grid "abcd" identity-resized returns itself
+    assert(new String(Multimodal.resizeStub("abcd".getBytes, 2, 2, 2, 2)) == "abcd")
+    // downsample 4x1 -> 2x1 takes every other byte
+    assert(new String(Multimodal.resizeStub("abcd".getBytes, 4, 1, 2, 1)) == "ac")
+    // fake dims bigger than the byte count clamp to the last byte
+    val clamped = Multimodal.resizeStub("ab".getBytes, 10, 10, 3, 3)
+    assert(clamped.length == 9 && clamped.forall(b => b == 'a' || b == 'b'))
+    // empty payload stays empty regardless of dims
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 5, 5, 2, 2).isEmpty)
+  }
+
   test("extractFeatures preserves every row through batching") {
     val big = (1L to 1000L).map(i => (i, "x" * (i % 37).toInt)).toDF("doc_id", "text")
     val got = Multimodal.extractFeatures(
