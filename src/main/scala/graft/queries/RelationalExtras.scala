@@ -242,6 +242,28 @@ object RelationalExtras {
         |  min(l_quantity) AS q_min, max(l_quantity) AS q_max
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** The scale path next to exact percentile: approx_percentile's GK
+    * sketch, verified via its accuracy contract like the HLL query — the
+    * oracle can't reproduce the sketch, but the bound |approx - exact| <= 1
+    * (2% of the quantity range; GK at accuracy 10000 guarantees far
+    * tighter rank error) holds regardless of partial-merge order, so the
+    * boolean is partitioning-independent and hash-stable. */
+  private val approxPercentile = QueryDef(
+    fn = (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50_exact"),
+          (abs(approx_percentile(col("l_quantity"), lit(0.5), lit(10000))
+              - percentile(col("l_quantity"), lit(0.5))) <= 1.0)
+            .as("approx_within_1"))
+        .orderBy("l_returnflag"),
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_exact,
+        |  TRUE AS approx_within_1
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   /** Histogram: fixed-width bucketing with explicit floor arithmetic
     * (identical IEEE ops in both engines — no width_bucket availability
     * questions) — the profiling aggregation for numeric columns. */
@@ -261,6 +283,7 @@ object RelationalExtras {
   val defs: Map[String, QueryDef] = Map(
     "q_histogram" -> histogram,
     "q_percentiles" -> percentiles,
+    "q_approx_percentile" -> approxPercentile,
     "q_array_funcs" -> arrayFuncs,
     "q_map_funcs" -> mapFuncs,
     "q_pivot" -> pivotQ,
