@@ -282,4 +282,46 @@ object Dedup {
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Banded (pigeonhole) SimHash near-dup pairs — the 100 TB scale path for
+    * [[simhashPairs]], output-identical by construction: split the 32-bit
+    * signature into `maxHamming + 1` disjoint bit chunks; any pair within
+    * `maxHamming` Hamming distance has at most `maxHamming` differing bits
+    * spread over `maxHamming + 1` chunks, so by pigeonhole at least one
+    * chunk matches EXACTLY. Candidates therefore come from an equi-join on
+    * (chunk index, chunk value) — shuffle hash join, AQE-skew-splittable,
+    * never O(n²) — and the exact Hamming distance is verified on candidates
+    * only, mirroring the MinHash discipline in [[nearDupMinhash]].
+    *
+    * Chunk widths: the 32 bits are distributed as evenly as possible
+    * (e.g. maxHamming=10 → 11 chunks of 3,3,...,3,2 bits). Narrow chunks
+    * mean coarser buckets — recall stays exact (pigeonhole is a guarantee,
+    * not a probability) but candidate volume grows as chunks narrow, the
+    * inherent trade of banding a 32-bit signature. At scale, widen the
+    * signature (64/128-bit SimHash) to keep chunks ≥ 8 bits.
+    */
+  def simhashPairsBanded(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming=$maxHamming must be in [0, 32) to band a 32-bit signature")
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(i => 32 / nChunks + (if (i < 32 % nChunks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val sigs = df
+      .select(col(idCol).as("id"),
+        tokenHashes(TextAnalysis.tokens(col(textCol))).as("hs"))
+      .select(col("id"), simhash32(col("hs")).as("sig"))
+    val chunks = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until nChunks).map { i =>
+        shiftright(col("sig"), starts(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+      }: _*)).as(Seq("band", "key")))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a close pair may agree on several chunks
+  }
 }

@@ -230,21 +230,25 @@ object ExtensionQueries {
   /** TF-IDF top terms per document: tf from the token multiset, idf =
     * ln(N / df) over distinct-doc term frequencies, top-3 terms per doc by
     * the floor-rounded score (ties by token asc). Two aggregations — one on
-    * (doc, token), one on token — both shuffle-friendly; N is a scalar
-    * broadcast. ln() via the floor form so libm last-ulp noise can't split
-    * the engines.
+    * (doc, token), one on token — both shuffle-friendly. N is a one-row
+    * aggregate cross-joined into the plan (the oracle's `CROSS JOIN n`
+    * shape) so the whole query stays a single lazy plan — no driver-side
+    * count() pre-scan, which at 100 TB would be a full extra pass per
+    * query construction. ln() via the floor form so libm last-ulp noise
+    * can't split the engines.
     */
   private val tfidf = QueryDef(
     fn = (spark, dir) => {
       val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
-      val n = docs.count() // scalar: the corpus size literal in both engines
+      // 1-row scalar, stays lazy; Spark broadcasts the single row
+      val n = docs.agg(count(lit(1)).cast("double").as("__n"))
       val tokens = docs.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
       val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val scored = tf.join(df_, "token")
+      val scored = tf.join(df_, "token").crossJoin(broadcast(n))
         .withColumn("tfidf",
-          floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1e6 + 0.5) / 1e6)
+          floor(col("tf") * log(col("__n") / col("df")) * 1e6 + 0.5) / 1e6)
       scored
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
@@ -463,6 +467,23 @@ object ExtensionQueries {
   private val simhashPairs = QueryDef(
     fn = (spark, dir) =>
       Dedup.simhashPairs(
+          Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", maxHamming = 10)
+        .orderBy("id_a", "id_b"),
+    oracle = Some(
+      s"""WITH ${simhashOracle("WHERE doc_id % 10 = 0")}
+         |SELECT x.id AS id_a, y.id AS id_b,
+         |  CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+         |FROM sigs x JOIN sigs y ON x.id < y.id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 10
+         |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Scale-path twin of [[simhashPairs]]: banded pigeonhole candidates,
+    * equi-join only. Same sample, same oracle — the driver proves the two
+    * plans are output-identical. */
+  private val simhashBanded = QueryDef(
+    fn = (spark, dir) =>
+      Dedup.simhashPairsBanded(
           Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
           "doc_id", "text", maxHamming = 10)
         .orderBy("id_a", "id_b"),
@@ -791,6 +812,7 @@ object ExtensionQueries {
     "q_dedup_components" -> dedupComponents,
     "q_dedup_simhash_sigs" -> simhashSigs,
     "q_dedup_simhash_pairs" -> simhashPairs,
+    "q_dedup_simhash_banded" -> simhashBanded,
     "q_dedup_ngram_jaccard" -> jaccardNgram,
     "q_sim_cosine_pairs" -> embPairs,
     "q_sim_ann_brute" -> annBrute,
