@@ -20,19 +20,23 @@ object Bench {
     try {
       spark.range(0, 1000000).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).count()
-      // warm the custom-expression codegen paths (minhash/tokenhash/cosine)
-      // so their one-time compile cost doesn't land on whichever family
-      // member happens to run first alphabetically; prefer the sibling
-      // smallest SF, fall back to the bench dir itself
-      val warmDir = {
-        val sibling = new java.io.File(sfDir).getParentFile match {
-          case null => null
-          case p => new java.io.File(p, "sf0.001")
-        }
-        if (sibling != null && sibling.isDirectory) sibling.getPath else sfDir
-      }
-      SparkEntry.queries("q_dedup_minhash_pairs")(spark, warmDir).count()
-      SparkEntry.queries("q_sim_cosine_pairs")(spark, warmDir).count()
+      // warm the custom-expression codegen paths (minhash / tokenhash32/64 /
+      // simhash32/64 / cosine) on tiny IN-MEMORY frames so their one-time
+      // compile cost doesn't land on whichever family member happens to run
+      // first alphabetically — no dependence on a sibling dataset layout,
+      // and nothing here scales with the bench SF
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val toyDocs = Seq((1L, "warm the token hash"), (2L, "warm the token fold"))
+        .toDF("doc_id", "text")
+      graft.ops.Dedup.nearDupMinhash(toyDocs, "doc_id", "text",
+        k = 16, bands = 4, minJaccard = 0.0).count()
+      graft.ops.Dedup.simhashPairs(toyDocs, "doc_id", "text", maxHamming = 7).count()
+      graft.ops.Dedup.simhashPairsBanded(toyDocs, "doc_id", "text", maxHamming = 7).count()
+      toyDocs.select(graft.ops.Dedup.simhash32(
+        graft.ops.Dedup.tokenHashes(graft.ops.TextAnalysis.tokens(col("text"))))).count()
+      Seq((Seq(0.1f, 0.2f), Seq(0.2f, 0.1f))).toDF("a", "b")
+        .select(graft.ops.Similarity.cosine(col("a"), col("b"))).count()
     } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -267,16 +267,41 @@ object Dedup {
   def tokenHashes(toks: Column): Column =
     transform(toks, t => TextAnalysis.tokenHash32(t))
 
+  /** Per-token full-width 64-bit hashes (first 8 md5 bytes — the high word
+    * IS [[TextAnalysis.tokenHash32]], the low word folds hex chars 9-16). */
+  def tokenHashes64(toks: Column): Column =
+    transform(toks, t => graft.functions.TokenHash64Expr.tokenHashFast(t))
+
+  /** 64-bit SimHash over 64-bit token hashes — the signature width that makes
+    * pigeonhole banding prune (see [[simhashPairsBanded]]). Fused one-pass
+    * codegen ([[graft.functions.SimHash64Expr]]). */
+  def simhash64(hashes: Column): Column =
+    graft.functions.SimHash64Expr.simhashFast(hashes)
+
+  /** Half-composed twin of [[simhash64]] for the equivalence spec: each
+    * signature bit depends only on that bit of every token hash, so the
+    * 64-bit signature is exactly (simhash32 of high words) << 32 | (simhash32
+    * of low words). This is also how the DuckDB oracle reconstructs it
+    * without unsigned 64-bit arithmetic. */
+  def simhash64FromHalves(hashes: Column): Column = {
+    val hi = simhash32(transform(hashes, h => shiftrightunsigned(h, 32)))
+    val lo = simhash32(transform(hashes, h => h.bitwiseAND(lit(0xffffffffL))))
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** Projects (id, 64-bit simhash signature) from a text column. */
+  private def simhash64Sigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        tokenHashes64(TextAnalysis.tokens(col(textCol))).as("hs"))
+      .select(col("id"), simhash64(col("hs")).as("sig"))
+
   /** SimHash near-dup pairs on a pre-sampled input: Hamming(sig_a, sig_b)
-    * <= maxHamming. At scale, band the 32 bits into chunks and equi-join on
-    * exact chunk match first (pigeonhole) — here the input is sampled so the
-    * quadratic pair join is the clearer (and oracle-checkable) form.
+    * <= maxHamming over the 64-bit signatures. The quadratic pair join is
+    * the oracle-checkable small-scale form; [[simhashPairsBanded]] is the
+    * output-identical scale path.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val sigs = df
-      .select(col(idCol).as("id"),
-        tokenHashes(TextAnalysis.tokens(col(textCol))).as("hs"))
-      .select(col("id"), simhash32(col("hs")).as("sig"))
+    val sigs = simhash64Sigs(df, idCol, textCol)
     sigs.as("x").join(sigs.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
@@ -284,7 +309,7 @@ object Dedup {
   }
 
   /** Banded (pigeonhole) SimHash near-dup pairs — the 100 TB scale path for
-    * [[simhashPairs]], output-identical by construction: split the 32-bit
+    * [[simhashPairs]], output-identical by construction: split the 64-bit
     * signature into `maxHamming + 1` disjoint bit chunks; any pair within
     * `maxHamming` Hamming distance has at most `maxHamming` differing bits
     * spread over `maxHamming + 1` chunks, so by pigeonhole at least one
@@ -293,35 +318,66 @@ object Dedup {
     * never O(n²) — and the exact Hamming distance is verified on candidates
     * only, mirroring the MinHash discipline in [[nearDupMinhash]].
     *
-    * Chunk widths: the 32 bits are distributed as evenly as possible
-    * (e.g. maxHamming=10 → 11 chunks of 3,3,...,3,2 bits). Narrow chunks
-    * mean coarser buckets — recall stays exact (pigeonhole is a guarantee,
-    * not a probability) but candidate volume grows as chunks narrow, the
-    * inherent trade of banding a 32-bit signature. At scale, widen the
-    * signature (64/128-bit SimHash) to keep chunks ≥ 8 bits.
+    * maxHamming is capped at 7 so every chunk is >= 8 bits: with the 64-bit
+    * signature and 8 chunks of 8 bits, two UNRELATED documents collide on a
+    * band with probability ~8/256 = 3% of the pair space, vs the ~150% that
+    * 3-bit chunks over a 32-bit signature produced (banding was then
+    * strictly worse than brute force — measured 2.3x slower; that is why the
+    * signature was widened rather than the chunks narrowed). On a corpus
+    * with heavy template reuse the measured candidate rate is higher than
+    * the uniform 3% (related-but-not-duplicate docs share signature bits),
+    * which is why the per-candidate work below is pure scalar bit
+    * arithmetic inside the join stage: the exact Hamming verify is one
+    * codegen'd bit_count, and each pair is emitted exactly once WITHOUT a
+    * distinct exchange — a candidate survives only when its band is the
+    * FIRST band on which the two signatures agree, a chained-when over
+    * shift/mask/compare that whole-stage codegen inlines. (The two shapes
+    * this replaced, measured on the same sf0.1 sample: a distinct over
+    * surviving pairs cost one extra shuffle+stage; a lowest-band filter
+    * via slice/zip_with/exists ran interpreted per candidate and was 4x
+    * slower than the whole query is now.)
     */
   def simhashPairsBanded(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32,
-      s"maxHamming=$maxHamming must be in [0, 32) to band a 32-bit signature")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming=$maxHamming must be in [0, 7]: banding the 64-bit " +
+        "signature into maxHamming+1 chunks must keep every chunk >= 8 bits " +
+        "or candidate volume approaches the full pair space")
     val nChunks = maxHamming + 1
-    val widths = Array.tabulate(nChunks)(i => 32 / nChunks + (if (i < 32 % nChunks) 1 else 0))
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
-    val sigs = df
-      .select(col(idCol).as("id"),
-        tokenHashes(TextAnalysis.tokens(col(textCol))).as("hs"))
-      .select(col("id"), simhash32(col("hs")).as("sig"))
-    val chunks = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until nChunks).map { i =>
-        shiftright(col("sig"), starts(i)).bitwiseAND(lit((1L << widths(i)) - 1))
-      }: _*)).as(Seq("band", "key")))
-    chunks.as("x")
-      .join(chunks.as("y"),
+    // the repartition is a deliberate materialization barrier: the self-join
+    // below would otherwise scan the corpus and run the tokenize+hash+fold
+    // signature chain twice (plus twice more in the isnotnull filters that
+    // constraint inference derives from the join condition — 4x total, and
+    // the lambda chain evaluates interpreted). With the barrier the two join
+    // sides are identical subtrees, ReuseExchange collapses them, and the
+    // corpus is scanned ONCE with signatures computed once — at 100 TB this
+    // trades one narrow (id, sig) shuffle for a second full corpus scan.
+    val banded = simhash64Sigs(df, idCol, textCol)
+      .repartition(col("id"))
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until nChunks).map { i =>
+          shiftrightunsigned(col("sig"), starts(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+        }: _*)).as(Seq("band", "key")))
+    def chunk(sig: Column, i: Int): Column =
+      shiftrightunsigned(sig, starts(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    // index of the FIRST band on which two signatures agree — scalar
+    // shift/mask/compare chain, fully codegen'd inside the join stage
+    val firstMatchingBand = (0 until nChunks).reverse
+      .foldLeft(lit(-1)) { (rest, b) =>
+        when(chunk(col("x.sig"), b) === chunk(col("y.sig"), b), lit(b)).otherwise(rest)
+      }
+    banded.as("x")
+      .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
+      // emit each pair once: only at its first matching band (the join
+      // already guarantees the chunks agree AT x.band, so this holds for
+      // exactly one of a pair's matching bands) — no distinct exchange
+      .filter(col("x.band") === firstMatchingBand)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct() // a close pair may agree on several chunks
   }
 }

@@ -26,12 +26,18 @@ object ExtensionQueries {
   /** distinct sorted token set. */
   private def dTokSet(c: String) = s"list_sort(list_distinct(${dToks(c)}))"
 
-  /** 32-bit md5-prefix hash of a string expression -> BIGINT. */
-  private def dHash32(c: String) =
+  /** 32-bit fold of 8 hex chars of md5 starting at `start` -> BIGINT.
+    * start=1 is the canonical token hash; start=9 is the low word of the
+    * 64-bit token hash (the two halves reconstruct TokenHash64 without
+    * unsigned 64-bit arithmetic, which DuckDB's checked BIGINT lacks). */
+  private def dHash32At(c: String, start: Int) =
     s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
-       |  list_transform(string_split(substr(md5($c), 1, 8), ''),
+       |  list_transform(string_split(substr(md5($c), $start, 8), ''),
        |    ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT))),
        |  (a, b) -> a * 16 + b)""".stripMargin
+
+  /** 32-bit md5-prefix hash of a string expression -> BIGINT. */
+  private def dHash32(c: String) = dHash32At(c, 1)
 
   /** sum of a BIGINT list (list_reduce with explicit 0 init). */
   private def dSum(list: String) =
@@ -464,36 +470,55 @@ object ExtensionQueries {
       s"""WITH ${simhashOracle("")}
          |SELECT id AS doc_id, sig FROM sigs ORDER BY doc_id""".stripMargin))
 
+  /** 64-bit SimHash signature oracle CTE (two 32-bit words — hi = hex chars
+    * 1-8 of md5, lo = chars 9-16 — so DuckDB never needs unsigned 64-bit
+    * arithmetic; see [[Dedup.simhash64FromHalves]] for the equivalence). */
+  private def simhash64Oracle(sample: String): String = {
+    def sigBits(s: String) = dSum(
+      s"list(CASE WHEN $s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)")
+    s"""docs AS (SELECT doc_id AS id, ${dToks("text")} AS toks
+       |         FROM documents $sample),
+       |tok AS (SELECT id, unnest(toks) AS t FROM docs),
+       |th AS (SELECT id, ${dHash32At("t", 1)} AS hh, ${dHash32At("t", 9)} AS hl FROM tok),
+       |bits AS (SELECT id, j,
+       |  sum(CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END) AS sh,
+       |  sum(CASE WHEN ((hl >> j) & 1) = 1 THEN 1 ELSE -1 END) AS sl
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j) GROUP BY id, j),
+       |sigs AS (SELECT id, ${sigBits("sh")} AS sig_hi, ${sigBits("sl")} AS sig_lo
+       |  FROM bits GROUP BY id)""".stripMargin
+  }
+
+  /** Quadratic Hamming pair join over the 64-bit signatures (Spark compares
+    * the single assembled long; the oracle sums bit_count over the halves —
+    * identical by the half-decomposition). */
+  private val simhash64PairOracle =
+    s"""WITH ${simhash64Oracle("WHERE doc_id % 2 = 0")}
+       |SELECT x.id AS id_a, y.id AS id_b,
+       |  CAST(bit_count(xor(x.sig_hi, y.sig_hi))
+       |     + bit_count(xor(x.sig_lo, y.sig_lo)) AS INTEGER) AS hamming
+       |FROM sigs x JOIN sigs y ON x.id < y.id
+       |WHERE bit_count(xor(x.sig_hi, y.sig_hi))
+       |    + bit_count(xor(x.sig_lo, y.sig_lo)) <= 7
+       |ORDER BY id_a, id_b""".stripMargin
+
   private val simhashPairs = QueryDef(
     fn = (spark, dir) =>
       Dedup.simhashPairs(
-          Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
-          "doc_id", "text", maxHamming = 10)
+          Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", maxHamming = 7)
         .orderBy("id_a", "id_b"),
-    oracle = Some(
-      s"""WITH ${simhashOracle("WHERE doc_id % 10 = 0")}
-         |SELECT x.id AS id_a, y.id AS id_b,
-         |  CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
-         |FROM sigs x JOIN sigs y ON x.id < y.id
-         |WHERE bit_count(xor(x.sig, y.sig)) <= 10
-         |ORDER BY id_a, id_b""".stripMargin))
+    oracle = Some(simhash64PairOracle))
 
-  /** Scale-path twin of [[simhashPairs]]: banded pigeonhole candidates,
-    * equi-join only. Same sample, same oracle — the driver proves the two
-    * plans are output-identical. */
+  /** Scale-path twin of [[simhashPairs]]: banded pigeonhole candidates over
+    * the 64-bit signature (8 chunks x 8 bits), equi-join only. Same sample,
+    * same oracle — the driver proves the two plans are output-identical. */
   private val simhashBanded = QueryDef(
     fn = (spark, dir) =>
       Dedup.simhashPairsBanded(
-          Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
-          "doc_id", "text", maxHamming = 10)
+          Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", maxHamming = 7)
         .orderBy("id_a", "id_b"),
-    oracle = Some(
-      s"""WITH ${simhashOracle("WHERE doc_id % 10 = 0")}
-         |SELECT x.id AS id_a, y.id AS id_b,
-         |  CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
-         |FROM sigs x JOIN sigs y ON x.id < y.id
-         |WHERE bit_count(xor(x.sig, y.sig)) <= 10
-         |ORDER BY id_a, id_b""".stripMargin))
+    oracle = Some(simhash64PairOracle))
 
   private val jaccardNgram = QueryDef(
     fn = (spark, dir) =>

@@ -26,8 +26,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("scale-path near-dup and ANN joins are equi-joins, not cartesian") {
-    Seq("q_dedup_minhash_pairs", "q_dedup_ngram_jaccard", "q_sim_ann_lsh",
-      "q_sim_ann_ivf", "q_decontaminate").foreach { q =>
+    Seq("q_dedup_minhash_pairs", "q_dedup_ngram_jaccard", "q_dedup_simhash_banded",
+      "q_sim_ann_lsh", "q_sim_ann_ivf", "q_decontaminate").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product")
     }

@@ -126,6 +126,43 @@ class TextDedupSpec extends SparkSpec {
     assert(both.count() == 500)
   }
 
+  test("TokenHash64: high word is tokenHash32, low word folds md5 chars 9-16") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+    val h64 = graft.functions.TokenHash64Expr.tokenHashFast(col("t"))
+    val composed = shiftleft(TextAnalysis.tokenHash32(col("t")), 32)
+      .bitwiseOR(conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long"))
+    assert(toks.filter(h64 =!= composed).count() == 0)
+  }
+
+  test("fused SimHash64Expr equals the two-half simhash32 composition on real docs") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs
+      .select(Dedup.tokenHashes64(TextAnalysis.tokens(col("text"))).as("hs"))
+      .select(Dedup.simhash64(col("hs")).as("fused"),
+        Dedup.simhash64FromHalves(col("hs")).as("halves"))
+    assert(both.filter(col("fused") =!= col("halves")).count() == 0)
+    assert(both.count() == 500)
+  }
+
+  test("banded 64-bit simhash pairs are output-identical to the quadratic twin") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val quad = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val banded = Dedup.simhashPairsBanded(docs, "doc_id", "text", maxHamming = 7)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(quad.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
+    assert(banded == quad)
+    // and each pair arrives exactly once (the lowest-band filter replaces
+    // the distinct — a regression here would double-count, not just reorder)
+    assert(banded.distinct.size == banded.size)
+    // banding parameters that would make chunks narrower than 8 bits are
+    // rejected (that regime was measured slower than brute force)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsBanded(docs, "doc_id", "text", maxHamming = 10)
+    }
+  }
+
   test("fused MinHashSigExpr is value-identical to the HOF form on real docs") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val both = docs
