@@ -71,30 +71,55 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Sign-LSH bucket id from the signs of `nBits` fixed coordinates
-    * (axis-aligned hyperplanes — deterministic, oracle-expressible).
-    * Bit i is set iff vec[i] >= 0; bucket in [0, 2^nBits).
+  /** Sign-LSH bucket id from the signs of `nBits` consecutive coordinates
+    * starting at 0-based dimension `start` (axis-aligned hyperplanes —
+    * deterministic, oracle-expressible). Bit i is set iff
+    * vec[start + i] >= 0; bucket in [0, 2^nBits).
     */
-  def signBucket(vec: Column, nBits: Int): Column =
+  def signBucketAt(vec: Column, start: Int, nBits: Int): Column =
     (0 until nBits).map { i =>
-      when(element_at(vec, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L))
+      when(element_at(vec, start + i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed approximate top-k: queries only meet corpus rows in the
-    * same sign bucket. Recall < 1 by design; compare against
-    * `bruteForceTopK` for the quality gate. The join is a plain equi-join on
-    * `bucket` — at 100 TB both sides shuffle-partition by bucket, no
-    * broadcast needed, and bucket skew is AQE-splittable.
+  /** Bucket over the leading dims — table 0 of the amplified family. */
+  def signBucket(vec: Column, nBits: Int): Column = signBucketAt(vec, 0, nBits)
+
+  /** AND-OR amplified sign-LSH approximate top-k: `tables` hash tables, each
+    * AND-ing `nBits` sign bits from a disjoint block of coordinates (table l
+    * buckets on dims [l*nBits, (l+1)*nBits)); a corpus row is a candidate for
+    * a query if they share a bucket in ANY table. For per-hyperplane
+    * agreement p the candidate probability is 1-(1-p^nBits)^tables — the
+    * AND sharpens precision, the OR recovers recall: one 8-bit table
+    * measured 1/40 recall on the benchmark embeddings, 16 tables of 4 bits
+    * measure 35-39/40 (floor-asserted by the `q_ann_recall` contract).
+    *
+    * Scale shape: both sides explode to (table, bucket) KEYS ONLY — vectors
+    * are not carried through the explode, so the corpus never inflates
+    * `tables`-fold through a shuffle. The candidate join is an equi-join on
+    * (table, bucket) (AQE-skew-splittable), duplicates across tables
+    * collapse in a distinct over narrow id pairs (candidates ≪ pair space —
+    * that is the point of the index), and each surviving pair fetches its
+    * two vectors back by id equi-join for exact cosine scoring.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      signBucket(col(vecCol), nBits).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), nBits).as("bucket"))
-    val scored = c.join(q, Seq("bucket"))
+      idCol: String, vecCol: String, k: Int, nBits: Int = 8,
+      tables: Int = 1): DataFrame = {
+    require(nBits >= 1 && tables >= 1,
+      s"nBits=$nBits and tables=$tables must both be >= 1")
+    def bucketed(df: DataFrame, idAs: String) =
+      df.select(col(idCol).as(idAs),
+        posexplode(array((0 until tables).map { l =>
+          signBucketAt(col(vecCol), l * nBits, nBits)
+        }: _*)).as(Seq("l", "bucket")))
+    val cand = bucketed(queries, "query_id")
+      .join(bucketed(corpus, "neighbor_id"), Seq("l", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .filter(col("cos").isNotNull)
     val w = Window.partitionBy(col("query_id"))
