@@ -346,6 +346,10 @@ object Dedup {
     val nChunks = maxHamming + 1
     val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
+    // NOT (1L << w) - 1: JVM long shifts are mod 64, so at maxHamming=0 the
+    // single 64-bit chunk would mask to 0 and every row would share band
+    // key 0 — a silent equi-join degeneration to the full pair space
+    def mask(w: Int): Long = -1L >>> (64 - w)
     // the repartition is a deliberate materialization barrier: the self-join
     // below would otherwise scan the corpus and run the tokenize+hash+fold
     // signature chain twice (plus twice more in the isnotnull filters that
@@ -358,10 +362,10 @@ object Dedup {
       .repartition(col("id"))
       .select(col("id"), col("sig"),
         posexplode(array((0 until nChunks).map { i =>
-          shiftrightunsigned(col("sig"), starts(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+          shiftrightunsigned(col("sig"), starts(i)).bitwiseAND(lit(mask(widths(i))))
         }: _*)).as(Seq("band", "key")))
     def chunk(sig: Column, i: Int): Column =
-      shiftrightunsigned(sig, starts(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+      shiftrightunsigned(sig, starts(i)).bitwiseAND(lit(mask(widths(i))))
     // index of the FIRST band on which two signatures agree — scalar
     // shift/mask/compare chain, fully codegen'd inside the join stage
     val firstMatchingBand = (0 until nChunks).reverse

@@ -90,8 +90,15 @@ object Similarity {
     * a query if they share a bucket in ANY table. For per-hyperplane
     * agreement p the candidate probability is 1-(1-p^nBits)^tables — the
     * AND sharpens precision, the OR recovers recall: one 8-bit table
-    * measured 1/40 recall on the benchmark embeddings, 16 tables of 4 bits
-    * measure 35-39/40 (floor-asserted by the `q_ann_recall` contract).
+    * measured 1/40 top-5 recall on the benchmark embeddings; 16 tables of
+    * 4 bits (the `q_sim_ann_lsh` / `q_ann_recall` configuration) measured
+    * 39/40, 37/40 and 35/40 at sf0.001/0.01/0.1 — the 0.8 floor asserted
+    * by `q_ann_recall`'s `lsh_recall_ok` contract.
+    *
+    * The table family consumes dims [0, tables*nBits); every vector must be
+    * at least that wide (checked per row — `element_at` past the array end
+    * would otherwise read NULL and silently merge high tables into one
+    * degenerate bucket).
     *
     * Scale shape: both sides explode to (table, bucket) KEYS ONLY — vectors
     * are not carried through the explode, so the corpus never inflates
@@ -107,11 +114,18 @@ object Similarity {
       tables: Int = 1): DataFrame = {
     require(nBits >= 1 && tables >= 1,
       s"nBits=$nBits and tables=$tables must both be >= 1")
-    def bucketed(df: DataFrame, idAs: String) =
+    val needDims = tables * nBits
+    def bucketed(df: DataFrame, idAs: String) = {
+      // per-row dim check: fail loudly instead of bucketing on NULL signs
+      val v = when(size(col(vecCol)) >= needDims, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"lshTopK: tables*nBits = $needDims sign dims but vector has "),
+          size(col(vecCol)).cast("string"))))
       df.select(col(idCol).as(idAs),
         posexplode(array((0 until tables).map { l =>
-          signBucketAt(col(vecCol), l * nBits, nBits)
+          signBucketAt(v, l * nBits, nBits)
         }: _*)).as(Seq("l", "bucket")))
+    }
     val cand = bucketed(queries, "query_id")
       .join(bucketed(corpus, "neighbor_id"), Seq("l", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

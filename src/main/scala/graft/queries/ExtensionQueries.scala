@@ -54,6 +54,18 @@ object ExtensionQueries {
   private def dCos(a: String, b: String) =
     s"floor((${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) * 1000000.0 + 0.5) / 1000000.0"
 
+  /** AND-OR sign-LSH key family: `tables` keys per vector, table l packing
+    * the sign bits of dims [l*nBits, (l+1)*nBits) and fused with the table
+    * index as key = l * 2^nBits + bucket — equivalent to the Spark side's
+    * (l, bucket) equi-join pair since bucket < 2^nBits. */
+  private def dLshKeys(e: String, tables: Int, nBits: Int) =
+    s"""list_transform(range(0, $tables), l -> l * ${1 << nBits} +
+       |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |    list_transform(range(0, $nBits), i ->
+       |      CASE WHEN $e[l * $nBits + i + 1] >= 0
+       |           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+       |    (a, b) -> a + b))""".stripMargin
+
   // ---- text analysis -------------------------------------------------------
 
   private val textTokens = QueryDef(
@@ -446,7 +458,10 @@ object ExtensionQueries {
          |FROM docs d LEFT JOIN comp c ON d.id = c.id
          |ORDER BY doc_id""".stripMargin))
 
-  /** SimHash signature oracle CTE over a sampled doc set. */
+  /** SimHash signature oracle CTE over a sampled doc set. The final LEFT
+    * JOIN keeps zero-token docs (unnest emits no rows for them, so they
+    * never reach `bits`) with sig 0 — matching the Spark side, which folds
+    * an empty hash array to signature 0. */
   private def simhashOracle(sample: String): String =
     s"""docs AS (SELECT doc_id AS id, ${dToks("text")} AS toks
        |         FROM documents $sample),
@@ -455,9 +470,11 @@ object ExtensionQueries {
        |bits AS (SELECT id, j,
        |  sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
        |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j) GROUP BY id, j),
-       |sigs AS (SELECT id,
+       |signz AS (SELECT id,
        |  ${dSum("list(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)")} AS sig
-       |  FROM bits GROUP BY id)""".stripMargin
+       |  FROM bits GROUP BY id),
+       |sigs AS (SELECT d.id, COALESCE(s.sig, 0) AS sig
+       |  FROM docs d LEFT JOIN signz s ON d.id = s.id)""".stripMargin
 
   private val simhashSigs = QueryDef(
     fn = (spark, dir) =>
@@ -484,8 +501,11 @@ object ExtensionQueries {
        |  sum(CASE WHEN ((hh >> j) & 1) = 1 THEN 1 ELSE -1 END) AS sh,
        |  sum(CASE WHEN ((hl >> j) & 1) = 1 THEN 1 ELSE -1 END) AS sl
        |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j) GROUP BY id, j),
-       |sigs AS (SELECT id, ${sigBits("sh")} AS sig_hi, ${sigBits("sl")} AS sig_lo
-       |  FROM bits GROUP BY id)""".stripMargin
+       |signz AS (SELECT id, ${sigBits("sh")} AS sig_hi, ${sigBits("sl")} AS sig_lo
+       |  FROM bits GROUP BY id),
+       |sigs AS (SELECT d.id, COALESCE(s.sig_hi, 0) AS sig_hi,
+       |    COALESCE(s.sig_lo, 0) AS sig_lo
+       |  FROM docs d LEFT JOIN signz s ON d.id = s.id)""".stripMargin
   }
 
   /** Quadratic Hamming pair join over the 64-bit signatures (Spark compares
@@ -580,21 +600,26 @@ object ExtensionQueries {
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  /** AND-OR amplified sign-LSH ANN — 16 tables × 4 bits over the 64-dim
+    * embeddings (one 8-bit table measured 1/40 recall; this family measures
+    * 35-39/40 across SFs — see `q_ann_recall`'s floor contract). */
   private val annLsh = QueryDef(
     fn = (spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
-          "vec_id", "embedding", k = 5, nBits = 8)
+          "vec_id", "embedding", k = 5, nBits = 4, tables = 16)
         .orderBy("query_id", "rank")
     },
     oracle = Some {
-      val bucket = dSum(
-        "list_transform(range(0, 8), i -> CASE WHEN e[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)")
-      s"""WITH v AS (SELECT vec_id, embedding AS e, $bucket AS bucket FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, e AS qv, bucket FROM v WHERE vec_id < 8),
-         |c AS (SELECT vec_id AS neighbor_id, e AS cv, bucket FROM v),
-         |scored AS (SELECT query_id, neighbor_id, ${dCos("qv", "cv")} AS cos
-         |           FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+      s"""WITH v AS (SELECT vec_id, embedding AS e,
+         |  ${dLshKeys("embedding", tables = 16, nBits = 4)} AS keys FROM embeddings),
+         |vk AS (SELECT vec_id, unnest(keys) AS key FROM v),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM vk q JOIN vk c USING (key)
+         |         WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |scored AS (SELECT query_id, neighbor_id, ${dCos("qe.e", "ce.e")} AS cos
+         |           FROM cand JOIN v qe ON cand.query_id = qe.vec_id
+         |                     JOIN v ce ON cand.neighbor_id = ce.vec_id),
          |ranked AS (SELECT *, row_number() OVER (
          |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM scored)
@@ -743,9 +768,16 @@ object ExtensionQueries {
     })
 
   /** ANN quality gate: recall of the LSH and IVF paths against brute-force
-    * ground truth on the same queries — the evaluation operator any
-    * approximate index needs next to it. Exact integer counts; the oracle
-    * recomputes all three searches.
+    * ground truth on the same queries, with the recall CONTRACT as verified
+    * booleans (the HLL-contract pattern): `lsh_recall_ok` asserts the
+    * amplified 16×4-bit family stays at >= 0.8 top-5 recall (measured
+    * 39/40, 37/40, 35/40 at sf0.001/0.01/0.1), and `ivf_recall_ok` asserts
+    * >= 0.2 for the nprobe=2-of-10-cells probe. The IVF floor is the scan
+    * fraction: `label` cells are direction-uncorrelated on this corpus, so
+    * probing 2/10 cells bounds recall near 20% (measured 0.25-0.33; even 3
+    * Lloyd iterations only reach ~0.5 on these near-uniform 64-dim
+    * vectors) — the boolean catches a broken probe join or centroid
+    * regression, not a tighter bar the index geometry cannot meet.
     */
   private val annRecall = QueryDef(
     fn = (spark, dir) => {
@@ -754,7 +786,8 @@ object ExtensionQueries {
       def pairs(df: org.apache.spark.sql.DataFrame) =
         df.select(col("query_id"), col("neighbor_id"))
       val brute = pairs(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5))
-      val lsh = pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5, nBits = 8))
+      val lsh = pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5,
+        nBits = 4, tables = 16))
       val ivf = pairs(Similarity.ivfTopK(emb, qs,
         Similarity.centroids(emb, "label", "embedding"),
         "vec_id", "embedding", "label", k = 5, nprobe = 2))
@@ -765,10 +798,11 @@ object ExtensionQueries {
           count(lit(1)).as("n_truth"),
           sum(coalesce(col("in_lsh"), lit(0))).as("lsh_hits"),
           sum(coalesce(col("in_ivf"), lit(0))).as("ivf_hits"))
+        .select(col("n_truth"), col("lsh_hits"), col("ivf_hits"),
+          (col("lsh_hits").cast("double") >= col("n_truth") * 0.8).as("lsh_recall_ok"),
+          (col("ivf_hits").cast("double") >= col("n_truth") * 0.2).as("ivf_recall_ok"))
     },
     oracle = Some {
-      val bucket = dSum(
-        "list_transform(range(0, 8), i -> CASE WHEN e[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)")
       val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
       val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
       val normQ = s"sqrt(${dDot("qv", "qv")})"
@@ -779,15 +813,20 @@ object ExtensionQueries {
          |    SELECT query_id, neighbor_id, row_number() OVER (
          |      PARTITION BY query_id ORDER BY ${dCos("qv", "cv")} DESC, neighbor_id ASC) AS r
          |    FROM c CROSS JOIN q WHERE query_id <> neighbor_id) WHERE r <= 5),
-         |vb AS (SELECT vec_id, embedding AS e, $bucket AS bucket FROM embeddings),
+         |vb AS (SELECT vec_id, embedding AS e,
+         |  ${dLshKeys("embedding", tables = 16, nBits = 4)} AS keys FROM embeddings),
+         |vk AS (SELECT vec_id, unnest(keys) AS key FROM vb),
+         |lcand AS (SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+         |          FROM vk x JOIN vk y USING (key)
+         |          WHERE x.vec_id < 8 AND x.vec_id <> y.vec_id),
          |lsh AS (
          |  SELECT query_id, neighbor_id FROM (
-         |    SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id, row_number() OVER (
-         |      PARTITION BY x.vec_id ORDER BY
-         |        floor((${dDot("x.e", "y.e")} / (sqrt(${dDot("x.e", "x.e")}) * sqrt(${dDot("y.e", "y.e")}))) * 1000000.0 + 0.5) / 1000000.0 DESC,
-         |        y.vec_id ASC) AS r
-         |    FROM vb x JOIN vb y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
-         |    WHERE x.vec_id < 8) WHERE r <= 5),
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY
+         |        floor((${dDot("xe.e", "ye.e")} / (sqrt(${dDot("xe.e", "xe.e")}) * sqrt(${dDot("ye.e", "ye.e")}))) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |        neighbor_id ASC) AS r
+         |    FROM lcand JOIN vb xe ON lcand.query_id = xe.vec_id
+         |               JOIN vb ye ON lcand.neighbor_id = ye.vec_id) WHERE r <= 5),
          |ce AS (SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
          |       unnest(embedding) AS v FROM embeddings),
          |cm AS (SELECT cell, pos,
@@ -805,12 +844,17 @@ object ExtensionQueries {
          |    SELECT query_id, neighbor_id, row_number() OVER (
          |      PARTITION BY query_id ORDER BY ${dCos("qv", "cv")} DESC, neighbor_id ASC) AS r
          |    FROM c JOIN qc USING (cell) WHERE query_id <> neighbor_id) WHERE r <= 5)
-         |SELECT COUNT(*) AS n_truth,
-         |  CAST(SUM(CASE WHEN l.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
-         |  CAST(SUM(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits
-         |FROM brute b
-         |LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
-         |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""".stripMargin
+         |,agg AS (
+         |  SELECT COUNT(*) AS n_truth,
+         |    CAST(SUM(CASE WHEN l.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
+         |    CAST(SUM(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits
+         |  FROM brute b
+         |  LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+         |  LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
+         |SELECT n_truth, lsh_hits, ivf_hits,
+         |  (CAST(lsh_hits AS DOUBLE) >= n_truth * 0.8) AS lsh_recall_ok,
+         |  (CAST(ivf_hits AS DOUBLE) >= n_truth * 0.2) AS ivf_recall_ok
+         |FROM agg""".stripMargin
     })
 
   val defs: Map[String, QueryDef] = Map(

@@ -65,6 +65,35 @@ class SimilaritySpec extends SparkSpec {
     assert(!lsh.exists(_._1 == 4L))
   }
 
+  test("AND-OR amplification: 16x4-bit tables recover the recall one table cannot") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = emb.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def hits(tables: Int, nBits: Int): Int =
+      Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5, nBits = nBits, tables = tables)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        .intersect(truth).size
+    val one = hits(tables = 1, nBits = 4)
+    val amplified = hits(tables = 16, nBits = 4)
+    // measured on this fixture: single 4-bit table well below the floor,
+    // the 16-table OR family at 39/40 — the floor q_ann_recall asserts
+    assert(amplified >= math.ceil(truth.size * 0.8).toInt,
+      s"amplified recall $amplified/${truth.size} under the 0.8 floor")
+    assert(amplified > one,
+      s"amplification gained nothing: tables=16 -> $amplified, tables=1 -> $one")
+  }
+
+  test("lshTopK rejects vectors narrower than tables*nBits per row") {
+    val ex = intercept[Exception] {
+      Similarity.lshTopK(corpus, corpus, "vec_id", "embedding", 3,
+        nBits = 4, tables = 2).collect() // 3-dim vectors, 8 sign dims needed
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("lshTopK")))
+  }
+
   test("ivfTopK: centroids are per-cell means; probing all cells equals brute force") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = Similarity.centroids(emb, "label", "embedding")

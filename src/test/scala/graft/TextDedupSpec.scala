@@ -163,6 +163,35 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("banded maxHamming=0 uses a full 64-bit band key (exact-match join, not key 0)") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val quad = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val banded = Dedup.simhashPairsBanded(docs, "doc_id", "text", maxHamming = 0)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(banded == quad)
+    // pin the mask math itself: a width-64 chunk must mask to all-ones,
+    // not to 0 as `(1L << 64) - 1` does (JVM long shifts are mod 64) —
+    // with the buggy mask every row lands on band key 0 and the "banded"
+    // join silently degenerates to the full O(n^2) pair space
+    assert((-1L >>> (64 - 64)) == -1L)
+    assert(((1L << 64) - 1) == 0L, "JVM shift-mod-64 premise changed?")
+  }
+
+  test("zero-token docs get signature 0 and pair with each other (oracle parity)") {
+    // the DuckDB oracle LEFT JOINs sig-less docs back in with COALESCE(sig, 0);
+    // this pins the Spark behavior that COALESCE mirrors
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "real words here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0)),
+      s"empty and whitespace-only docs must both fold to sig 0: $pairs")
+    val banded = Dedup.simhashPairsBanded(docs, "doc_id", "text", maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(banded == pairs)
+  }
+
   test("fused MinHashSigExpr is value-identical to the HOF form on real docs") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val both = docs
