@@ -252,4 +252,66 @@ class StreamingSpec extends SparkSpec {
       assert(buf.toSeq == Seq((1L, 1.0), (2L, 22.0), (3L, 3.0)))
     } finally c2.close()
   }
+
+  test("upsertSink: a batch whose commit was lost is replayed on restart with no effect twice") {
+    // exactly-once-EFFECTIVE proof: foreachBatch is at-least-once (a crash
+    // between the JDBC write and the checkpoint commit record re-runs the
+    // batch), and the keyed upsert makes the replay converge instead of
+    // duplicating — the streaming inheritance of the reference pipeline's
+    // rerun-idempotence (run_pricenow.yml:5-16 reruns the whole load)
+    val url = "jdbc:derby:memory:replaysink;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().execute("DROP TABLE replay_vals")
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute(
+        "CREATE TABLE replay_vals (k BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
+    } finally conn.close()
+
+    def tableRows(): Seq[(Long, Double)] = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery("SELECT k, v FROM replay_vals ORDER BY k")
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        while (rs.next()) buf += ((rs.getLong(1), rs.getDouble(2)))
+        buf.toSeq
+      } finally c.close()
+    }
+
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("replayckpt").toString
+    in.addData((1L, 1.0), (2L, 2.0))
+    val q1 = StreamingOps.upsertSink(in.toDF().toDF("k", "v"), url,
+      "replay_vals", Seq("k"), JdbcUpsert.Dialect.Generic, ckpt)
+    q1.awaitTermination()
+    assert(tableRows() == Seq((1L, 1.0), (2L, 2.0)))
+
+    // simulate the crash window: the sink wrote, the commit record did not
+    // (drop the Hadoop local-FS .crc sidecar too — a real crash leaves neither,
+    // and a stale checksum fails the re-commit rename)
+    val commit0 = java.nio.file.Paths.get(ckpt, "commits", "0")
+    assert(java.nio.file.Files.deleteIfExists(commit0),
+      s"expected a commit record at $commit0 — checkpoint layout changed?")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+
+    val q2 = StreamingOps.upsertSink(in.toDF().toDF("k", "v"), url,
+      "replay_vals", Seq("k"), JdbcUpsert.Dialect.Generic, ckpt)
+    q2.awaitTermination()
+    // the replay really happened (batch 0 re-ran with its recorded rows)...
+    val replayed = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(replayed.nonEmpty && replayed.head.batchId == 0,
+      s"restart did not replay the uncommitted batch: ${replayed.map(_.batchId).toSeq}")
+    // ...and converged instead of duplicating or violating the PK
+    assert(tableRows() == Seq((1L, 1.0), (2L, 2.0)))
+    assert(java.nio.file.Files.exists(commit0), "replay must re-commit batch 0")
+
+    // a normal post-recovery restart continues from the checkpoint:
+    // overlapping key 2 converges last-write-wins, new key 3 lands once
+    in.addData((2L, 22.0), (3L, 3.0))
+    val q3 = StreamingOps.upsertSink(in.toDF().toDF("k", "v"), url,
+      "replay_vals", Seq("k"), JdbcUpsert.Dialect.Generic, ckpt)
+    q3.awaitTermination()
+    assert(tableRows() == Seq((1L, 1.0), (2L, 22.0), (3L, 3.0)))
+  }
 }
