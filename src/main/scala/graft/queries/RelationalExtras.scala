@@ -267,6 +267,57 @@ object RelationalExtras {
   /** Histogram: fixed-width bucketing with explicit floor arithmetic
     * (identical IEEE ops in both engines — no width_bucket availability
     * questions) — the profiling aggregation for numeric columns. */
+  /** TPC-H Q17-shaped correlated aggregate: small lots relative to their
+    * part's average quantity (ref Q17's `l_quantity < 0.2 * avg(...)`),
+    * with the average cross-multiplied (`qty * 5 * count < sum`) so no
+    * division semantics leak cross-engine. Catalyst decorrelates each
+    * correlated scalar aggregate into a per-part aggregate joined back on
+    * l_partkey (RewriteCorrelatedScalarSubquery; measured plan: three
+    * lineitem scans — outer + one per subquery, the merge rule does not
+    * fuse them) — bounded extra shuffles at 100 TB, never a per-row
+    * re-scan; PlanAuditSpec pins the no-cartesian hash-join shape. */
+  private val corrAggSql =
+    """SELECT p_brand, COUNT(*) AS n_small_lots,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+      |WHERE p_size <= 10
+      |  AND CAST(l_quantity AS DECIMAL(19,4)) * 5 *
+      |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |    < (SELECT SUM(CAST(l_quantity AS DECIMAL(19,4))) FROM lineitem l2
+      |       WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  private val corrAgg = QueryDef(
+    fn = (spark, dir) => {
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+      Tables.part(spark, dir).createOrReplaceTempView("part")
+      spark.sql(corrAggSql)
+    },
+    oracle = Some(corrAggSql))
+
+  /** TPC-H Q20-shaped nesting: an IN-subquery whose inner query is itself
+    * filtered by a correlated scalar aggregate (ref Q20's `ps_availqty >
+    * 0.5 * sum(l_quantity)` inside `s_suppkey IN (...)`), reshaped to the
+    * available tables: customers owning an order worth more than half
+    * their total spend. Decorrelates to orders ⟕ per-customer totals,
+    * then a left-semi join into customer — three shuffles total. */
+  private val corrInSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (
+      |  SELECT o_custkey FROM orders o1
+      |  WHERE CAST(o_totalprice AS DECIMAL(19,4)) * 2 >
+      |    (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(19,4))) FROM orders o2
+      |     WHERE o2.o_custkey = o1.o_custkey))
+      |ORDER BY c_custkey""".stripMargin
+
+  private val corrIn = QueryDef(
+    fn = (spark, dir) => {
+      Tables.customer(spark, dir).createOrReplaceTempView("customer")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      spark.sql(corrInSql)
+    },
+    oracle = Some(corrInSql))
+
   private val histogram = QueryDef(
     fn = (spark, dir) =>
       Tables.orders(spark, dir)
@@ -290,6 +341,8 @@ object RelationalExtras {
     "q_array_agg" -> arrayAgg,
     "q_salted_agg" -> saltedAgg,
     "q_subquery_scalar" -> subqueryScalar,
+    "q_corr_agg_subquery" -> corrAgg,
+    "q_corr_in_subquery" -> corrIn,
     "q_cte_reuse" -> cteReuse,
     "q_range_join" -> rangeJoin,
     "q_approx_distinct" -> approxDistinct,

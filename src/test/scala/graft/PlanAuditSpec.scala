@@ -46,6 +46,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("correlated aggregate subqueries decorrelate to joins, never re-scan per row") {
+    Seq("q_corr_agg_subquery", "q_corr_in_subquery").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested-loops the subquery")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        s"$q has no hash/merge join — subquery not decorrelated?")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$q shows no aggregate for the decorrelated subquery")
+    }
+  }
+
   test("the quadratic oracle twins are the ONLY sanctioned cross joins") {
     // documented exception: pre-sampled pair queries are quadratic by design
     val p = plan("q_sim_cosine_pairs")
