@@ -58,6 +58,50 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a deliberately skewed join partition (OptimizeSkewedJoin)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one key owns half the fact rows — the classic hot-key join profile;
+    // thresholds are scaled down so the test corpus trips the same rewrite
+    // a 100 TB hot key would trip at the defaults
+    val restore = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 64
+      val facts = spark.range(0, 100000)
+        .select(when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 500L).as("k"),
+          concat(col("id").cast("string"), lit(pad)).as("payload"))
+      val dims = spark.range(0, 500).select(col("id").as("k"),
+        concat(lit("dim"), col("id").cast("string")).as("name"))
+      val joined = facts.join(dims, "k")
+      // collect() (not count()) — count builds its own AdaptiveSparkPlan;
+      // the skew rewrite must be read off the plan that actually ran
+      assert(joined.collect().length == 100000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot-key join as skewed:\n${finalPlan.take(2000)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("the quadratic oracle twins are the ONLY sanctioned cross joins") {
     // documented exception: pre-sampled pair queries are quadratic by design
     val p = plan("q_sim_cosine_pairs")

@@ -15,8 +15,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // per-JVM dir: concurrent sbt test runs must not share a warehouse
+    // (saveAsTable in one run would clobber or lock the other's tables)
     .config("spark.sql.warehouse.dir",
-      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
     .getOrCreate()
 
   override protected def afterAll(): Unit = {
