@@ -64,6 +64,26 @@ object PricenowPipeline {
       writePartitions = cfg.writePartitions)                     // K2, ref :452
   }
 
+  /** EP2' incremental fact refresh: the month-partitioned parquet layout of
+    * the dense price table (the 100 TB batch sink from SURVEY §4), refreshed
+    * for exactly the given `part_month` values. The grid is recomputed from
+    * the full change history (LOCF carries state across month boundaries, so
+    * a month's slice is only correct when filled from all earlier changes),
+    * then filtered to the target months and dynamic-partition-overwritten:
+    * untouched months' files are never rewritten, and a rerun of the same
+    * months converges — the parquet analog of the keyed upsert. Consumers
+    * read one month via [[graft.sink.PartitionedParquet.readMonth]], which
+    * prunes the scan to that partition (asserted in SinkLayoutSpec).
+    */
+  def refreshMonths(
+      spark: SparkSession, pagesPath: String, changes: DataFrame,
+      cfg: Config, factPath: String, months: Seq[String]): Unit = {
+    val cat = products(spark, pagesPath, cfg)
+    val pr = prices(changes, cat, cfg)
+      .filter(date_format(col("valid_from"), "yyyy-MM").isin(months: _*))
+    graft.sink.PartitionedParquet.writeByMonth(pr, "valid_from", factPath)
+  }
+
   /** Full run: EP1 -> EP2 -> EP3. */
   def run(spark: SparkSession, pagesPath: String, changes: DataFrame, cfg: Config): Unit = {
     val cat = products(spark, pagesPath, cfg)

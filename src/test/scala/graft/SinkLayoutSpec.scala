@@ -34,6 +34,65 @@ class SinkLayoutSpec extends SparkSpec {
     assert(all.filter(col("part_month") === "2026-01").count() == 1)
   }
 
+  test("incremental month refresh rewrites only its partition; reads prune to one month") {
+    val pages = Files.createTempDirectory("incr-pages")
+    java.nio.file.Files.writeString(pages.resolve("page-0.json"),
+      """{"data": [
+        | {"name": "skitickets", "productDefinitions": [
+        |   {"id": 101, "attributes": {"age": {"value": "adult"}, "duration": {"value": "1d"}}}]}]}""".stripMargin)
+    val changes1 = Seq((101L, "2025-12-01", 5000, 1))
+      .toDF("product_id", "d", "price", "ord")
+      .withColumn("valid_at", to_date(col("d"))).drop("d")
+    val cfg = PricenowPipeline.Config(
+      updatedAt = "2026-04-01 06:00:00", jdbcUrl = "unused",
+      writePartitions = Some(1))
+    val fact = Files.createTempDirectory("incr-fact").toString + "/prices"
+    val allMonths = Seq("2025-12", "2026-01", "2026-02", "2026-03", "2026-04")
+
+    // full build: season 2025-12-13..2026-04-12 -> five month partitions
+    PricenowPipeline.refreshMonths(spark, pages.toString, changes1, cfg, fact, allMonths)
+    def partFiles(month: String): Map[String, Long] = {
+      val d = new java.io.File(s"$fact/part_month=$month")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    assert(new java.io.File(fact).listFiles().map(_.getName)
+      .filter(_.startsWith("part_month=")).sorted.toSeq ==
+      allMonths.map("part_month=" + _))
+    val decBefore = partFiles("2025-12")
+    val febBefore = partFiles("2026-02")
+
+    // incremental: a January price change refreshes ONLY 2026-01
+    val changes2 = changes1.union(
+      Seq((101L, "2026-01-10", 6500, 2)).toDF("product_id", "d", "price", "ord")
+        .withColumn("valid_at", to_date(col("d"))).drop("d"))
+    PricenowPipeline.refreshMonths(spark, pages.toString, changes2, cfg, fact,
+      months = Seq("2026-01"))
+
+    // untouched partitions: same files, same mtimes — physically not rewritten
+    assert(partFiles("2025-12") == decBefore)
+    assert(partFiles("2026-02") == febBefore)
+    // refreshed partition carries the new price from the 10th onward
+    val jan = graft.sink.PartitionedParquet.readMonth(spark, fact, "2026-01")
+    assert(jan.filter(col("valid_from") === "2026-01-10")
+      .select("price").as[Int].collect().toSeq == Seq(6500))
+    assert(jan.filter(col("valid_from") === "2026-01-09")
+      .select("price").as[Int].collect().toSeq == Seq(5000))
+    assert(jan.count() == 31)
+
+    // and the month read PRUNES: partition filter present, one of five
+    // partition dirs selected (leaf-file count == that partition's files)
+    val plan = jan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      """part_month[^\]]* = 2026-01""".r.findFirstIn(plan).nonEmpty,
+      s"month read did not push a partition filter:\n${plan.take(1500)}")
+    val scanned = jan.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scanned.nonEmpty)
+    assert(scanned.head.metadata.get("PartitionFilters").exists(_.contains("part_month")))
+  }
+
   test("saltedSumCount equals direct groupBy on a skewed input") {
     // 10k rows of one hot key + a tail
     val hot = spark.range(0, 10000).select(lit("HOT").as("k"), (col("id") % 97).cast("double").as("v"), col("id"))
