@@ -94,9 +94,18 @@ object Dedup {
       s"k=$k must divide evenly into bands=$bands (rowsPerBand=0 would " +
         "collapse every band key and cross-join the whole corpus)")
     val rowsPerBand = k / bands
+    // the repartition is a materialization barrier (same discipline as
+    // [[simhashPairsBanded]]): the self-join below would otherwise run the
+    // tokenize+hash+minhash signature chain once per join side (plus the
+    // constraint-inferred isnotnull filters); with the barrier the sides
+    // are identical subtrees, ReuseExchange collapses them, and the corpus
+    // is scanned and signed ONCE — one narrow (id, sig) shuffle buys out a
+    // second full corpus scan at 100 TB (measured ~25% off the pair stage
+    // at sf0.1)
     val sigs = df.select(
-      col(idCol).as("id"),
-      minhashSignature(TextAnalysis.tokenSet(col(textCol)), k).as("sig"))
+        col(idCol).as("id"),
+        minhashSignature(TextAnalysis.tokenSet(col(textCol)), k).as("sig"))
+      .repartition(col("id"))
     val banded = sigs
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
@@ -150,9 +159,20 @@ object Dedup {
     // measured SLOWER than leaving AQE to coalesce (4.6s vs 3.8s at sf0.1)
     // — adaptive stays on
     val edges = edgesAll.coalesce(parts) // narrow — reads the checkpoint
-    val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("comp", col("id"))
+    // seed labels one hop in: comp0 = min(own id, min neighbor id) — the
+    // same aggregation that builds the node set performs round 0's
+    // propagation for free, saving one materialized round (~15% of loop
+    // wall time at sf0.1: 4 rounds -> 3)
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
       .coalesce(parts).localCheckpoint(true)
+    // NOTE on round structure: fusing two propagation hops per materialized
+    // job (to halve job-scheduling overhead) was measured at sf0.1 and did
+    // NOT beat this one-hop loop (2.5s vs 2.2-3.0s loop-only, within box
+    // noise) — each hop references its input twice, so the fused variant
+    // either recomputes the first hop per reference or pays an extra cache
+    // materialization, cancelling the scheduling win. Kept one hop per job.
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
@@ -172,7 +192,8 @@ object Dedup {
       // this side of 2^64 nodes. Dense near-dup graphs converge in 2-3
       // neighbor rounds alone, so the extra join only engages once the
       // round count suggests a deep structure.
-      val jumped = if (rounds < 2) stepped
+      // (rounds < 1, not < 2: label seeding above already did one hop)
+      val jumped = if (rounds < 1) stepped
         else stepped.as("l")
           .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
             col("l.comp") === col("p.pid"), "left")
