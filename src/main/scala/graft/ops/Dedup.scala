@@ -357,6 +357,23 @@ object Dedup {
     * surviving pairs cost one extra shuffle+stage; a lowest-band filter
     * via slice/zip_with/exists ran interpreted per candidate and was 4x
     * slower than the whole query is now.)
+    *
+    * MEASURED CROSSOVER (local[32], uniform 20-unique-token docs, warm):
+    * the quadratic twin compares ~1e9 sig pairs/sec inside whole-stage
+    * codegen, so banding only wins once its candidate fraction times its
+    * per-candidate join cost (~100x a raw compare) undercuts that.
+    *   - maxHamming=7 (8 chunks x 8 bits, 3% uniform candidate rate):
+    *     banding NEVER crosses — n=5k: 0.8s quad / 1.1s banded; n=80k:
+    *     1.9s / 55s (hot-bucket blowup). The 256-way chunk alphabet is
+    *     too weak; at this budget the quadratic form is the right plan
+    *     at any n where n^2 work is feasible at all.
+    *   - maxHamming=3 (4 chunks x 16 bits, ~6e-5 candidate rate):
+    *     crossover at n ~ 8e4 — n=20k: 0.4s quad / 0.9s banded; n=80k:
+    *     1.7s / 1.2s; n=160k: 6.4s / 2.2s; n=320k: 27.2s / 3.4s and
+    *     diverging quadratically vs linearly.
+    * At 100 TB choose maxHamming <= 3 (the Manku/WWW'07 operating point)
+    * so chunks are >= 16 bits; larger Hamming budgets need permuted
+    * multi-block tables (C(B, B-k) keys), not wider pigeonhole bands.
     */
   def simhashPairsBanded(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {

@@ -178,6 +178,16 @@ class TextDedupSpec extends SparkSpec {
     assert(((1L << 64) - 1) == 0L, "JVM shift-mod-64 premise changed?")
   }
 
+  test("banded maxHamming=3 (the 16-bit-chunk scale operating point) matches quadratic") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val quad = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val banded = Dedup.simhashPairsBanded(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(quad.nonEmpty, "fixture has no pairs at hamming<=3 — test is vacuous")
+    assert(banded == quad)
+  }
+
   test("zero-token docs get signature 0 and pair with each other (oracle parity)") {
     // the DuckDB oracle LEFT JOINs sig-less docs back in with COALESCE(sig, 0);
     // this pins the Spark behavior that COALESCE mirrors
