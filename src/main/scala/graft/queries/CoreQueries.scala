@@ -22,6 +22,15 @@ object CoreQueries {
   private def dec(c: Column): Column = c.cast(DecimalType(12, 4))
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Plain string form of a DECIMAL(30,8): BigDecimal.toString goes
+    * scientific once the adjusted exponent drops below -6 — an all-zero
+    * sum prints "0E-8" while DuckDB's VARCHAR cast prints "0.00000000",
+    * a latent hash mismatch. Exact zero is the only such value these
+    * price sums can produce (any nonzero sum of scale-4 inputs is
+    * >= 0.0001, far above the 1e-7 scientific-notation threshold). */
+  private def plainDec8(c: Column): Column =
+    when(c === 0, lit("0.00000000")).otherwise(c.cast("string"))
+
   // --- F1 on real data: LOCF daily grid over the events stream -------------
 
   private val locfEvents = QueryDef(
@@ -76,8 +85,8 @@ object CoreQueries {
           // decimals hash differently across engines in the driver's
           // comparator even when values are equal; the scale-8 string
           // ("…#.########") is identical by construction on both sides.
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast(DecimalType(30, 8)).cast("string").as("sum_disc_price"),
+          plainDec8(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast(DecimalType(30, 8))).as("sum_disc_price"),
           (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -111,9 +120,9 @@ object CoreQueries {
         .filter(col("r_name") === "ASIA" && col("o_orderstatus") =!= "P")
         .groupBy(col("n_name"))
         .agg(
-          // DECIMAL(30,8) emitted as string: see q1_agg sum_disc_price
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast(DecimalType(30, 8)).cast("string").as("revenue"),
+          // DECIMAL(30,8) emitted as plain string: see q1_agg sum_disc_price
+          plainDec8(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast(DecimalType(30, 8))).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_lines"))
         .orderBy("n_name")

@@ -73,12 +73,15 @@ object RelationalExtras {
 
   /** HLL sketch with its accuracy contract as the verified output: the
     * oracle can't reproduce Spark's HLL++ estimate, but it CAN verify the
-    * property that matters — the estimate lands within 5% (2.5σ at
-    * rsd=0.02) of the exact distinct count. The sketch is merge-commutative,
-    * so the boolean is partitioning-independent and hash-stable. Note the
-    * tradeoff: this query now pays the exact-distinct shuffle on top of
-    * the sketch, so its bench time measures the verification harness, not
-    * bare HLL throughput. */
+    * property that matters — the estimate lands within 8% (4σ at rsd=0.02)
+    * of the exact distinct count. 4σ, not the tempting 5%/2.5σ: a 2.5σ
+    * bound legitimately fails ~1% of the time per group on fresh data,
+    * which would read as an engine bug; at 4σ a violation really is one.
+    * The sketch is merge-commutative, so the boolean is
+    * partitioning-independent and hash-stable. Note the tradeoff: this
+    * query now pays the exact-distinct shuffle on top of the sketch, so
+    * its bench time measures the verification harness, not bare HLL
+    * throughput. */
   private val approxDistinct = QueryDef(
     fn = (spark, dir) =>
       Tables.lineitem(spark, dir)
@@ -88,13 +91,13 @@ object RelationalExtras {
           count(lit(1)).as("n_rows"),
           (abs(approx_count_distinct(col("l_partkey"), 0.02).cast("double")
               - countDistinct(col("l_partkey")))
-            <= countDistinct(col("l_partkey")) * 0.05).as("hll_within_5pct"))
+            <= countDistinct(col("l_partkey")) * 0.08).as("hll_within_4sigma"))
         .orderBy("l_returnflag"),
     oracle = Some(
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(*) AS n_rows,
-        |  TRUE AS hll_within_5pct
+        |  TRUE AS hll_within_4sigma
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   private val weightedMeanQ = QueryDef(
