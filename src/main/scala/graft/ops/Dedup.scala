@@ -83,13 +83,29 @@ object Dedup {
     * past return), and at data sizes where this operator matters the cache
     * cannot fit anyway, degrading to the same re-scan plus eviction churn.
     *
+    * Hot-bucket cap (`maxBucket`): a (band, band_key) bucket of size m
+    * contributes m^2/2 candidate pairs that MUST colocate on one reducer —
+    * AQE cannot split within a key — so one template cluster of 10^5 docs
+    * is 5·10^9 pairs on a single task, the measured failure mode of banded
+    * joins on template-heavy corpora (see [[simhashPairsBanded]]'s
+    * crossover notes). With `maxBucket = Some(m)`, buckets larger than m
+    * are dropped before pairing, bounding per-bucket work at m^2. The
+    * recall trade is explicit and production-standard: a pair is lost only
+    * if EVERY band it agrees on is hot — and a bucket that hot is a
+    * near-identical template cluster better handled by exact dedup on the
+    * fingerprint. The count rides a window over the join's own
+    * partitioning, so capping adds no extra shuffle.
+    *
     * @param df      input with an id column and a text column
     * @param minJaccard keep pairs whose EXACT token-set Jaccard >= this
+    * @param maxBucket drop (band, band_key) buckets with more members than
+    *                  this; None = unbounded (exact LSH semantics)
     * @return (id_a, id_b, jaccard) with id_a < id_b, rounded to 6 digits
     */
   def nearDupMinhash(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.5,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must divide evenly into bands=$bands (rowsPerBand=0 would " +
         "collapse every band key and cross-join the whole corpus)")
@@ -106,9 +122,18 @@ object Dedup {
         col(idCol).as("id"),
         minhashSignature(TextAnalysis.tokenSet(col(textCol)), k).as("sig"))
       .repartition(col("id"))
-    val banded = sigs
+    val bandedAll = sigs
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val banded = maxBucket match {
+      case None => bandedAll
+      case Some(m) =>
+        require(m >= 2, s"maxBucket=$m must be >= 2 (a bucket of 2 is one pair)")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))
+        bandedAll.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= m).drop("__bn")
+    }
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&

@@ -389,11 +389,30 @@ object ExtensionQueries {
         |ORDER BY doc_id""".stripMargin))
 
   /** Shared oracle CTE computing minhash signatures band keys for sampled
-    * docs — mirrors Dedup.minhashSignature/bandKeys literal-for-literal. */
-  private def minhashOracle: String = {
+    * docs — mirrors Dedup.minhashSignature/bandKeys literal-for-literal.
+    * With `cap` set, (band, band_key) buckets larger than the cap are
+    * dropped before pairing — the hot-bucket guard's oracle twin. */
+  private def minhashOracle: String = minhashOracleWith(None)
+
+  private def minhashOracleWith(cap: Option[Int]): String = {
     val coefValues = Dedup.coefficients(16).zipWithIndex
       .map { case ((a, b), i) => s"($i, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
       .mkString(", ")
+    val bandsCte = cap match {
+      case None =>
+        """bands AS (SELECT id, i // 4 AS band,
+          |                 string_agg(v::VARCHAR, ':' ORDER BY i) AS band_key
+          |          FROM mh GROUP BY id, i // 4),""".stripMargin
+      case Some(m) =>
+        s"""bands_all AS (SELECT id, i // 4 AS band,
+           |                 string_agg(v::VARCHAR, ':' ORDER BY i) AS band_key
+           |          FROM mh GROUP BY id, i // 4),
+           |bsz AS (SELECT band, band_key, count(*) AS n
+           |        FROM bands_all GROUP BY band, band_key),
+           |bands AS (SELECT b.id, b.band, b.band_key
+           |          FROM bands_all b JOIN bsz USING (band, band_key)
+           |          WHERE bsz.n <= $m),""".stripMargin
+    }
     s"""docs AS (
        |  SELECT doc_id AS id, ${dTokSet("text")} AS toks
        |  FROM documents WHERE doc_id % 10 = 0),
@@ -402,9 +421,7 @@ object ExtensionQueries {
        |coef AS (SELECT * FROM (VALUES $coefValues) c(i, a, b)),
        |mh AS (SELECT id, i, min((a * h + b) % 2147483647) AS v
        |       FROM th CROSS JOIN coef GROUP BY id, i),
-       |bands AS (SELECT id, i // 4 AS band,
-       |                 string_agg(v::VARCHAR, ':' ORDER BY i) AS band_key
-       |          FROM mh GROUP BY id, i // 4),
+       |$bandsCte
        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id),
@@ -423,6 +440,24 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b"),
     oracle = Some(
       s"""WITH $minhashOracle
+         |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Hot-bucket-capped LSH: same pipeline with (band, band_key) buckets
+    * over 10 members dropped before pairing — the worst-case bound a
+    * template-heavy corpus needs at scale (a bucket of m docs is m^2/2
+    * pairs on ONE reducer; AQE cannot split within a key). The fixture's
+    * template clusters produce 20-270-doc buckets at every SF, so the cap
+    * binds and the oracle proves both engines drop identically. */
+  private val dedupMinhashCapped = QueryDef(
+    fn = (spark, dir) =>
+      Dedup.nearDupMinhash(
+          Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", k = 16, bands = 4, minJaccard = 0.5,
+          maxBucket = Some(10))
+        .orderBy("id_a", "id_b"),
+    oracle = Some(
+      s"""WITH ${minhashOracleWith(Some(10))}
          |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin))
 
@@ -878,6 +913,7 @@ object ExtensionQueries {
     "q_text_fingerprint" -> fingerprintQ,
     "q_dedup_exact_docs" -> dedupExact,
     "q_dedup_minhash_pairs" -> dedupMinhash,
+    "q_dedup_minhash_capped" -> dedupMinhashCapped,
     "q_dedup_components" -> dedupComponents,
     "q_dedup_simhash_sigs" -> simhashSigs,
     "q_dedup_simhash_pairs" -> simhashPairs,

@@ -188,6 +188,29 @@ class TextDedupSpec extends SparkSpec {
     assert(banded == quad)
   }
 
+  test("hot-bucket cap drops template-cluster pairs, keeps small-bucket pairs") {
+    // 40 near-identical "template" docs (one giant bucket in every band)
+    // plus one small near-dup pair with distinct vocabulary
+    val template = (0 until 40).map(i => (i.toLong, s"the quick brown fox jumps over the lazy dog number $i"))
+    val smallPair = Seq(
+      (100L, "completely different vocabulary alpha beta gamma delta epsilon"),
+      (101L, "completely different vocabulary alpha beta gamma delta zeta"))
+    val docs = (template ++ smallPair).toDF("doc_id", "text")
+    val uncapped = Dedup.nearDupMinhash(docs, "doc_id", "text",
+        k = 16, bands = 4, minJaccard = 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val capped = Dedup.nearDupMinhash(docs, "doc_id", "text",
+        k = 16, bands = 4, minJaccard = 0.3, maxBucket = Some(10))
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(uncapped.contains((100L, 101L)) && capped.contains((100L, 101L)),
+      "small-bucket pair must survive the cap")
+    assert(uncapped.exists(p => p._1 < 40 && p._2 < 40),
+      "fixture template cluster produced no pairs — test is vacuous")
+    assert(!capped.exists(p => p._1 < 40 && p._2 < 40),
+      "capped run must drop the hot template bucket's pairs")
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("zero-token docs get signature 0 and pair with each other (oracle parity)") {
     // the DuckDB oracle LEFT JOINs sig-less docs back in with COALESCE(sig, 0);
     // this pins the Spark behavior that COALESCE mirrors
