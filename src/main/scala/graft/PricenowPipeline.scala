@@ -79,8 +79,24 @@ object PricenowPipeline {
       spark: SparkSession, pagesPath: String, changes: DataFrame,
       cfg: Config, factPath: String, months: Seq[String]): Unit = {
     val cat = products(spark, pagesPath, cfg)
+    // lazy checkpoint: the guard below materializes the slice once and the
+    // write reuses it — the refreshed months are small by design (that is
+    // the point of incremental), so caching them is bounded
     val pr = prices(changes, cat, cfg)
       .filter(date_format(col("valid_from"), "yyyy-MM").isin(months: _*))
+      .localCheckpoint(false)
+    // dynamic overwrite only rewrites partitions PRESENT in the output: a
+    // requested month whose recomputed slice is empty (season reconfigured,
+    // or a mis-formatted month like "2026-5") would silently keep its stale
+    // files — fail loudly instead; months-per-run is tiny, so the distinct
+    // collect is a driver-side scalar check, not a data path
+    val produced = pr.select(date_format(col("valid_from"), "yyyy-MM").as("m"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val missing = months.filterNot(produced)
+    require(missing.isEmpty,
+      s"refreshMonths: no recomputed rows for month(s) ${missing.mkString(", ")} — " +
+        "the stale partition would survive a dynamic overwrite; check the season " +
+        "window and the yyyy-MM format")
     graft.sink.PartitionedParquet.writeByMonth(pr, "valid_from", factPath)
   }
 

@@ -129,8 +129,7 @@ object Dedup {
       case None => bandedAll
       case Some(m) =>
         require(m >= 2, s"maxBucket=$m must be >= 2 (a bucket of 2 is one pair)")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_key"))
+        val w = Window.partitionBy(col("band"), col("band_key"))
         bandedAll.withColumn("__bn", count(lit(1)).over(w))
           .filter(col("__bn") <= m).drop("__bn")
     }

@@ -116,11 +116,13 @@ object Similarity {
       s"nBits=$nBits and tables=$tables must both be >= 1")
     val needDims = tables * nBits
     def bucketed(df: DataFrame, idAs: String) = {
-      // per-row dim check: fail loudly instead of bucketing on NULL signs
+      // per-row dim check: fail loudly instead of bucketing on NULL signs.
+      // size() of a NULL vector is NULL, so the message side must coalesce
+      // or the raise_error itself would fire with a NULL (useless) message
       val v = when(size(col(vecCol)) >= needDims, col(vecCol))
         .otherwise(raise_error(concat(
           lit(s"lshTopK: tables*nBits = $needDims sign dims but vector has "),
-          size(col(vecCol)).cast("string"))))
+          coalesce(size(col(vecCol)).cast("string"), lit("NULL (null vector)")))))
       df.select(col(idCol).as(idAs),
         posexplode(array((0 until tables).map { l =>
           signBucketAt(v, l * nBits, nBits)

@@ -23,13 +23,21 @@ object CoreQueries {
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
   /** Plain string form of a DECIMAL(30,8): BigDecimal.toString goes
-    * scientific once the adjusted exponent drops below -6 — an all-zero
-    * sum prints "0E-8" while DuckDB's VARCHAR cast prints "0.00000000",
-    * a latent hash mismatch. Exact zero is the only such value these
-    * price sums can produce (any nonzero sum of scale-4 inputs is
-    * >= 0.0001, far above the 1e-7 scientific-notation threshold). */
-  private def plainDec8(c: Column): Column =
-    when(c === 0, lit("0.00000000")).otherwise(c.cast("string"))
+    * scientific once the adjusted exponent drops below -6 ("0E-8",
+    * "1E-8") while DuckDB's VARCHAR cast always prints plain
+    * ("0.00000000", "0.00000001") — a latent hash mismatch for any value
+    * in [0, 1e-6), and scale-8 products of scale-4 factors CAN land there
+    * (0.0001 * 0.0001 = 1e-8). Built scale-aware: the exact unscaled
+    * integer (value * 10^8, scale-0 decimals always stringify plain),
+    * zero-padded to >= 9 digits, with the point re-inserted before the
+    * last 8 — plain notation for every representable value. */
+  private[graft] def plainDec8(c: Column): Column = {
+    val u = (abs(c) * lit(100000000L)).cast(DecimalType(38, 0)).cast("string")
+    // lpad TRUNCATES inputs longer than the target length — pad conditionally
+    val s = when(length(u) < 9, lpad(u, 9, "0")).otherwise(u)
+    concat(when(c < 0, lit("-")).otherwise(lit("")),
+      s.substr(lit(1), length(s) - 8), lit("."), substring(s, -8, 8))
+  }
 
   // --- F1 on real data: LOCF daily grid over the events stream -------------
 

@@ -93,6 +93,45 @@ class SinkLayoutSpec extends SparkSpec {
     assert(scanned.head.metadata.get("PartitionFilters").exists(_.contains("part_month")))
   }
 
+  test("refreshMonths fails loudly when a requested month produces no rows") {
+    val pages = Files.createTempDirectory("guard-pages")
+    java.nio.file.Files.writeString(pages.resolve("page-0.json"),
+      """{"data": [
+        | {"name": "skitickets", "productDefinitions": [
+        |   {"id": 101, "attributes": {"age": {"value": "adult"}, "duration": {"value": "1d"}}}]}]}""".stripMargin)
+    val changes = Seq((101L, "2025-12-01", 5000, 1))
+      .toDF("product_id", "d", "price", "ord")
+      .withColumn("valid_at", to_date(col("d"))).drop("d")
+    val cfg = PricenowPipeline.Config(
+      updatedAt = "2026-04-01 06:00:00", jdbcUrl = "unused", writePartitions = Some(1))
+    val fact = Files.createTempDirectory("guard-fact").toString + "/prices"
+    // out-of-season month and a mis-formatted month must both refuse to
+    // no-op (dynamic overwrite would silently keep stale files)
+    Seq("2026-07", "2026-1").foreach { bad =>
+      val ex = intercept[IllegalArgumentException] {
+        PricenowPipeline.refreshMonths(spark, pages.toString, changes, cfg, fact, Seq(bad))
+      }
+      assert(ex.getMessage.contains(bad))
+    }
+  }
+
+  test("plainDec8 matches DuckDB's plain VARCHAR rendering incl. sub-1e-6 values") {
+    // DuckDB CAST(DECIMAL(30,8) AS VARCHAR) is always plain with 8 fraction
+    // digits; BigDecimal.toString goes scientific below 1e-6 — the helper
+    // must bridge exactly
+    val cases = Seq(
+      "0"           -> "0.00000000",
+      "0.00000001"  -> "0.00000001",   // 1E-8 in BigDecimal.toString
+      "-0.00000001" -> "-0.00000001",
+      "0.0001"      -> "0.00010000",
+      "-3.5"        -> "-3.50000000",
+      "12345678901234567890.12345678" -> "12345678901234567890.12345678")
+    val df = cases.map(_._1).toDF("v")
+      .select(graft.queries.CoreQueries.plainDec8(
+        col("v").cast(org.apache.spark.sql.types.DecimalType(30, 8))).as("s"))
+    assert(df.as[String].collect().toSeq == cases.map(_._2))
+  }
+
   test("saltedSumCount equals direct groupBy on a skewed input") {
     // 10k rows of one hot key + a tail
     val hot = spark.range(0, 10000).select(lit("HOT").as("k"), (col("id") % 97).cast("double").as("v"), col("id"))
