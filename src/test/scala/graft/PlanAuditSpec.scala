@@ -102,6 +102,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact scan side") {
+    import org.apache.spark.sql.functions._
+    // a selective filter on the build side of a shuffle join should inject
+    // a bloom_filter_might_contain onto the fact side at runtime — the
+    // row-level pruning a 100 TB fact scan needs when partition pruning
+    // can't apply; thresholds scaled down so the test corpus qualifies
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // no broadcast: force the bloom path
+      val li = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      val o = graft.ops.Tables.orders(spark, "/root/testdata/sf0.01")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${plan.take(2000)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("the quadratic oracle twins are the ONLY sanctioned cross joins") {
     // documented exception: pre-sampled pair queries are quadratic by design
     val p = plan("q_sim_cosine_pairs")

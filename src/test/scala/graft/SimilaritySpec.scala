@@ -114,6 +114,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf1.nonEmpty)
   }
 
+  test("kmeansAssign: one Lloyd step raises mean vector-to-own-centroid cosine") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def quality(assigned: org.apache.spark.sql.DataFrame): Double = {
+      val cents = Similarity.centroids(assigned, "label", "embedding")
+        .withColumnRenamed("label", "__c")
+      assigned.join(cents, col("label") === col("__c"))
+        .select(avg(
+          Similarity.dot(col("embedding"), col("centroid").cast("array<float>"))
+            / (Similarity.norm(col("embedding"))
+              * Similarity.norm(col("centroid").cast("array<float>")))).as("q"))
+        .collect().head.getDouble(0)
+    }
+    val before = quality(emb)
+    val step1 = Similarity.kmeansAssign(emb,
+      Similarity.centroids(emb, "label", "embedding"), "vec_id", "embedding", "label")
+    assert(step1.count() == emb.count(), "every vector must get exactly one cell")
+    val after = quality(step1)
+    assert(after > before,
+      s"Lloyd step must not worsen clustering: before=$before after=$after")
+    // and the retrained cells compose with ivfTopK unchanged
+    val ivf = Similarity.ivfTopK(step1, step1.filter(col("vec_id") < 3),
+      Similarity.centroids(step1, "label", "embedding"),
+      "vec_id", "embedding", "label", k = 3, nprobe = 2)
+    assert(ivf.count() > 0)
+  }
+
   test("zero vectors never rank as neighbors and never pass near-dup thresholds") {
     val withZero = corpus.union(
       Seq((99L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
