@@ -163,4 +163,74 @@ object TextAnalysis {
       split(text, ""),
       lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)
+
+  /** Context-window chunking: split a document's token stream into windows
+    * of `chunkTokens` tokens advancing by `chunkTokens - overlap` (the
+    * training-data prep step that turns documents into model-context-sized
+    * rows). Returns an array of structs (chunk_idx, chunk_text) to
+    * posexplode — all per-row expression work, no shuffle; at 100 TB this
+    * runs inside the scan stage and the output partitions like its input.
+    * A window starts at every step multiple below the token count, so the
+    * tail window may be shorter than `chunkTokens` (and, for documents
+    * shorter than `chunkTokens`, can be a suffix of the previous window —
+    * downstream exact dedup on the chunk text removes those).
+    */
+  def chunks(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap ($overlap) < chunkTokens ($chunkTokens)")
+    val step = chunkTokens - overlap
+    val toks = tokens(text)
+    // starts: 0, step, 2*step, ... while start < n (at least one for n > 0)
+    val nChunks = greatest(ceil(size(toks).cast("double") / step).cast("int"), lit(0))
+    val idxs = when(size(toks) > 0, sequence(lit(0), nChunks - 1)).otherwise(
+      expr("array()").cast("array<int>"))
+    transform(idxs, i =>
+      struct(i.as("chunk_idx"),
+        array_join(slice(toks, i * step + 1, lit(chunkTokens)), " ").as("chunk_text")))
+  }
+
+  /** Greedy contiguous sequence packing: assign documents, in a
+    * deterministic order, to fixed token-budget bins by exclusive running
+    * token count — bin = floor(cumsum_before / budget). The packing used
+    * when assembling training sequences from many short documents; each
+    * bin's members are contiguous in the order (locality-preserving), and
+    * documents longer than the budget still land in one bin (they are
+    * truncated downstream by [[chunks]], not here).
+    *
+    * The prefix sum is DISTRIBUTED, not a global-order window (which Spark
+    * executes on a single reducer): range-partition on the order key,
+    * prefix-sum WITHIN each partition, and add per-partition offsets
+    * computed from partition totals — the zipWithIndex pattern. The totals
+    * collect is numPartitions scalars of driver-side metadata (same class
+    * as AQE statistics), not a data-path collect.
+    *
+    * Returns the input columns + (n_tokens, bin).
+    */
+  def packBins(df: org.apache.spark.sql.DataFrame, textCol: String,
+      orderCol: String, budgetTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val parts = df
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // totals pass + final pass share one compute
+    val totals = parts.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val exclusive = totals.map { case (pid, tot) =>
+      val o = pid -> acc; acc += tot; o
+    }.toMap
+    val offsetCol = totals.map(_._1).foldLeft(lit(0L)) { (rest, pid) =>
+      when(col("__pid") === pid, lit(exclusive(pid))).otherwise(rest)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts
+      .withColumn("__before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + offsetCol)
+      .withColumn("bin", (col("__before") / budgetTokens).cast("bigint"))
+      .drop("__pid", "__before")
+  }
 }

@@ -68,6 +68,43 @@ object ExtensionQueries {
 
   // ---- text analysis -------------------------------------------------------
 
+  /** Context-window chunking over the sampled docs: 32-token windows
+    * advancing by 24 (8-token overlap) — the doc→training-row splitter. */
+  private val textChunks = QueryDef(
+    fn = (spark, dir) =>
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), chunkTokens = 32, overlap = 8)))
+        .select(col("doc_id"), col("col.chunk_idx").as("chunk_idx"),
+          col("col.chunk_text").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx"),
+    oracle = Some(
+      s"""WITH docs AS (SELECT doc_id, ${dToks("text")} AS toks
+         |              FROM documents WHERE doc_id % 10 = 0),
+         |idx AS (SELECT doc_id, toks,
+         |        unnest(range(0, CAST(ceil(len(toks) / 24.0) AS BIGINT))) AS chunk_idx
+         |        FROM docs WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |  array_to_string(toks[CAST(chunk_idx * 24 + 1 AS BIGINT):CAST(chunk_idx * 24 + 32 AS BIGINT)], ' ') AS chunk_text
+         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  /** Greedy token-budget packing (distributed prefix sum on the Spark
+    * side; the oracle's running window is the semantic definition). */
+  private val seqPack = QueryDef(
+    fn = (spark, dir) =>
+      TextAnalysis.packBins(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+          "text", "doc_id", budgetTokens = 512)
+        .select(col("doc_id"), col("n_tokens"), col("bin"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH t AS (SELECT doc_id, CAST(len(${dToks("text")}) AS BIGINT) AS n_tokens
+         |           FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+         |FROM t ORDER BY doc_id""".stripMargin))
+
   private val textTokens = QueryDef(
     fn = (spark, dir) => {
       val d = Tables.documents(spark, dir)
@@ -945,6 +982,8 @@ object ExtensionQueries {
     "q_multimodal_features" -> mmFeatures,
     "q_multimodal_resize" -> mmResize,
     "q_text_tokens" -> textTokens,
+    "q_text_chunks" -> textChunks,
+    "q_seq_pack" -> seqPack,
     "q_text_lang_id" -> langIdQ,
     "q_text_quality" -> qualityQ,
     "q_text_fingerprint" -> fingerprintQ,

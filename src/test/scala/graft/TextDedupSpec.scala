@@ -188,6 +188,47 @@ class TextDedupSpec extends SparkSpec {
     assert(banded == quad)
   }
 
+  test("chunks: sliding token windows with overlap; short and empty docs behave") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                   // shorter than a chunk
+      (3L, ""))                                        // no tokens -> no chunks
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.chunks(col("text"), chunkTokens = 4, overlap = 1)))
+      .select(col("doc_id"), col("col.chunk_idx"), col("col.chunk_text"))
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, "t1 t2 t3 t4"),   // starts advance by 3 (= 4 - 1 overlap)
+      (1L, 1, "t4 t5 t6 t7"),
+      (1L, 2, "t7 t8 t9 t10"),
+      (1L, 3, "t10"),           // tail window, shorter
+      (2L, 0, "a b c")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunks(col("text"), chunkTokens = 4, overlap = 4)
+    }
+  }
+
+  test("packBins: distributed prefix-sum packing equals the sequential definition") {
+    // 100 docs with varying token counts over many partitions
+    val docs = spark.range(0, 100).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 30).map(i =>
+        when(col("id") % 3 >= i % 3, lit(s"w$i"))): _*).as("text"))
+      .repartition(7)
+    val got = TextAnalysis.packBins(docs, "text", "doc_id", budgetTokens = 64)
+      .select("doc_id", "n_tokens", "bin")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // sequential reference: exclusive running sum / budget
+    var acc = 0L
+    val expected = got.map { case (id, n, _) =>
+      val bin = acc / 64; acc += n; (id, n, bin)
+    }
+    assert(got == expected)
+    // bins are contiguous in doc order and respect the budget boundary
+    assert(got.map(_._3).distinct.sorted == got.map(_._3).distinct,
+      "bins must be assigned in nondecreasing order")
+  }
+
   test("hot-bucket cap drops template-cluster pairs, keeps small-bucket pairs") {
     // 40 near-identical "template" docs (one giant bucket in every band)
     // plus one small near-dup pair with distinct vocabulary
