@@ -152,7 +152,7 @@ object Dedup {
     val a = candToks.select(col("id").as("id_a"), col("toks").as("toks_a"))
     val b = candToks.select(col("id").as("id_b"), col("toks").as("toks_b"))
     candidates.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
@@ -248,8 +248,22 @@ object Dedup {
   /** Exact Jaccard over two distinct-element arrays, rounded to 6 digits:
     * |A∩B| / (|A|+|B|-|A∩B|), integer counts divided once in double.
     */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
+  def jaccard(a: Column, b: Column): Column =
+    jaccardFrom(size(array_intersect(a, b)).cast("double"), a, b)
+
+  /** [[jaccard]] specialized to SORTED distinct arrays (what
+    * [[TextAnalysis.tokenSet]] produces): the intersection count is a
+    * fused zero-allocation merge walk
+    * ([[graft.functions.SortedIntersectCount]]) instead of
+    * array_intersect's per-row hash-set build — ~2x on the LSH verify
+    * stage, where every candidate pair pays this expression. Equivalence
+    * to [[jaccard]] on tokenSet inputs is property-tested. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    jaccardFrom(
+      graft.functions.SortedIntersectCount.intersectCountFast(a, b).cast("double"),
+      a, b)
+
+  private def jaccardFrom(inter: Column, a: Column, b: Column): Column = {
     val union = size(a) + size(b) - inter
     // two empty sets: 0/0 = NaN, and NaN >= threshold is TRUE in Spark —
     // every empty doc would count as a near-dup of every other and get

@@ -188,6 +188,24 @@ class TextDedupSpec extends SparkSpec {
     assert(banded == quad)
   }
 
+  test("fused SortedIntersectCount equals array_intersect jaccard on real docs") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = docs.as("x").join(docs.as("y"),
+        col("x.doc_id") % 3 === 0 && col("y.doc_id") % 5 === 0)
+      .select(TextAnalysis.tokenSet(col("x.text")).as("a"),
+        TextAnalysis.tokenSet(col("y.text")).as("b"))
+      .select(Dedup.jaccard(col("a"), col("b")).as("ref"),
+        Dedup.jaccardSorted(col("a"), col("b")).as("fused"))
+    assert(pairs.filter(not(col("ref") <=> col("fused"))).count() == 0)
+    assert(pairs.count() > 100)
+    // empty-vs-empty stays NULL (the NaN guard) in the fused path too
+    val empty = Seq(("", "")).toDF("ta", "tb")
+      .select(Dedup.jaccardSorted(
+        TextAnalysis.tokenSet(col("ta")), TextAnalysis.tokenSet(col("tb"))).as("j"))
+      .collect().head
+    assert(empty.isNullAt(0))
+  }
+
   test("chunks: sliding token windows with overlap; short and empty docs behave") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
