@@ -157,6 +157,63 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental MinHash near-dup: pairs of a NEW batch against itself and
+    * against the EXISTING corpus, never corpus × corpus — the daily-ingest
+    * shape at 100 TB, where re-pairing the accumulated corpus each run
+    * would redo quadratically growing work for pairs already decided.
+    * Output-identical to running [[nearDupMinhash]] on (new ∪ corpus) and
+    * keeping the pairs touching at least one new doc (spec-pinned).
+    *
+    * Scale shape: both inputs are signed in ONE pass over their union
+    * (same barrier/ReuseExchange discipline as the batch form); the
+    * candidate equi-join puts only the NEW side's band rows on the build
+    * side, so candidates are new×new plus new×corpus — corpus×corpus
+    * bucket members meet only through a new doc. Mixed pairs orient
+    * (id_a, id_b) = (least, greatest) like every pair operator here.
+    */
+  def nearDupMinhashIncremental(
+      newDf: DataFrame, corpusDf: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands")
+    val rowsPerBand = k / bands
+    val tagged = newDf
+      .select(col(idCol).as("id"), col(textCol).as("__text"), lit(true).as("isnew"))
+      .unionByName(corpusDf
+        .select(col(idCol).as("id"), col(textCol).as("__text"), lit(false).as("isnew")))
+    val sigs = tagged.select(col("id"), col("isnew"),
+        minhashSignature(TextAnalysis.tokenSet(col("__text")), k).as("sig"))
+      .repartition(col("id"))
+    val banded = sigs
+      .select(col("id"), col("isnew"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("isnew"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    // x side is NEW only; new×new dedups by id order, new×corpus appears
+    // exactly once (corpus rows never sit on the x side)
+    val candidates = banded.filter(col("isnew")).as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") =!= col("y.id") &&
+          (!col("y.isnew") || col("x.id") < col("y.id")))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+      .distinct()
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id")))
+      .distinct()
+    val candToks = tagged.select(col("id"), col("__text"))
+      .join(candIds, "id")
+      .select(col("id"), TextAnalysis.tokenSet(col("__text")).as("toks"))
+    candidates
+      .join(candToks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(candToks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Connected components over an undirected pair graph — the survivor-
     * selection step that turns near-dup PAIRS into dedup DECISIONS: every
     * node gets the minimum id reachable from it (its canonical

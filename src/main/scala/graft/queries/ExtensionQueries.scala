@@ -498,6 +498,28 @@ object ExtensionQueries {
          |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Incremental near-dup: the NEW batch (doc_id % 20 = 0) against the
+    * rest of the % 10 sample as the accumulated corpus — candidates are
+    * new×new and new×corpus only, never corpus×corpus (the daily-ingest
+    * shape; re-pairing the corpus each run is quadratically growing rework
+    * for pairs already decided). Oracle = the full-batch pair set filtered
+    * to pairs touching a new doc, exactly the output-identity the operator
+    * guarantees (spec-pinned in TextDedupSpec). */
+  private val dedupMinhashIncr = QueryDef(
+    fn = (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      Dedup.nearDupMinhashIncremental(
+          docs.filter(col("doc_id") % 20 === 0),
+          docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0),
+          "doc_id", "text", k = 16, bands = 4, minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(
+      s"""WITH $minhashOracle
+         |SELECT id_a, id_b, jaccard FROM jac
+         |WHERE jaccard >= 0.5 AND (id_a % 20 = 0 OR id_b % 20 = 0)
+         |ORDER BY id_a, id_b""".stripMargin))
+
   /** Survivor selection over the minhash pair graph: connected components
     * via iterative min-label propagation; oracle computes the same
     * components with a DuckDB recursive CTE over the identical pair set. */
@@ -990,6 +1012,7 @@ object ExtensionQueries {
     "q_dedup_exact_docs" -> dedupExact,
     "q_dedup_minhash_pairs" -> dedupMinhash,
     "q_dedup_minhash_capped" -> dedupMinhashCapped,
+    "q_dedup_minhash_incr" -> dedupMinhashIncr,
     "q_dedup_components" -> dedupComponents,
     "q_dedup_simhash_sigs" -> simhashSigs,
     "q_dedup_simhash_pairs" -> simhashPairs,

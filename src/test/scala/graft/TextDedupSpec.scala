@@ -270,6 +270,39 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("incremental minhash pairs new×new and new×corpus but never corpus×corpus") {
+    // corpus docs 1,2 are near-dups of each other AND of new doc 10;
+    // corpus pair (1,2) must NOT re-emit, mixed pairs must, oriented least/greatest
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely unrelated vocabulary lives in this document")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "entirely unrelated vocabulary lives in that document")).toDF("doc_id", "text")
+    val got = Dedup.nearDupMinhashIncremental(fresh, corpus, "doc_id", "text",
+        k = 16, bands = 4, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 11L)),
+      s"expected mixed pairs only, oriented (least, greatest): $got")
+  }
+
+  test("incremental minhash == batch pairs restricted to pairs touching a new doc") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fresh = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+    val incr = Dedup.nearDupMinhashIncremental(fresh, corpus, "doc_id", "text",
+      k = 16, bands = 4, minJaccard = 0.5)
+    val batchRestricted = Dedup.nearDupMinhash(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        k = 16, bands = 4, minJaccard = 0.5)
+      .filter(col("id_a") % 20 === 0 || col("id_b") % 20 === 0)
+    assert(incr.count() > 0, "fixture produced no new-touching pairs — test is vacuous")
+    assert(incr.exceptAll(batchRestricted).count() == 0 &&
+      batchRestricted.exceptAll(incr).count() == 0,
+      "incremental output must equal the batch pair set filtered to new-touching pairs")
+  }
+
   test("zero-token docs get signature 0 and pair with each other (oracle parity)") {
     // the DuckDB oracle LEFT JOINs sig-less docs back in with COALESCE(sig, 0);
     // this pins the Spark behavior that COALESCE mirrors
