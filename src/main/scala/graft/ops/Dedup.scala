@@ -466,6 +466,14 @@ object Dedup {
     *     crossover at n ~ 8e4 — n=20k: 0.4s quad / 0.9s banded; n=80k:
     *     1.7s / 1.2s; n=160k: 6.4s / 2.2s; n=320k: 27.2s / 3.4s and
     *     diverging quadratically vs linearly.
+    * RE-MEASURED on the real sf0.1 corpus replicated with per-replica
+    * token salts (parquet input, warm JVM, local[32]) for the
+    * `q_dedup_simhash_h3` / `q_dedup_simhash_banded_h3` query pair:
+    * n=160k quad 94.6s / banded 4.0s (23x); n=320k quad 356.7s /
+    * banded 6.1s (58x); pair counts identical (32489 / 60210). The real
+    * corpus's longer docs make the un-bartered quadratic side pay its
+    * double signature computation and its full n^2/2 compare, so the
+    * banded win is even larger than on the synthetic uniform corpus.
     * At 100 TB choose maxHamming <= 3 (the Manku/WWW'07 operating point)
     * so chunks are >= 16 bits; larger Hamming budgets need permuted
     * multi-block tables (C(B, B-k) keys), not wider pigeonhole bands.

@@ -605,15 +605,17 @@ object ExtensionQueries {
   /** Quadratic Hamming pair join over the 64-bit signatures (Spark compares
     * the single assembled long; the oracle sums bit_count over the halves —
     * identical by the half-decomposition). */
-  private val simhash64PairOracle =
-    s"""WITH ${simhash64Oracle("WHERE doc_id % 2 = 0")}
+  private def simhash64PairOracleAt(sample: String, maxHamming: Int): String =
+    s"""WITH ${simhash64Oracle(sample)}
        |SELECT x.id AS id_a, y.id AS id_b,
        |  CAST(bit_count(xor(x.sig_hi, y.sig_hi))
        |     + bit_count(xor(x.sig_lo, y.sig_lo)) AS INTEGER) AS hamming
        |FROM sigs x JOIN sigs y ON x.id < y.id
        |WHERE bit_count(xor(x.sig_hi, y.sig_hi))
-       |    + bit_count(xor(x.sig_lo, y.sig_lo)) <= 7
+       |    + bit_count(xor(x.sig_lo, y.sig_lo)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
+
+  private val simhash64PairOracle = simhash64PairOracleAt("WHERE doc_id % 2 = 0", 7)
 
   private val simhashPairs = QueryDef(
     fn = (spark, dir) =>
@@ -625,7 +627,14 @@ object ExtensionQueries {
 
   /** Scale-path twin of [[simhashPairs]]: banded pigeonhole candidates over
     * the 64-bit signature (8 chunks x 8 bits), equi-join only. Same sample,
-    * same oracle — the driver proves the two plans are output-identical. */
+    * same oracle — the driver proves the two plans are output-identical.
+    * NOTE: maxHamming=7 exists for output-identity coverage of the widest
+    * banding; it is NOT the deployment config (8-bit chunks never beat the
+    * quadratic scan — see the crossover notes in
+    * [[Dedup.simhashPairsBanded]]). The operating point to deploy is
+    * maxHamming=3, exercised end-to-end by [[simhashBandedH3]]
+    * (`q_dedup_simhash_banded_h3`) with a measured 23-58x win over its
+    * quadratic twin at n=160k-320k. */
   private val simhashBanded = QueryDef(
     fn = (spark, dir) =>
       Dedup.simhashPairsBanded(
@@ -633,6 +642,36 @@ object ExtensionQueries {
           "doc_id", "text", maxHamming = 7)
         .orderBy("id_a", "id_b"),
     oracle = Some(simhash64PairOracle))
+
+  /** [[Dedup.simhashPairs]] at the Manku/WWW'07 operating point
+    * (maxHamming = 3) on the FULL unsampled documents table — the quadratic
+    * oracle twin of [[simhashBandedH3]]. */
+  private val simhashH3 = QueryDef(
+    fn = (spark, dir) =>
+      Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+    oracle = Some(simhash64PairOracleAt("", 3)))
+
+  /** Banded SimHash at its WINNING operating point: maxHamming = 3 → 4
+    * chunks x 16 bits, the config [[Dedup.simhashPairsBanded]]'s measured
+    * crossover analysis recommends for scale (the maxHamming=7 twin above
+    * demonstrates output identity of the 8x8 banding but never beats the
+    * quadratic scan — 8-bit chunks collide on ~3% of the pair space).
+    * Same full-table input and oracle as [[simhashH3]], so the driver
+    * proves the banded plan output-identical end-to-end at the operating
+    * point users should actually deploy. MEASURED at local[32] on the
+    * sf0.1 corpus replicated to scale (every token replica-salted so
+    * replica signatures decorrelate; parquet input, warm JVM):
+    * n=160k banded 4.0 s vs quadratic 94.6 s (23x); n=320k banded 6.1 s
+    * vs quadratic 356.7 s (58x); identical pair counts both sizes
+    * (32489 / 60210) — the linear-vs-quadratic divergence the
+    * [[Dedup.simhashPairsBanded]] crossover notes predict, demonstrated
+    * on this corpus rather than the synthetic uniform one. */
+  private val simhashBandedH3 = QueryDef(
+    fn = (spark, dir) =>
+      Dedup.simhashPairsBanded(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+    oracle = Some(simhash64PairOracleAt("", 3)))
 
   private val jaccardNgram = QueryDef(
     fn = (spark, dir) =>
@@ -1017,6 +1056,8 @@ object ExtensionQueries {
     "q_dedup_simhash_sigs" -> simhashSigs,
     "q_dedup_simhash_pairs" -> simhashPairs,
     "q_dedup_simhash_banded" -> simhashBanded,
+    "q_dedup_simhash_h3" -> simhashH3,
+    "q_dedup_simhash_banded_h3" -> simhashBandedH3,
     "q_dedup_ngram_jaccard" -> jaccardNgram,
     "q_sim_cosine_pairs" -> embPairs,
     "q_sim_ann_brute" -> annBrute,
