@@ -38,22 +38,38 @@ object Bench {
       Seq((Seq(0.1f, 0.2f), Seq(0.2f, 0.1f))).toDF("a", "b")
         .select(graft.ops.Similarity.cosine(col("a"), col("b"))).count()
     } catch { case _: Throwable => () }
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        // a swallowed failure must not masquerade as a fast success
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Medians over repeated passes: single-pass numbers proved unusable for
+    // round-over-round comparison (one round's driver bench ran uniformly
+    // ~1.55x hot from box contention on untouched code). The median of n
+    // passes absorbs a drifted pass instead of reporting it as a regression.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val passes = (1 to repeats).map { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          // a swallowed failure must not masquerade as a fast success
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val qs = names.map { name =>
+      s"\"" + name + "\":" + median(passes.map(_(name)))
+    }.mkString("{", ",", "}")
+    val failedJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val totals = passes.map(_.values.sum)
+    val total = if (names.nonEmpty) median(totals) else 0.0
+    val totalsJson = totals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeats,"pass_totals":$totalsJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
