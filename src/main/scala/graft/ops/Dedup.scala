@@ -220,17 +220,29 @@ object Dedup {
     * representative).
     *
     * Implementation is iterative min-label propagation (Pregel-style as
-    * plain DataFrame joins): per round, each node takes the min of its own
-    * label and its neighbors' labels; converged when no label changes.
-    * Rounds needed = graph diameter (near-dup clusters are shallow — pairs
-    * share a band key — so a handful of rounds in practice); each round is
-    * one shuffle join on id, and `localCheckpoint` cuts the growing lineage
-    * so plans stay flat at scale.
+    * plain DataFrame joins) with pointer jumping, exiting on EDGE
+    * CONSISTENCY rather than label fixpoint. Converged-ness test: a
+    * labeling where every edge's endpoints agree is constant per
+    * component, and that constant is the component MINIMUM — labels are
+    * always ids of component members and label(v) <= v, so the component's
+    * min-id node forces the shared label down to the min. Consistency
+    * therefore triggers on the round labels REACH the min, one full round
+    * earlier than `changed == 0` (which needs an extra pass to observe
+    * that nothing moved). Measured at sf0.1 (63k-edge / 475-node minhash
+    * pair graph): rounds 3 -> 2, loop 3.4-3.8 s -> 2.1-3.0 s first run,
+    * 1.4-1.7 s -> 1.2-1.5 s warm; the full q_dedup_components query
+    * 5.5 s -> ~4.4 s single-pass. Rejected with measurements: a second
+    * pointer jump per round (rounds stay 2 — the blocker is a needed
+    * neighbor hop, not jump depth) and pre-partitioning edges by dst
+    * (exchange savings are noise at this edge volume and cost an extra
+    * eager job).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // lazy checkpoint + count: one job both materializes the edge RDD and
+    // returns the size for partition right-sizing (eager + count was two)
     val edgesAll = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     // right-size the iteration: every round schedules jobs over these
     // partitions, so a small graph on many partitions pays pure scheduling
     // overhead (~1M edges per partition is comfortable)
@@ -242,50 +254,50 @@ object Dedup {
     val edges = edgesAll.coalesce(parts) // narrow — reads the checkpoint
     // seed labels one hop in: comp0 = min(own id, min neighbor id) — the
     // same aggregation that builds the node set performs round 0's
-    // propagation for free, saving one materialized round (~15% of loop
-    // wall time at sf0.1: 4 rounds -> 3)
+    // propagation for free, saving one materialized round. Lazy checkpoint:
+    // round 0's convergence job materializes it.
     var labels = edges
       .groupBy(col("src").as("id"))
       .agg(least(col("src"), min(col("dst"))).as("comp"))
-      .coalesce(parts).localCheckpoint(true)
+      .coalesce(parts).localCheckpoint(false)
     // NOTE on round structure: fusing two propagation hops per materialized
     // job (to halve job-scheduling overhead) was measured at sf0.1 and did
     // NOT beat this one-hop loop (2.5s vs 2.2-3.0s loop-only, within box
     // noise) — each hop references its input twice, so the fused variant
     // either recomputes the first hop per reference or pays an extra cache
     // materialization, cancelling the scheduling win. Kept one hop per job.
-    var changed = 1L
+    var incons = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    while (incons > 0 && rounds < 64) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("comp", "ncomp"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("ncomp")).as("mincomp"))
       val stepped = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"), col("comp").as("old"),
+        .select(col("id"),
           least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
       // pointer jumping (path halving): also adopt the label OF one's
       // label — labels always reference node ids, so this lookup is a
       // self-join. Plain neighbor propagation moves the min one hop per
       // round (a diameter-d chain needs d rounds); with halving the
       // distance shrinks geometrically, so 64 rounds covers any graph
-      // this side of 2^64 nodes. Dense near-dup graphs converge in 2-3
-      // neighbor rounds alone, so the extra join only engages once the
-      // round count suggests a deep structure.
-      // (rounds < 1, not < 2: label seeding above already did one hop)
-      val jumped = if (rounds < 1) stepped
-        else stepped.as("l")
-          .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
-            col("l.comp") === col("p.pid"), "left")
-          .select(col("l.id").as("id"), col("l.old").as("old"),
-            least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"))
-      val next = jumped
-        // lazy checkpoint: the convergence count below materializes it in
+      // this side of 2^64 nodes. Jumping from round 0 (not 1): with the
+      // one-hop seed above, hop+jump reaches ~4-hop mins immediately, so
+      // shallow band-clique graphs converge a round earlier.
+      val jumped = stepped.as("l")
+        .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
+          col("l.comp") === col("p.pid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"))
+        // lazy checkpoint: the consistency count below materializes it in
         // the same job (eager would run a second job per round)
         .localCheckpoint(false)
-      changed = next.filter(col("comp") =!= col("old")).count()
-      labels = next.select("id", "comp")
+      incons = edges
+        .join(jumped.select(col("id").as("src"), col("comp").as("scomp")), "src")
+        .join(jumped.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .filter(col("scomp") =!= col("dcomp")).count()
+      labels = jumped
       rounds += 1
     }
     labels
