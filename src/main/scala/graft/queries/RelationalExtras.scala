@@ -298,6 +298,41 @@ object RelationalExtras {
     },
     oracle = Some(corrAggSql))
 
+  /** The SAME Q17 semantics as [[corrAgg]], expressed as the plan a 100 TB
+    * cluster should actually run: Catalyst decorrelates [[corrAggSql]]'s
+    * two correlated scalar aggregates into separate per-part aggregates,
+    * costing THREE lineitem scans (outer + one per subquery — the scalar
+    * subquery merge rule does not fuse them). Here the per-part COUNT and
+    * SUM become window aggregates over l_partkey on a SINGLE scan: one
+    * shuffle of lineitem, the per-part stats ride the sort within each
+    * partition, then a broadcast join of the filtered part dim and the
+    * final brand roll-up. At 100 TB that is 1/3 the fact I/O and one wide
+    * shuffle instead of two aggregate shuffles plus a join shuffle.
+    * Oracle = [[corrAggSql]] itself, so the driver proves output identity
+    * between the two plans; PlanAuditSpec pins the one-fact-scan property.
+    */
+  private val corrAggFused = QueryDef(
+    fn = (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_partkey")
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          col("l_quantity").cast("decimal(19,4)").as("qty"),
+          col("l_extendedprice").cast("decimal(19,4)").as("price"))
+        .withColumn("part_cnt", count(lit(1)).over(w))
+        .withColumn("part_sqty", sum(col("qty")).over(w))
+        .filter(col("qty") * 5 * col("part_cnt") < col("part_sqty"))
+      val smallParts = Tables.part(spark, dir)
+        .filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_brand"))
+      li.join(broadcast(smallParts), col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small_lots"),
+          sum(col("price")).cast("double").as("sum_price"))
+        .orderBy("p_brand")
+    },
+    oracle = Some(corrAggSql))
+
   /** TPC-H Q20-shaped nesting: an IN-subquery whose inner query is itself
     * filtered by a correlated scalar aggregate (ref Q20's `ps_availqty >
     * 0.5 * sum(l_quantity)` inside `s_suppkey IN (...)`), reshaped to the
@@ -345,6 +380,7 @@ object RelationalExtras {
     "q_salted_agg" -> saltedAgg,
     "q_subquery_scalar" -> subqueryScalar,
     "q_corr_agg_subquery" -> corrAgg,
+    "q_corr_agg_fused" -> corrAggFused,
     "q_corr_in_subquery" -> corrIn,
     "q_cte_reuse" -> cteReuse,
     "q_range_join" -> rangeJoin,

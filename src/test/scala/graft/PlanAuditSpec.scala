@@ -58,6 +58,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("fused Q17 shape reads lineitem exactly once; the subquery form pays three scans") {
+    // count scan lines in the plan STRING — SparkPlan.foreach does not
+    // descend into AdaptiveSparkPlanExec's wrapped plan
+    def lineitemScans(name: String): Int =
+      plan(name).linesIterator
+        .count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(lineitemScans("q_corr_agg_fused") == 1,
+      "the fused plan must read the fact table exactly once")
+    // the decorrelated twin really does pay one scan per correlated
+    // aggregate plus the outer — the contrast this spec documents
+    assert(lineitemScans("q_corr_agg_subquery") == 3)
+  }
+
   test("AQE splits a deliberately skewed join partition (OptimizeSkewedJoin)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
