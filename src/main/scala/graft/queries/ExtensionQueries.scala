@@ -868,12 +868,62 @@ object ExtensionQueries {
         |  END AS thumb
         |FROM d ORDER BY doc_id""".stripMargin))
 
+  /** `iters` deterministic Lloyd iterations over the label-seeded cells:
+    * recompute centroids, reassign every vector to its nearest centroid by
+    * rounded cosine (ties to lowest cell). The checkpoint per iteration
+    * keeps the lineage flat (each assignment references its input through
+    * both the centroid aggregate and the corpus side). */
+  private def trainedIvfCells(
+      emb: org.apache.spark.sql.DataFrame, iters: Int): org.apache.spark.sql.DataFrame = {
+    var cells = emb
+    for (_ <- 1 to iters)
+      cells = Similarity.kmeansAssign(cells,
+        Similarity.centroids(cells, "label", "embedding"),
+        "vec_id", "embedding", "label").localCheckpoint(true)
+    cells
+  }
+
+  /** DuckDB CTE chain replicating [[trainedIvfCells]]: a0 = label-seeded
+    * (vec_id, e, cell); for each iteration i, cent$i = per-cell centroids
+    * of a${i-1} and a$i = the rounded-cosine reassignment; plus the final
+    * centroid set cent${iters+1} over a$iters (what the probe step uses).
+    * Mirrors the hash-gate-proven q_ivf_kmeans_assign single-step SQL. */
+  private def dLloydCtes(iters: Int): String = {
+    def centBlock(i: Int, from: String) =
+      s"""ce$i AS (SELECT cell, generate_subscripts(e, 1) AS pos, unnest(e) AS v FROM $from),
+         |cm$i AS (SELECT cell, pos,
+         |  CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM ce$i GROUP BY cell, pos),
+         |cent$i AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm$i GROUP BY cell)""".stripMargin
+    def assignBlock(i: Int) = {
+      val dotEC = dSumD("list_transform(range(1, len(e) + 1), i -> CAST(e[i] AS DOUBLE) * centroid[i])")
+      val normE = s"sqrt(${dDot("e", "e")})"
+      val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
+      s"""rk$i AS (
+         |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id ORDER BY
+         |    floor(($dotEC / ($normE * $normC)) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |    cell ASC) AS r
+         |  FROM (SELECT vec_id, e FROM a${i - 1}) CROSS JOIN cent$i),
+         |a$i AS (SELECT vec_id, e, cell FROM rk$i WHERE r = 1)""".stripMargin
+    }
+    (Seq("a0 AS (SELECT vec_id, embedding AS e, label AS cell FROM embeddings)") ++
+      (1 to iters).flatMap(i => Seq(centBlock(i, s"a${i - 1}"), assignBlock(i))) ++
+      Seq(centBlock(iters + 1, s"a$iters"))).mkString(",\n")
+  }
+
+  /** IVF probe over TRAINED cells: two Lloyd iterations re-cluster the
+    * direction-uncorrelated `label` seed around cosine direction before
+    * indexing (measured top-5 recall at nprobe=2/10: 0.45/0.45/0.375 at
+    * sf0.001/0.01/0.1, vs 0.25-0.33 untrained — the 0.2 scan fraction).
+    * Oracle replays the identical training chain, so the driver hash-gates
+    * the full train-then-probe pipeline, not just the probe join. */
   private val annIvf = QueryDef(
     fn = (spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
+      val cells = trainedIvfCells(emb, 2)
       Similarity.ivfTopK(
-          emb, emb.filter(col("vec_id") < 8),
-          Similarity.centroids(emb, "label", "embedding"),
+          cells, emb.filter(col("vec_id") < 8),
+          Similarity.centroids(cells, "label", "embedding"),
           "vec_id", "embedding", "label", k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     },
@@ -881,24 +931,16 @@ object ExtensionQueries {
       val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
       val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
       val normQ = s"sqrt(${dDot("qv", "qv")})"
-      s"""WITH ce AS (
-         |  SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
-         |         unnest(embedding) AS v
-         |  FROM embeddings),
-         |cm AS (
-         |  SELECT cell, pos,
-         |         CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
-         |  FROM ce GROUP BY cell, pos),
-         |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+      s"""WITH ${dLloydCtes(2)},
          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
          |qc AS (
          |  SELECT query_id, qv, cell,
          |    row_number() OVER (PARTITION BY query_id ORDER BY
          |      floor(($dotQC / ($normQ * $normC)) * 1000000.0 + 0.5) / 1000000.0 DESC,
          |      cell ASC) AS crank
-         |  FROM q CROSS JOIN cent),
+         |  FROM q CROSS JOIN cent3),
          |probe AS (SELECT query_id, qv, cell FROM qc WHERE crank <= 2),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cell FROM embeddings),
+         |c AS (SELECT vec_id AS neighbor_id, e AS cv, cell FROM a2),
          |scored AS (
          |  SELECT query_id, neighbor_id, ${dCos("qv", "cv")} AS cos
          |  FROM c JOIN probe USING (cell) WHERE query_id <> neighbor_id),
@@ -949,12 +991,16 @@ object ExtensionQueries {
     * booleans (the HLL-contract pattern): `lsh_recall_ok` asserts the
     * amplified 16×4-bit family stays at >= 0.8 top-5 recall (measured
     * 39/40, 37/40, 35/40 at sf0.001/0.01/0.1), and `ivf_recall_ok` asserts
-    * >= 0.2 for the nprobe=2-of-10-cells probe. The IVF floor is the scan
-    * fraction: `label` cells are direction-uncorrelated on this corpus, so
-    * probing 2/10 cells bounds recall near 20% (measured 0.25-0.33; even 3
-    * Lloyd iterations only reach ~0.5 on these near-uniform 64-dim
-    * vectors) — the boolean catches a broken probe join or centroid
-    * regression, not a tighter bar the index geometry cannot meet.
+    * >= 0.35 for the nprobe=2-of-10-cells probe over TRAINED cells (two
+    * Lloyd iterations via [[trainedIvfCells]]). Untrained `label` cells
+    * are direction-uncorrelated, pinning recall near the 0.2 scan
+    * fraction (measured 0.25-0.33); training lifts it to 0.45/0.45/0.375
+    * at sf0.001/0.01/0.1. The floor sits under the measured minimum —
+    * 0.4 is NOT attainable on these near-uniform 64-dim embeddings (no
+    * iteration count 1-3 clears 0.4 at every SF; they oscillate
+    * 0.35-0.45, the coarse-quantization worst case) — so the boolean
+    * catches a broken probe join, a training regression, or a centroid
+    * regression, not a bar the index geometry cannot meet.
     */
   private val annRecall = QueryDef(
     fn = (spark, dir) => {
@@ -965,8 +1011,9 @@ object ExtensionQueries {
       val brute = pairs(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5))
       val lsh = pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5,
         nBits = 4, tables = 16))
-      val ivf = pairs(Similarity.ivfTopK(emb, qs,
-        Similarity.centroids(emb, "label", "embedding"),
+      val cells = trainedIvfCells(emb, 2)
+      val ivf = pairs(Similarity.ivfTopK(cells, qs,
+        Similarity.centroids(cells, "label", "embedding"),
         "vec_id", "embedding", "label", k = 5, nprobe = 2))
       brute
         .join(lsh.withColumn("in_lsh", lit(1)), Seq("query_id", "neighbor_id"), "left")
@@ -977,14 +1024,16 @@ object ExtensionQueries {
           sum(coalesce(col("in_ivf"), lit(0))).as("ivf_hits"))
         .select(col("n_truth"), col("lsh_hits"), col("ivf_hits"),
           (col("lsh_hits").cast("double") >= col("n_truth") * 0.8).as("lsh_recall_ok"),
-          (col("ivf_hits").cast("double") >= col("n_truth") * 0.2).as("ivf_recall_ok"))
+          (col("ivf_hits").cast("double") >= col("n_truth") * 0.35).as("ivf_recall_ok"))
     },
     oracle = Some {
       val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
       val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
       val normQ = s"sqrt(${dDot("qv", "qv")})"
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      s"""WITH ${dLloydCtes(2)},
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cell FROM embeddings),
+         |tc AS (SELECT vec_id AS neighbor_id, e AS cv, cell FROM a2),
          |brute AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id, row_number() OVER (
@@ -1004,23 +1053,17 @@ object ExtensionQueries {
          |        neighbor_id ASC) AS r
          |    FROM lcand JOIN vb xe ON lcand.query_id = xe.vec_id
          |               JOIN vb ye ON lcand.neighbor_id = ye.vec_id) WHERE r <= 5),
-         |ce AS (SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
-         |       unnest(embedding) AS v FROM embeddings),
-         |cm AS (SELECT cell, pos,
-         |       CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
-         |       FROM ce GROUP BY cell, pos),
-         |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
          |qc AS (
          |  SELECT query_id, qv, cell FROM (
          |    SELECT query_id, qv, cell, row_number() OVER (PARTITION BY query_id ORDER BY
          |      floor(($dotQC / ($normQ * $normC)) * 1000000.0 + 0.5) / 1000000.0 DESC,
          |      cell ASC) AS cr
-         |    FROM q CROSS JOIN cent) WHERE cr <= 2),
+         |    FROM q CROSS JOIN cent3) WHERE cr <= 2),
          |ivf AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id, row_number() OVER (
          |      PARTITION BY query_id ORDER BY ${dCos("qv", "cv")} DESC, neighbor_id ASC) AS r
-         |    FROM c JOIN qc USING (cell) WHERE query_id <> neighbor_id) WHERE r <= 5)
+         |    FROM tc JOIN qc USING (cell) WHERE query_id <> neighbor_id) WHERE r <= 5)
          |,agg AS (
          |  SELECT COUNT(*) AS n_truth,
          |    CAST(SUM(CASE WHEN l.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
@@ -1030,7 +1073,7 @@ object ExtensionQueries {
          |  LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
          |SELECT n_truth, lsh_hits, ivf_hits,
          |  (CAST(lsh_hits AS DOUBLE) >= n_truth * 0.8) AS lsh_recall_ok,
-         |  (CAST(ivf_hits AS DOUBLE) >= n_truth * 0.2) AS ivf_recall_ok
+         |  (CAST(ivf_hits AS DOUBLE) >= n_truth * 0.35) AS ivf_recall_ok
          |FROM agg""".stripMargin
     })
 
