@@ -247,6 +247,50 @@ class TextDedupSpec extends SparkSpec {
       "bins must be assigned in nondecreasing order")
   }
 
+  test("packBins: invariants hold on tie-heavy order keys (property, seeded)") {
+    // with massive orderCol ties the engine picks the intra-tie order, so
+    // exact bin ids are not portable across runs — but these properties
+    // hold for EVERY legal tie resolution of the global prefix sum:
+    //   (1) rows and token totals are preserved,
+    //   (2) bin ids are contiguous from 0,
+    //   (3) capacity: a bin never exceeds budget + its own largest item
+    //       (every row STARTS strictly inside its bin's token range),
+    //   (4) fill: every non-last bin holds at least budget - maxTok + 1
+    //       tokens (the boundary-crossing row carries at most maxTok),
+    //   (5) bins are monotone in the order key: ties may straddle a bin
+    //       boundary, but max(order) of bin b never exceeds min(order) of
+    //       bin b+1.
+    for (seed <- 1 to 5; budget <- Seq(16, 64)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 200).map { i =>
+        val nTok = rnd.nextInt(10) // includes zero-token rows
+        (i.toLong, i % 3L, (0 until nTok).map(j => s"t$j").mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "ord_key", "text").repartition(7)
+      val got = TextAnalysis.packBins(df, "text", "ord_key", budget)
+        .select("doc_id", "ord_key", "n_tokens", "bin")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val label = s"seed=$seed budget=$budget"
+      assert(got.map(_._1).sorted == rows.map(_._1), label) // (1) rows
+      assert(got.map(_._3).sum == rows.map(_._3.split(" ").count(_.nonEmpty).toLong).sum,
+        s"$label token totals")
+      val bins = got.groupBy(_._4)
+      val maxBin = bins.keys.max
+      assert(bins.keys.toSeq.sorted == (0L to maxBin), s"$label (2) contiguous bins")
+      val maxTok = got.map(_._3).max
+      bins.foreach { case (b, rs) =>
+        val total = rs.map(_._3).sum
+        assert(total <= budget + rs.map(_._3).max, s"$label (3) bin $b over capacity: $total")
+        if (b < maxBin)
+          assert(total >= budget - maxTok + 1, s"$label (4) bin $b underfilled: $total")
+      }
+      (0L until maxBin).foreach { b =>
+        assert(bins(b).map(_._2).max <= bins(b + 1).map(_._2).min,
+          s"$label (5) bin $b not monotone in the order key")
+      }
+    }
+  }
+
   test("hot-bucket cap drops template-cluster pairs, keeps small-bucket pairs") {
     // 40 near-identical "template" docs (one giant bucket in every band)
     // plus one small near-dup pair with distinct vocabulary
