@@ -68,7 +68,10 @@ object Bench {
     val failedJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totals = passes.map(_.values.sum)
     val total = if (names.nonEmpty) median(totals) else 0.0
-    val totalsJson = totals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    // Double.toString, not printf formatting: %f is default-locale-sensitive
+    // and a comma-decimal locale would corrupt the JSON line the driver parses
+    val totalsJson = totals.map(t => (math.rint(t * 1000) / 1000).toString)
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeats,"pass_totals":$totalsJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

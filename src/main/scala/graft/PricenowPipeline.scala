@@ -75,9 +75,20 @@ object PricenowPipeline {
     * read one month via [[graft.sink.PartitionedParquet.readMonth]], which
     * prunes the scan to that partition (asserted in SinkLayoutSpec).
     */
+  /** @param requireNonEmpty when true (the batch-CLI default), a requested
+    *   month whose recomputed slice is empty fails loudly — its stale
+    *   partition would silently survive a dynamic overwrite. The streaming
+    *   composition ([[graft.streaming.StreamingOps.incrementalRefreshSink]])
+    *   passes false: its month list is a conservative frontier that may
+    *   legitimately extend past the grid (a change after season end, a
+    *   season month the grid never reaches), and foreachBatch is
+    *   at-least-once — a throwing batch would replay forever, a poison
+    *   pill, so unproduced months become a no-op instead.
+    */
   def refreshMonths(
       spark: SparkSession, pagesPath: String, changes: DataFrame,
-      cfg: Config, factPath: String, months: Seq[String]): Unit = {
+      cfg: Config, factPath: String, months: Seq[String],
+      requireNonEmpty: Boolean = true): Unit = {
     val cat = products(spark, pagesPath, cfg)
     // lazy checkpoint: the guard below materializes the slice once and the
     // write reuses it — the refreshed months are small by design (that is
@@ -93,11 +104,12 @@ object PricenowPipeline {
     val produced = pr.select(date_format(col("valid_from"), "yyyy-MM").as("m"))
       .distinct().collect().map(_.getString(0)).toSet
     val missing = months.filterNot(produced)
-    require(missing.isEmpty,
+    require(!requireNonEmpty || missing.isEmpty,
       s"refreshMonths: no recomputed rows for month(s) ${missing.mkString(", ")} — " +
         "the stale partition would survive a dynamic overwrite; check the season " +
         "window and the yyyy-MM format")
-    graft.sink.PartitionedParquet.writeByMonth(pr, "valid_from", factPath)
+    if (produced.nonEmpty)
+      graft.sink.PartitionedParquet.writeByMonth(pr, "valid_from", factPath)
   }
 
   /** Full run: EP1 -> EP2 -> EP3. */

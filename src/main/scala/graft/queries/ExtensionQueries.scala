@@ -963,28 +963,12 @@ object ExtensionQueries {
         .select(col("vec_id"), col("label").as("new_cell"))
         .orderBy("vec_id")
     },
-    oracle = Some {
-      val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
-      val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
-      val normQ = s"sqrt(${dDot("qv", "qv")})"
-      s"""WITH ce AS (
-         |  SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
-         |         unnest(embedding) AS v
-         |  FROM embeddings),
-         |cm AS (
-         |  SELECT cell, pos,
-         |         CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
-         |  FROM ce GROUP BY cell, pos),
-         |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
-         |q AS (SELECT vec_id, embedding AS qv FROM embeddings),
-         |ranked AS (
-         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY
-         |    floor(($dotQC / ($normQ * $normC)) * 1000000.0 + 0.5) / 1000000.0 DESC,
-         |    cell ASC) AS r
-         |  FROM q CROSS JOIN cent)
-         |SELECT vec_id, cell AS new_cell FROM ranked WHERE r = 1
-         |ORDER BY vec_id""".stripMargin
-    })
+    oracle = Some(
+      // one assignBlock step of the shared chain — a1 IS the reassignment
+      // (cent2, the trailing centroid CTE, is unreferenced and pruned)
+      s"""WITH ${dLloydCtes(1)}
+         |SELECT vec_id, cell AS new_cell FROM a1
+         |ORDER BY vec_id""".stripMargin))
 
   /** ANN quality gate: recall of the LSH and IVF paths against brute-force
     * ground truth on the same queries, with the recall CONTRACT as verified

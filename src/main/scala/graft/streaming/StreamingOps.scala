@@ -242,15 +242,25 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val sess = batch.sparkSession
-          batch.write.mode("overwrite").parquet(s"$changeLogPath/batch_id=$batchId")
+        // single evaluation of the micro-batch: land it first, then derive
+        // emptiness and the frontier from the written partition — re-running
+        // the upstream lineage per question would triple the batch read
+        val sess = batch.sparkSession
+        batch.write.mode("overwrite").parquet(s"$changeLogPath/batch_id=$batchId")
+        val landed = sess.read.parquet(s"$changeLogPath/batch_id=$batchId")
+        // null frontier = empty batch or all-null change dates: nothing to
+        // refresh (null dates never reach the grid — dailyGrid drops them)
+        val frontier = landed
+          .agg(min(date_format(col("valid_at"), "yyyy-MM"))).head.getString(0)
+        val months = if (frontier == null) Nil else seasonMonths.filter(_ >= frontier)
+        if (months.nonEmpty) {
           val fullLog = sess.read.parquet(changeLogPath).drop("batch_id")
-          val frontier = batch
-            .agg(min(date_format(col("valid_at"), "yyyy-MM"))).head.getString(0)
-          val months = seasonMonths.filter(_ >= frontier)
+          // requireNonEmpty = false: the frontier is conservative — a month
+          // past the grid's actual end is a no-op here, never a poison pill
+          // (foreachBatch is at-least-once; a throwing batch replays forever)
           graft.PricenowPipeline.refreshMonths(
-            sess, pagesPath, fullLog, cfg, factPath, months)
+            sess, pagesPath, fullLog, cfg, factPath, months,
+            requireNonEmpty = false)
         }
       }
       .start()
