@@ -131,6 +131,48 @@ object TextAnalysis {
     round6(score)
   }
 
+  /** Gopher-style n-gram repetition signals (Rae et al. 2021 §A1.1 use
+    * them as removal rules for training corpora): per document,
+    *  - `top_frac`: fraction of n-gram slots taken by the single most
+    *    frequent n-gram,
+    *  - `dup_frac`: fraction of n-gram slots whose n-gram occurs >= 2
+    *    times.
+    * Computed SCAN-LOCALLY: sort the document's n-gram array once
+    * (O(g log g) per row), then a single linear `aggregate` walk tracks
+    * the current equal-run length, the longest run, and the slots in
+    * runs >= 2 — no explode, no shuffle, stays inside whole-stage
+    * codegen. The explode + groupBy(doc, gram) alternative shuffles
+    * every n-gram of a 100 TB corpus to count duplicates that are
+    * per-document by definition.
+    */
+  def repetitionStatsFromTokens(toks: Column, n: Int): Column = {
+    val grams = array_sort(shinglesFromTokens(toks, n))
+    val g = size(grams)
+    val walk = aggregate(grams,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("dup")),
+      (a, x) => {
+        val run = when(x === a.getField("prev"), a.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"),
+          (a.getField("dup") +
+            // a run's 2nd member retroactively counts its 1st slot too
+            when(run === 2, lit(2L)).when(run > 2, lit(1L)).otherwise(lit(0L)))
+            .as("dup"))
+      })
+    struct(
+      when(g > 0, round6(walk.getField("best").cast("double") / g))
+        .otherwise(lit(0.0)).as("top_frac"),
+      when(g > 0, round6(walk.getField("dup").cast("double") / g))
+        .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** [[repetitionStatsFromTokens]] from raw text; hot paths should project
+    * [[tokens]] once and reuse it across n. */
+  def repetitionStats(text: Column, n: Int): Column =
+    repetitionStatsFromTokens(tokens(text), n)
+
   /** Text normalization for pipeline hygiene: strip control chars,
     * collapse whitespace runs to single spaces, trim. Pure regexp chain —
     * codegen'd, shuffle-free. */

@@ -180,6 +180,55 @@ object ExtensionQueries {
          |FROM m ORDER BY doc_id""".stripMargin
     })
 
+  /** Gopher-style repetition removal signals ([[TextAnalysis
+    * .repetitionStats]]): per document, the most-frequent-n-gram slot
+    * fraction and the duplicated-n-gram slot fraction for n = 2 and 3,
+    * plus the filter decision at thresholds that split THIS corpus
+    * (measured sf0.01 distribution: top2 med 0.033 / p90 0.069 / max
+    * 0.167, dup2 max 0.267 — the published Gopher cut of 0.2 would pass
+    * everything synthetic). The Spark side is scan-local (sorted-run
+    * walk, no shuffle); the oracle counts the long way (unnest +
+    * GROUP BY doc, gram) — two independent algorithms, one hash.
+    */
+  private val textRepetition = QueryDef(
+    fn = (spark, dir) =>
+      Tables.documents(spark, dir)
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .withColumn("__r2", TextAnalysis.repetitionStatsFromTokens(col("__toks"), 2))
+        .withColumn("__r3", TextAnalysis.repetitionStatsFromTokens(col("__toks"), 3))
+        .select(col("doc_id"),
+          col("__r2.top_frac").as("top2_frac"),
+          col("__r2.dup_frac").as("dup2_frac"),
+          col("__r3.top_frac").as("top3_frac"),
+          col("__r3.dup_frac").as("dup3_frac"),
+          (col("__r2.top_frac") > 0.08 || col("__r2.dup_frac") > 0.15)
+            .as("repetitive"))
+        .orderBy("doc_id"),
+    oracle = Some {
+      def gramStats(n: Int) =
+        s"""g$n AS (SELECT doc_id, CASE WHEN len(toks) >= $n THEN
+           |    list_transform(range(0, len(toks) - ${n - 1}),
+           |      i -> array_to_string(toks[i+1:i+$n], ' '))
+           |    ELSE [] END AS grams FROM docs),
+           |e$n AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS ng FROM g$n),
+           |c$n AS (SELECT doc_id, gram, any_value(ng) AS ng, count(*) AS cnt
+           |  FROM e$n GROUP BY doc_id, gram),
+           |s$n AS (SELECT doc_id,
+           |  floor(max(cnt) * 1.0 / any_value(ng) * 1000000.0 + 0.5) / 1000000.0 AS top$n,
+           |  floor(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1.0 / any_value(ng)
+           |    * 1000000.0 + 0.5) / 1000000.0 AS dup$n
+           |  FROM c$n GROUP BY doc_id)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id, ${dToks("text")} AS toks FROM documents),
+         |${gramStats(2)},
+         |${gramStats(3)}
+         |SELECT d.doc_id,
+         |  COALESCE(s2.top2, 0.0) AS top2_frac, COALESCE(s2.dup2, 0.0) AS dup2_frac,
+         |  COALESCE(s3.top3, 0.0) AS top3_frac, COALESCE(s3.dup3, 0.0) AS dup3_frac,
+         |  (COALESCE(s2.top2, 0.0) > 0.08 OR COALESCE(s2.dup2, 0.0) > 0.15) AS repetitive
+         |FROM docs d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })
+
   private val fingerprintQ = QueryDef(
     fn = (spark, dir) =>
       Tables.documents(spark, dir)
@@ -1082,6 +1131,7 @@ object ExtensionQueries {
     "q_seq_pack" -> seqPack,
     "q_text_lang_id" -> langIdQ,
     "q_text_quality" -> qualityQ,
+    "q_text_repetition" -> textRepetition,
     "q_text_fingerprint" -> fingerprintQ,
     "q_dedup_exact_docs" -> dedupExact,
     "q_dedup_minhash_pairs" -> dedupMinhash,

@@ -247,6 +247,25 @@ class TextDedupSpec extends SparkSpec {
       "bins must be assigned in nondecreasing order")
   }
 
+  test("repetitionStats: run-walk counts match hand-computed n-gram fractions") {
+    val docs = Seq(
+      (1L, "a b a b a b"),      // 2-grams: ab,ba,ab,ba,ab -> top 3/5, dup 5/5
+      (2L, "a b c d"),          // all distinct -> top 1/3, dup 0
+      (3L, "x"),                // fewer tokens than n -> zero grams -> 0.0
+      (4L, "")                  // empty doc
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.repetitionStats(col("text"), 2).as("r2"),
+        TextAnalysis.repetitionStats(col("text"), 3).as("r3"))
+      .select(col("doc_id"), col("r2.top_frac"), col("r2.dup_frac"),
+        col("r3.top_frac"), col("r3.dup_frac"))
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 0.6, 1.0, 0.5, 1.0))) // 3-grams: aba,bab,aba,bab
+    assert(got(1)._2 == 0.333333 && got(1)._3 == 0.0)
+    assert(got(2) == ((3L, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(3) == ((4L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("packBins: invariants hold on tie-heavy order keys (property, seeded)") {
     // with massive orderCol ties the engine picks the intra-tie order, so
     // exact bin ids are not portable across runs — but these properties
