@@ -184,17 +184,32 @@ object Similarity {
   def kmeansAssign(
       corpus: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String, cellCol: String): DataFrame = {
-    val c = cents.select(col(cellCol).as("__cell"), col("centroid"))
-    val scored = corpus.join(broadcast(c))
-      .withColumn("__ccos", TextAnalysis.round6(
-        dotD(col(vecCol), col("centroid"))
-          / (norm(col(vecCol)) * normD(col("centroid")))))
-      .withColumn("__crank", row_number().over(
-        Window.partitionBy(col(idCol))
-          .orderBy(col("__ccos").desc, col("__cell").asc)))
-      .filter(col("__crank") === 1)
-    scored.select(corpus.columns.filterNot(_ == cellCol).map(col).toSeq
-      :+ col("__cell").as(cellCol): _*)
+    // centroids are metadata-scale (n_cells × dim) by construction —
+    // collect them and embed as LITERALS, making the argmax a pure
+    // map-side expression: no n_cells× row blowup through a join, no
+    // row_number window (which shuffles the corpus by id), zero shuffles
+    // per Lloyd iteration. Cells sorted ascending so the greatest-struct
+    // max (cos desc, then -index = lowest cell) reproduces the window's
+    // `cos DESC, cell ASC` tie-break exactly; the literal-centroid dot
+    // and norm are the same expression forms as before, so the rounded
+    // cosine is bit-identical to the joined variant (and the oracle).
+    val cs = cents.select(col(cellCol), col("centroid")).orderBy(col(cellCol))
+      .collect().map(r => (r.get(0), r.getSeq[Double](1)))
+    require(cs.nonEmpty, "kmeansAssign: empty centroid set")
+    // one 2-D literal + one transform lambda (small codegen body reused
+    // per cell — n_cells separate fold expressions were measured to bloat
+    // the generated code); array_position picks the FIRST maximum, which
+    // with ascending cells is exactly the window's lowest-cell tie-break
+    // array() of flat array literals — typedlit cannot build nested arrays
+    val centLits = array(cs.map(c => typedlit(c._2)).toSeq: _*)
+    val scores = transform(centLits, c =>
+      TextAnalysis.round6(
+        dotD(col(vecCol), c) / (norm(col(vecCol)) * normD(c))))
+    val bestIdx = array_position(scores, array_max(scores)).cast("int")
+    val cellLits = array(cs.map(c => lit(c._1)).toSeq: _*)
+    corpus.withColumn("__bestcell", element_at(cellLits, bestIdx))
+      .select(corpus.columns.filterNot(_ == cellCol).map(col).toSeq
+        :+ col("__bestcell").as(cellCol): _*)
   }
 
   /** IVF-style approximate top-k: corpus rows are indexed by their cell
