@@ -11,7 +11,8 @@ object SparkEntry {
 
   private def all: Map[String, QueryDef] =
     CoreQueries.defs ++ PricenowQueries.defs ++ FunctionQueries.defs ++
-      ExtensionQueries.defs ++ RelationalExtras.defs ++ AnalyticQueries.defs
+      ExtensionQueries.defs ++ RelationalExtras.defs ++ AnalyticQueries.defs ++
+      WarehouseQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1110,8 +1110,59 @@ object ExtensionQueries {
          |FROM agg""".stripMargin
     })
 
+  /** Paragraph-level exact dedup (Dolma/RefinedWeb-style): split every
+    * document into paragraph units, keep only the FIRST global occurrence
+    * of each distinct unit (ordered by doc_id, then position), and report
+    * per-document survival. The synthetic corpus has no newline paragraph
+    * breaks, so the unit here is a 4-token non-overlapping chunk (the
+    * granularity is a parameter of [[TextAnalysis.chunks]]); at sf0.001
+    * ~6% of chunks are cross-document duplicates, so the query exercises
+    * real removal, not a pass-through.
+    *
+    * Scale shape: the chunk TEXT is dropped before the shuffle — dedup
+    * keys on the md5 digest, so the wide exchange carries (digest, doc_id,
+    * chunk_idx) only, never document bytes. Two shuffles total (by digest
+    * for keep-first, by doc_id for the survival profile); both AQE-
+    * coalescible. Keep-first order (doc_id, chunk_idx) is a total order,
+    * so the survivor set is deterministic under any partitioning.
+    */
+  private val dedupParagraphs = QueryDef(
+    fn = (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_idx"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), chunkTokens = 4, overlap = 0)))
+        .select(col("doc_id"), col("col.chunk_idx").as("chunk_idx"),
+          md5(col("col.chunk_text")).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_frac",
+          TextAnalysis.round6(col("n_kept").cast("double") / col("n_chunks").cast("double")))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH docs AS (SELECT doc_id, ${dToks("text")} AS toks FROM documents),
+         |idx AS (SELECT doc_id, toks,
+         |        unnest(range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS chunk_idx
+         |        FROM docs WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |        md5(array_to_string(toks[CAST(chunk_idx * 4 + 1 AS BIGINT):CAST(chunk_idx * 4 + 4 AS BIGINT)], ' ')) AS h
+         |        FROM idx),
+         |r AS (SELECT doc_id, chunk_idx,
+         |        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+         |        FROM ch)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  floor((CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS kept_frac
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_tfidf_top_terms" -> tfidf,
+    "q_dedup_paragraphs" -> dedupParagraphs,
     "q_doc_profile" -> docProfile,
     "q_ann_recall" -> annRecall,
     "q_text_clean" -> textClean,

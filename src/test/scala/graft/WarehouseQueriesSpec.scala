@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-8 warehouse-analytics queries (value
+  * correctness is DuckDB-oracle-gated; these pin the properties a hash
+  * diff would not explain well) plus literal-fixture traps: strict funnel
+  * ordering, exact OLS recovery, keep-first paragraph dedup.
+  */
+class WarehouseQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** Write fixture tables as `<name>.parquet` under a fresh dir usable as a
+    * query sfDir. */
+  private def fixtureDir(tables: (String, org.apache.spark.sql.DataFrame)*): String = {
+    val dir = Files.createTempDirectory("graft-wh-fixture").toFile.getAbsolutePath
+    tables.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // --- SCD2 -----------------------------------------------------------------
+
+  test("q_scd2_build: runs collapse, intervals chain, one current row per user") {
+    val df = q("q_scd2_build").cache()
+    try {
+      // consecutive versions never repeat a state (the collapse property)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"version")
+      val repeats = df
+        .withColumn("prev_state", lag($"state", 1).over(w))
+        .filter($"prev_state" === $"state").count()
+      assert(repeats == 0, "consecutive versions with identical state survived")
+
+      // valid_to of version v == valid_from of version v+1; gap-free chain
+      val broken = df
+        .withColumn("next_from", lead($"valid_from_us", 1).over(w))
+        .filter(
+          ($"next_from".isNotNull && ($"valid_to_us".isNull || $"valid_to_us" =!= $"next_from")) ||
+          ($"next_from".isNull && $"valid_to_us".isNotNull))
+        .count()
+      assert(broken == 0, "version intervals do not chain")
+
+      // exactly one open (is_current) version per user
+      val open = df.filter($"is_current").groupBy($"user_id").count()
+        .filter($"count" =!= 1).count()
+      assert(open == 0)
+
+      // event conservation: version n_events sum == raw event count
+      val total = df.agg(sum($"n_events")).as[Long].head()
+      val raw = spark.read.parquet(s"$sf/events.parquet").count()
+      assert(total == raw, s"n_events sum $total != $raw events")
+    } finally df.unpersist()
+  }
+
+  // --- funnel ---------------------------------------------------------------
+
+  test("q_funnel_steps: stages are monotone and rates bounded") {
+    val r = q("q_funnel_steps")
+      .select("n_signup", "n_view_after", "n_purchase_after", "view_rate", "purchase_rate")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r.length == 1)
+    val (s1, s2, s3, vr, pr) = r.head
+    assert(s1 >= s2 && s2 >= s3, s"funnel not monotone: $s1 >= $s2 >= $s3")
+    assert(vr >= 0.0 && vr <= 1.0 && pr >= 0.0 && pr <= 1.0)
+  }
+
+  test("q_funnel_steps: ordering is strict — out-of-order stages don't count") {
+    // u1 completes in order; u2's view precedes signup (no stage 2); u3's
+    // purchase lands between signup and view (view counts, purchase not);
+    // u4 has no signup at all.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "view"),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "purchase"),
+      (2L, ts("2024-01-02 09:00:00"), 4L, "view"),
+      (2L, ts("2024-01-02 10:00:00"), 5L, "signup"),
+      (3L, ts("2024-01-03 10:00:00"), 6L, "signup"),
+      (3L, ts("2024-01-03 10:30:00"), 7L, "purchase"),
+      (3L, ts("2024-01-03 11:00:00"), 8L, "view"),
+      (4L, ts("2024-01-04 10:00:00"), 9L, "view"),
+      (4L, ts("2024-01-04 11:00:00"), 10L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val dir = fixtureDir("events" -> ev)
+    val (s1, s2, s3) = SparkEntry.queries("q_funnel_steps")(spark, dir)
+      .select("n_signup", "n_view_after", "n_purchase_after")
+      .as[(Long, Long, Long)].head()
+    assert(s1 == 3, s"u1,u2,u3 signed up, got $s1")
+    assert(s2 == 2, s"only u1 and u3 viewed after signup, got $s2")
+    assert(s3 == 1, s"only u1 purchased after its post-signup view, got $s3")
+  }
+
+  // --- cohort retention -----------------------------------------------------
+
+  test("q_cohort_retention: offset 0 covers each cohort and weeks are Monday-aligned") {
+    val df = q("q_cohort_retention").cache()
+    try {
+      assert(df.filter($"week_offset" < 0).count() == 0)
+      // Monday alignment: Spark dayofweek is 1=Sunday..7=Saturday, Monday=2
+      assert(df.filter(dayofweek($"cohort_wk") =!= 2).count() == 0)
+      // every user is active in their own first week, so the offset-0 row
+      // of each cohort counts the full cohort
+      val cohortSizes = graft.ops.Tables.events(spark, sf)
+        .groupBy($"user_id").agg(min(to_date($"ts")).as("first_d"))
+        .groupBy(to_date(date_trunc("week", $"first_d")).as("cohort_wk"))
+        .agg(count(lit(1)).as("expect"))
+      val mismatch = df.filter($"week_offset" === 0)
+        .join(cohortSizes, "cohort_wk")
+        .filter($"n_users" =!= $"expect").count()
+      assert(mismatch == 0, "offset-0 retention != cohort size")
+    } finally df.unpersist()
+  }
+
+  // --- OLS ------------------------------------------------------------------
+
+  test("q_regr_ols: recovers an exact linear relation") {
+    // y = 2x + 1 exactly, two groups — slope/intercept/r2 must come out
+    // exact (the decimal sufficient statistics introduce no rounding here)
+    val li = Seq(
+      ("A", 1.0, 3.0), ("A", 2.0, 5.0), ("A", 3.0, 7.0), ("A", 4.0, 9.0),
+      ("N", 10.0, 21.0), ("N", 20.0, 41.0), ("N", 30.0, 61.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val dir = fixtureDir("lineitem" -> li)
+    val rows = SparkEntry.queries("q_regr_ols")(spark, dir)
+      .select("l_returnflag", "slope", "intercept", "r2")
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (k, s, i, r) => k -> ((s, i, r)) }.toMap
+    assert(rows("A") == ((2.0, 1.0, 1.0)))
+    assert(rows("N") == ((2.0, 1.0, 1.0)))
+  }
+
+  // --- paragraph dedup ------------------------------------------------------
+
+  test("q_dedup_paragraphs: keeps first global occurrence only") {
+    // doc 1 and doc 3 share their first 4-token chunk; doc 1 wins (lower
+    // doc_id). doc 2 is unique. Tail chunks shorter than 4 tokens still
+    // count as units.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four"),
+      (3L, "alpha beta gamma delta zeta"))
+      .toDF("doc_id", "text")
+    val dir = fixtureDir("documents" -> docs)
+    val got = SparkEntry.queries("q_dedup_paragraphs")(spark, dir)
+      .select("doc_id", "n_chunks", "n_kept")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, c, k) => d -> ((c, k)) }.toMap
+    assert(got(1L) == ((2L, 2L)), "doc 1 keeps both its chunks")
+    assert(got(2L) == ((1L, 1L)))
+    assert(got(3L) == ((2L, 1L)), "doc 3 loses its duplicated head chunk")
+  }
+
+  test("q_dedup_paragraphs: global conservation — kept == distinct chunks") {
+    val df = q("q_dedup_paragraphs")
+    val (chunks, kept) = df.agg(sum($"n_chunks"), sum($"n_kept"))
+      .as[(Long, Long)].head()
+    val distinctChunks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(posexplode(graft.ops.TextAnalysis.chunks($"text", 4, 0)))
+      .select($"col.chunk_text").distinct().count()
+    assert(kept == distinctChunks, s"kept $kept != distinct $distinctChunks")
+    assert(kept <= chunks)
+  }
+}
