@@ -84,6 +84,61 @@ object AnalyticQueries {
         |        * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price
         |FROM s ORDER BY l_returnflag""".stripMargin))
 
+  // --- robust-stats outlier ranking ----------------------------------------
+
+  /** Per-group z-score outlier detection: the 50 most anomalous lineitems
+    * per return flag by |(x - mean) / stddev|, with group moments from the
+    * same exact DECIMAL power sums as statsAgg. Two passes over the fact
+    * in plan terms but ONE wide shuffle: the moments frame is
+    * groups-sized, so the join back is a broadcast and the ranking window
+    * repartitions by the (low-cardinality, value-balanced) flag. Ranking
+    * ties (l_quantity is discrete, so equal values share a z exactly) are
+    * broken on the unique (l_orderkey, l_linenumber) key — the top-50
+    * cutoff is a total order on both engines.
+    */
+  private val outlierZscore = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val stats = li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).as("sx"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"))
+        .select(col("l_returnflag"),
+          (col("sx").cast("double") / col("n").cast("double")).as("m"),
+          sqrt((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double"))
+            / (col("n").cast("double") - lit(1.0))).as("sd"))
+      val z = (col("l_quantity") - col("m")) / col("sd")
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(abs(z).desc, col("l_orderkey"), col("l_linenumber"))
+      li.join(broadcast(stats), "l_returnflag")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), r6(z).as("z"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    },
+    oracle = Some(
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+        |             * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, sx / n AS m,
+        |        sqrt((sxx - sx * sx / n) / (n - 1.0)) AS sd FROM s),
+        |r AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |    (l_quantity - m) / sd AS z,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY abs((l_quantity - m) / sd) DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem JOIN m USING (l_returnflag))
+        |SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  floor(z * 1000000.0 + 0.5) / 1000000.0 AS z
+        |FROM r WHERE rn <= 50
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin))
+
   // --- argmin / argmax ------------------------------------------------------
 
   /** max_by/min_by keyed on the unique o_orderkey (a non-unique ordering
@@ -468,6 +523,7 @@ object AnalyticQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "q_stats_agg" -> statsAgg,
+    "q_outlier_zscore" -> outlierZscore,
     "q_minmax_by" -> minmaxBy,
     "q_window_ranks" -> windowRanks,
     "q_range_window" -> rangeWindow,

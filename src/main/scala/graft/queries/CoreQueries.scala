@@ -75,6 +75,63 @@ object CoreQueries {
         |FROM f WHERE kind = 1 AND value IS NOT NULL
         |ORDER BY user_id, day""".stripMargin))
 
+  // --- F1 sibling: linear interpolation onto the same daily grid ----------
+
+  /** The continuous counterpart of f1_locf_events — identical grid window
+    * and change-point semantics, but gap days take the straight line
+    * between the surrounding change points instead of the step function
+    * (see [[ForwardFill.interpolatedGrid]] for the boundary conventions
+    * and the shared single-shuffle union+window plan).
+    */
+  private val interpEvents = QueryDef(
+    fn = (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val changes = ev.select(
+        col("user_id"), to_date(col("ts")).as("day"),
+        col("value"), col("ts_ns"), col("event_id"))
+      ForwardFill
+        .interpolatedGrid(changes, "user_id", "day", "value",
+          tieBreak = Seq("ts_ns", "event_id"), start = "2024-01-08", end = "2024-01-25")
+        .select(col("user_id"), col("day"),
+          graft.ops.TextAnalysis.round6(col("value")).as("value"))
+        .orderBy("user_id", "day")
+    },
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(value AS DOUBLE) AS value, ts, event_id
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) <= DATE '2024-01-25' AND value IS NOT NULL),
+        |grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(DATE '2024-01-08', DATE '2024-01-25',
+        |                                INTERVAL 1 day))::DATE AS d
+        |  FROM (SELECT DISTINCT user_id FROM c)),
+        |u AS (
+        |  SELECT user_id, d, value, 0 AS kind, ts, event_id FROM c
+        |  UNION ALL SELECT user_id, d, NULL, 1, NULL, NULL FROM grid),
+        |f AS (
+        |  SELECT user_id, d, kind,
+        |    last_value(CASE WHEN kind = 0 THEN d END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY d, kind, ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+        |    last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY d, kind, ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+        |    first_value(CASE WHEN kind = 0 THEN d END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY d, kind, ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+        |    first_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY d, kind, ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+        |  FROM u)
+        |SELECT user_id, d AS day,
+        |  floor((CASE WHEN t1 IS NULL THEN v0
+        |              ELSE v0 + (v1 - v0) * (CAST(datediff('day', t0, d) AS DOUBLE)
+        |                                     / CAST(datediff('day', t0, t1) AS DOUBLE))
+        |         END) * 1000000.0 + 0.5) / 1000000.0 AS value
+        |FROM f WHERE kind = 1 AND v0 IS NOT NULL
+        |ORDER BY user_id, day""".stripMargin))
+
   // --- aggregation (TPC-H Q1 shape): filter -> groupBy -> multi-agg --------
 
   private val q1Agg = QueryDef(
@@ -454,6 +511,7 @@ object CoreQueries {
   val defs: Map[String, QueryDef] = Map(
     "q_asof_join" -> asofJoin,
     "f1_locf_events" -> locfEvents,
+    "q_interpolate_linear" -> interpEvents,
     "q1_agg" -> q1Agg,
     "q_join_nation_revenue" -> joinNationRevenue,
     "q_supplier_stats" -> supplierStats,

@@ -1160,9 +1160,60 @@ object ExtensionQueries {
          |        * 1000000.0 + 0.5) / 1000000.0 AS kept_frac
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Boilerplate pruning (RefinedWeb/CCNet rule): a paragraph unit that
+    * appears in MORE THAN 2 distinct documents is boilerplate — removed
+    * from EVERY document, including the first (contrast with
+    * q_dedup_paragraphs' keep-first). Unit = 3-token chunk (finer than the
+    * dedup query's 4 so repeated phrasing actually crosses the threshold
+    * on the synthetic corpus: ~3% of distinct chunks at sf0.01).
+    *
+    * Scale shape: pass 1 aggregates doc-frequency per chunk DIGEST (text
+    * dropped pre-shuffle, partial counts map-side); the >2 filter leaves a
+    * frequency table orders of magnitude smaller than the corpus — it
+    * broadcasts here, and at 100 TB AQE falls back to a shuffle join if
+    * the boilerplate set outgrows the threshold. Pass 2 is a left join to
+    * flag occurrences plus a doc-keyed count — no row ever carries more
+    * than (digest, doc_id, chunk_idx).
+    */
+  private val boilerplatePrune = QueryDef(
+    fn = (spark, dir) => {
+      val ch = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), chunkTokens = 3, overlap = 0)))
+        .select(col("doc_id"), md5(col("col.chunk_text")).as("h"))
+      val boiler = ch.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 2)
+        .select(col("h"), lit(1).as("is_boiler"))
+      ch.join(broadcast(boiler), Seq("h"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("kept_frac",
+          TextAnalysis.round6(lit(1.0)
+            - col("n_boiler").cast("double") / col("n_chunks").cast("double")))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH docs AS (SELECT doc_id, ${dToks("text")} AS toks FROM documents),
+         |idx AS (SELECT doc_id, toks,
+         |        unnest(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS ci
+         |        FROM docs WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id,
+         |        md5(array_to_string(toks[CAST(ci * 3 + 1 AS BIGINT):CAST(ci * 3 + 3 AS BIGINT)], ' ')) AS h
+         |        FROM idx),
+         |b AS (SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) > 2)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  floor((1.0 - CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |               / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS kept_frac
+         |FROM ch LEFT JOIN b ON ch.h = b.h
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_tfidf_top_terms" -> tfidf,
     "q_dedup_paragraphs" -> dedupParagraphs,
+    "q_boilerplate_prune" -> boilerplatePrune,
     "q_doc_profile" -> docProfile,
     "q_ann_recall" -> annRecall,
     "q_text_clean" -> textClean,

@@ -77,4 +77,57 @@ class ForwardFillSpec extends SparkSpec {
     val byId = got.groupBy(_._1).view.mapValues(_.size).toMap
     (1 to 40).foreach { id => assert(byId(id) == 5 - id % 5, s"id=$id") }
   }
+
+  // --- interpolatedGrid: the continuous sibling ----------------------------
+
+  private def interp(rows: Seq[(Int, Option[String], Option[Int], Int)],
+                     start: String = "2025-12-13", end: String = "2025-12-17") =
+    ForwardFill.interpolatedGrid(
+        rows.toDF("id", "day_s", "value", "ord")
+          .withColumn("day", to_date(col("day_s"))).drop("day_s"),
+        "id", "day", "value", tieBreak = Seq("ord"), start = start, end = end)
+      .as[(Int, java.sql.Date, Double)].collect()
+      .map { case (id, d, v) => (id, d.toString, v) }.sorted.toSeq
+
+  test("interpolation: gap days lie on the straight line between points") {
+    val got = interp(Seq(
+      (1, Some("2025-12-13"), Some(10), 1),
+      (1, Some("2025-12-17"), Some(30), 2)))
+    assert(got == Seq(
+      (1, "2025-12-13", 10.0), (1, "2025-12-14", 15.0), (1, "2025-12-15", 20.0),
+      (1, "2025-12-16", 25.0), (1, "2025-12-17", 30.0)))
+  }
+
+  test("interpolation: change days take their own value exactly (LOCF parity)") {
+    val rows = Seq(
+      (1, Some("2025-12-13"), Some(100), 1),
+      (1, Some("2025-12-15"), Some(200), 2))
+    val byDay = interp(rows).map { case (_, d, v) => d -> v }.toMap
+    assert(byDay("2025-12-13") == 100.0 && byDay("2025-12-15") == 200.0)
+  }
+
+  test("interpolation: flat carry after the last change, no row before the first") {
+    val got = interp(Seq((1, Some("2025-12-14"), Some(50), 1)))
+    assert(got == (14 to 17).map(d => (1, f"2025-12-$d%02d", 50.0)))
+  }
+
+  test("interpolation: pre-grid seed point anchors the line") {
+    // change at 12-11 (value 0) and 12-16 (value 50): grid starts mid-line
+    val got = interp(Seq(
+      (1, Some("2025-12-11"), Some(0), 1),
+      (1, Some("2025-12-16"), Some(50), 2)))
+    assert(got == Seq(
+      (1, "2025-12-13", 20.0), (1, "2025-12-14", 30.0), (1, "2025-12-15", 40.0),
+      (1, "2025-12-16", 50.0), (1, "2025-12-17", 50.0)))
+  }
+
+  test("interpolation: same-day duplicates — tie-break winner is the anchor") {
+    val got = interp(Seq(
+      (1, Some("2025-12-13"), Some(999), 1),
+      (1, Some("2025-12-13"), Some(10), 2),
+      (1, Some("2025-12-15"), Some(20), 3)))
+    val byDay = got.map { case (_, d, v) => d -> v }.toMap
+    assert(byDay("2025-12-13") == 10.0, "last same-day change wins as anchor")
+    assert(byDay("2025-12-14") == 15.0)
+  }
 }

@@ -159,6 +159,35 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(got(3L) == ((2L, 1L)), "doc 3 loses its duplicated head chunk")
   }
 
+  test("q_outlier_zscore: exactly 50 ranked rows per group, z consistent with value extremity") {
+    val df = q("q_outlier_zscore").cache()
+    try {
+      val sizes = df.groupBy($"l_returnflag").count().select("count").as[Long].collect()
+      assert(sizes.nonEmpty && sizes.forall(_ == 50))
+      // |z| ranking on a symmetric-ish domain must pick values from the
+      // domain edges: every selected quantity is farther from its group
+      // mean than the group's median quantity is
+      val bad = df.filter(abs($"z") < 0.5).count()
+      assert(bad == 0, "top-50 outliers include near-mean rows")
+    } finally df.unpersist()
+  }
+
+  test("q_boilerplate_prune: >2-doc chunks pruned everywhere, rarer ones kept") {
+    // "x y z" heads 3 docs -> boilerplate (pruned from ALL, incl. first);
+    // "j k l" heads only 2 -> kept everywhere
+    val docs = Seq(
+      (1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i"),
+      (4L, "j k l m n o"), (5L, "j k l p q r"))
+      .toDF("doc_id", "text")
+    val dir = fixtureDir("documents" -> docs)
+    val got = SparkEntry.queries("q_boilerplate_prune")(spark, dir)
+      .select("doc_id", "n_chunks", "n_boiler")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, c, b) => d -> ((c, b)) }.toMap
+    assert(Seq(1L, 2L, 3L).forall(got(_) == ((2L, 1L))), s"x-y-z not pruned: $got")
+    assert(Seq(4L, 5L).forall(got(_) == ((2L, 0L))), s"j-k-l wrongly pruned: $got")
+  }
+
   test("q_dedup_paragraphs: global conservation — kept == distinct chunks") {
     val df = q("q_dedup_paragraphs")
     val (chunks, kept) = df.agg(sum($"n_chunks"), sum($"n_kept"))
