@@ -248,7 +248,32 @@ object FunctionQueries {
         |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderdate
         |FROM orders""".stripMargin))
 
+  /** Morton z-value layout keys over the two hottest lineitem filter
+    * dimensions, quantized to 8 bits each (see [[graft.sink.ZOrder]] for
+    * the layout rationale and ZOrderSpec for the file-envelope proof).
+    * Exact integer bit-interleave — the oracle replays the identical
+    * bit-sum. Sampled by order key to keep the dump bounded at every SF.
+    */
+  private val zorderKey = QueryDef(
+    fn = (spark, dir) => {
+      val pk = col("l_partkey") % 256
+      val sk = col("l_suppkey") % 256
+      Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pk.as("pk8"), sk.as("sk8"),
+          graft.sink.ZOrder.zValue(pk, sk, 8).as("zval"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    oracle = Some(
+      s"""SELECT l_orderkey, l_linenumber,
+         |  l_partkey % 256 AS pk8, l_suppkey % 256 AS sk8,
+         |  CAST(${graft.sink.ZOrder.zValueSql("(l_partkey % 256)", "(l_suppkey % 256)", 8)} AS BIGINT) AS zval
+         |FROM lineitem WHERE l_orderkey % 50 = 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_zorder_key" -> zorderKey,
     "q_string_funcs" -> stringFuncs,
     "q_date_funcs" -> dateFuncs,
     "q_math_funcs" -> mathFuncs,
