@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{Dedup, Multimodal, Similarity, Tables, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, Sketches, Tables, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** North-star extension queries (SURVEY.md §2.4): text analysis, exact +
@@ -1210,10 +1210,151 @@ object ExtensionQueries {
          |FROM ch LEFT JOIN b ON ch.h = b.h
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Count-Min Sketch frequency estimation over the token stream: build a
+    * depth-4 × width-64 counter grid in ONE map-side-combinable shuffle
+    * (256 cells regardless of corpus size), then probe the exact top-20
+    * tokens and report estimate vs truth. Width is deliberately small so
+    * collisions are visible (est >= exact, the CMS one-sided error). At
+    * 100 TB the sketch build replaces a full token groupBy for frequency
+    * queries: fixed memory, broadcastable result, mergeable partials.
+    * Every counter is engine-portable (md5-fold hashes) — the oracle
+    * rebuilds the identical sketch in SQL.
+    */
+  private val cmsTopk = QueryDef(
+    fn = (spark, dir) => {
+      val w = 64; val depth = 4
+      val toks = Tables.documents(spark, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val cells = toks.select(col("tok"),
+          explode(Sketches.cmsCells(col("tok"), depth, w)).as("c"))
+        .select(col("tok"), col("c.d").as("d"), col("c.cell").as("cell"))
+      val sketch = cells.groupBy(col("d"), col("cell"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("exact_n").desc, col("tok"))))
+        .filter(col("rn") <= 20).drop("rn")
+      top.select(col("tok"), col("exact_n"),
+          explode(Sketches.cmsCells(col("tok"), depth, w)).as("c"))
+        .select(col("tok"), col("exact_n"), col("c.d").as("d"), col("c.cell").as("cell"))
+        .join(broadcast(sketch), Seq("d", "cell"))
+        .groupBy(col("tok"), col("exact_n"))
+        .agg(min(col("cnt")).as("est_n"))
+        .withColumn("overestimate_only", col("est_n") >= col("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    },
+    oracle = Some {
+      def cell(d: String) = Sketches.cmsCellSql(dHash32, "tok", d, 64)
+      s"""WITH toks AS (SELECT unnest(${dToks("text")}) AS tok FROM documents),
+         |cells AS (SELECT tok, d, ${cell("d")} AS cell
+         |          FROM toks, range(0, 4) t(d)),
+         |sketch AS (SELECT d, cell, COUNT(*) AS cnt FROM cells GROUP BY d, cell),
+         |top AS (SELECT tok, exact_n FROM (
+         |    SELECT tok, COUNT(*) AS exact_n,
+         |      row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+         |    FROM toks GROUP BY tok) WHERE rn <= 20),
+         |probe AS (SELECT tok, exact_n, d, ${cell("d")} AS cell
+         |          FROM top, range(0, 4) t(d))
+         |SELECT tok, exact_n, MIN(cnt) AS est_n,
+         |  (MIN(cnt) >= exact_n) AS overestimate_only
+         |FROM probe JOIN sketch USING (d, cell)
+         |GROUP BY tok, exact_n
+         |ORDER BY exact_n DESC, tok""".stripMargin
+    })
+
+  /** Bloom-filter decontamination: the sketch twin of q_decontaminate.
+    * The held-out set's distinct 4-gram shingles build a 4096-word
+    * blocked Bloom filter (k=3, 128 Kbit => <7% fill through sf0.1) — a
+    * 4096-row table replacing the eval-shingle join side entirely; corpus shingles probe it by (word, mask) lookup. A
+    * doc's bloom hits can only overcount its exact matches (no false
+    * negatives — `no_false_negative` is emitted per doc and must be true
+    * everywhere). At 100 TB: the filter builds from the (small) eval set
+    * once, broadcasts as scalar state, and the corpus-side probe is a
+    * scan-stage hash + 64-row lookup — no data-sized shuffle at all.
+    */
+  private val bloomDecontaminate = QueryDef(
+    fn = (spark, dir) => {
+      val words = 4096; val k = 3
+      val docs = Tables.documents(spark, dir)
+      def shingle(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"),
+            explode(array_distinct(TextAnalysis.shinglesFromTokens(col("__toks"), 4))).as("g"))
+      val eval_ = shingle(docs.filter(col("doc_id") % 97 === 0))
+      val bloom = eval_
+        .select(explode(Sketches.bloomBits(col("g"), k, words)).as("b"))
+        .select(col("b.word").as("word"), col("b.mask").as("mask"))
+        .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+      val exact = eval_.select(col("g")).distinct().withColumn("is_exact", lit(1))
+      val probes = shingle(docs.filter(col("doc_id") % 97 =!= 0))
+        .select(col("doc_id"), col("g"),
+          explode(Sketches.bloomBits(col("g"), k, words)).as("b"))
+        .select(col("doc_id"), col("g"),
+          col("b.word").as("word"), col("b.mask").as("mask"))
+      probes
+        .join(broadcast(bloom), Seq("word"), "left_outer")
+        .groupBy(col("doc_id"), col("g"))
+        .agg(sum(when(col("bits").isNotNull
+            && col("bits").bitwiseAND(col("mask")) =!= 0L, 1).otherwise(0)).as("k_hit"))
+        .join(broadcast(exact), Seq("g"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("k_hit") === k, 1L).otherwise(0L)).as("n_bloom_hits"),
+          sum(when(col("is_exact").isNotNull, 1L).otherwise(0L)).as("n_exact_hits"),
+          min(when(col("is_exact").isNotNull, (col("k_hit") === k).cast("int"))
+            .otherwise(lit(1))).cast("boolean").as("no_false_negative"))
+        .filter(col("n_bloom_hits") > 0 || col("n_exact_hits") > 0)
+        .orderBy("doc_id")
+    },
+    oracle = Some {
+      val toks = dToks("text")
+      def wm(j: Int) = Sketches.bloomBitSql(dHash32, "g", j, 4096)
+      val wmCases =
+        (0 until 3).map { j => s"WHEN $j THEN ${wm(j)._1}" }.mkString(" ")
+      val maskCases =
+        (0 until 3).map { j => s"WHEN $j THEN ${wm(j)._2}" }.mkString(" ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len($toks) >= 4 THEN
+         |    list_transform(range(1, len($toks) - 2),
+         |      i -> array_to_string(($toks)[i:i+3], ' '))
+         |  ELSE [] END)) AS g
+         |  FROM documents),
+         |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+         |evbits AS (SELECT g, j,
+         |    CASE j $wmCases END AS word, CASE j $maskCases END AS mask
+         |  FROM ev, range(0, 3) t(j)),
+         |bloom AS (SELECT word, bit_or(mask) AS bits FROM evbits GROUP BY word),
+         |pr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0),
+         |prbits AS (SELECT doc_id, g, j,
+         |    CASE j $wmCases END AS word, CASE j $maskCases END AS mask
+         |  FROM pr, range(0, 3) t(j)),
+         |perg AS (
+         |  SELECT doc_id, g,
+         |    CAST(SUM(CASE WHEN bits IS NOT NULL AND (bits & mask) <> 0
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS k_hit
+         |  FROM prbits LEFT JOIN bloom USING (word) GROUP BY doc_id, g),
+         |j2 AS (SELECT p.doc_id, p.g, p.k_hit,
+         |         CASE WHEN e.g IS NOT NULL THEN 1 END AS is_exact
+         |       FROM perg p LEFT JOIN ev e ON p.g = e.g)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN k_hit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+         |  CAST(SUM(CASE WHEN is_exact IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+         |  CAST(MIN(CASE WHEN is_exact IS NOT NULL
+         |           THEN CASE WHEN k_hit = 3 THEN 1 ELSE 0 END
+         |           ELSE 1 END) AS BOOLEAN) AS no_false_negative
+         |FROM j2 GROUP BY doc_id
+         |HAVING SUM(CASE WHEN k_hit = 3 THEN 1 ELSE 0 END) > 0
+         |    OR SUM(CASE WHEN is_exact IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |ORDER BY doc_id""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_tfidf_top_terms" -> tfidf,
     "q_dedup_paragraphs" -> dedupParagraphs,
     "q_boilerplate_prune" -> boilerplatePrune,
+    "q_cms_topk" -> cmsTopk,
+    "q_bloom_decontaminate" -> bloomDecontaminate,
     "q_doc_profile" -> docProfile,
     "q_ann_recall" -> annRecall,
     "q_text_clean" -> textClean,
