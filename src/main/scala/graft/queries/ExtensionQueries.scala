@@ -1349,7 +1349,39 @@ object ExtensionQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Blocked fuzzy join (entity resolution): near-duplicate part names by
+    * edit distance <= 2, candidates generated by an equi-join on a
+    * blocking key (the name's noun) — never a cartesian. The expensive
+    * verify (levenshtein, codegen'd built-in on both engines) runs only
+    * inside blocks, and the input collapses to the DISTINCT name
+    * vocabulary first, so candidate volume tracks entity count, not fact
+    * rows (the output is SF-invariant here). At 100 TB this is the
+    * standard two-stage ER shape: cheap blocking equi-join + per-block
+    * quadratic verify, with AQE splitting any oversized block.
+    */
+  private val fuzzyJoin = QueryDef(
+    fn = (spark, dir) => {
+      val names = Tables.part(spark, dir).select(col("p_name")).distinct()
+        .select(col("p_name").as("n"),
+          element_at(split(col("p_name"), " "), 2).as("noun"))
+      names.select(col("noun"), col("n").as("n1"))
+        .join(names.select(col("noun"), col("n").as("n2")), Seq("noun"))
+        .filter(col("n1") < col("n2"))
+        .withColumn("dist", levenshtein(col("n1"), col("n2")))
+        .filter(col("dist") <= 2)
+        .orderBy("noun", "n1", "n2")
+    },
+    oracle = Some(
+      """WITH p AS (SELECT DISTINCT p_name AS n,
+        |             string_split(p_name, ' ')[2] AS noun FROM part)
+        |SELECT a.noun AS noun, a.n AS n1, b.n AS n2,
+        |  CAST(levenshtein(a.n, b.n) AS INTEGER) AS dist
+        |FROM p a JOIN p b ON a.noun = b.noun AND a.n < b.n
+        |WHERE levenshtein(a.n, b.n) <= 2
+        |ORDER BY noun, n1, n2""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_fuzzy_join" -> fuzzyJoin,
     "q_tfidf_top_terms" -> tfidf,
     "q_dedup_paragraphs" -> dedupParagraphs,
     "q_boilerplate_prune" -> boilerplatePrune,
