@@ -1380,8 +1380,45 @@ object ExtensionQueries {
         |WHERE levenshtein(a.n, b.n) <= 2
         |ORDER BY noun, n1, n2""".stripMargin))
 
+  /** Deterministic weighted sampling via priority sampling
+    * (Duffield–Lund–Thorup / sequential Poisson): each doc gets priority
+    * u/w from a hash-uniform u and weight w = n_chars; the k smallest
+    * priorities form a weight-proportional sample. Unlike df.sample the
+    * draw is a pure function of the key — stable across runs, engines,
+    * partitionings, cluster sizes. Deliberately transcendental-free (the
+    * classic exp-key A-ES scheme needs ln/pow, whose libm last-ulp
+    * rounding differs across engines): a single IEEE double DIVISION is
+    * correctly rounded everywhere, so the ordering is bit-identical. One
+    * scan + global top-k (TakeOrderedAndProject) — no shuffle of the
+    * corpus, partial top-k per partition then a k-row reduction.
+    */
+  private val weightedSample = QueryDef(
+    fn = (spark, dir) => {
+      val u = TextAnalysis.tokenHash32(concat(lit("ws:"), col("doc_id").cast("string")))
+      Tables.documents(spark, dir)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          (u.cast("double") / col("n_chars").cast("double")).as("priority"))
+        .orderBy(col("priority").asc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.round6(col("priority")).as("priority"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH p AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(${dHash32("'ws:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |      / CAST(n_chars AS DOUBLE) AS priority
+         |  FROM documents WHERE n_chars > 0
+         |  ORDER BY priority ASC, doc_id ASC LIMIT 20)
+         |SELECT doc_id, n_chars,
+         |  floor(priority * 1000000.0 + 0.5) / 1000000.0 AS priority
+         |FROM p ORDER BY doc_id""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_fuzzy_join" -> fuzzyJoin,
+    "q_weighted_sample" -> weightedSample,
     "q_tfidf_top_terms" -> tfidf,
     "q_dedup_paragraphs" -> dedupParagraphs,
     "q_boilerplate_prune" -> boilerplatePrune,

@@ -245,6 +245,42 @@ object RelationalExtras {
         |  min(l_quantity) AS q_min, max(l_quantity) AS q_max
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Winsorization bounds (data cleaning): per-group p05/p95 caps and the
+    * count of rows each tail would clamp. Quantity is integer-valued, so
+    * the percentile interpolation is exact on both engines (same reason
+    * q_percentiles holds); the clamp comparisons then agree bit-for-bit.
+    * Scale shape: one percentile aggregation (groups-sized result,
+    * broadcast back) + one scan-stage comparison pass — the clamp itself
+    * is a free `when` projection at write time.
+    */
+  private val winsorize = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val bounds = li.groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.05)).as("p05"),
+          percentile(col("l_quantity"), lit(0.95)).as("p95"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+          count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("l_quantity") > col("p95"), 1L).otherwise(0L)).as("n_high"))
+        .orderBy("l_returnflag")
+    },
+    oracle = Some(
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.05) AS p05,
+        |    quantile_cont(l_quantity, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, MIN(p05) AS p05, MIN(p95) AS p95,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN l_quantity < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN l_quantity > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM lineitem JOIN b USING (l_returnflag)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   /** The scale path next to exact percentile: approx_percentile's GK
     * sketch, verified via its accuracy contract like the HLL query — the
     * oracle can't reproduce the sketch, but the bound |approx - exact| <= 1
@@ -372,6 +408,7 @@ object RelationalExtras {
   val defs: Map[String, QueryDef] = Map(
     "q_histogram" -> histogram,
     "q_percentiles" -> percentiles,
+    "q_winsorize" -> winsorize,
     "q_approx_percentile" -> approxPercentile,
     "q_array_funcs" -> arrayFuncs,
     "q_map_funcs" -> mapFuncs,

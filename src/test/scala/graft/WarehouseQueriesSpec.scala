@@ -188,6 +188,29 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(Seq(4L, 5L).forall(got(_) == ((2L, 0L))), s"j-k-l wrongly pruned: $got")
   }
 
+  test("q_weighted_sample: deterministic across runs and weight-respecting") {
+    val a = q("q_weighted_sample").select("doc_id").as[Long].collect().sorted.toSeq
+    val b = q("q_weighted_sample").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.length == 20, "priority sample is not a stable pure function")
+    // weight bias: the sampled docs' mean n_chars should exceed the corpus
+    // mean (priority = u/w favors heavy docs)
+    val sampleMean = q("q_weighted_sample").agg(avg($"n_chars")).as[Double].head()
+    val corpusMean = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(avg($"n_chars")).as[Double].head()
+    assert(sampleMean > corpusMean, s"sample mean $sampleMean !> corpus mean $corpusMean")
+  }
+
+  test("q_winsorize: caps are ordered and tails are small") {
+    val rows = q("q_winsorize")
+      .select("p05", "p95", "n", "n_low", "n_high")
+      .as[(Double, Double, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p05, p95, n, lo, hi) =>
+      assert(p05 <= p95)
+      assert(lo <= n / 10 && hi <= n / 10, s"tails too fat: $lo/$hi of $n")
+    }
+  }
+
   test("q_dedup_paragraphs: global conservation — kept == distinct chunks") {
     val df = q("q_dedup_paragraphs")
     val (chunks, kept) = df.agg(sum($"n_chunks"), sum($"n_kept"))
