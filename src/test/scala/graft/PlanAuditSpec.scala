@@ -151,4 +151,32 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_sim_cosine_pairs")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
   }
+
+  test("SCD2 build runs on a single hash exchange (both windows + agg + lead)") {
+    // hash(user_id) satisfies the window partitioning, the (user_id,
+    // version) aggregation clustering, and the lead() window — one wide
+    // shuffle total; the only other exchange is the output sort
+    val p = plan("q_scd2_build")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx")
+  }
+
+  test("sketch probes broadcast the sketch, never shuffle the probe side against data") {
+    Seq("q_cms_topk", "q_bloom_decontaminate").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q does not broadcast its sketch")
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian")
+    }
+  }
+
+  test("fuzzy join blocks via equi-join — no cartesian, verify only inside blocks") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "blocking failed: fuzzy join is quadratic across blocks")
+  }
+
+  test("weighted sample is a global top-k, not a full sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n${p.take(1500)}")
+  }
 }
