@@ -227,9 +227,257 @@ object WarehouseQueries {
         |         / ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000.0 + 0.5) / 1000000.0 AS r2
         |FROM s ORDER BY l_returnflag""".stripMargin))
 
+  // --- CDC snapshot diff ----------------------------------------------------
+
+  /** Change-data-capture diff of two keyed snapshots: full-outer join on
+    * the primary key, emitting I (in new only) / D (in old only) / U (both,
+    * payload changed) and suppressing untouched rows — the snapshot-compare
+    * builder feeding any incremental downstream (the repo's JdbcUpsert /
+    * refreshMonths consume exactly this shape). The fixture simulates drift
+    * from one orders scan: old drops `% 11 = 3`, new drops `% 11 = 7` and
+    * rewrites status for `% 5 = 0`.
+    *
+    * Scale shape: ONE shuffle per side on the PK (sort-merge full outer);
+    * snapshots written through [[graft.sink.Bucketed]] on the PK diff with
+    * no exchange at all (BucketedJoinSpec proves the layout). The change
+    * predicate is a projection — no second pass.
+    */
+  private val cdcDiff = QueryDef(
+    fn = (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val old = o.filter(col("o_orderkey") % 11 =!= 3)
+        .select(col("o_orderkey").as("k_old"), col("o_orderstatus").as("old_status"))
+      val neu = o.filter(col("o_orderkey") % 11 =!= 7)
+        .select(col("o_orderkey").as("k_new"),
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("new_status"))
+      old.join(neu, col("k_old") === col("k_new"), "full_outer")
+        .select(
+          coalesce(col("k_old"), col("k_new")).as("o_orderkey"),
+          when(col("k_old").isNull, "I")
+            .when(col("k_new").isNull, "D")
+            .when(col("old_status") =!= col("new_status"), "U").as("op"),
+          col("old_status"), col("new_status"))
+        .filter(col("op").isNotNull)
+        .orderBy("o_orderkey")
+    },
+    oracle = Some(
+      """WITH old AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 11 <> 3),
+        |new AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 11 <> 7),
+        |d AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |         WHEN n.o_orderkey IS NULL THEN 'D'
+        |         WHEN o.o_orderstatus <> n.o_orderstatus THEN 'U' END AS op,
+        |    o.o_orderstatus AS old_status, n.o_orderstatus AS new_status
+        |  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+        |SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin))
+
+  // --- Markov transition matrix ---------------------------------------------
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * lag() under the (ts_us, event_id) total order pairs each event with
+    * its predecessor, then one global aggregation counts transitions and
+    * row-normalizes into probabilities. The normalizing window runs over
+    * the TRANSITION MATRIX (|event_type|² rows — domain-sized, not
+    * data-sized), so the only data-sized work is the user-keyed window —
+    * the same single shuffle the sessionize/SCD2 family already pays.
+    */
+  private val eventTransitions = QueryDef(
+    fn = (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val c = e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      c.select(col("prev_type"), col("event_type"), col("n"),
+          r6(col("n").cast("double")
+            / sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double")).as("p"))
+        .orderBy("prev_type", "event_type")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |t AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |      FROM e),
+        |c AS (SELECT prev_type, event_type, COUNT(*) AS n FROM t
+        |      WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type)
+        |SELECT prev_type, event_type, n,
+        |  floor((CAST(n AS DOUBLE)
+        |         / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin))
+
+  // --- market-basket co-occurrence ------------------------------------------
+
+  /** Brand co-occurrence with support and lift: distinct (order, brand)
+    * pairs self-joined on the order key, counted, and scored against the
+    * independence assumption. The distinct projection collapses each order
+    * to its brand SET before pairing, so the self-join fans out
+    * |brands-per-order|² per order — bounded by the brand domain, never by
+    * order size — the same candidates-only discipline as the LSH band join.
+    * Brand marginals and the order count are domain-/scalar-sized
+    * (broadcast + 1-row crossJoin). Lift's integer products stay below
+    * 2^53, so the double quotient is exact-input deterministic.
+    */
+  private val cooccurLift = QueryDef(
+    fn = (spark, dir) => {
+      val ob = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+      val nOrders = ob.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val bc = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
+      val pr = ob.as("a")
+        .join(ob.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") && col("a.p_brand") < col("b.p_brand"))
+        .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pr.join(broadcast(bc.select(col("p_brand").as("brand_a"), col("n_b").as("n_a"))), "brand_a")
+        .join(broadcast(bc.select(col("p_brand").as("brand_b"), col("n_b").as("n_b"))), "brand_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"),
+          r6(col("n_ab").cast("double") * col("n_orders")
+            / (col("n_a").cast("double") * col("n_b"))).as("lift"),
+          r6(col("n_ab").cast("double") / col("n_orders")).as("support"))
+        .orderBy("brand_a", "brand_b")
+    },
+    oracle = Some(
+      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+        |bc AS (SELECT p_brand, COUNT(*) AS n_b FROM ob GROUP BY p_brand),
+        |pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+        |       FROM ob a JOIN ob b
+        |         ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |       GROUP BY a.p_brand, b.p_brand)
+        |SELECT brand_a, brand_b, n_ab,
+        |  floor((CAST(n_ab AS DOUBLE) * n_orders)
+        |        / (CAST(ca.n_b AS DOUBLE) * cb.n_b) * 1000000.0 + 0.5) / 1000000.0 AS lift,
+        |  floor((CAST(n_ab AS DOUBLE) / n_orders) * 1000000.0 + 0.5) / 1000000.0 AS support
+        |FROM pr JOIN bc ca ON pr.brand_a = ca.p_brand
+        |        JOIN bc cb ON pr.brand_b = cb.p_brand
+        |CROSS JOIN nn
+        |ORDER BY brand_a, brand_b""".stripMargin))
+
+  // --- 2D Pareto skyline ----------------------------------------------------
+
+  /** Pareto frontier (minimize p_size, maximize p_retailprice): a part
+    * survives iff nothing is at most as large AND at least as expensive
+    * with one strict. The 2D skyline needs no pairwise dominance join:
+    * collapse to per-size maxima (domain-sized — p_size has ≤ 50 values),
+    * run ONE running-max window over that frame, and join the frontier
+    * back as a broadcast filter. The unpartitioned window is over the
+    * SIZE DOMAIN, not the data (the same domain-sized-singleton argument
+    * as eventTransitions' matrix window); duplicates of a frontier
+    * (size, price) all survive, matching the strict-dominance definition.
+    */
+  private val skyline = QueryDef(
+    fn = (spark, dir) => {
+      val p = Tables.part(spark, dir)
+      val pm = p.groupBy(col("p_size")).agg(max(col("p_retailprice")).as("pmax"))
+      val wf = Window.orderBy(col("p_size")).rowsBetween(Window.unboundedPreceding, -1)
+      val f = pm.withColumn("best_smaller", max(col("pmax")).over(wf))
+      p.join(broadcast(f), "p_size")
+        .filter(col("p_retailprice") === col("pmax")
+          && (col("best_smaller").isNull || col("pmax") > col("best_smaller")))
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        .orderBy("p_size", "p_partkey")
+    },
+    oracle = Some(
+      """WITH pm AS (SELECT p_size, MAX(p_retailprice) AS pmax FROM part GROUP BY p_size),
+        |f AS (SELECT p_size, pmax,
+        |        MAX(pmax) OVER (ORDER BY p_size
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_smaller
+        |      FROM pm)
+        |SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p JOIN f ON p.p_size = f.p_size
+        |WHERE p.p_retailprice = f.pmax
+        |  AND (f.best_smaller IS NULL OR f.pmax > f.best_smaller)
+        |ORDER BY p.p_size, p.p_partkey""".stripMargin))
+
+  // --- robust outliers: median / MAD ----------------------------------------
+
+  /** Median-absolute-deviation outlier screen — the robust sibling of
+    * q_outlier_zscore, immune to the outliers it hunts. Both medians are
+    * LOWER medians picked by rank (`rn = (n+1) div 2` under a unique-key
+    * total order), so the selected value is an actual data value and the
+    * whole pipeline stays in exact DECIMAL — no interpolation, no doubles
+    * until the display cast. The outlier test `2·dev > 3·mad` (dev > 1.5
+    * MAD) is cross-multiplied decimal, exact on both engines. Scale shape:
+    * two rank windows partitioned by the group key with group-sized
+    * (broadcast) frames between — same skew profile as any per-group
+    * window, with only 3-row frames ever crossing stages.
+    */
+  private val outlierMad = QueryDef(
+    fn = (spark, dir) => {
+      val x = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_extendedprice")).as("v"))
+      val w1 = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      val med = x
+        .withColumn("rn", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("l_returnflag"), col("v").as("med"), col("n"))
+      val d = x.join(broadcast(med), "l_returnflag")
+        .withColumn("dev", abs(col("v") - col("med")))
+      val w2 = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("dev"), col("l_orderkey"), col("l_linenumber"))
+      val mad = d
+        .withColumn("rn", row_number().over(w2))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("l_returnflag"), col("dev").as("mad"))
+      d.join(broadcast(mad), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("n"), col("med"), col("mad"))
+        .agg(sum(when(col("dev") * 2 > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+        .select(col("l_returnflag"), col("n"),
+          col("med").cast("double").as("med"), col("mad").cast("double").as("mad"),
+          col("n_outliers"))
+        .orderBy("l_returnflag")
+    },
+    oracle = Some(
+      """WITH x AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |             CAST(l_extendedprice AS DECIMAL(12,4)) AS v FROM lineitem),
+        |r1 AS (SELECT l_returnflag, v,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY v, l_orderkey, l_linenumber) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |       FROM x),
+        |med AS (SELECT l_returnflag, v AS med, n FROM r1 WHERE rn = (n + 1) // 2),
+        |d AS (SELECT x.l_returnflag, x.l_orderkey, x.l_linenumber, x.v,
+        |        med.med, med.n, abs(x.v - med.med) AS dev
+        |      FROM x JOIN med USING (l_returnflag)),
+        |r2 AS (SELECT l_returnflag, dev,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY dev, l_orderkey, l_linenumber) AS rn
+        |       FROM d),
+        |mad AS (SELECT r2.l_returnflag, r2.dev AS mad
+        |        FROM r2 JOIN med ON r2.l_returnflag = med.l_returnflag
+        |        WHERE r2.rn = (med.n + 1) // 2)
+        |SELECT d.l_returnflag, d.n,
+        |  CAST(d.med AS DOUBLE) AS med, CAST(mad.mad AS DOUBLE) AS mad,
+        |  CAST(SUM(CASE WHEN 2 * d.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad ON d.l_returnflag = mad.l_returnflag
+        |GROUP BY d.l_returnflag, d.n, d.med, mad.mad
+        |ORDER BY d.l_returnflag""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_scd2_build" -> scd2Build,
     "q_funnel_steps" -> funnelSteps,
     "q_cohort_retention" -> cohortRetention,
-    "q_regr_ols" -> regrOls)
+    "q_regr_ols" -> regrOls,
+    "q_cdc_diff" -> cdcDiff,
+    "q_event_transitions" -> eventTransitions,
+    "q_cooccur_lift" -> cooccurLift,
+    "q_skyline" -> skyline,
+    "q_outlier_mad" -> outlierMad)
 }

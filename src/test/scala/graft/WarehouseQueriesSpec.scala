@@ -221,4 +221,116 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(kept == distinctChunks, s"kept $kept != distinct $distinctChunks")
     assert(kept <= chunks)
   }
+
+  // --- CDC snapshot diff ----------------------------------------------------
+
+  test("q_cdc_diff: op classes partition correctly on real data") {
+    val df = q("q_cdc_diff").cache()
+    try {
+      assert(df.filter($"op" === "I" && $"old_status".isNotNull).count() == 0)
+      assert(df.filter($"op" === "D" && $"new_status".isNotNull).count() == 0)
+      assert(df.filter($"op" === "U" &&
+        ($"old_status".isNull || $"new_status".isNull ||
+          $"old_status" === $"new_status")).count() == 0)
+      assert(df.filter(!$"op".isin("I", "D", "U")).count() == 0)
+      assert(df.groupBy($"o_orderkey").count().filter($"count" > 1).count() == 0,
+        "PK appears twice in the diff")
+    } finally df.unpersist()
+  }
+
+  test("q_cdc_diff fixture: unchanged rows are suppressed, each class detected") {
+    // keys 0..21; old drops %11==3 (3,14), new drops %11==7 (7,18), new
+    // rewrites status for %5==0. Key 5 is ALREADY 'X' in old — the rewrite
+    // is a no-op, so it must NOT surface as a U (the suppression trap).
+    val orders = (0L to 21L).map { k =>
+      (k, 1L, if (k == 5) "X" else "O", 10.0, ts("2024-01-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = fixtureDir("orders" -> orders)
+    val got = SparkEntry.queries("q_cdc_diff")(spark, dir)
+      .select($"o_orderkey", $"op").as[(Long, String)].collect().toSet
+    val expected = Set(3L -> "I", 14L -> "I", 7L -> "D", 18L -> "D",
+      0L -> "U", 10L -> "U", 15L -> "U", 20L -> "U")
+    assert(got == expected, s"got $got")
+  }
+
+  // --- Markov transitions ---------------------------------------------------
+
+  test("q_event_transitions: rows normalize to 1 and transitions conserve events") {
+    val df = q("q_event_transitions").cache()
+    try {
+      val rowSums = df.groupBy($"prev_type").agg(sum($"p").as("s"))
+        .filter(abs($"s" - 1.0) > 1e-4).count()
+      assert(rowSums == 0, "a transition row does not normalize to ~1")
+      val nTransitions = df.agg(sum($"n")).as[Long].head()
+      val ev = spark.read.parquet(s"$sf/events.parquet")
+      val expected = ev.count() - ev.select($"user_id").distinct().count()
+      assert(nTransitions == expected,
+        s"transitions $nTransitions != events - users $expected")
+    } finally df.unpersist()
+  }
+
+  // --- market basket --------------------------------------------------------
+
+  test("q_cooccur_lift: pair counts bounded by marginals, support consistent") {
+    val df = q("q_cooccur_lift").cache()
+    try {
+      assert(df.filter($"brand_a" >= $"brand_b").count() == 0)
+      // recompute marginals from raw data; n_ab can never exceed either
+      val ob = spark.read.parquet(s"$sf/lineitem.parquet")
+        .join(spark.read.parquet(s"$sf/part.parquet"),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey", $"p_brand").distinct()
+      val bc = ob.groupBy($"p_brand").agg(count(lit(1)).as("n_b"))
+      val viol = df
+        .join(bc.select($"p_brand".as("brand_a"), $"n_b".as("n_a")), "brand_a")
+        .join(bc.select($"p_brand".as("brand_b"), $"n_b".as("n_bb")), "brand_b")
+        .filter($"n_ab" > least($"n_a", $"n_bb")).count()
+      assert(viol == 0, "a pair count exceeds a marginal")
+      assert(df.filter($"support" < 0 || $"support" > 1 || $"lift" <= 0).count() == 0)
+    } finally df.unpersist()
+  }
+
+  // --- skyline --------------------------------------------------------------
+
+  test("q_skyline: output is exactly the non-dominated set") {
+    val sky = q("q_skyline").cache()
+    try {
+      val part = spark.read.parquet(s"$sf/part.parquet")
+        .select($"p_partkey", $"p_size", $"p_retailprice")
+      // soundness: no part strictly dominates a skyline row
+      val dominated = sky.as("s").join(part.as("p"),
+        $"p.p_size" <= $"s.p_size" && $"p.p_retailprice" >= $"s.p_retailprice" &&
+          ($"p.p_size" < $"s.p_size" || $"p.p_retailprice" > $"s.p_retailprice"))
+        .count()
+      assert(dominated == 0, "a skyline row is dominated")
+      // completeness: every excluded part is dominated by some skyline row
+      val excluded = part.join(sky.select($"p_partkey"), Seq("p_partkey"), "left_anti")
+      val undominated = excluded.as("p").join(broadcast(sky).as("s"),
+          $"s.p_size" <= $"p.p_size" && $"s.p_retailprice" >= $"p.p_retailprice" &&
+            ($"s.p_size" < $"p.p_size" || $"s.p_retailprice" > $"p.p_retailprice"),
+          "left_anti")
+        .count()
+      assert(undominated == 0, s"$undominated excluded parts are not dominated")
+    } finally sky.unpersist()
+  }
+
+  // --- MAD outliers ---------------------------------------------------------
+
+  test("q_outlier_mad fixture: lower median, exact MAD, 1.5-MAD screen") {
+    // group A: values 1,2,3,4,100 -> lower median 3; dev 2,1,0,1,97 ->
+    // MAD (lower median of devs) = 1; 2*dev > 3*1 flags dev in {2, 97}.
+    val li = Seq(
+      (1L, 1, 1.0), (2L, 1, 2.0), (3L, 1, 3.0), (4L, 1, 4.0), (5L, 1, 100.0)
+    ).map { case (ok, ln, v) =>
+      (ok, 1L, 1L, ln, 1.0, v, 0.0, 0.0, "A", "O", ts("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = fixtureDir("lineitem" -> li)
+    val row = SparkEntry.queries("q_outlier_mad")(spark, dir)
+      .select($"l_returnflag", $"n", $"med", $"mad", $"n_outliers")
+      .as[(String, Long, Double, Double, Long)].head()
+    assert(row == (("A", 5L, 3.0, 1.0, 2L)), s"got $row")
+  }
 }
