@@ -23,6 +23,58 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("KmvSketch: sketch == sorted k smallest distinct, under any partitioning") {
+    val sk = graft.functions.KmvSketch(8)
+    val rnd = new scala.util.Random(7)
+    val values = Array.fill(500)(rnd.nextLong(1000)) // heavy duplication
+    val expected = values.distinct.sorted.take(8).toSeq
+
+    // single-stream reduce
+    val reduced = values.foldLeft(sk.zero)(sk.reduce)
+    assert(reduced.toSeq == expected)
+
+    // arbitrary partition boundaries + merges reach the same state
+    for (splits <- Seq(Seq(100, 400), Seq(1, 2, 3), Seq(250))) {
+      val chunks = (Seq(0) ++ splits ++ Seq(values.length)).sliding(2).map {
+        case Seq(a, b) => values.slice(a, b).foldLeft(sk.zero)(sk.reduce)
+      }.toSeq
+      val merged = chunks.reduce(sk.merge)
+      assert(merged.toSeq == expected, s"merge at $splits diverged")
+      val mergedRev = chunks.reverse.reduce(sk.merge)
+      assert(mergedRev.toSeq == expected, "merge is not commutative")
+    }
+
+    // under k distinct values the sketch is exhaustive
+    val few = Array(5L, 3L, 5L, 3L, 9L)
+    assert(few.foldLeft(sk.zero)(sk.reduce).toSeq == Seq(3L, 5L, 9L))
+
+    // merging a sketch with itself is idempotent
+    assert(sk.merge(reduced, reduced).toSeq == expected)
+  }
+
+  test("q_kmv_distinct: accuracy flags hold and sketch values are real hashes") {
+    val rows = q("q_kmv_distinct")
+      .select("k_used", "kth_hash", "est", "n_exact", "ok")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, kth, est, exact, ok) =>
+      assert(ok, s"estimate $est vs exact $exact breached the contract")
+      assert(k <= 64 && kth >= 0 && kth < (1L << 32))
+      if (k < 64) assert(est == k, "sub-k sketch must be exact")
+    }
+  }
+
+  test("q_kmv_setops: union estimate bounded by marginal sums, jaccard flags hold") {
+    val rows = q("q_kmv_setops")
+      .select("k_used", "est_union", "n_union", "jac_est", "jac_exact", "ok_union", "ok_jac")
+      .as[(Long, Long, Long, Double, Double, Boolean, Boolean)].collect()
+    assert(rows.length == 10) // C(5,2) source pairs
+    rows.foreach { case (k, est, union, jest, jexact, okU, okJ) =>
+      assert(okU && okJ, s"contract breach: est $est vs $union, jac $jest vs $jexact")
+      assert(jest >= 0 && jest <= 1 && k <= 64)
+    }
+  }
+
   test("q_bloom_decontaminate: every exact match is a bloom hit (no false negatives)") {
     val bad = q("q_bloom_decontaminate")
       .filter(!col("no_false_negative") || col("n_bloom_hits") < col("n_exact_hits"))
