@@ -1561,9 +1561,61 @@ object ExtensionQueries {
          |  (abs(jac_est - jac_exact) <= 0.15) AS ok_jac
          |FROM fin ORDER BY src_a, src_b""".stripMargin))
 
+  // ---- signed random projection (Johnson–Lindenstrauss) --------------------
+
+  /** 64→16-dim signed random projection (Achlioptas' database-friendly JL
+    * variant: entries ±1, so the projection is integer adds, no float
+    * matrix): the embedding-compression map for ANN pre-filtering and
+    * sketch storage. Arithmetic is EXACT end to end — inputs quantize to
+    * scaled int64 (`floor(e·1e6 + 0.5)`, deterministic on the float's exact
+    * double value), the ±1 matrix derives from the repo's md5-fold hash of
+    * "rp:j:i" (Spark pre-computes the 16×64 literals at plan time; the
+    * oracle re-derives them in SQL from the same md5), and each output is a
+    * ±-signed integer sum — no accumulation-order sensitivity at all.
+    * Scale shape: scan-stage-only projection inside whole-stage codegen
+    * (zip_with/aggregate over array literals), zero shuffles; output is
+    * 4× narrower than the input column. */
+  private val embProject = QueryDef(
+    fn = (spark, dir) => {
+      import org.apache.spark.unsafe.types.UTF8String
+      val signs = (0 until 16).map(j => (0 until 64).map { i =>
+        if (graft.functions.TokenHash32Expr.hash(
+            UTF8String.fromString(s"rp:$j:$i")) % 2 == 1) 1 else -1
+      })
+      val q = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+            .as("qe"))
+      val projCols = (0 until 16).map { j =>
+        val sArr = signs(j).mkString("array(", ",", ")")
+        expr(s"aggregate(zip_with(qe, $sArr, (q, s) -> q * CAST(s AS BIGINT)), " +
+          s"CAST(0 AS BIGINT), (acc, x) -> acc + x)").as(s"p$j")
+      }
+      q.select((col("vec_id") +: projCols): _*).orderBy("vec_id")
+    },
+    oracle = Some {
+      val pCols = (0 until 16)
+        .map(j => s"CAST(MAX(CASE WHEN j = $j THEN p END) AS BIGINT) AS p$j")
+        .mkString(",\n  ")
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
+         |  FROM embeddings),
+         |signs AS (SELECT j, i,
+         |    CASE WHEN ${dHash32("'rp:' || j || ':' || i")} % 2 = 1 THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT unnest(range(0, 16)) AS j)
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+         |flat AS (SELECT vec_id, ii.i AS i, qe[ii.i + 1] AS qv
+         |         FROM q CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii),
+         |prods AS (SELECT vec_id, j, SUM(qv * s) AS p
+         |          FROM flat JOIN signs USING (i) GROUP BY vec_id, j)
+         |SELECT vec_id, $pCols
+         |FROM prods GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_kmv_distinct" -> kmvDistinct,
     "q_kmv_setops" -> kmvSetops,
+    "q_emb_project" -> embProject,
     "q_fuzzy_join" -> fuzzyJoin,
     "q_weighted_sample" -> weightedSample,
     "q_tfidf_top_terms" -> tfidf,

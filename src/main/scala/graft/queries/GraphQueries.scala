@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relational edge lists — the family next
+  * to connected components (Dedup.connectedComponents): rank propagation
+  * with a FIXED, engine-replayable iteration count. The heavy lifting at
+  * scale is building the edge list from facts (data-sized joins +
+  * aggregation); the iteration itself runs on the node/edge DOMAIN
+  * (nations here), so each round is a broadcast-join over a frame that
+  * never grows with input.
+  *
+  * Numeric discipline: ranks are integers scaled by 1e9 and every step is
+  * integer multiply + floor division (`div` / DuckDB `//`, identical on
+  * non-negatives) — PageRank without a single float, so three unrolled
+  * iterations hash-match across engines exactly. Floor losses (< 1 unit
+  * per edge per round ≈ 1e-7 of total mass) are part of the defined
+  * arithmetic, not error.
+  */
+object GraphQueries {
+
+  /** PageRank (d=0.85, 3 iterations) over the customer-nation →
+    * supplier-nation trade graph: who sits at the center of the trade
+    * network. Edge weights = lineitem counts via the 4-table join
+    * (lineitem⋈orders⋈customer⋈supplier — the one data-sized stage;
+    * Catalyst's ReuseExchange collapses the three per-iteration
+    * re-references of the edge frame to one physical build). Each
+    * iteration: per-edge contribution `(r·w) div ow`, per-dst sum, damp
+    * `base + (85·Σ) div 100` with base = 0.15·1e9/25 = 6e6; nodes with no
+    * in-edges keep base rank via the left join, dangling mass is dropped
+    * (standard simplification, deterministic). */
+  private val pagerank = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+      // dimension joins stay unhinted: customer/supplier grow with SF, so
+      // the broadcast-vs-shuffle choice belongs to AQE's size estimate
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(s, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      val e2 = edges.join(outw, "src")
+      var rank = n.select(col("n_nationkey"), lit(40000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = e2.join(broadcast(rank), col("src") === col("n_nationkey"))
+          .select(col("dst"), expr("(r * w) div ow").as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        rank = n.select(col("n_nationkey"))
+          .join(contrib, col("n_nationkey") === col("dst"), "left")
+          .select(col("n_nationkey"),
+            expr("6000000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100").as("r"))
+      }
+      n.join(rank, "n_nationkey")
+        .select(col("n_nationkey"), col("n_name"), col("r").as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("n_nationkey"))
+    },
+    oracle = Some(
+      """WITH edges AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        |  FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+        |  JOIN customer c ON o_custkey = c_custkey
+        |  JOIN supplier s ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+        |e2 AS (SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w, o.ow
+        |       FROM edges e JOIN outw o USING (src)),
+        |it0 AS (SELECT n_nationkey, CAST(40000000 AS BIGINT) AS r FROM nation),
+        |c1 AS (SELECT e.dst, CAST(SUM((it0.r * e.w) // e.ow) AS BIGINT) AS s
+        |       FROM e2 e JOIN it0 ON e.src = it0.n_nationkey GROUP BY e.dst),
+        |it1 AS (SELECT n.n_nationkey, 6000000 + (85 * COALESCE(c1.s, 0)) // 100 AS r
+        |        FROM nation n LEFT JOIN c1 ON n.n_nationkey = c1.dst),
+        |c2 AS (SELECT e.dst, CAST(SUM((it1.r * e.w) // e.ow) AS BIGINT) AS s
+        |       FROM e2 e JOIN it1 ON e.src = it1.n_nationkey GROUP BY e.dst),
+        |it2 AS (SELECT n.n_nationkey, 6000000 + (85 * COALESCE(c2.s, 0)) // 100 AS r
+        |        FROM nation n LEFT JOIN c2 ON n.n_nationkey = c2.dst),
+        |c3 AS (SELECT e.dst, CAST(SUM((it2.r * e.w) // e.ow) AS BIGINT) AS s
+        |       FROM e2 e JOIN it2 ON e.src = it2.n_nationkey GROUP BY e.dst),
+        |it3 AS (SELECT n.n_nationkey, 6000000 + (85 * COALESCE(c3.s, 0)) // 100 AS r
+        |        FROM nation n LEFT JOIN c3 ON n.n_nationkey = c3.dst)
+        |SELECT n.n_nationkey, n.n_name, it3.r AS rank_scaled
+        |FROM nation n JOIN it3 ON n.n_nationkey = it3.n_nationkey
+        |ORDER BY rank_scaled DESC, n.n_nationkey""".stripMargin))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_pagerank" -> pagerank)
+}
