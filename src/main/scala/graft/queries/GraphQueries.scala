@@ -31,20 +31,34 @@ object GraphQueries {
     * `base + (85·Σ) div 100` with base = 0.15·1e9/25 = 6e6; nodes with no
     * in-edges keep base rank via the left join, dangling mass is dropped
     * (standard simplification, deterministic). */
+  /** Customer-nation → supplier-nation weighted edge list from the 4-table
+    * join — the one data-sized stage every graph query here shares.
+    * Dimension joins stay unhinted: customer/supplier grow with SF, so the
+    * broadcast-vs-shuffle choice belongs to AQE's size estimate. */
+  private def tradeEdges(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  private val edgesSql =
+    """edges AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      |  FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+      |  JOIN customer c ON o_custkey = c_custkey
+      |  JOIN supplier s ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2)""".stripMargin
+
   private val pagerank = QueryDef(
     fn = (spark, dir) => {
-      val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-      val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-      val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
-      val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
       val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
-      // dimension joins stay unhinted: customer/supplier grow with SF, so
-      // the broadcast-vs-shuffle choice belongs to AQE's size estimate
-      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(s, col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      val edges = tradeEdges(spark, dir)
       val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       val e2 = edges.join(outw, "src")
       var rank = n.select(col("n_nationkey"), lit(40000000L).as("r"))
@@ -62,12 +76,7 @@ object GraphQueries {
         .orderBy(col("rank_scaled").desc, col("n_nationkey"))
     },
     oracle = Some(
-      """WITH edges AS (
-        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
-        |  FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
-        |  JOIN customer c ON o_custkey = c_custkey
-        |  JOIN supplier s ON l_suppkey = s_suppkey
-        |  GROUP BY 1, 2),
+      s"""WITH $edgesSql,
         |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
         |e2 AS (SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w, o.ow
         |       FROM edges e JOIN outw o USING (src)),
@@ -88,6 +97,53 @@ object GraphQueries {
         |FROM nation n JOIN it3 ON n.n_nationkey = it3.n_nationkey
         |ORDER BY rank_scaled DESC, n.n_nationkey""".stripMargin))
 
+  /** Triangle census of the above-mean-weight undirected trade graph: the
+    * clustering structure probe next to PageRank's centrality. The raw K₂₅
+    * trade graph is complete, so edges are sparsified to those above the
+    * MEAN weight — cross-multiplied (`w·ne > tw`) so the threshold is
+    * integer-exact on both engines. Triangles enumerate via the oriented
+    * a<b<c two-hop join (each triangle counted exactly once, no
+    * symmetry-dedup pass — the standard distributed formulation); every
+    * join is an equi-join on node ids over the domain-sized edge frame,
+    * with the data-sized cost confined to the shared [[tradeEdges]] build.
+    */
+  private val triangles = QueryDef(
+    fn = (spark, dir) => {
+      val und = tradeEdges(spark, dir)
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"), col("w"))
+        .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      val tot = und.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
+      val keep = und.crossJoin(broadcast(tot))
+        .filter(col("w") * col("ne") > col("tw"))
+        .select(col("a"), col("b"))
+      val tri = keep.as("e1")
+        .join(keep.as("e2"), col("e1.b") === col("e2.a"))
+        .join(keep.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      keep.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        .crossJoin(keep.select(col("a").as("v"))
+          .union(keep.select(col("b").as("v"))).distinct()
+          .agg(count(lit(1)).as("n_nodes")))
+    },
+    oracle = Some(
+      s"""WITH $edgesSql,
+        |und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+        |          CAST(SUM(w) AS BIGINT) AS w
+        |        FROM edges WHERE src <> dst GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM und),
+        |keep AS (SELECT a, b FROM und CROSS JOIN tot WHERE w * ne > tw),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM keep e1 JOIN keep e2 ON e1.b = e2.a
+        |        JOIN keep e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT COUNT(*) FROM keep) AS n_edges,
+        |  (SELECT COUNT(*) FROM tri) AS n_triangles,
+        |  (SELECT COUNT(DISTINCT v) FROM
+        |     (SELECT a AS v FROM keep UNION ALL SELECT b FROM keep)) AS n_nodes""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
-    "q_pagerank" -> pagerank)
+    "q_pagerank" -> pagerank,
+    "q_graph_triangles" -> triangles)
 }

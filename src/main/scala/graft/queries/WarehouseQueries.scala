@@ -315,6 +315,43 @@ object WarehouseQueries {
         |    / 1000000.0 AS p
         |FROM c ORDER BY prev_type, event_type""".stripMargin))
 
+  // --- sequence mining: top event paths -------------------------------------
+
+  /** Top-10 three-step event paths (sequence n-grams): the "what do users
+    * actually do" probe next to [[eventTransitions]]'s one-step matrix.
+    * Two lead() taps on the SAME user-keyed window — one shuffle, one sort,
+    * both offsets served by a single window frame pass — then a
+    * domain-sized (|event_type|³ ≤ 125 rows) count and a global top-k,
+    * which Spark plans as TakeOrderedAndProject (per-partition heaps, no
+    * full sort). Ties break on the path string, so the cutoff is a total
+    * order. */
+  private val eventPaths = QueryDef(
+    fn = (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      e.select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"), col("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    },
+    oracle = Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |p AS (SELECT user_id, event_type AS e1,
+        |        lead(event_type, 1) OVER w AS e2,
+        |        lead(event_type, 2) OVER w AS e3
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |c AS (SELECT e1, e2, e3, COUNT(*) AS n FROM p
+        |      WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY e1, e2, e3)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, n
+        |FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin))
+
   // --- market-basket co-occurrence ------------------------------------------
 
   /** Brand co-occurrence with support and lift: distinct (order, brand)
@@ -477,6 +514,7 @@ object WarehouseQueries {
     "q_regr_ols" -> regrOls,
     "q_cdc_diff" -> cdcDiff,
     "q_event_transitions" -> eventTransitions,
+    "q_event_paths" -> eventPaths,
     "q_cooccur_lift" -> cooccurLift,
     "q_skyline" -> skyline,
     "q_outlier_mad" -> outlierMad)

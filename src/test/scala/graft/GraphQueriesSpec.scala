@@ -32,6 +32,31 @@ class GraphQueriesSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q_graph_triangles: counts satisfy the triangle inequality bounds") {
+    val row = q("q_graph_triangles")
+      .select("n_edges", "n_triangles", "n_nodes")
+      .as[(Long, Long, Long)].head()
+    val (e, t, v) = row
+    assert(v <= 25 && e <= v * (v - 1) / 2, s"edges $e exceed C($v,2)")
+    // triangles bounded by C(v,3) and by e·(v-2) (each edge in ≤ v-2 triangles)
+    assert(t <= v * (v - 1) * (v - 2) / 6 && t <= e * (v - 2), s"impossible $row")
+  }
+
+  test("q_event_paths fixture: strictly consecutive, ties broken on path") {
+    val dir = Files.createTempDirectory("graft-paths-fixture").toFile.getAbsolutePath
+    // user 1: A B C D  -> paths A>B>C, B>C>D; user 2: A B C -> A>B>C
+    val rows = Seq(
+      (1L, 1L, "A"), (2L, 1L, "B"), (3L, 1L, "C"), (4L, 1L, "D"),
+      (5L, 2L, "A"), (6L, 2L, "B"), (7L, 2L, "C"))
+    rows.map { case (id, u, t) =>
+      (id, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$id"), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_event_paths")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("A>B>C" -> 2L, "B>C>D" -> 1L), s"got $got")
+  }
+
   test("q_emb_project: zero vector maps to zero, constant vector to the sign row sums") {
     // fixture: vec 0 = zeros, vec 1 = all 1.0 → p_j = 1e6 · Σ_i s_ij
     val dir = Files.createTempDirectory("graft-proj-fixture").toFile.getAbsolutePath
