@@ -179,4 +179,47 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n${p.take(1500)}")
   }
+
+  test("CDC diff: one PK join, scans pruned to key + payload, no cartesian") {
+    val p = plan("q_cdc_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // both snapshot scans must read ONLY the diffed columns
+    p.linesIterator.filter(l => l.contains("FileScan") && l.contains("orders"))
+      .foreach { l =>
+        assert(!l.contains("o_totalprice") && !l.contains("o_orderdate"),
+          s"snapshot scan reads undiffed columns: $l")
+      }
+  }
+
+  test("event paths terminate in a global top-k over the domain-sized count") {
+    val p = plan("q_event_paths")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 paths must plan as top-k")
+  }
+
+  test("co-occurrence pairs join on the order key — never brand × brand cartesian") {
+    val p = plan("q_cooccur_lift")
+    // the only nested-loop allowed is the 1-row scalar (n_orders) broadcast
+    assert(!p.contains("CartesianProduct"), "basket self-join degenerated")
+    val smj = "SortMergeJoin".r.findAllIn(p).length +
+      "BroadcastHashJoin".r.findAllIn(p).length
+    assert(smj >= 1, "pair generation lost its equi-join")
+  }
+
+  test("graph queries: data-sized work is the edge build; iteration joins are equi") {
+    Seq("q_pagerank", "q_graph_triangles").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      // the 4-table edge build must join hash/merge, not nested-loop
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        s"$q edge build lost its equi-joins")
+    }
+  }
+
+  test("KMV sketch aggregate plans partial + final (map-side combine)") {
+    val p = plan("q_kmv_distinct")
+    // Aggregator-backed UDAFs plan ObjectHashAggregate with a partial pass;
+    // seeing two aggregate nodes for the sketch proves map-side combine
+    val objAgg = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(objAgg >= 2, s"expected partial+final ObjectHashAggregate, got $objAgg:\n${p.take(1200)}")
+  }
 }
