@@ -30,14 +30,14 @@ object ExtensionQueries {
     * start=1 is the canonical token hash; start=9 is the low word of the
     * 64-bit token hash (the two halves reconstruct TokenHash64 without
     * unsigned 64-bit arithmetic, which DuckDB's checked BIGINT lacks). */
-  private def dHash32At(c: String, start: Int) =
+  private[queries] def dHash32At(c: String, start: Int) =
     s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
        |  list_transform(string_split(substr(md5($c), $start, 8), ''),
        |    ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT))),
        |  (a, b) -> a * 16 + b)""".stripMargin
 
   /** 32-bit md5-prefix hash of a string expression -> BIGINT. */
-  private def dHash32(c: String) = dHash32At(c, 1)
+  private[queries] def dHash32(c: String) = dHash32At(c, 1)
 
   /** sum of a BIGINT list (list_reduce with explicit 0 init). */
   private def dSum(list: String) =

@@ -315,6 +315,113 @@ object WarehouseQueries {
         |    / 1000000.0 AS p
         |FROM c ORDER BY prev_type, event_type""".stripMargin))
 
+  // --- merkle-style bucket checksums ----------------------------------------
+
+  /** Anti-entropy table sync: per-key-range checksums of two snapshots,
+    * diffed to locate WHERE changes live WITHOUT moving rows — the step
+    * before [[cdcDiff]] at 100 TB (first compare 586 checksums, then ship
+    * only the ~5 dirty ranges through the row-level diff). Row digest =
+    * md5-fold of (key, payload); bucket checksum = plain BIGINT SUM of
+    * digests (order-free, merge-associative, overflow-safe: rows·2³² ≪ 2⁶³
+    * per range), so each side is ONE map-side-combinable aggregation over
+    * its snapshot and the compare is a bucket-count-sized full-outer join.
+    * Changes in the fixture are range-localized (deletes [1000,1050),
+    * inserts-side drops [3000,3030), updates [200,210)∪[5000,5025)) so
+    * the range bucketing `key div 256` actually discriminates: 3-5 dirty
+    * buckets of 6-586 across the SFs. */
+  private val merkleDiff = QueryDef(
+    fn = (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      def digest(statusCol: Column): Column =
+        TextAnalysis.tokenHash32(concat(lit("mk:"),
+          col("o_orderkey").cast("string"), lit(":"), statusCol))
+      val old = o.filter(!(col("o_orderkey") >= 1000 && col("o_orderkey") < 1050))
+        .select(expr("o_orderkey div 256").as("bucket"), digest(col("o_orderstatus")).as("h"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("h")).as("old_cks"), count(lit(1)).as("old_n"))
+      val neu = o.filter(!(col("o_orderkey") >= 3000 && col("o_orderkey") < 3030))
+        .select(expr("o_orderkey div 256").as("bucket"),
+          digest(when((col("o_orderkey") >= 200 && col("o_orderkey") < 210)
+              || (col("o_orderkey") >= 5000 && col("o_orderkey") < 5025), lit("X"))
+            .otherwise(col("o_orderstatus"))).as("h"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("h")).as("new_cks"), count(lit(1)).as("new_n"))
+      old.join(neu, Seq("bucket"), "full_outer")
+        .select(col("bucket"), col("old_cks"), col("new_cks"),
+          col("old_n"), col("new_n"),
+          (!(col("old_cks") <=> col("new_cks"))).as("differs"))
+        .orderBy("bucket")
+    },
+    oracle = Some {
+      val rh = ExtensionQueries.dHash32(
+        "'mk:' || CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus")
+      s"""WITH old AS (SELECT o_orderkey, o_orderstatus FROM orders
+         |  WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 1050)),
+         |new AS (SELECT o_orderkey,
+         |    CASE WHEN (o_orderkey >= 200 AND o_orderkey < 210)
+         |          OR (o_orderkey >= 5000 AND o_orderkey < 5025)
+         |         THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+         |  FROM orders WHERE NOT (o_orderkey >= 3000 AND o_orderkey < 3030)),
+         |ho AS (SELECT o_orderkey // 256 AS bucket,
+         |         CAST(SUM($rh) AS BIGINT) AS cks, COUNT(*) AS n FROM old GROUP BY 1),
+         |hn AS (SELECT o_orderkey // 256 AS bucket,
+         |         CAST(SUM($rh) AS BIGINT) AS cks, COUNT(*) AS n FROM new GROUP BY 1)
+         |SELECT COALESCE(ho.bucket, hn.bucket) AS bucket,
+         |  ho.cks AS old_cks, hn.cks AS new_cks, ho.n AS old_n, hn.n AS new_n,
+         |  (ho.cks IS DISTINCT FROM hn.cks) AS differs
+         |FROM ho FULL OUTER JOIN hn ON ho.bucket = hn.bucket
+         |ORDER BY bucket""".stripMargin
+    })
+
+  // --- chi-square contingency -----------------------------------------------
+
+  /** Pearson chi-square over the returnflag × linestatus contingency table:
+    * the categorical-association profiling step (feature screening /
+    * drift detection). One count aggregation; marginals and expected
+    * counts derive from the (domain-sized) cell table, so everything after
+    * the single shuffle is broadcast arithmetic. The statistic stays
+    * engine-exact: expected = integer ratio in double (one rounding),
+    * per-cell contribution floor-scaled to int64, and the TOTAL is a SUM
+    * of those integers — order-free where a double sum would not be. */
+  private val chisq = QueryDef(
+    fn = (spark, dir) => {
+      val cells = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).as("n"))
+      val rows = cells.groupBy(col("rf")).agg(sum(col("n")).as("rn"))
+      val cols_ = cells.groupBy(col("ls")).agg(sum(col("n")).as("cn"))
+      val tot = cells.agg(sum(col("n")).as("total"))
+      val e = cells.join(broadcast(rows), "rf").join(broadcast(cols_), "ls")
+        .crossJoin(broadcast(tot))
+        .withColumn("expected_raw",
+          col("rn").cast("double") * col("cn") / col("total"))
+      val contrib = (col("n") - col("expected_raw")) * (col("n") - col("expected_raw")) /
+        col("expected_raw")
+      e.select(col("rf"), col("ls"), col("n"),
+          r6(col("expected_raw")).as("expected"),
+          floor(contrib * 1e6 + 0.5).cast("long").as("contrib_scaled"))
+        .withColumn("chi2_scaled",
+          sum(col("contrib_scaled")).over(Window.partitionBy(lit(1))))
+        .orderBy("rf", "ls")
+    },
+    oracle = Some(
+      """WITH c AS (SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT SUM(n) AS total FROM c),
+        |r AS (SELECT rf, SUM(n) AS rn FROM c GROUP BY rf),
+        |cl AS (SELECT ls, SUM(n) AS cn FROM c GROUP BY ls),
+        |e AS (SELECT c.rf, c.ls, c.n,
+        |        CAST(r.rn AS DOUBLE) * cl.cn / m.total AS expected_raw
+        |      FROM c JOIN r USING (rf) JOIN cl USING (ls) CROSS JOIN m),
+        |x AS (SELECT rf, ls, n,
+        |        floor(expected_raw * 1000000.0 + 0.5) / 1000000.0 AS expected,
+        |        CAST(floor(((n - expected_raw) * (n - expected_raw) / expected_raw)
+        |             * 1000000.0 + 0.5) AS BIGINT) AS contrib_scaled
+        |      FROM e)
+        |SELECT rf, ls, n, expected, contrib_scaled,
+        |  CAST(SUM(contrib_scaled) OVER () AS BIGINT) AS chi2_scaled
+        |FROM x ORDER BY rf, ls""".stripMargin))
+
   // --- sequence mining: top event paths -------------------------------------
 
   /** Top-10 three-step event paths (sequence n-grams): the "what do users
@@ -517,5 +624,7 @@ object WarehouseQueries {
     "q_event_paths" -> eventPaths,
     "q_cooccur_lift" -> cooccurLift,
     "q_skyline" -> skyline,
-    "q_outlier_mad" -> outlierMad)
+    "q_outlier_mad" -> outlierMad,
+    "q_merkle_diff" -> merkleDiff,
+    "q_chisq" -> chisq)
 }
