@@ -380,6 +380,65 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** EXACT token-set similarity self-join via prefix filtering (SSJoin /
+    * PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): all
+    * pairs with Jaccard ≥ t, with NO false negatives — the deterministic
+    * counterpart to MinHash banding for pipelines that cannot tolerate
+    * probabilistic misses (e.g. legal dedup holds).
+    *
+    * Pruning: order each token set by ascending global frequency (rarest
+    * first; ties on the token string — a total order, no rank assignment
+    * and no global window). If J(x,y) ≥ t then |x∩y| ≥ t/(1+t)·(|x|+|y|),
+    * so x and y MUST share a token within their first
+    * p = ⌊(1−t)·n⌋ + 1 tokens (dropping p tokens leaves < t·n ≤ the
+    * required overlap). Candidates therefore come from an inverted index
+    * over PREFIX tokens only — rare tokens, so posting lists are short and
+    * the equi-join fans out far less than the full index in [[jaccardPairs]]
+    * — plus the length filter t·|x| ≤ |y| ≤ |x|/t inside the join. Exact
+    * Jaccard verifies candidates only.
+    *
+    * Scale shape: one frequency aggregation (vocabulary-sized, equi-joined
+    * back — NOT broadcast: vocabulary grows with the corpus), one sort per
+    * doc (map-side, bounded by doc length), and a prefix-token equi-join
+    * whose key distribution is biased toward the RARE end of the vocabulary
+    * by construction — the skew profile LSH banding gets only after
+    * hot-bucket capping, here for free from the frequency ordering.
+    */
+  def nearDupPrefixJoin(
+      df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard < 1, s"minJaccard in (0,1), got $minJaccard")
+    val docs = df
+      .select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val freq = docs.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    // canonical rarest-first order WITHOUT a global rank: sort each doc's
+    // (f, t) structs — (f, t) is unique per token, so the order is total
+    val ordered = docs.select(col("id"), explode(col("toks")).as("t"))
+      .join(freq, "t")
+      .groupBy(col("id"))
+      .agg(expr("transform(sort_array(collect_list(struct(f, t))), x -> x.t)").as("otoks"))
+      .select(col("id"), col("otoks"), size(col("otoks")).as("n"))
+    val prefixes = ordered.select(col("id"), col("n"),
+      explode(slice(col("otoks"), lit(1),
+        (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int"))).as("pt"))
+    val candidates = prefixes.as("x")
+      .join(prefixes.as("y"),
+        col("x.pt") === col("y.pt") && col("x.id") < col("y.id") &&
+          col("y.n") >= ceil(lit(minJaccard) * col("x.n")) &&
+          col("x.n") >= ceil(lit(minJaccard) * col("y.n")))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sets = docs.select(col("id"), col("toks"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 32-bit SimHash over a pre-computed token-hash array column: bit j of
     * the signature is set iff sum over tokens of (+1 if bit j of hash(token)
     * else -1) > 0. Routed through the fused native expression

@@ -1416,6 +1416,36 @@ object ExtensionQueries {
          |  floor(priority * 1000000.0 + 0.5) / 1000000.0 AS priority
          |FROM p ORDER BY doc_id""".stripMargin))
 
+  // ---- exact similarity join: prefix filtering -----------------------------
+
+  /** EXACT Jaccard self-join via prefix filtering
+    * ([[graft.ops.Dedup.nearDupPrefixJoin]]): the no-false-negatives
+    * counterpart to MinHash banding. Because the operator is exact, the
+    * oracle is the strongest possible one — the BRUTE-FORCE all-pairs
+    * ground truth — so a green row here proves the prefix+length pruning
+    * dropped nothing, at every SF, while the Spark side only ever joins on
+    * rare prefix tokens. Input sampled (doc_id % 20) to bound the oracle's
+    * quadratic cost, like every pair-space twin in this file. */
+  private val dedupPrefixJoin = QueryDef(
+    fn = (spark, dir) =>
+      Dedup.nearDupPrefixJoin(
+          Tables.documents(spark, dir).filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", minJaccard = 0.5)
+        .orderBy("id_a", "id_b"),
+    oracle = Some(
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, ${dTokSet("text")} AS toks
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |ne AS (SELECT id, toks FROM docs WHERE len(toks) > 0),
+         |jac AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |          / (len(a.toks) + len(b.toks)
+         |             - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |  FROM ne a JOIN ne b ON a.id < b.id)
+         |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin))
+
   // ---- KMV (bottom-k) sketch: distinct estimate + set algebra --------------
 
   /** Shared oracle CTE chain: per-`group` distinct 3-gram shingles of the
@@ -1613,6 +1643,7 @@ object ExtensionQueries {
     })
 
   val defs: Map[String, QueryDef] = Map(
+    "q_dedup_prefix_join" -> dedupPrefixJoin,
     "q_kmv_distinct" -> kmvDistinct,
     "q_kmv_setops" -> kmvSetops,
     "q_emb_project" -> embProject,

@@ -51,6 +51,37 @@ class TextDedupSpec extends SparkSpec {
       TextAnalysis.StopwordLists.head._1 && none.getAs[Int]("lang_score") == 0)
   }
 
+  test("nearDupPrefixJoin: output-identical to brute force at several thresholds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" % 5 === 0)
+    val sets = docs
+      .select($"doc_id".as("id"), TextAnalysis.tokenSet($"text").as("toks"))
+      .filter(size($"toks") > 0)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val brute = sets.as("a").crossJoin(sets.as("b"))
+        .filter($"a.id" < $"b.id")
+        .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+          Dedup.jaccardSorted($"a.toks", $"b.toks").as("jaccard"))
+        .filter($"jaccard" >= t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pruned = Dedup.nearDupPrefixJoin(docs, "doc_id", "text", minJaccard = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pruned == brute,
+        s"t=$t: missing ${(brute -- pruned).take(3)}, extra ${(pruned -- brute).take(3)}")
+    }
+  }
+
+  test("nearDupPrefixJoin subsumes verified minhash pairs (LSH can only miss)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" % 10 === 0)
+    val exact = Dedup.nearDupPrefixJoin(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupMinhash(docs, "doc_id", "text",
+        k = 16, bands = 4, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"verified LSH pairs not in exact set: ${(lsh -- exact).take(3)}")
+  }
+
   test("exactKeepFirst keeps exactly one row per key, first by order") {
     val df = Seq(("a", 2, "x2"), ("a", 1, "x1"), ("b", 5, "y5"))
       .toDF("k", "ord", "payload")
