@@ -315,6 +315,71 @@ object WarehouseQueries {
         |    / 1000000.0 AS p
         |FROM c ORDER BY prev_type, event_type""".stripMargin))
 
+  // --- incremental view maintenance -----------------------------------------
+
+  /** Incremental maintenance of a per-customer aggregate view: apply the
+    * CDC delta (insert/update/delete rows between two order snapshots) to
+    * the OLD snapshot's aggregate and emit the maintained view — WITHOUT
+    * touching new-snapshot rows outside the delta. The oracle aggregates
+    * the NEW snapshot directly, so a green row PROVES delta-application ≡
+    * recompute — the algebraic property that lets a 100 TB rollup absorb a
+    * daily delta as (delta-sized shuffle + groups-sized merge) instead of
+    * a full rescan. Deltas are signed (+new, −old for U; +new for I; −old
+    * for D); sums stay DECIMAL so merge order cannot drift; groups whose
+    * maintained count reaches zero drop out, matching the recompute.
+    * Update rule shifts o_totalprice by +10 so the payload delta is
+    * non-trivial (status-only changes would leave sums fixed). */
+  private val ivmAgg = QueryDef(
+    fn = (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val old = o.filter(col("o_orderkey") % 11 =!= 3)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val neu = o.filter(col("o_orderkey") % 11 =!= 7)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val base = old.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("s"))
+      // signed delta stream: −old for D/U, +new for I/U (unchanged rows
+      // contribute nothing — U only fires when the payload really moved)
+      val j = old.as("o").join(neu.as("n"),
+          col("o.o_orderkey") === col("n.o_orderkey"), "full_outer")
+      val deltas = j.select(
+          coalesce(col("o.o_custkey"), col("n.o_custkey")).as("o_custkey"),
+          when(col("o.o_orderkey").isNull, lit(1)) // insert: +new only
+            .when(col("n.o_orderkey").isNull, lit(-1)) // delete: −old only
+            .when(col("o.o_totalprice") =!= col("n.o_totalprice"), lit(2)) // update
+            .as("kind"),
+          col("o.o_totalprice").as("vo"), col("n.o_totalprice").as("vn"))
+        .filter(col("kind").isNotNull)
+        .select(col("o_custkey"),
+          when(col("kind") === 1, lit(1)).when(col("kind") === -1, lit(-1))
+            .otherwise(lit(0)).as("dn"),
+          when(col("kind") === 1, dec(col("vn")))
+            .when(col("kind") === -1, -dec(col("vo")))
+            .otherwise(dec(col("vn")) - dec(col("vo"))).as("ds"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+      base.join(deltas, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("s"), lit(0).cast(DecimalType(12, 4)))
+            + coalesce(col("ds"), lit(0).cast(DecimalType(12, 4)))).as("s"))
+        .filter(col("n") > 0)
+        .select(col("o_custkey"), col("n"), col("s").cast("double").as("total"))
+        .orderBy("o_custkey")
+    },
+    oracle = Some(
+      // the STRONGEST oracle: recompute the view from the new snapshot —
+      // a hash match proves maintained ≡ recomputed
+      """WITH new AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 <> 7)
+        |SELECT o_custkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total
+        |FROM new GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+
   // --- merkle-style bucket checksums ----------------------------------------
 
   /** Anti-entropy table sync: per-key-range checksums of two snapshots,
@@ -626,5 +691,6 @@ object WarehouseQueries {
     "q_skyline" -> skyline,
     "q_outlier_mad" -> outlierMad,
     "q_merkle_diff" -> merkleDiff,
-    "q_chisq" -> chisq)
+    "q_chisq" -> chisq,
+    "q_ivm_agg" -> ivmAgg)
 }

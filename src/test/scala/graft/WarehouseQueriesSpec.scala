@@ -336,6 +336,27 @@ class WarehouseQueriesSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  // --- incremental view maintenance -----------------------------------------
+
+  test("q_ivm_agg: untouched groups carry the base aggregate unchanged") {
+    val maintained = q("q_ivm_agg")
+    // customers none of whose orders were inserted/deleted/updated must
+    // match the OLD snapshot's aggregate bit-for-bit
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val touched = orders.filter(
+        $"o_orderkey" % 11 === 3 || $"o_orderkey" % 11 === 7 || $"o_orderkey" % 5 === 0)
+      .select($"o_custkey").distinct()
+    val oldAgg = orders.filter($"o_orderkey" % 11 =!= 3)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(12, 4)))
+          .cast("double").as("total"))
+    val mismatch = maintained.join(touched, Seq("o_custkey"), "left_anti")
+      .join(oldAgg.withColumnRenamed("n", "bn").withColumnRenamed("total", "bt"), "o_custkey")
+      .filter($"n" =!= $"bn" || $"total" =!= $"bt").count()
+    assert(mismatch == 0, "an untouched group drifted under maintenance")
+  }
+
   // --- chi-square -----------------------------------------------------------
 
   test("q_chisq: expected counts reproduce marginals, total is the cell sum") {
