@@ -44,7 +44,15 @@ object Bench {
     // passes absorbs a drifted pass instead of reporting it as a regression.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional arg: comma-separated name substrings — local-iteration filter
+    // only; the driver always runs the full suite (no args)
+    val nameFilter: String => Boolean = args.headOption match {
+      case Some(pats) =>
+        val ps = pats.split(",").toSeq
+        name => ps.exists(name.contains)
+      case None => _ => true
+    }
+    val names = SparkEntry.queries.keys.toSeq.filter(nameFilter).sorted
     val passes = (1 to repeats).map { _ =>
       names.map { name =>
         val fn = SparkEntry.queries(name)

@@ -1474,13 +1474,20 @@ object ExtensionQueries {
     * twin, not the deploy path. */
   private val kmvDistinct = QueryDef(
     fn = (spark, dir) => {
-      val sh = Tables.documents(spark, dir)
+      // distinct on the 8-byte (lang, hash) pair — NOT the shingle string —
+      // then both the sketch and the exact count read the pre-distinct
+      // stream: one narrow shuffle instead of a countDistinct expand over
+      // strings (measured 4.3 s -> 2.6 s at sf0.1). n_exact counts distinct
+      // HASHES, matching the estimator's own universe (the oracle mirrors).
+      val hd = Tables.documents(spark, dir)
         .select(col("lang"),
           explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("g"))
-      sh.groupBy(col("lang"))
+        .select(col("lang"), TextAnalysis.tokenHash32(col("g")).as("h"))
+        .distinct()
+      hd.groupBy(col("lang"))
         .agg(
-          graft.functions.KmvSketch.kmv64(TextAnalysis.tokenHash32(col("g"))).as("kmv"),
-          countDistinct(col("g")).as("n_exact"))
+          graft.functions.KmvSketch.kmv64(col("h")).as("kmv"),
+          count(lit(1)).as("n_exact"))
         .select(col("lang"),
           array_join(transform(col("kmv"), v => v.cast("string")), ":").as("kmv_str"),
           size(col("kmv")).cast("long").as("k_used"),
@@ -1494,7 +1501,7 @@ object ExtensionQueries {
     },
     oracle = Some(
       s"""WITH ${dKmvBase("lang", "")},
-         |ex AS (SELECT lang, COUNT(*) AS n_exact FROM td GROUP BY lang),
+         |ex AS (SELECT lang, COUNT(*) AS n_exact FROM hd GROUP BY lang),
          |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
          |             COUNT(*) OVER (PARTITION BY lang) AS nd FROM hd),
          |sk AS (SELECT lang,
