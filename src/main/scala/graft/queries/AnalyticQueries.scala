@@ -521,7 +521,73 @@ object AnalyticQueries {
         |       THEN CAST(floor(e64 / max_abs * 127 + 0.5) AS INTEGER) END AS q_last
         |FROM v ORDER BY vec_id""".stripMargin))
 
+  /** Pearson correlation matrix over the lineitem numeric columns, from
+    * exact DECIMAL power sums in ONE aggregation pass (the same
+    * sufficient-statistics discipline as q_regr_ols/q_stats_agg — 14 sums,
+    * map-side combinable, so the full k×k matrix costs one shuffle of one
+    * row regardless of input size). The 6 upper-triangle pairs unpivot
+    * from the singleton via 1-row projections; sqrt/divide run on
+    * identical doubles in both engines (VARCHAR-cast roundtrip guards the
+    * past-2^53 decimal sums, as statsAgg's oracle documents). */
+  private val corrMatrix = QueryDef(
+    fn = (spark, dir) => {
+      val vars = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+        "l_discount" -> "disc", "l_tax" -> "tax")
+      def d19(c: String): Column = col(c).cast(DecimalType(19, 4))
+      val sums = vars.map { case (c, a) => sum(d19(c)).as(s"s_$a") } ++
+        (for { i <- vars.indices; j <- i until vars.size } yield {
+          val (ci, ai) = vars(i); val (cj, aj) = vars(j)
+          sum(d19(ci) * d19(cj)).as(s"s_${ai}_$aj")
+        })
+      val agg = Tables.lineitem(spark, dir)
+        .agg(count(lit(1)).as("n"), sums: _*)
+      // plain double casts happen via the same VARCHAR trick DuckDB needs
+      def dd(name: String): Column = col(name).cast("string").cast("double")
+      val n = col("n").cast("double")
+      val pairIdx = for { i <- vars.indices; j <- (i + 1) until vars.size }
+        yield (vars(i)._2, vars(j)._2)
+      // ONE aggregation; the 6 pairs unpivot from the singleton via stack()
+      // (a per-row generator — 6 references to the agg would re-run it)
+      val wide = agg.select(pairIdx.map { case (ai, aj) =>
+        val cov = n * dd(s"s_${ai}_$aj") - dd(s"s_$ai") * dd(s"s_$aj")
+        val va = n * dd(s"s_${ai}_$ai") - dd(s"s_$ai") * dd(s"s_$ai")
+        val vb = n * dd(s"s_${aj}_$aj") - dd(s"s_$aj") * dd(s"s_$aj")
+        r6(cov / (sqrt(va) * sqrt(vb))).as(s"c_${ai}_$aj")
+      }: _*)
+      val stackArgs = pairIdx
+        .map { case (ai, aj) => s"'$ai', '$aj', c_${ai}_$aj" }
+        .mkString(", ")
+      wide.select(expr(
+          s"stack(${pairIdx.size}, $stackArgs) AS (var_a, var_b, corr)"))
+        .orderBy("var_a", "var_b")
+    },
+    oracle = Some {
+      val vars = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+        "l_discount" -> "disc", "l_tax" -> "tax")
+      def d19(c: String) = s"CAST($c AS DECIMAL(19,4))"
+      val sums = (vars.map { case (c, a) =>
+        s"CAST(CAST(SUM(${d19(c)}) AS VARCHAR) AS DOUBLE) AS s_$a" } ++
+        (for { i <- vars.indices; j <- i until vars.size } yield {
+          val (ci, ai) = vars(i); val (cj, aj) = vars(j)
+          s"CAST(CAST(SUM(${d19(ci)} * ${d19(cj)}) AS VARCHAR) AS DOUBLE) AS s_${ai}_$aj"
+        })).mkString(",\n    ")
+      val rows = (for { i <- vars.indices; j <- (i + 1) until vars.size } yield {
+        val ai = vars(i)._2; val aj = vars(j)._2
+        s"""SELECT '$ai' AS var_a, '$aj' AS var_b,
+           |  floor(((n*s_${ai}_$aj - s_$ai*s_$aj)
+           |    / (sqrt(n*s_${ai}_$ai - s_$ai*s_$ai) * sqrt(n*s_${aj}_$aj - s_$aj*s_$aj)))
+           |    * 1000000.0 + 0.5) / 1000000.0 AS corr FROM s"""
+      }).mkString("\nUNION ALL\n")
+      s"""WITH s AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    $sums
+         |  FROM lineitem)
+         |$rows
+         |ORDER BY var_a, var_b""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
+    "q_corr_matrix" -> corrMatrix,
     "q_stats_agg" -> statsAgg,
     "q_outlier_zscore" -> outlierZscore,
     "q_minmax_by" -> minmaxBy,

@@ -315,6 +315,45 @@ object WarehouseQueries {
         |    / 1000000.0 AS p
         |FROM c ORDER BY prev_type, event_type""".stripMargin))
 
+  // --- generic table profiler -----------------------------------------------
+
+  /** Column-profile summary (the DESCRIBE/data-quality pass a warehouse
+    * runs before trusting a table): per column — row count, null count,
+    * exact distinct cardinality, min/max. One aggregation per column,
+    * unioned: each branch's parquet scan prunes to exactly ONE column
+    * (narrower I/O than a single 4-column scan with a 4-way countDistinct
+    * expand). Restricted to integer/varchar columns so the min/max VARCHAR
+    * casts are format-stable across engines (double→string notation is
+    * not). */
+  private val profileTable = QueryDef(
+    fn = (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      def prof(c: String): org.apache.spark.sql.DataFrame =
+        o.agg(
+          count(lit(1)).as("n"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_v"),
+          max(col(c)).cast("string").as("max_v"))
+        .select(lit(c).as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(prof).reduce(_ unionByName _)
+        .orderBy("col_name")
+    },
+    oracle = Some {
+      val branches = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+             |  COUNT(*) - COUNT($c) AS n_null,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v
+             |FROM orders"""
+        }.mkString("\nUNION ALL\n")
+      s"""$branches
+         |ORDER BY col_name""".stripMargin
+    })
+
   // --- incremental view maintenance -----------------------------------------
 
   /** Incremental maintenance of a per-customer aggregate view: apply the
@@ -692,5 +731,6 @@ object WarehouseQueries {
     "q_outlier_mad" -> outlierMad,
     "q_merkle_diff" -> merkleDiff,
     "q_chisq" -> chisq,
-    "q_ivm_agg" -> ivmAgg)
+    "q_ivm_agg" -> ivmAgg,
+    "q_profile_table" -> profileTable)
 }

@@ -12,6 +12,22 @@ class AnalyticQueriesSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("q_corr_matrix: 6 upper-triangle pairs, all bounded, self-consistent with corr()") {
+    val rows = q("q_corr_matrix")
+      .select("var_a", "var_b", "corr").as[(String, String, Double)].collect()
+    assert(rows.length == 6)
+    rows.foreach { case (a, b, c) =>
+      assert(a != b && math.abs(c) <= 1.0, s"corr($a,$b)=$c out of range")
+    }
+    // cross-check one cell against Spark's builtin corr (float path) —
+    // sufficient-stats DECIMAL result must agree to ~1e-6
+    val builtin = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(corr($"l_quantity", $"l_extendedprice")).as[Double].head()
+    val cell = rows.collect { case ("price", "qty", c) => c }
+      .headOption.orElse(rows.collect { case ("qty", "price", c) => c }.headOption).get
+    assert(math.abs(cell - builtin) < 1e-6, s"$cell vs builtin $builtin")
+  }
+
   test("q_stats_agg: variance is stddev squared and correlation is bounded") {
     val rows = q("q_stats_agg")
       .select("stddev_qty", "var_qty", "corr_qty_price")

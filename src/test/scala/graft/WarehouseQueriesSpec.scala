@@ -336,6 +336,21 @@ class WarehouseQueriesSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q_profile_table: cardinalities consistent, min <= max per column") {
+    val rows = q("q_profile_table")
+      .select("col_name", "n", "n_null", "n_distinct", "min_v", "max_v")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(rows.length == 4)
+    val n = rows.head._2
+    rows.foreach { case (c, rn, nulls, dist, mn, mx) =>
+      assert(rn == n, s"$c: row counts disagree across branches")
+      assert(nulls >= 0 && dist <= rn - nulls, s"$c: impossible cardinalities")
+      assert(mn != null && mx != null, s"$c: null extremes on a non-null column")
+    }
+    val byCol = rows.map(r => r._1 -> r).toMap
+    assert(byCol("o_orderkey")._4 == n, "o_orderkey must be unique")
+  }
+
   // --- incremental view maintenance -----------------------------------------
 
   test("q_ivm_agg: untouched groups carry the base aggregate unchanged") {
