@@ -315,6 +315,44 @@ object WarehouseQueries {
         |    / 1000000.0 AS p
         |FROM c ORDER BY prev_type, event_type""".stripMargin))
 
+  // --- rolling distinct (windowed COUNT DISTINCT rewrite) -------------------
+
+  /** 7-day rolling distinct active users (WAU-style) per observed day —
+    * the aggregation window functions CANNOT express (COUNT(DISTINCT) OVER
+    * a moving frame is unsupported for a reason: per-frame distinct state
+    * explodes). The scale rewrite: each distinct (day, user) contributes
+    * itself to the ≤7 target days it covers (a bounded `sequence` explode
+    * — fan-out 7, independent of data size), then ONE groupBy-distinct per
+    * target day. Shuffle volume is 7× the daily-distinct projection, not
+    * 7× the event stream; the same-day DAU joins back from a days-sized
+    * frame. The oracle computes the same thing declaratively via a range
+    * join — two paths, one answer. */
+  private val rollingDistinct = QueryDef(
+    fn = (spark, dir) => {
+      val du = Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val days = du.select(col("d")).distinct()
+      val roll = du
+        .select(explode(expr("sequence(d, date_add(d, 6))")).as("td"), col("user_id"))
+        .join(days.withColumnRenamed("d", "td"), "td") // only observed days emit
+        .groupBy(col("td"))
+        .agg(countDistinct(col("user_id")).as("dau7"))
+      val dau1 = du.groupBy(col("d")).agg(countDistinct(col("user_id")).as("dau1"))
+      roll.join(dau1, col("td") === col("d"))
+        .select(col("d"), col("dau7"), col("dau1"))
+        .orderBy("d")
+    },
+    oracle = Some(
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |roll AS (
+        |  SELECT days.d, COUNT(DISTINCT du.user_id) AS dau7
+        |  FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+        |  GROUP BY days.d)
+        |SELECT r.d, r.dau7,
+        |  (SELECT COUNT(DISTINCT user_id) FROM du WHERE du.d = r.d) AS dau1
+        |FROM roll r ORDER BY r.d""".stripMargin))
+
   // --- generic table profiler -----------------------------------------------
 
   /** Column-profile summary (the DESCRIBE/data-quality pass a warehouse
@@ -732,5 +770,6 @@ object WarehouseQueries {
     "q_merkle_diff" -> merkleDiff,
     "q_chisq" -> chisq,
     "q_ivm_agg" -> ivmAgg,
-    "q_profile_table" -> profileTable)
+    "q_profile_table" -> profileTable,
+    "q_rolling_distinct" -> rollingDistinct)
 }

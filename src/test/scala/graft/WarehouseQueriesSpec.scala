@@ -336,6 +336,18 @@ class WarehouseQueriesSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q_rolling_distinct: dau1 <= dau7 <= total distinct users, every day present") {
+    val df = q("q_rolling_distinct").cache()
+    try {
+      assert(df.filter($"dau7" < $"dau1").count() == 0, "window shrank below its own day")
+      val ev = graft.ops.Tables.events(spark, sf)
+      val totalUsers = ev.select($"user_id").distinct().count()
+      assert(df.filter($"dau7" > totalUsers).count() == 0)
+      val days = ev.select(to_date($"ts")).distinct().count()
+      assert(df.count() == days, "a day with activity is missing from the rollup")
+    } finally df.unpersist()
+  }
+
   test("q_profile_table: cardinalities consistent, min <= max per column") {
     val rows = q("q_profile_table")
       .select("col_name", "n", "n_null", "n_distinct", "min_v", "max_v")
