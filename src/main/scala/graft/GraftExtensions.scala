@@ -17,8 +17,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - runtime: `GraftExtensions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    // optimizer surface: the binned range-join rewrite (opt-in via
+    // spark.graft.rangeJoin.binSize — see BinnedRangeJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+  }
 }
 
 object GraftExtensions {

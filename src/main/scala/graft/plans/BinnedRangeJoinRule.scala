@@ -1,0 +1,122 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: rewrite a PURE range join (`p BETWEEN lo AND hi` with no
+  * cross-side equality conjunct — the shape Spark can only plan as a
+  * nested-loop join) into the binned equi-join of
+  * [[graft.ops.RangeJoin.binned]], automatically, at the logical-plan
+  * level: bucket the point side (`p div binSize`), explode each interval's
+  * covered bin range (`sequence(lo div b, hi div b)`), equi-join on the
+  * bin and keep the original predicate as the residual.
+  *
+  * Exactness argument (same as the DataFrame form): truncating integral
+  * division is monotone, so any p ∈ [lo, hi] lands in one of the interval's
+  * enumerated bins; the residual re-applies the exact range; a (point,
+  * interval) pair meets in exactly one bin, so no duplicates are
+  * introduced. An empty interval (lo > hi) makes `sequence` descend, which
+  * only enlarges the candidate set the residual then empties — never wrong
+  * results.
+  *
+  * Opt-in: fires only when `spark.graft.rangeJoin.binSize` is set > 0
+  * (bin sizing is workload knowledge — the span of a typical interval —
+  * so silent rewriting with a guessed width would be a perf lottery).
+  * Scope: inner joins, LongType point/bounds, each expression referencing
+  * exactly one side. The rewritten join carries a bin equality, so the
+  * rule never re-fires on its own output.
+  *
+  * Install: session extension (`spark.sql.extensions=graft.GraftExtensions`
+  * → injectOptimizerRule) or runtime
+  * `spark.experimental.extraOptimizations ++= Seq(BinnedRangeJoinRule)`.
+  */
+object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val BinSizeConf = "spark.graft.rangeJoin.binSize"
+
+  private def binSize: Long =
+    try SQLConf.get.getConfString(BinSizeConf, "0").toLong
+    catch { case _: NumberFormatException => 0L }
+
+  /** Runtime installation on a live session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val b = binSize
+    if (b <= 0) plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(_), _) => rewrite(j, b).getOrElse(j)
+    }
+  }
+
+  /** 1 = only left side, 2 = only right side, other = mixed/neither. */
+  private def sideOf(e: Expression, j: Join): Int = {
+    val refs = e.references
+    if (refs.isEmpty) 0
+    else if (refs.subsetOf(j.left.outputSet)) 1
+    else if (refs.subsetOf(j.right.outputSet)) 2
+    else 3
+  }
+
+  /** Readings of a conjunct as a one-directional bound:
+    * (point, bound, isLower). */
+  private def bounds(c: Expression): Seq[(Expression, Expression, Boolean)] =
+    c match {
+      case GreaterThanOrEqual(a, b) => Seq((a, b, true), (b, a, false))
+      case LessThanOrEqual(a, b) => Seq((a, b, false), (b, a, true))
+      case _ => Seq.empty
+    }
+
+  private def rewrite(j: Join, b: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    // an existing cross-side equality means the planner already has a hash
+    // join key — nothing to fix (also stops re-firing on our own output)
+    val hasCrossEqui = conjuncts.exists {
+      case EqualTo(l, r) => sideOf(l, j) + sideOf(r, j) == 3
+      case EqualNullSafe(l, r) => sideOf(l, j) + sideOf(r, j) == 3
+      case _ => false
+    }
+    if (hasCrossEqui) return None
+
+    val candidates = for {
+      lowerC <- conjuncts; upperC <- conjuncts if lowerC ne upperC
+      (p1, lo, isL) <- bounds(lowerC) if isL
+      (p2, hi, isU) <- bounds(upperC) if !isU
+      if p1.semanticEquals(p2)
+      if p1.dataType == LongType && lo.dataType == LongType && hi.dataType == LongType
+      pSide = sideOf(p1, j)
+      if (pSide == 1 || pSide == 2) && sideOf(lo, j) == 3 - pSide && sideOf(hi, j) == 3 - pSide
+    } yield (p1, lo, hi, pSide)
+
+    candidates.headOption.map { case (p, lo, hi, pSide) =>
+      val width = Literal(b, LongType)
+      val pBin = Alias(IntegralDivide(p, width), "__graft_bin_p")()
+      val binGen = AttributeReference("__graft_bin_g", LongType, nullable = false)()
+      // Sequence is TimeZoneAwareExpression: without a zone id it reports
+      // unresolved and the optimizer's plan-validation rejects the rewrite.
+      // Empty intervals (lo > hi) would make an ascending sequence throw —
+      // clamp the stop so they emit ONE bin the residual then drops.
+      val loDiv = IntegralDivide(lo, width)
+      val hiDiv = IntegralDivide(hi, width)
+      val seq = new Sequence(loDiv, Greatest(Seq(hiDiv, loDiv)),
+        Some(Literal(1L, LongType)), Some(SQLConf.get.sessionLocalTimeZone))
+      val (pointPlan, intervalPlan) = if (pSide == 1) (j.left, j.right) else (j.right, j.left)
+      val pointProj = Project(pointPlan.output :+ pBin, pointPlan)
+      val genPlan = Generate(Explode(seq), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(binGen), intervalPlan)
+      val newCond = (EqualTo(pBin.toAttribute, binGen) +: conjuncts).reduce(And)
+      val newJoin =
+        if (pSide == 1) Join(pointProj, genPlan, Inner, Some(newCond), j.hint)
+        else Join(genPlan, pointProj, Inner, Some(newCond), j.hint)
+      Project(j.output, newJoin)
+    }
+  }
+}

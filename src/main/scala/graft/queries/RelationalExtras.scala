@@ -71,6 +71,48 @@ object RelationalExtras {
         | AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** PURE range join (no equality conjunct) through
+    * [[graft.ops.RangeJoin.binned]]: lineitems shipped within 2 days of
+    * any sampled pending order's date. Without the rewrite Spark can only
+    * BroadcastNestedLoopJoin this shape (quadratic, broadcast-size
+    * ceiling); binned on 4-day buckets it is an equi-join + residual —
+    * PlanAuditSpec pins no-BNLJ, and RangeJoinSpec proves output identity
+    * with the naive join plus the optimizer-rule path
+    * ([[graft.plans.BinnedRangeJoinRule]]) that rewrites the naive form
+    * automatically. The oracle states the join declaratively (DuckDB
+    * plans BETWEEN joins natively via IEJoin — two engines, two
+    * strategies, one answer). */
+  private val rangeJoinBinned = QueryDef(
+    fn = (spark, dir) => {
+      val pts = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+            .cast("long").as("p"))
+      val iv = Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "P" && col("o_orderkey") % 16 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+            .cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 2)
+      graft.ops.RangeJoin.binned(pts, "p", iv, "lo", "hi", binSize = 4)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_matches"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    oracle = Some(
+      """WITH pts AS (SELECT l_orderkey, l_linenumber,
+        |        datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS p
+        |      FROM lineitem),
+        |iv AS (SELECT o_orderkey, o_orderpriority,
+        |        datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS lo,
+        |        datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + 2 AS hi
+        |      FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 16 = 0)
+        |SELECT o_orderpriority, COUNT(*) AS n_matches,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM pts JOIN iv ON p >= lo AND p <= hi
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   /** HLL sketch with its accuracy contract as the verified output: the
     * oracle can't reproduce Spark's HLL++ estimate, but it CAN verify the
     * property that matters — the estimate lands within 8% (4σ at rsd=0.02)
@@ -421,6 +463,7 @@ object RelationalExtras {
     "q_corr_in_subquery" -> corrIn,
     "q_cte_reuse" -> cteReuse,
     "q_range_join" -> rangeJoin,
+    "q_range_join_binned" -> rangeJoinBinned,
     "q_approx_distinct" -> approxDistinct,
     "q_weighted_mean" -> weightedMeanQ)
 }

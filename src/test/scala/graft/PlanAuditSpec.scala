@@ -216,6 +216,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("binned range join plans as an equi-join — the pure-range BNLJ shape eliminated") {
+    val p = plan("q_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "binning failed: pure range join still nested-loops")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("KMV sketch aggregate plans partial + final (map-side combine)") {
     val p = plan("q_kmv_distinct")
     // Aggregator-backed UDAFs plan ObjectHashAggregate with a partial pass;
