@@ -315,6 +315,69 @@ object WarehouseQueries {
         |    / 1000000.0 AS p
         |FROM c ORDER BY prev_type, event_type""".stripMargin))
 
+  // --- control chart (rolling-baseline anomaly detection) -------------------
+
+  /** Shewhart-style control chart over daily value totals per event type:
+    * each day is compared against the mean ± 2σ of its OWN trailing 7-day
+    * baseline (prior days only — the tested day never contaminates its
+    * baseline). The windowed power sums stay DECIMAL, which matters more
+    * here than in plain aggregates: windowed doubles are associativity-
+    * sensitive (DuckDB computes sliding frames with a segment tree, Spark
+    * re-scans the frame in order — different addition trees, potentially
+    * different last ulps), while DECIMAL is exact under ANY association.
+    * One shuffle on the (type, day) pre-aggregation; the window runs over
+    * the DOMAIN-sized daily series. */
+  private val controlChart = QueryDef(
+    fn = (spark, dir) => {
+      val d = Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("v"), count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      val r = d
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("v")).over(w))
+        .withColumn("s2", sum(col("v").cast(DecimalType(19, 4))
+          * col("v").cast(DecimalType(19, 4))).over(w))
+      val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+      val wn = col("wn").cast("double")
+      // divisor clamped: Spark's when()/&& evaluate eagerly, so a raw
+      // (wn−1) divides by zero under ANSI on wn=1 rows the guard discards;
+      // every surviving read has wn >= 3 where the clamp is inert
+      val variance = (s2 - s1 * s1 / wn) / greatest(wn - 1, lit(1.0))
+      val mu = s1 / wn
+      r.filter(col("wn") >= 1)
+        .select(col("event_type"), col("day"), col("v").cast("double").as("v"),
+          col("wn"),
+          r6(mu).as("mu"),
+          when(col("wn") >= 3 && variance > 0, r6(sqrt(variance))).as("sigma"),
+          (col("wn") >= 3 && variance > 0
+            && abs(col("v").cast("double") - mu) > lit(2) * sqrt(variance)).as("breach"))
+        .orderBy("event_type", "day")
+    },
+    oracle = Some(
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(12,4))) AS v, COUNT(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, v,
+        |    COUNT(*) OVER w AS wn,
+        |    SUM(v) OVER w AS s1,
+        |    SUM(CAST(v AS DECIMAL(19,4)) * CAST(v AS DECIMAL(19,4))) OVER w AS s2
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |x AS (SELECT event_type, day, CAST(v AS DOUBLE) AS v, wn,
+        |    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2, CAST(wn AS DOUBLE) AS wnd
+        |  FROM r WHERE wn >= 1)
+        |SELECT event_type, day, v, wn,
+        |  floor((s1 / wnd) * 1000000.0 + 0.5) / 1000000.0 AS mu,
+        |  CASE WHEN wn >= 3 AND (s2 - s1*s1/wnd) / (wnd - 1) > 0 THEN
+        |    floor(sqrt((s2 - s1*s1/wnd) / (wnd - 1)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS sigma,
+        |  (wn >= 3 AND (s2 - s1*s1/wnd) / (wnd - 1) > 0
+        |   AND abs(v - s1/wnd) > 2 * sqrt((s2 - s1*s1/wnd) / (wnd - 1))) AS breach
+        |FROM x ORDER BY event_type, day""".stripMargin))
+
   // --- rolling distinct (windowed COUNT DISTINCT rewrite) -------------------
 
   /** 7-day rolling distinct active users (WAU-style) per observed day —
@@ -771,5 +834,6 @@ object WarehouseQueries {
     "q_chisq" -> chisq,
     "q_ivm_agg" -> ivmAgg,
     "q_profile_table" -> profileTable,
-    "q_rolling_distinct" -> rollingDistinct)
+    "q_rolling_distinct" -> rollingDistinct,
+    "q_control_chart" -> controlChart)
 }

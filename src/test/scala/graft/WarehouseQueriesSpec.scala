@@ -336,6 +336,24 @@ class WarehouseQueriesSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q_control_chart: baseline window bounded, flags consistent with emitted mu/sigma") {
+    val rows = q("q_control_chart")
+      .select($"v", $"wn", $"mu", $"sigma", $"breach")
+      .as[(Double, Long, Double, Option[Double], Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, wn, mu, sigma, breach) =>
+      assert(wn >= 1 && wn <= 7, s"baseline window out of bounds: $wn")
+      if (breach) {
+        assert(sigma.isDefined && wn >= 3, "breach without a valid baseline")
+        // rounded columns re-imply the flag with slack for the 1e-6 rounding
+        assert(math.abs(v - mu) > 2 * sigma.get - 1e-4,
+          s"breach flag inconsistent: |$v - $mu| vs 2*${sigma.get}")
+      }
+      if (sigma.isEmpty) assert(!breach)
+    }
+    assert(rows.exists(_._5), "fixture produced no breaches — trap lost its teeth")
+  }
+
   test("q_rolling_distinct: dau1 <= dau7 <= total distinct users, every day present") {
     val df = q("q_rolling_distinct").cache()
     try {
