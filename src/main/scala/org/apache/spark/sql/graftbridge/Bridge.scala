@@ -23,4 +23,29 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** Build a session over an EXISTING SparkContext with a
+    * SparkSessionExtensions instance applied — `spark.sql.extensions` is a
+    * STATIC conf read from the context at build, so a shared test context
+    * cannot opt in through builder options; the `private[sql]` constructor
+    * is the supported-in-spirit path (it is exactly what getOrCreate calls
+    * after loading the configured classes). */
+  def sessionWithExtensions(
+      sc: org.apache.spark.SparkContext,
+      apply: org.apache.spark.sql.SparkSessionExtensions => Unit): org.apache.spark.sql.SparkSession = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    apply(ext)
+    // the primary constructor is class-private (getOrCreate's internal
+    // path); located structurally so a Spark-side arity change fails loudly
+    // here instead of resolving to the wrong overload
+    val ctor = classOf[org.apache.spark.sql.classic.SparkSession]
+      .getDeclaredConstructors
+      .find(_.getParameterTypes.exists(
+        _ == classOf[org.apache.spark.sql.SparkSessionExtensions]))
+      .getOrElse(throw new IllegalStateException(
+        "no SparkSession constructor taking SparkSessionExtensions"))
+    ctor.setAccessible(true)
+    ctor.newInstance(sc, None, None, ext, Map.empty, Map.empty)
+      .asInstanceOf[org.apache.spark.sql.SparkSession]
+  }
 }

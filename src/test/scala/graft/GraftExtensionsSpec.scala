@@ -38,4 +38,32 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // would throw on malformed descriptors
   }
+
+  test("config-path install: a session built with spark.sql.extensions gets functions AND the optimizer rule") {
+    import org.apache.spark.sql.SparkSession
+    // spark.sql.extensions is STATIC conf read from the SparkContext at
+    // build, so the shared test context cannot opt in via builder options;
+    // Bridge constructs the session the way getOrCreate would after
+    // loading the configured classes
+    SparkSession.clearActiveSession()
+    val viaExt = org.apache.spark.sql.graftbridge.Bridge
+      .sessionWithExtensions(spark.sparkContext, new GraftExtensions().apply)
+    try {
+      val h = viaExt.sql("SELECT token_hash32('tok') AS h")
+        .collect().head.getLong(0)
+      assert(h == 1622020974L, "injected function not visible via config path")
+      // …and the rule: a pure range join rewrites once the conf is set
+      viaExt.conf.set(graft.plans.BinnedRangeJoinRule.BinSizeConf, "4")
+      import viaExt.implicits._
+      val p = Seq((1L, 3L)).toDF("pid", "p")
+      val iv = Seq((10L, 0L, 4L)).toDF("iid", "lo", "hi")
+      val plan = p.join(iv, $"p" >= $"lo" && $"p" <= $"hi")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_bin"),
+        s"optimizer rule not active through spark.sql.extensions:\n$plan")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
