@@ -1446,6 +1446,49 @@ object ExtensionQueries {
          |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin))
 
+  // ---- positional-index phrase search --------------------------------------
+
+  /** Exact phrase search ("big order scan") via a positional inverted
+    * index — the position-AWARE join family, distinct from the bag-of-
+    * shingles joins: postings are (doc, token, position) triples from
+    * posexplode, one narrow postings frame per phrase word (token filter
+    * applied at the explode), and adjacency is the equi-join
+    * `(doc, pos+k)`. Occurrences, not just containment, fall out of the
+    * final count. A conservative substring prefilter on the rarest word
+    * prunes the scan before any explode (a whitespace token implies its
+    * substring — supersets only, semantics untouched); tokenization is the
+    * repo-standard lower/split, so the oracle unnests the identical
+    * positions in lockstep. At 100 TB this is term-partitioned retrieval:
+    * join keys (doc, pos) are high-cardinality and the per-term postings
+    * are the only shuffled data. */
+  private val phraseSearch = QueryDef(
+    fn = (spark, dir) => {
+      val words = Seq("big", "order", "scan")
+      val docs = Tables.documents(spark, dir)
+        .filter(lower(col("text")).contains(words.head))
+      val postings = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      val parts = words.zipWithIndex.map { case (w, i) =>
+        postings.filter(col("tok") === w)
+          .select(col("doc_id"), (col("pos") - i).as("anchor"))
+      }
+      parts.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH t AS (SELECT doc_id, ${dToks("text")} AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+         |             unnest(toks) AS tok FROM t),
+         |p0 AS (SELECT doc_id, pos AS anchor FROM p WHERE tok = 'big'),
+         |p1 AS (SELECT doc_id, pos - 1 AS anchor FROM p WHERE tok = 'order'),
+         |p2 AS (SELECT doc_id, pos - 2 AS anchor FROM p WHERE tok = 'scan')
+         |SELECT p0.doc_id, COUNT(*) AS n_occurrences
+         |FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p0.anchor = p1.anchor
+         |        JOIN p2 ON p0.doc_id = p2.doc_id AND p0.anchor = p2.anchor
+         |GROUP BY p0.doc_id ORDER BY p0.doc_id""".stripMargin))
+
   // ---- KMV (bottom-k) sketch: distinct estimate + set algebra --------------
 
   /** Shared oracle CTE chain: per-`group` distinct 3-gram shingles of the
@@ -1651,6 +1694,7 @@ object ExtensionQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_prefix_join" -> dedupPrefixJoin,
+    "q_phrase_search" -> phraseSearch,
     "q_kmv_distinct" -> kmvDistinct,
     "q_kmv_setops" -> kmvSetops,
     "q_emb_project" -> embProject,

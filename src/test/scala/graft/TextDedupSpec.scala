@@ -51,6 +51,20 @@ class TextDedupSpec extends SparkSpec {
       TextAnalysis.StopwordLists.head._1 && none.getAs[Int]("lang_score") == 0)
   }
 
+  test("q_phrase_search fixture: adjacency required, occurrences counted, scattered words ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toFile.getAbsolutePath
+    Seq(
+      (1L, "big order scan then big order scan again", "en", "s", 10L), // 2 hits
+      (2L, "big BIG order scan", "en", "s", 10L),                       // case-folded, 1 hit
+      (3L, "big scan order big scan", "en", "s", 10L),                  // scattered: none
+      (4L, "nothing here", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_phrase_search")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 2L, 2L -> 1L), s"got $got")
+  }
+
   test("nearDupPrefixJoin: output-identical to brute force at several thresholds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter($"doc_id" % 5 === 0)
