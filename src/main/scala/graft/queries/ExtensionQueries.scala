@@ -1520,7 +1520,7 @@ object ExtensionQueries {
       // distinct on the 8-byte (lang, hash) pair — NOT the shingle string —
       // then both the sketch and the exact count read the pre-distinct
       // stream: one narrow shuffle instead of a countDistinct expand over
-      // strings (measured 4.3 s -> 2.6 s at sf0.1). n_exact counts distinct
+      // strings (isolated sf0.1 median 4.3 s -> 3.6 s). n_exact counts distinct
       // HASHES, matching the estimator's own universe (the oracle mirrors).
       val hd = Tables.documents(spark, dir)
         .select(col("lang"),
@@ -1570,8 +1570,9 @@ object ExtensionQueries {
     * exact intersection join beside it is the verification twin. Contracts:
     * union within ±35 % (measured worst 24.9 %), Jaccard within ±0.15
     * absolute (measured worst 0.064; σ ≈ √(J(1−J)/64) ≤ 0.063). jac_est
-    * = c/64 is an exact double; jac_exact divides the same int64s in both
-    * engines — bit-identical either way. */
+    * = c/k_used (k_used, not the nominal 64: a sub-k merge is exhaustive
+    * and the ratio is then the exact Jaccard); jac_exact divides the same
+    * int64s in both engines — bit-identical either way. */
   private val kmvSetops = QueryDef(
     fn = (spark, dir) => {
       val dist = Tables.documents(spark, dir)
@@ -1602,7 +1603,10 @@ object ExtensionQueries {
         .join(inter, Seq("src_a", "src_b"), "left")
         .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
         .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
-        .withColumn("jac_est", col("c").cast("double") / 64)
+        // divisor is k_used, NOT the nominal 64: a sub-k merged sketch is
+        // exhaustive, and c/k_used is then the EXACT Jaccard (c/64 would
+        // deflate it — for two identical 10-shingle sources, 10/64 vs 1.0)
+        .withColumn("jac_est", col("c").cast("double") / col("k_used").cast("double"))
         .withColumn("jac_exact", col("n_inter").cast("double") / col("n_union").cast("double"))
         .select(col("src_a"), col("src_b"), col("k_used"), col("est_union"),
           col("n_union"), col("jac_est"), col("jac_exact"),
@@ -1632,7 +1636,7 @@ object ExtensionQueries {
          |  FROM pairs),
          |fin AS (SELECT e.src_a, e.src_b, k_used, est_union,
          |    n_a + n_b - COALESCE(x.n_inter, 0) AS n_union,
-         |    CAST(c AS DOUBLE) / 64 AS jac_est,
+         |    CAST(c AS DOUBLE) / CAST(k_used AS DOUBLE) AS jac_est,
          |    CAST(COALESCE(x.n_inter, 0) AS DOUBLE)
          |      / CAST(n_a + n_b - COALESCE(x.n_inter, 0) AS DOUBLE) AS jac_exact
          |  FROM est e LEFT JOIN xp x ON e.src_a = x.src_a AND e.src_b = x.src_b)

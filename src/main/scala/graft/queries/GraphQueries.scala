@@ -21,16 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries {
 
-  /** PageRank (d=0.85, 3 iterations) over the customer-nation →
-    * supplier-nation trade graph: who sits at the center of the trade
-    * network. Edge weights = lineitem counts via the 4-table join
-    * (lineitem⋈orders⋈customer⋈supplier — the one data-sized stage;
-    * Catalyst's ReuseExchange collapses the three per-iteration
-    * re-references of the edge frame to one physical build). Each
-    * iteration: per-edge contribution `(r·w) div ow`, per-dst sum, damp
-    * `base + (85·Σ) div 100` with base = 0.15·1e9/25 = 6e6; nodes with no
-    * in-edges keep base rank via the left join, dangling mass is dropped
-    * (standard simplification, deterministic). */
   /** Customer-nation → supplier-nation weighted edge list from the 4-table
     * join — the one data-sized stage every graph query here shares.
     * Dimension joins stay unhinted: customer/supplier grow with SF, so the
@@ -55,6 +45,15 @@ object GraphQueries {
       |  JOIN supplier s ON l_suppkey = s_suppkey
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** PageRank (d=0.85, 3 iterations) over the customer-nation →
+    * supplier-nation trade graph: who sits at the center of the trade
+    * network. Edge weights = lineitem counts via [[tradeEdges]] (the one
+    * data-sized stage; Catalyst's ReuseExchange collapses the three
+    * per-iteration re-references of the edge frame to one physical build).
+    * Each iteration: per-edge contribution `(r·w) div ow`, per-dst sum,
+    * damp `base + (85·Σ) div 100` with base = 0.15·1e9/25 = 6e6; nodes
+    * with no in-edges keep base rank via the left join, dangling mass is
+    * dropped (standard simplification, deterministic). */
   private val pagerank = QueryDef(
     fn = (spark, dir) => {
       val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))

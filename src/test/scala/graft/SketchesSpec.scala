@@ -75,6 +75,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("q_kmv_setops sub-k fixture: exhaustive sketches give EXACT jaccard (the c/k_used divisor)") {
+    // two sources with identical 7-token texts: merged sketch is sub-k
+    // exhaustive, so jac_est must be exactly 1.0 — a c/64 divisor would
+    // emit 5/64 and fail the ±0.15 contract (regression for that bug)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv-subk").toFile.getAbsolutePath
+    Seq(
+      (1L, "a b c d e f g", "en", "src0", 13L),
+      (2L, "a b c d e f g", "en", "src1", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("q_kmv_setops")(spark, dir)
+      .select("k_used", "est_union", "n_union", "jac_est", "jac_exact", "ok_union", "ok_jac")
+      .as[(Long, Long, Long, Double, Double, Boolean, Boolean)].collect()
+    assert(row.length == 1)
+    val (k, est, union, jest, jexact, okU, okJ) = row.head
+    assert(k == 5 && est == 5 && union == 5, s"sub-k sketch not exhaustive: $row")
+    assert(jest == 1.0 && jexact == 1.0 && okU && okJ, s"sub-k jaccard not exact: $row")
+  }
+
   test("q_bloom_decontaminate: every exact match is a bloom hit (no false negatives)") {
     val bad = q("q_bloom_decontaminate")
       .filter(!col("no_false_negative") || col("n_bloom_hits") < col("n_exact_hits"))
