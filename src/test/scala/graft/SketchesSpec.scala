@@ -75,6 +75,21 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("q_kmv_diff: all ordered pairs inside the union-relative contract, unions symmetric") {
+    val rows = q("q_kmv_diff")
+      .select("src_a", "src_b", "est_only_a", "n_only_a", "n_union", "ok")
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+    assert(rows.length == 20) // 5P2 ordered pairs
+    rows.foreach { case (a, b, est, exact, union, ok) =>
+      assert(ok, s"|$a \\ $b| contract breach: est $est vs $exact (union $union)")
+      assert(est >= 0 && exact <= union)
+    }
+    val unions = rows.map(r => (r._1, r._2) -> r._5).toMap
+    unions.foreach { case ((a, b), u) =>
+      assert(unions((b, a)) == u, s"union($a,$b) not symmetric")
+    }
+  }
+
   test("q_kmv_setops sub-k fixture: exhaustive sketches give EXACT jaccard (the c/k_used divisor)") {
     // two sources with identical 7-token texts: merged sketch is sub-k
     // exhaustive, so jac_est must be exactly 1.0 — a c/64 divisor would
