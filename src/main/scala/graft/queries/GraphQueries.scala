@@ -142,7 +142,64 @@ object GraphQueries {
         |  (SELECT COUNT(DISTINCT v) FROM
         |     (SELECT a AS v FROM keep UNION ALL SELECT b FROM keep)) AS n_nodes""".stripMargin))
 
+  /** Degree / strength / reciprocity profile of the above-mean DIRECTED
+    * trade graph — the per-node structural summary next to the global
+    * triangle census: out/in degree (edge counts), out/in strength (weight
+    * sums), and the count of reciprocated out-edges (a ⇄ b both above
+    * threshold). Same cross-multiplied integer sparsification as
+    * [[triangles]]; every metric is a count/sum over the domain-sized edge
+    * frame, nations with nothing kept surface as zero rows via the left
+    * joins (never silently dropped). */
+  private val degrees = QueryDef(
+    fn = (spark, dir) => {
+      val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+      val e0 = tradeEdges(spark, dir).filter(col("src") =!= col("dst"))
+      val tot = e0.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
+      val e2 = e0.crossJoin(broadcast(tot))
+        .filter(col("w") * col("ne") > col("tw"))
+        .select(col("src"), col("dst"), col("w"))
+      val outd = e2.groupBy(col("src").as("nk"))
+        .agg(count(lit(1)).as("out_degree"), sum(col("w")).as("out_weight"))
+      val ind = e2.groupBy(col("dst").as("nk"))
+        .agg(count(lit(1)).as("in_degree"), sum(col("w")).as("in_weight"))
+      val recip = e2.as("a")
+        .join(e2.as("b"), col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .groupBy(col("a.src").as("nk")).agg(count(lit(1)).as("n_reciprocal"))
+      n.join(outd, col("n_nationkey") === outd("nk"), "left").drop("nk")
+        .join(ind, col("n_nationkey") === ind("nk"), "left").drop("nk")
+        .join(recip, col("n_nationkey") === recip("nk"), "left").drop("nk")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+          coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+          coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+          coalesce(col("in_weight"), lit(0L)).as("in_weight"),
+          coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
+        .orderBy("n_nationkey")
+    },
+    oracle = Some(
+      s"""WITH $edgesSql,
+        |e0 AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges WHERE src <> dst),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM e0),
+        |e2 AS (SELECT src, dst, w FROM e0 CROSS JOIN tot WHERE w * ne > tw),
+        |outd AS (SELECT src AS nk, COUNT(*) AS out_degree,
+        |                CAST(SUM(w) AS BIGINT) AS out_weight FROM e2 GROUP BY 1),
+        |ind AS (SELECT dst AS nk, COUNT(*) AS in_degree,
+        |               CAST(SUM(w) AS BIGINT) AS in_weight FROM e2 GROUP BY 1),
+        |recip AS (SELECT a.src AS nk, COUNT(*) AS n_reciprocal
+        |          FROM e2 a JOIN e2 b ON a.src = b.dst AND a.dst = b.src GROUP BY 1)
+        |SELECT n.n_nationkey, n.n_name,
+        |  COALESCE(o.out_degree, 0) AS out_degree,
+        |  COALESCE(i.in_degree, 0) AS in_degree,
+        |  COALESCE(o.out_weight, 0) AS out_weight,
+        |  COALESCE(i.in_weight, 0) AS in_weight,
+        |  COALESCE(r.n_reciprocal, 0) AS n_reciprocal
+        |FROM nation n LEFT JOIN outd o ON n.n_nationkey = o.nk
+        |LEFT JOIN ind i ON n.n_nationkey = i.nk
+        |LEFT JOIN recip r ON n.n_nationkey = r.nk
+        |ORDER BY n.n_nationkey""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_pagerank" -> pagerank,
-    "q_graph_triangles" -> triangles)
+    "q_graph_triangles" -> triangles,
+    "q_graph_degrees" -> degrees)
 }

@@ -42,6 +42,21 @@ class GraphQueriesSpec extends SparkSpec {
     assert(t <= v * (v - 1) * (v - 2) / 6 && t <= e * (v - 2), s"impossible $row")
   }
 
+  test("q_graph_degrees: handshake conservation and reciprocity bounds") {
+    val df = q("q_graph_degrees").cache()
+    try {
+      assert(df.count() == 25, "every nation gets a row (zeros, not drops)")
+      // Σ out_degree == Σ in_degree == edge count; same for weights
+      val (od, id, ow, iw) = df
+        .agg(sum($"out_degree"), sum($"in_degree"), sum($"out_weight"), sum($"in_weight"))
+        .as[(Long, Long, Long, Long)].head()
+      assert(od == id, s"degree handshake broken: $od vs $id")
+      assert(ow == iw, s"strength handshake broken: $ow vs $iw")
+      // reciprocated out-edges can never exceed out_degree
+      assert(df.filter($"n_reciprocal" > $"out_degree").count() == 0)
+    } finally df.unpersist()
+  }
+
   test("q_event_paths fixture: strictly consecutive, ties broken on path") {
     val dir = Files.createTempDirectory("graft-paths-fixture").toFile.getAbsolutePath
     // user 1: A B C D  -> paths A>B>C, B>C>D; user 2: A B C -> A>B>C
