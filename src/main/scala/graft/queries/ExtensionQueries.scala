@@ -1696,6 +1696,55 @@ object ExtensionQueries {
          |FROM prods GROUP BY vec_id ORDER BY vec_id""".stripMargin
     })
 
+  /** Containment-based near-dup (|A∩B| / min(|A|,|B|) ≥ 0.9 on token
+    * sets): catches SUBSET duplication — a short doc quoted inside a long
+    * one — which Jaccard structurally misses (the asymmetric measure stays
+    * high while |A∩B|/|A∪B| collapses as the big doc grows; the output
+    * carries both so the gap is visible: 25-11k containment-only pairs
+    * across the SFs). Same inverted-index candidates-only shape as
+    * [[Dedup.jaccardPairs]]; tokens (not shingles) because containment is
+    * about vocabulary coverage. Scale note: token keys are lower-
+    * cardinality than shingles, so at 100 TB this variant needs the
+    * hot-posting guard (df-cap, as in boilerplatePrune) — the sampled
+    * oracle twin here runs exact and uncapped. */
+  private val dedupContainment = QueryDef(
+    fn = (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id"), TextAnalysis.tokenSet(col("text")).as("gs"))
+        .filter(size(col("gs")) > 0)
+        .withColumn("sz", size(col("gs")))
+      val idx = d.select(col("id"), explode(col("gs")).as("g"), col("sz"))
+      val inter = idx.as("x")
+        .join(idx.as("y"), col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .agg(count(lit(1)).as("ni"), min(col("x.sz")).as("sz_a"), min(col("y.sz")).as("sz_b"))
+      val ni = col("ni").cast("double")
+      inter
+        .withColumn("containment", TextAnalysis.round6(ni / least(col("sz_a"), col("sz_b"))))
+        .withColumn("jaccard", TextAnalysis.round6(ni / (col("sz_a") + col("sz_b") - ni)))
+        .filter(ni / least(col("sz_a"), col("sz_b")) >= 0.9)
+        .select(col("id_a"), col("id_b"), col("ni"), col("containment"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(
+      s"""WITH d AS (SELECT doc_id AS id, ${dTokSet("text")} AS gs
+         |           FROM documents WHERE doc_id % 10 = 0),
+         |ne AS (SELECT id, gs, len(gs) AS sz FROM d WHERE len(gs) > 0),
+         |idx AS (SELECT id, unnest(gs) AS g, sz FROM ne),
+         |inter AS (SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS ni,
+         |                 MIN(x.sz) AS sz_a, MIN(y.sz) AS sz_b
+         |          FROM idx x JOIN idx y ON x.g = y.g AND x.id < y.id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, ni,
+         |  floor((CAST(ni AS DOUBLE) / LEAST(sz_a, sz_b)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS containment,
+         |  floor((CAST(ni AS DOUBLE) / (sz_a + sz_b - ni)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS jaccard
+         |FROM inter
+         |WHERE CAST(ni AS DOUBLE) / LEAST(sz_a, sz_b) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin))
+
   /** KMV set DIFFERENCE estimate |A \ B| for every ordered source pair —
     * completing the sketch algebra (distinct, union, Jaccard, difference).
     * est = (d/k)·est_union with d = |{h ∈ merged-k : h ∈ K_A ∧ h ∉ K_B}|,
@@ -1781,6 +1830,7 @@ object ExtensionQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "q_kmv_diff" -> kmvDiff,
+    "q_dedup_containment" -> dedupContainment,
     "q_dedup_prefix_join" -> dedupPrefixJoin,
     "q_phrase_search" -> phraseSearch,
     "q_kmv_distinct" -> kmvDistinct,

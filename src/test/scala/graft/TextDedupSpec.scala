@@ -85,6 +85,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_containment fixture: subset doc flagged at jaccard Jaccard misses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toFile.getAbsolutePath
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")      // 40-token vocab
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")    // strict subset
+    Seq(
+      (10L, big, "en", "s", 100L),
+      (20L, small, "en", "s", 25L),
+      (30L, "x y z", "en", "s", 5L)                          // disjoint
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_dedup_containment")(spark, dir)
+      .select($"id_a", $"id_b", $"containment", $"jaccard")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // the subset pair: containment exactly 1.0, jaccard only 10/40 = 0.25
+    assert(rows == Seq((10L, 20L, 1.0, 0.25)), s"got $rows")
+  }
+
   test("nearDupPrefixJoin subsumes verified minhash pairs (LSH can only miss)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter($"doc_id" % 10 === 0)
