@@ -133,6 +133,62 @@ object WarehouseQueries {
         |  END AS purchase_rate
         |FROM c""".stripMargin))
 
+  /** Funnel conversion-lag percentiles: how LONG each converting user took
+    * between stages, as rank-exact lower median and p90 over integer-µs
+    * lags (rn = (n+1) div 2 and ceil(0.9n) = (9n+9) div 10 under a
+    * (lag, user) total order — actual data values, no interpolation, no
+    * doubles anywhere). Stage frames are user-count-sized; both stages
+    * rank in ONE window pass over the long-format lag table. The latency
+    * companion to [[funnelSteps]]' conversion counts. */
+  private val funnelLag = QueryDef(
+    fn = (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "view")
+        .join(broadcast(s1), "user_id").filter(col("ts_us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(s2), "user_id").filter(col("ts_us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      val lags = s2.join(s1, "user_id")
+        .select(lit("signup_to_view").as("stage"), col("user_id"),
+          (col("t2") - col("t1")).as("lag_us"))
+        .unionByName(s3.join(s2, "user_id")
+          .select(lit("view_to_purchase").as("stage"), col("user_id"),
+            (col("t3") - col("t2")).as("lag_us")))
+      val w = Window.partitionBy(col("stage")).orderBy(col("lag_us"), col("user_id"))
+      lags
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("stage"))))
+        .groupBy(col("stage"))
+        .agg(min(col("n")).as("n_users"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("lag_us"))).as("med_lag_us"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("lag_us"))).as("p90_lag_us"))
+        .orderBy("stage")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts_us > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id),
+        |lags AS (
+        |  SELECT 'signup_to_view' AS stage, s2.user_id, t2 - t1 AS lag_us
+        |  FROM s2 JOIN s1 USING (user_id)
+        |  UNION ALL
+        |  SELECT 'view_to_purchase', s3.user_id, t3 - t2 FROM s3 JOIN s2 USING (user_id)),
+        |r AS (SELECT stage, user_id, lag_us,
+        |        row_number() OVER (PARTITION BY stage ORDER BY lag_us, user_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY stage) AS n
+        |      FROM lags)
+        |SELECT stage, MIN(n) AS n_users,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN lag_us END) AS med_lag_us,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_us END) AS p90_lag_us
+        |FROM r GROUP BY stage ORDER BY stage""".stripMargin))
+
   // --- weekly cohort retention ----------------------------------------------
 
   /** Cohort retention matrix: users grouped by the ISO week (Monday start)
@@ -822,6 +878,7 @@ object WarehouseQueries {
   val defs: Map[String, QueryDef] = Map(
     "q_scd2_build" -> scd2Build,
     "q_funnel_steps" -> funnelSteps,
+    "q_funnel_lag" -> funnelLag,
     "q_cohort_retention" -> cohortRetention,
     "q_regr_ols" -> regrOls,
     "q_cdc_diff" -> cdcDiff,

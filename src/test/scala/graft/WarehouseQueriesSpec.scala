@@ -222,6 +222,21 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(kept <= chunks)
   }
 
+  test("q_funnel_lag: median <= p90, user counts agree with the funnel's stage counts") {
+    val lag = q("q_funnel_lag")
+      .select($"stage", $"n_users", $"med_lag_us", $"p90_lag_us")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (s, n, m, p) => s -> ((n, m, p)) }.toMap
+    assert(lag.keySet == Set("signup_to_view", "view_to_purchase"))
+    lag.values.foreach { case (n, med, p90) =>
+      assert(n > 0 && med > 0 && med <= p90, s"ordering broken: $n $med $p90")
+    }
+    val (nView, nPurchase) = q("q_funnel_steps")
+      .select($"n_view_after", $"n_purchase_after").as[(Long, Long)].head()
+    assert(lag("signup_to_view")._1 == nView)
+    assert(lag("view_to_purchase")._1 == nPurchase)
+  }
+
   // --- CDC snapshot diff ----------------------------------------------------
 
   test("q_cdc_diff: op classes partition correctly on real data") {
