@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{Tables, TextAnalysis}
+import graft.ops.{RobustStats, Tables, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -88,31 +88,70 @@ object AnalyticQueries {
 
   /** Per-group z-score outlier detection: the 50 most anomalous lineitems
     * per return flag by |(x - mean) / stddev|, with group moments from the
-    * same exact DECIMAL power sums as statsAgg. Two passes over the fact
-    * in plan terms but ONE wide shuffle: the moments frame is
-    * groups-sized, so the join back is a broadcast and the ranking window
-    * repartitions by the (low-cardinality, value-balanced) flag. Ranking
-    * ties (l_quantity is discrete, so equal values share a z exactly) are
-    * broken on the unique (l_orderkey, l_linenumber) key — the top-50
-    * cutoff is a total order on both engines.
+    * same exact DECIMAL power sums as statsAgg. Ranking ties (l_quantity
+    * is discrete, so equal values share a z exactly) are broken on the
+    * unique (l_orderkey, l_linenumber) key — the top-50 cutoff is a total
+    * order on both engines. Scale shape: |z| depends only on the
+    * BOUNDED-domain l_quantity, so ONE map-side-combinable
+    * (flag, quantity) histogram pass — ≤ flags × 50 rows, collected
+    * driver-side like [[RobustStats]]' bucket counts — yields BOTH the
+    * exact group moments (Σ v·c over BigDecimals ≡ the row sums, exactly;
+    * the double math then replicates the oracle's operation order) and
+    * the top-k quantity prefilter: a quantity can host a rank-≤50 row
+    * only if quantities with strictly greater |z| hold fewer than 50 rows
+    * between them. The second (and last) pass scans the fact with that
+    * `isin` prefilter and CASE-literal moments, so the ranking window and
+    * Spark's map-side WindowGroupLimit only ever see the survivor sliver.
+    * No full-table sort lands in the 3-partition flag exchange.
     */
   private val outlierZscore = QueryDef(
     fn = (spark, dir) => {
       val li = Tables.lineitem(spark, dir)
-      val stats = li.groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).as("sx"),
-          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"))
-        .select(col("l_returnflag"),
-          (col("sx").cast("double") / col("n").cast("double")).as("m"),
-          sqrt((col("sxx").cast("double")
-              - col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double"))
-            / (col("n").cast("double") - lit(1.0))).as("sd"))
-      val z = (col("l_quantity") - col("m")) / col("sd")
+      val hist: Map[String, Seq[(Double, Long)]] =
+        li.groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("c")).collect()
+          .groupBy(_.getString(0))
+          .map { case (g, rows) =>
+            g -> rows.map(r => (r.getDouble(1), r.getLong(2))).toSeq
+          }
+      val moments = hist.map { case (g, qs) =>
+        // exact decimal power sums (order-independent), then the oracle's
+        // double expression tree verbatim
+        val bd = (d: Double) =>
+          java.math.BigDecimal.valueOf(d).setScale(4, java.math.RoundingMode.HALF_UP)
+        val n = qs.map(_._2).sum
+        val sx = qs.map { case (q, c) =>
+          bd(q).multiply(new java.math.BigDecimal(c)) }
+          .reduce(_.add(_)).doubleValue
+        val sxx = qs.map { case (q, c) =>
+          bd(q).multiply(bd(q)).multiply(new java.math.BigDecimal(c)) }
+          .reduce(_.add(_)).doubleValue
+        val nd = n.toDouble
+        g -> (sx / nd, math.sqrt((sxx - sx * sx / nd) / (nd - 1.0)))
+      }
+      val keep: Map[String, Seq[Double]] = hist.map { case (g, qs) =>
+        val (m, sd) = moments(g)
+        // merge quantities with identical |z| (symmetric around the mean)
+        // so the running count is over STRICTLY greater scores
+        val byScore = qs.groupBy { case (q, _) => math.abs((q - m) / sd) }
+          .map { case (s, xs) => (s, xs.map(_._2).sum, xs.map(_._1)) }
+          .toSeq.sortBy(-_._1)
+        var sg = 0L
+        g -> byScore.takeWhile { case (_, c, _) =>
+          val in = sg < 50; sg += c; in
+        }.flatMap(_._3)
+      }
+      val mCase = RobustStats.caseByGroup("l_returnflag",
+        moments.map { case (g, (m, _)) => g -> lit(m) })
+      val sdCase = RobustStats.caseByGroup("l_returnflag",
+        moments.map { case (g, (_, sd)) => g -> lit(sd) })
+      val pred = keep.map { case (g, qs) =>
+        col("l_returnflag") === lit(g) && col("l_quantity").isin(qs: _*)
+      }.reduce(_ || _)
+      val z = (col("l_quantity") - mCase) / sdCase
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(abs(z).desc, col("l_orderkey"), col("l_linenumber"))
-      li.join(broadcast(stats), "l_returnflag")
+      li.filter(pred)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 50)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),

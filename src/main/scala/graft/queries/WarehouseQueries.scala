@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{Tables, TextAnalysis}
+import graft.ops.{RobustStats, Tables, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -812,42 +812,76 @@ object WarehouseQueries {
 
   /** Median-absolute-deviation outlier screen — the robust sibling of
     * q_outlier_zscore, immune to the outliers it hunts. Both medians are
-    * LOWER medians picked by rank (`rn = (n+1) div 2` under a unique-key
-    * total order), so the selected value is an actual data value and the
-    * whole pipeline stays in exact DECIMAL — no interpolation, no doubles
-    * until the display cast. The outlier test `2·dev > 3·mad` (dev > 1.5
-    * MAD) is cross-multiplied decimal, exact on both engines. Scale shape:
-    * two rank windows partitioned by the group key with group-sized
-    * (broadcast) frames between — same skew profile as any per-group
-    * window, with only 3-row frames ever crossing stages.
+    * LOWER medians picked by rank (`rn = (n+1) div 2`), so the selected
+    * value is an actual data value and the whole pipeline stays in exact
+    * DECIMAL — no interpolation, no doubles until the display cast. The
+    * value at that rank is independent of how ties are broken, so the
+    * rank-by-unique-key oracle and the rank-by-value plan agree. The
+    * outlier test `2·dev > 3·mad` (dev > 1.5 MAD) is cross-multiplied
+    * decimal, exact on both engines. Scale shape: FOUR jobs, each an
+    * embarrassingly parallel scan + map-side-combinable aggregate with
+    * domain-bounded output (see [[RobustStats]]): price-bucket counts →
+    * in-bucket values → deviation-bucket counts → candidate-bucket
+    * deviation values. The driver walks only bucket/value histograms
+    * (groups × domain, never n), picks both exact medians, and counts
+    * outliers as full-bucket sums (buckets provably past the 1.5·MAD
+    * threshold) plus an exact test over the collected candidate-bucket
+    * values — the three candidate buckets bracketing the threshold are
+    * known from the MAD bucket alone, so no fifth pass is needed. Nothing
+    * row-count-sized crosses an exchange or a window anywhere; the
+    * 3-partition flag straggler the rank-window plan had is gone.
     */
   private val outlierMad = QueryDef(
     fn = (spark, dir) => {
+      import RobustStats._
+      val W = 16.0 // power of two: bucket projection is float-exact
+      val fl = "l_returnflag"
       val x = Tables.lineitem(spark, dir)
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          dec(col("l_extendedprice")).as("v"))
-      val w1 = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
-      val med = x
-        .withColumn("rn", row_number().over(w1))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("l_returnflag"), col("v").as("med"), col("n"))
-      val d = x.join(broadcast(med), "l_returnflag")
-        .withColumn("dev", abs(col("v") - col("med")))
-      val w2 = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("dev"), col("l_orderkey"), col("l_linenumber"))
-      val mad = d
-        .withColumn("rn", row_number().over(w2))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("l_returnflag"), col("dev").as("mad"))
-      d.join(broadcast(mad), "l_returnflag")
-        .groupBy(col("l_returnflag"), col("n"), col("med"), col("mad"))
-        .agg(sum(when(col("dev") * 2 > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
-        .select(col("l_returnflag"), col("n"),
-          col("med").cast("double").as("med"), col("mad").cast("double").as("mad"),
-          col("n_outliers"))
-        .orderBy("l_returnflag")
+        .select(col(fl), dec(col("l_extendedprice")).as("v"))
+      val medR = exactLowerMedian(x, fl, col("v"), W)
+      val medCase = caseByGroup(fl,
+        medR.map { case (g, r) => g -> lit(r.med) })
+      val dv = x.select(col(fl), abs(col("v") - medCase).as("dev"))
+      val devCounts = bucketCounts(dv, fl, col("dev"), W)
+      val devTgt = devCounts.map { case (g, bs) => g -> rankTarget(bs) }
+      // mad ∈ [b1·W, (b1+1)·W) ⇒ 1.5·mad ∈ [tb0·W, (tb0+3)·W) with
+      // tb0 = floor(1.5·b1): collect b1 (for the exact MAD) plus the three
+      // threshold candidates; buckets in (b1, tb0) are provably ≤ 1.5·mad,
+      // buckets > tb0+2 provably > — countable from the bucket sums alone
+      val cand = devTgt.map { case (g, (b1, _, _, _)) =>
+        val tb0 = (1.5 * b1).toLong
+        g -> Set(b1, tb0, tb0 + 1, tb0 + 2)
+      }
+      val devVals = valueCounts(dv, fl, col("dev"), W, cand)
+      val out = medR.keys.toSeq.sorted.map { g =>
+        val (b1, cBefore, target, n) = devTgt(g)
+        val inB1 = devVals(g).filter { case (value, _) =>
+          math.floor(value.doubleValue / W).toLong == b1
+        }
+        val mad = pickAtRank(inB1, cBefore, target)
+        val thrHi = (1.5 * b1).toLong + 2
+        val full = devCounts(g).collect { case (b, c) if b > thrHi => c }.sum
+        val three = mad.multiply(new java.math.BigDecimal(3))
+        val partial = devVals(g).collect {
+          case (value, c)
+            if value.multiply(new java.math.BigDecimal(2)).compareTo(three) > 0 => c
+        }.sum
+        org.apache.spark.sql.Row(
+          g, n, medR(g).med.doubleValue, mad.doubleValue, full + partial)
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList[org.apache.spark.sql.Row](out: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(fl,
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("med",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("mad",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_outliers",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     },
     oracle = Some(
       """WITH x AS (SELECT l_returnflag, l_orderkey, l_linenumber,

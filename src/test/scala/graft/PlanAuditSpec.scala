@@ -230,4 +230,26 @@ class PlanAuditSpec extends SparkSpec {
     val objAgg = "ObjectHashAggregate".r.findAllIn(p).length
     assert(objAgg >= 2, s"expected partial+final ObjectHashAggregate, got $objAgg:\n${p.take(1200)}")
   }
+
+  test("z-score outliers: the flag-partitioned window only sees isin-prefiltered survivors") {
+    val p = plan("q_outlier_zscore")
+    // the quantity prefilter must reach the parquet scan (so the window's
+    // exchange carries a sliver, not the fact) and the ranking must keep
+    // its map-side WindowGroupLimit
+    assert(p.contains("PushedFilters: [Or(") || p.contains("In(l_quantity"),
+      "survivor prefilter did not push into the scan")
+    assert(p.contains("WindowGroupLimit"), "rank-50 lost its group limit")
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).get
+    assert(scanLine.contains("l_quantity"), "scan lost the prefilter column")
+  }
+
+  test("MAD outliers: driver-assembled literal result — no rank window, no wide exchange at all") {
+    // the four bounded-output aggregation jobs run eagerly inside the query
+    // fn; the returned plan must be the metadata-sized literal, proving no
+    // full-table sort can land in the 3-value flag exchange
+    val p = plan("q_outlier_mad")
+    assert(p.contains("LocalTableScan"), s"expected literal result plan:\n$p")
+    assert(!p.contains("Window") && !p.contains("Exchange"),
+      s"metadata-sized result must not shuffle or sort:\n$p")
+  }
 }
