@@ -102,6 +102,62 @@ class TextDedupSpec extends SparkSpec {
     assert(rows == Seq((10L, 20L, 1.0, 0.25)), s"got $rows")
   }
 
+  test("containmentPrefixJoin: output-identical to brute force at several thresholds") {
+    // two corpora: the 31-token synthetic docs (dense postings — the
+    // degenerate case) and a 120-token-vocabulary fixture with strict
+    // subset structure (the case the prefix bound is built for)
+    val synth = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" % 5 === 0)
+    val wide = (1 to 30).map { i =>
+      // doc i holds tokens w(4i mod 120) .. w(4i mod 120 + 20): overlapping
+      // runs, deterministic, sizes 21
+      (i.toLong, ((4 * i % 120) to (4 * i % 120 + 20)).map(j => s"w$j").mkString(" "),
+        "en", "s", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (docs <- Seq(synth, wide); t <- Seq(0.7, 0.9)) {
+      val sets = docs
+        .select($"doc_id".as("id"), TextAnalysis.tokenSet($"text").as("toks"))
+        .filter(size($"toks") > 0)
+        .withColumn("sz", size($"toks"))
+      val brute = sets.as("a").crossJoin(sets.as("b"))
+        .filter($"a.id" < $"b.id")
+        .withColumn("ni", graft.functions.SortedIntersectCount
+          .intersectCountFast($"a.toks", $"b.toks").cast("long"))
+        .filter($"ni".cast("double") / least($"a.sz", $"b.sz") >= t)
+        .select($"a.id", $"b.id", $"ni")
+        .as[(Long, Long, Long)].collect().toSet
+      val pruned = Dedup.containmentPrefixJoin(docs, "doc_id", "text", t)
+        .select($"id_a", $"id_b", $"ni")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(pruned == brute,
+        s"t=$t: missing ${(brute -- pruned).take(3)}, extra ${(pruned -- brute).take(3)}")
+    }
+  }
+
+  test("containmentBitmapPairs: identical to the prefix join and to brute force") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" % 5 === 0)
+    val bitmap = Dedup.containmentBitmapPairs(docs, "doc_id", "text", 0.9)
+      .select($"id_a", $"id_b", $"ni", $"containment", $"jaccard")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    val prefix = Dedup.containmentPrefixJoin(docs, "doc_id", "text", 0.9)
+      .select($"id_a", $"id_b", $"ni", $"containment", $"jaccard")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(bitmap == prefix,
+      s"missing ${(prefix -- bitmap).take(3)}, extra ${(bitmap -- prefix).take(3)}")
+    assert(bitmap.nonEmpty, "fixture produced no qualifying pairs")
+  }
+
+  test("containmentBitmapPairs fails fast past the 64-token vocabulary bound") {
+    val wide = (1 to 5).map(i =>
+      (i.toLong, (1 to 100).map(j => s"w${i}_$j").mkString(" "), "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.containmentBitmapPairs(wide, "doc_id", "text", 0.9)
+    }
+    assert(e.getMessage.contains("containmentPrefixJoin"))
+  }
+
   test("nearDupPrefixJoin subsumes verified minhash pairs (LSH can only miss)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter($"doc_id" % 10 === 0)
