@@ -165,6 +165,23 @@ object Similarity {
         transform(col("pm"), e => e.getField("m")).as("centroid"))
   }
 
+  /** [[centroids]] collected and re-injected as a LITERAL frame. The
+    * centroid set is metadata-scale (n_cells × dim) by construction, so
+    * the collect is the same contract as [[kmeansAssign]]'s internal
+    * literals. Callers probing an index derived from the SAME corpus
+    * DataFrame (e.g. [[ivfTopK]] over trained cells) should pass this
+    * instead of the live aggregate: it both avoids re-running the
+    * centroid aggregation per plan reference and severs the shared
+    * lineage that would otherwise make the probe a self-join of the
+    * checkpointed assignment (a shape AQE mis-rewrites at some sizes —
+    * INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — besides being slower).
+    */
+  def centroidsLiteral(corpus: DataFrame, cellCol: String, vecCol: String): DataFrame = {
+    val res = centroids(corpus, cellCol, vecCol)
+    res.sparkSession.createDataFrame(
+      java.util.Arrays.asList(res.collect(): _*), res.schema)
+  }
+
   /** One Lloyd iteration for IVF training: reassign every vector to its
     * nearest centroid by cosine (ties to the lowest cell id), ready for
     * [[centroids]] to recompute means over the new assignment. The corpus
