@@ -231,12 +231,15 @@ object Dedup {
     * constant the component MINIMUM (labels are always ids of component
     * members and label(v) <= v, so the min-id node forces the shared label
     * down) — hence the probe exits exactly at convergence, and the final
-    * round does no label work. Total edge joins for r propagation rounds:
-    * r + 1 — the property that matters at 100 TB, where edge-join volume,
-    * not job scheduling, dominates. Measured at sf0.1 (63k-edge/475-node
-    * minhash pair graph): loop 3.4-3.8 s -> 1.8-2.6 s first run,
-    * 1.4-1.7 s -> 1.2-1.3 s warm; full q_dedup_components 5.5 s -> 3.7 s
-    * bench median. Rejected with measurements: checking consistency by
+    * round does no label work. A star-contraction pre-pass (below) keeps
+    * the loop off the full edge set entirely: at sf0.1 the 126k directed
+    * edges / 475 nodes contract to 296 root edges / 46 roots in one
+    * edge-sized pass, so every loop round joins hundreds of rows, not
+    * thousands (measured: components step 1.8-2.5 s pre-contraction →
+    * 1.8-1.9 s warm post, with the residual dominated by fixed job
+    * scheduling; the edge-join-volume reduction is the 100 TB win).
+    * Rejected with measurements (pre-contraction loop): checking
+    * consistency by
     * joining edges against the stepped labels (same exit round, but 3
     * edge joins per round — a scale regression), a second pointer jump
     * per round (round count unchanged — the blocker is a needed neighbor
@@ -257,7 +260,31 @@ object Dedup {
     // note: pinning the loop's shuffles to `parts` with AQE disabled was
     // measured SLOWER than leaving AQE to coalesce (4.6s vs 3.8s at sf0.1)
     // — adaptive stays on
-    val edges = edgesAll.coalesce(parts) // narrow — reads the checkpoint
+    val rawEdges = edgesAll.coalesce(parts) // narrow — reads the checkpoint
+    // STAR CONTRACTION pre-pass: root(v) = min(v, min neighbor) — the same
+    // dst → min(src) aggregation that used to seed the loop — then rewrite
+    // every edge to (root(src), root(dst)) and drop self-loops. LSH pair
+    // graphs are mostly band-clique stars, so this one edge-sized pass
+    // collapses the bulk of the graph WITHOUT iteration: the loop below
+    // runs on the contracted root graph, where every per-round join is
+    // root-graph-sized instead of edge-sized (the 100 TB lever — the
+    // contraction is the only edge-volume work; rounds touch slivers).
+    // Correctness: v—root(v) is an edge (or v itself), so contraction
+    // preserves components; the minimum node m of a component has no
+    // smaller neighbor, hence root(m) = m — the min over roots IS the min
+    // over nodes, and comp(v) = comp(root(v)) composes exactly. rawEdges
+    // is symmetric, so the contracted multiset already contains both
+    // directions of every root edge — no re-symmetrization pass.
+    val seed = rawEdges
+      .groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("root"))
+      .coalesce(parts).localCheckpoint(false)
+    val edges = rawEdges
+      .join(seed.select(col("id").as("src"), col("root").as("rs")), "src")
+      .join(seed.select(col("id").as("dst"), col("root").as("rd")), "dst")
+      .select(col("rs").as("src"), col("rd").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().coalesce(parts).localCheckpoint(false)
     // seed labels one hop in: comp0 = min(own id, min neighbor id) — the
     // same aggregation that builds the node set performs round 0's
     // propagation for free, saving one materialized round. Lazy checkpoint:
@@ -308,7 +335,11 @@ object Dedup {
       }
       rounds += 1
     }
-    labels
+    // compose the contraction back: comp(v) = comp(root(v)); roots with no
+    // contracted edges (fully collapsed stars) keep the root as their comp
+    seed.join(labels.select(col("id").as("root"), col("comp").as("rcomp")),
+        Seq("root"), "left")
+      .select(col("id"), coalesce(col("rcomp"), col("root")).as("comp"))
   }
 
   /** Keep one survivor per near-dup cluster: rows whose id is its cluster's
