@@ -8,13 +8,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.LongType
 
-/** Optimizer rule: rewrite a PURE range join (`p BETWEEN lo AND hi` with no
-  * cross-side equality conjunct — the shape Spark can only plan as a
-  * nested-loop join) into the binned equi-join of
-  * [[graft.ops.RangeJoin.binned]], automatically, at the logical-plan
-  * level: bucket the point side (`p div binSize`), explode each interval's
-  * covered bin range (`sequence(lo div b, hi div b)`), equi-join on the
-  * bin and keep the original predicate as the residual.
+/** Optimizer rule: rewrite a range join (`p BETWEEN lo AND hi`) into the
+  * binned equi-join of [[graft.ops.RangeJoin.binned]], automatically, at
+  * the logical-plan level: bucket the point side (`p div binSize`),
+  * explode each interval's covered bin range
+  * (`sequence(lo div b, hi div b)`), equi-join on the bin and keep the
+  * original predicate as the residual.
+  *
+  * Two shapes qualify:
+  *   - PURE range (no cross-side equality) — the shape Spark can only
+  *     plan as a nested-loop join; the rewrite makes it hash-joinable at
+  *     all.
+  *   - EQUALITY-PREFIX range (`k_l = k_r AND p BETWEEN lo AND hi` — the
+  *     SCD2 / time-series-probe shape): Spark already hash-joins on `k`,
+  *     but a low-cardinality or skewed `k` leaves an m×n per-key cross
+  *     product behind the join, filtered after the fact. The bin joins as
+  *     an ADDITIONAL key next to `k`, so each (key, bin) bucket only
+  *     meets the rows whose ranges can actually overlap.
   *
   * Exactness argument (same as the DataFrame form): truncating integral
   * division is monotone, so any p ∈ [lo, hi] lands in one of the interval's
@@ -28,8 +38,8 @@ import org.apache.spark.sql.types.LongType
   * (bin sizing is workload knowledge — the span of a typical interval —
   * so silent rewriting with a guessed width would be a perf lottery).
   * Scope: inner joins, LongType point/bounds, each expression referencing
-  * exactly one side. The rewritten join carries a bin equality, so the
-  * rule never re-fires on its own output.
+  * exactly one side. Own output is recognized by the `__graft_bin`
+  * attributes in the join condition, so the rule never re-fires on it.
   *
   * Install: session extension (`spark.sql.extensions=graft.GraftExtensions`
   * → injectOptimizerRule) or runtime
@@ -86,14 +96,13 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, b: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
-    // an existing cross-side equality means the planner already has a hash
-    // join key — nothing to fix (also stops re-firing on our own output)
-    val hasCrossEqui = conjuncts.exists {
-      case EqualTo(l, r) => sideOf(l, j) + sideOf(r, j) == 3
-      case EqualNullSafe(l, r) => sideOf(l, j) + sideOf(r, j) == 3
-      case _ => false
-    }
-    if (hasCrossEqui) return None
+    // our own output: the bin equality we add references __graft_bin
+    // attributes — never re-fire on it. Cross-side equalities otherwise do
+    // NOT disqualify: they become co-keys next to the bin (the
+    // equality-prefix shape).
+    val alreadyBinned = conjuncts.exists(
+      _.references.exists(_.name.startsWith("__graft_bin")))
+    if (alreadyBinned) return None
 
     val candidates = for {
       lowerC <- conjuncts; upperC <- conjuncts if lowerC ne upperC

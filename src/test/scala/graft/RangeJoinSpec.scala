@@ -54,7 +54,7 @@ class RangeJoinSpec extends SparkSpec {
     } finally spark.conf.unset(BinnedRangeJoinRule.BinSizeConf)
   }
 
-  test("optimizer rule: stays off when unset, skips equi-joins and non-long types") {
+  test("optimizer rule: stays off when unset, skips non-long types") {
     BinnedRangeJoinRule.install(spark)
     // conf unset -> naive plan untouched (nested loop preserved)
     val off = pts.join(ivs, $"p" >= $"lo" && $"p" <= $"hi")
@@ -63,16 +63,44 @@ class RangeJoinSpec extends SparkSpec {
 
     spark.conf.set(BinnedRangeJoinRule.BinSizeConf, "4")
     try {
-      // a cross-side equality conjunct -> hash-joinable already, skip
-      val equi = pts.join(ivs, $"pid" === $"iid" && $"p" >= $"lo" && $"p" <= $"hi")
-        .queryExecution.optimizedPlan.toString
-      assert(!equi.contains("__graft_bin"), "rule fired on a hash-joinable join")
       // int (not long) typed bounds -> out of scope, skip
       val iPts = Seq((1, 3)).toDF("pid", "p")
       val iIvs = Seq((10, 0, 4)).toDF("iid", "lo", "hi")
       val ints = iPts.join(iIvs, $"p" >= $"lo" && $"p" <= $"hi")
         .queryExecution.optimizedPlan.toString
       assert(!ints.contains("__graft_bin"), "rule fired on int columns")
+    } finally spark.conf.unset(BinnedRangeJoinRule.BinSizeConf)
+  }
+
+  test("optimizer rule: equality-prefix range join gets the bin as a co-key, identical rows") {
+    // the SCD2 / time-series probe shape: equi key + BETWEEN. 3 hot keys,
+    // per-key intervals — the per-key cross product the bin must prune.
+    BinnedRangeJoinRule.install(spark)
+    val kPts = (0L until 300L).map(i => (i % 3, i, i % 40)).toDF("k", "pid", "p")
+    val kIvs = (0L until 30L).map(i => (i % 3, i, (i * 7) % 40, (i * 7) % 40 + 3))
+      .toDF("k", "iid", "lo", "hi")
+    val cond = $"kp" === $"ki" && $"p" >= $"lo" && $"p" <= $"hi"
+    val naiveKeyed = kPts.withColumnRenamed("k", "kp")
+      .join(kIvs.withColumnRenamed("k", "ki"), cond)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    spark.conf.set(BinnedRangeJoinRule.BinSizeConf, "4")
+    try {
+      val joined = kPts.withColumnRenamed("k", "kp")
+        .join(kIvs.withColumnRenamed("k", "ki"), cond)
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__graft_bin"),
+        s"rule did not fire on the mixed shape:\n$optimized")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin") &&
+        !physical.contains("CartesianProduct"))
+      assert(physical.contains("BroadcastHashJoin") || physical.contains("SortMergeJoin"))
+      // both the original equality and the bin must be join keys: the
+      // equality no longer appears as a post-join filter conjunct
+      assert(physical.contains("__graft_bin"),
+        s"bin key missing from the physical join:\n${physical.take(1500)}")
+      val got = joined.select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      assert(got == naiveKeyed)
+      assert(got.nonEmpty, "keyed fixture produced no matches")
     } finally spark.conf.unset(BinnedRangeJoinRule.BinSizeConf)
   }
 
