@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.ops.ForwardFill
 import graft.sink.JdbcUpsert
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -232,6 +233,55 @@ object StreamingOps {
     * the frontier months — the streaming version of "rerun the season
     * nightly", at per-batch granularity with the same idempotence.
     */
+  /** Streaming LOCF: the generic F1 forward-fill under `foreachBatch` —
+    * change points stream in, and the dense daily LOCF grid of
+    * [[graft.ops.ForwardFill.dailyGrid]] stays continuously refreshed,
+    * with batch ≡ stream identity (asserted in StreamingSpec: the grid
+    * after N micro-batches equals one batch dailyGrid over the union of
+    * all change points — the reference's whole-load rerun semantics at
+    * micro-batch granularity).
+    *
+    * Per micro-batch:
+    *  1. the batch lands in the change log as its own deterministic
+    *     `batch_id=N` partition — foreachBatch is at-least-once, so a
+    *     replayed batch overwrites its prior write instead of duplicating
+    *     change points (same idempotence as [[incrementalRefreshSink]]);
+    *  2. only the batch's TOUCHED ids recompute: LOCF is per-id
+    *     independent, so each touched id's full change history (from the
+    *     accumulated log, via a broadcast semi-join on the batch's small
+    *     id set) re-fills and dynamic-partition-overwrites that id's grid
+    *     partition; untouched ids' files are never rewritten.
+    *
+    * At 100 TB the change log is the sparse cheap side; per-batch work is
+    * proportional to touched ids × grid days, not to the corpus.
+    */
+  def locfGridSink(
+      changes: DataFrame, idCol: String, dayCol: String, valueCol: String,
+      tieBreak: Seq[String], start: String, end: String,
+      changeLogPath: String, gridPath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        batch.write.mode("overwrite").parquet(s"$changeLogPath/batch_id=$batchId")
+        val landed = sess.read.parquet(s"$changeLogPath/batch_id=$batchId")
+        val touched = landed.select(col(idCol)).na.drop().distinct()
+        if (touched.head(1).nonEmpty) {
+          val fullLog = sess.read.parquet(changeLogPath).drop("batch_id")
+          val relevant = fullLog.join(broadcast(touched), Seq(idCol))
+          ForwardFill
+            .dailyGrid(relevant, idCol, dayCol, valueCol, tieBreak, start, end)
+            .write.mode("overwrite")
+            .partitionBy(idCol)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(gridPath)
+        }
+      }
+      .start()
+
   def incrementalRefreshSink(
       changes: DataFrame, pagesPath: String, cfg: graft.PricenowPipeline.Config,
       seasonMonths: Seq[String], changeLogPath: String, factPath: String,

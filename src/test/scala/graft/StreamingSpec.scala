@@ -314,4 +314,49 @@ class StreamingSpec extends SparkSpec {
     q3.awaitTermination()
     assert(tableRows() == Seq((1L, 1.0), (2L, 22.0), (3L, 3.0)))
   }
+
+  test("locfGridSink: streamed change points produce the exact batch dailyGrid (batch ≡ stream)") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-locf-stream").toString
+    val (log, grid, ckpt) = (s"$base/log", s"$base/grid", s"$base/ckpt")
+    val in = MemoryStream[(Long, String, Double, Long)]
+    def shaped(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("id", "day_s", "price", "seq")
+      .select($"id", to_date($"day_s").as("day"), $"price", $"seq")
+    val q = StreamingOps.locfGridSink(shaped(in.toDF()),
+      "id", "day", "price", Seq("seq"), "2024-01-01", "2024-01-10",
+      log, grid, ckpt, trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // batch 1: two ids start their histories
+      in.addData((1L, "2024-01-02", 10.0, 1L), (2L, "2024-01-03", 5.0, 2L))
+      q.processAllAvailable()
+      // batch 2: same-day OVERRIDE for id 1 (seq tie-break must prefer 3)
+      // plus a later change — exercises cross-batch tie-breaking
+      in.addData((1L, "2024-01-02", 11.0, 3L), (1L, "2024-01-05", 20.0, 4L))
+      q.processAllAvailable()
+      // batch 3: a brand-new id; ids 1-2 untouched this round
+      in.addData((3L, "2024-01-09", 7.0, 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(grid)
+      .select($"id", $"day".cast("string"), $"price")
+      .as[(Long, String, Double)].collect().toSet
+    val allChanges = Seq(
+      (1L, "2024-01-02", 10.0, 1L), (2L, "2024-01-03", 5.0, 2L),
+      (1L, "2024-01-02", 11.0, 3L), (1L, "2024-01-05", 20.0, 4L),
+      (3L, "2024-01-09", 7.0, 5L))
+      .toDF("id", "day_s", "price", "seq")
+    val batch = graft.ops.ForwardFill.dailyGrid(shaped(allChanges),
+        "id", "day", "price", Seq("seq"), "2024-01-01", "2024-01-10")
+      .select($"id", $"day".cast("string"), $"price")
+      .as[(Long, String, Double)].collect().toSet
+    assert(streamed == batch,
+      s"missing ${(batch -- streamed).take(5)}, extra ${(streamed -- batch).take(5)}")
+    // spot-check the semantics actually exercised: same-day override won
+    // (11.0 carried from Jan 2), and the later change steps the value
+    assert(streamed((1L, "2024-01-03", 11.0)) && streamed((1L, "2024-01-06", 20.0)))
+    assert(streamed.size == 9 + 8 + 2, s"dense grid size off: ${streamed.size}")
+  }
 }
