@@ -82,6 +82,22 @@ class PricenowClient(
     }
   }
 
+  /** S1: one products page — `GET /api/products/admin/` with the
+    * reference's exact parameter surface: `page`, `orderBy`,
+    * `orderDirection`, defaulting to name/asc
+    * (`scripts/pricenow_etl.py:115-121`). Rows come back through the S5
+    * envelope normalizer, ready to land for [[PricenowCatalogSource]].
+    */
+  def getProducts(page: Int = 0, orderBy: String = "name",
+      orderDirection: String = "asc"): Seq[String] = {
+    val body = authedGet("/api/products/admin/", Map(
+      "page" -> page.toString,
+      "orderBy" -> orderBy,
+      "orderDirection" -> orderDirection))
+    val root = mapper.readTree(body)
+    PricenowCatalogSource.extractRows(root).map(_.toString).toSeq
+  }
+
   /** S2: one prices page. */
   def getPricesPage(
       ids: Seq[Long], from: String, to: String,

@@ -121,4 +121,20 @@ class SourcesSpec extends SparkSpec {
       fetchToken = () => ("t", 3600L))
     assert(capped.getPricesAll(Seq(1L), "a", "b", pageSize = 3, maxPages = 5).size == 15)
   }
+
+  test("S1 getProducts sends page/orderBy/orderDirection with reference defaults (ref :115-121)") {
+    var seen: (String, Map[String, String]) = null
+    val client = new PricenowClient(
+      transport = (url, params, _) => {
+        seen = (url, params); (200, """{"data": [{"id": 1}, {"id": 2}]}""")
+      },
+      fetchToken = () => ("t", 3600L))
+    val rows = client.getProducts()
+    assert(seen._1 == "/api/products/admin/")
+    assert(seen._2 == Map("page" -> "0", "orderBy" -> "name", "orderDirection" -> "asc"))
+    assert(rows == Seq("""{"id":1}""", """{"id":2}"""), s"envelope rows: $rows")
+    client.getProducts(page = 2, orderBy = "price", orderDirection = "desc")
+    assert(seen._2 ==
+      Map("page" -> "2", "orderBy" -> "price", "orderDirection" -> "desc"))
+  }
 }
