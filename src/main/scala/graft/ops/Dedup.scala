@@ -371,6 +371,16 @@ object Dedup {
       graft.functions.SortedIntersectCount.intersectCountFast(a, b).cast("double"),
       a, b)
 
+  /** [[jaccardSorted]] WITHOUT the display rounding — for callers whose
+    * candidate pruning is proved against the true Jaccard (rounding a
+    * boundary value up would admit pairs the pruning may have dropped). */
+  def jaccardSortedRaw(a: Column, b: Column): Column = {
+    val inter = graft.functions.SortedIntersectCount
+      .intersectCountFast(a, b).cast("double")
+    val union = size(a) + size(b) - inter
+    when(union > 0, inter / union)
+  }
+
   private def jaccardFrom(inter: Column, a: Column, b: Column): Column = {
     val union = size(a) + size(b) - inter
     // two empty sets: 0/0 = NaN, and NaN >= threshold is TRUE in Spark —
@@ -462,12 +472,17 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     val sets = docs.select(col("id"), col("toks"))
+    // filter on the UNROUNDED Jaccard: the prefix/length pruning only
+    // guarantees candidate generation for true J >= t, so admitting pairs
+    // whose ROUNDED J reaches t (true J in [t - 5e-7, t)) would promise
+    // rows the pruning may already have dropped. Rounding is display-only.
     candidates
       .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn("__jraw", jaccardSortedRaw(col("toks_a"), col("toks_b")))
+      .filter(col("__jraw") >= minJaccard)
+      .select(col("id_a"), col("id_b"),
+        TextAnalysis.round6(col("__jraw")).as("jaccard"))
   }
 
   /** EXACT containment self-join (|A∩B| / min(|A|,|B|) ≥ t) via prefix

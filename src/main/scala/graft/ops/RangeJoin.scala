@@ -27,18 +27,27 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Inner join of `left` rows whose integral `point` column falls within
-    * `[lo, hi]` of `right` rows. Columns must be integral (long/int). */
+    * `[lo, hi]` of `right` rows. Columns must be integral (long/int).
+    * Expressions are built from dataset-scoped Column objects (never
+    * spliced into SQL strings), so column names needing backticks, or
+    * names present on BOTH sides, resolve correctly. */
   def binned(
       left: DataFrame, point: String,
       right: DataFrame, lo: String, hi: String,
       binSize: Long): DataFrame = {
     require(binSize > 0, s"binSize must be positive, got $binSize")
-    val l = left.withColumn("__graft_bin_l", expr(s"$point div ${binSize}L"))
+    // `div` (truncating IntegralDivide, exact on longs) has no public
+    // Column-API function — build it through the catalyst bridge
+    def divW(c: Column): Column = org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(binSize)))
+    val l = left.withColumn("__graft_bin_l", divW(left(point)))
     val r = right.withColumn("__graft_bin_r",
-      explode(expr(s"sequence($lo div ${binSize}L, $hi div ${binSize}L)")))
+      explode(sequence(divW(right(lo)), divW(right(hi)))))
     l.join(r,
-        col("__graft_bin_l") === col("__graft_bin_r") &&
-          col(point) >= col(lo) && col(point) <= col(hi))
+        l("__graft_bin_l") === r("__graft_bin_r") &&
+          l(point) >= r(lo) && l(point) <= r(hi))
       .drop("__graft_bin_l", "__graft_bin_r")
   }
 }

@@ -1478,12 +1478,13 @@ object ExtensionQueries {
          |  FROM documents WHERE doc_id % 20 = 0),
          |ne AS (SELECT id, toks FROM docs WHERE len(toks) > 0),
          |jac AS (SELECT a.id AS id_a, b.id AS id_b,
-         |    floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |          / (len(a.toks) + len(b.toks)
-         |             - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)))
-         |      * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / (len(a.toks) + len(b.toks)
+         |         - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS jraw
          |  FROM ne a JOIN ne b ON a.id < b.id)
-         |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+         |SELECT id_a, id_b,
+         |  floor(jraw * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |FROM jac WHERE jraw >= 0.5
          |ORDER BY id_a, id_b""".stripMargin))
 
   // ---- positional-index phrase search --------------------------------------
@@ -1494,9 +1495,11 @@ object ExtensionQueries {
     * posexplode, one narrow postings frame per phrase word (token filter
     * applied at the explode), and adjacency is the equi-join
     * `(doc, pos+k)`. Occurrences, not just containment, fall out of the
-    * final count. A conservative substring prefilter on the rarest word
-    * prunes the scan before any explode (a whitespace token implies its
-    * substring — supersets only, semantics untouched); tokenization is the
+    * final count. A conservative substring prefilter on the phrase's FIRST
+    * word prunes the scan before any explode (any phrase word works — a
+    * whitespace token implies its substring, supersets only, semantics
+    * untouched; the rarest word would prune hardest but requires corpus
+    * statistics this single-pass query does not collect); tokenization is the
     * repo-standard lower/split, so the oracle unnests the identical
     * positions in lockstep. At 100 TB this is term-partitioned retrieval:
     * join keys (doc, pos) are high-cardinality and the per-term postings

@@ -44,6 +44,14 @@ object Bridge {
         _ == classOf[org.apache.spark.sql.SparkSessionExtensions]))
       .getOrElse(throw new IllegalStateException(
         "no SparkSession constructor taking SparkSessionExtensions"))
+    // the find above only proves SOME parameter is the extensions type; the
+    // invocation below hard-codes the 6-argument shape — assert it so a
+    // Spark-side signature drift names itself instead of surfacing as an
+    // opaque IllegalArgumentException from newInstance
+    require(ctor.getParameterCount == 6,
+      s"SparkSession private constructor arity drifted: expected 6 args " +
+        s"(sc, sharedState, sessionState, extensions, initialOptions, parentManagedJobTags), " +
+        s"found ${ctor.getParameterCount} in $ctor")
     ctor.setAccessible(true)
     ctor.newInstance(sc, None, None, ext, Map.empty, Map.empty)
       .asInstanceOf[org.apache.spark.sql.SparkSession]

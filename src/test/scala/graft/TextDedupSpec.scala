@@ -72,11 +72,15 @@ class TextDedupSpec extends SparkSpec {
       .select($"doc_id".as("id"), TextAnalysis.tokenSet($"text").as("toks"))
       .filter(size($"toks") > 0)
     for (t <- Seq(0.3, 0.5, 0.8)) {
+      // brute twin mirrors the operator's contract: threshold on the
+      // UNROUNDED Jaccard, display rounded
       val brute = sets.as("a").crossJoin(sets.as("b"))
         .filter($"a.id" < $"b.id")
         .select($"a.id".as("id_a"), $"b.id".as("id_b"),
-          Dedup.jaccardSorted($"a.toks", $"b.toks").as("jaccard"))
-        .filter($"jaccard" >= t)
+          Dedup.jaccardSortedRaw($"a.toks", $"b.toks").as("jraw"))
+        .filter($"jraw" >= t)
+        .select($"id_a", $"id_b",
+          graft.ops.TextAnalysis.round6($"jraw").as("jaccard"))
         .as[(Long, Long, Double)].collect().toSet
       val pruned = Dedup.nearDupPrefixJoin(docs, "doc_id", "text", minJaccard = t)
         .as[(Long, Long, Double)].collect().toSet
