@@ -815,8 +815,8 @@ object ExtensionQueries {
     * 35-39/40 across SFs — see `q_ann_recall`'s floor contract). */
   private val annLsh = QueryDef(
     fn = (spark, dir) => {
-      val emb = Tables.embeddings(spark, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
+      val emb = trainedIvfCells(spark, dir, 0)
+      Similarity.lshTopKSelf(emb, col("vec_id") < 8,
           "vec_id", "embedding", k = 5, nBits = 4, tables = 16)
         .orderBy("query_id", "rank")
     },
@@ -1079,8 +1079,8 @@ object ExtensionQueries {
       def pairs(df: org.apache.spark.sql.DataFrame) =
         df.select(col("query_id"), col("neighbor_id"))
       val brute = pairs(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5))
-      val lsh = pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5,
-        nBits = 4, tables = 16))
+      val lsh = pairs(Similarity.lshTopKSelf(emb, col("vec_id") < 8,
+        "vec_id", "embedding", 5, nBits = 4, tables = 16))
       val cells = trainedIvfCells(spark, dir, 2)
       val ivf = pairs(Similarity.ivfTopK(cells, qs,
         Similarity.centroidsLiteral(cells, "label", "embedding"),
