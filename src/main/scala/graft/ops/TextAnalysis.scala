@@ -93,6 +93,25 @@ object TextAnalysis {
           (acc * ShingleHashC + element_at(th, i + j + 1)) % ShingleHashM }))
       .otherwise(array().cast("array<long>"))
 
+  /** Non-overlapping chunk hashes composed from PER-TOKEN hashes — the
+    * [[chunks]]+md5 hot path without the chunk-string allocation or the
+    * per-chunk digest (same rolling combine and 2^52-exactness argument as
+    * [[shingleHashesFromHashes]]; the final short chunk folds over its
+    * actual 1..n tokens). Chunk equality becomes hash equality in the
+    * [0, 2^32) universe the rest of the dedup family already uses; both
+    * engines compute the identical combine, so cross-engine comparison is
+    * unaffected. Empty array for empty input.
+    */
+  def chunkHashesFromHashes(th: Column, chunkTokens: Int): Column = {
+    require(chunkTokens > 0)
+    val nChunks = ceil(size(th).cast("double") / chunkTokens).cast("int")
+    val idxs = when(size(th) > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(expr("array()").cast("array<int>"))
+    transform(idxs, i =>
+      aggregate(slice(th, i * chunkTokens + 1, lit(chunkTokens)), lit(0L),
+        (acc, h) => (acc * ShingleHashC + h) % ShingleHashM))
+  }
+
   /** Whitespace token count — the cheap "how many tokens" estimator. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -1204,20 +1204,24 @@ object ExtensionQueries {
     * dedup query's 4 so repeated phrasing actually crosses the threshold
     * on the synthetic corpus: ~3% of distinct chunks at sf0.01).
     *
-    * Scale shape: pass 1 aggregates doc-frequency per chunk DIGEST (text
+    * Scale shape: pass 1 aggregates doc-frequency per chunk HASH (text
     * dropped pre-shuffle, partial counts map-side); the >2 filter leaves a
     * frequency table orders of magnitude smaller than the corpus — it
     * broadcasts here, and at 100 TB AQE falls back to a shuffle join if
     * the boilerplate set outgrows the threshold. Pass 2 is a left join to
     * flag occurrences plus a doc-keyed count — no row ever carries more
-    * than (digest, doc_id, chunk_idx).
+    * than (hash, doc_id, chunk_idx). Chunk identity is the composed
+    * token-hash combine ([[TextAnalysis.chunkHashesFromHashes]]): md5 runs
+    * once per TOKEN, chunk keys are 8 bytes, and no chunk string is ever
+    * materialized — both engines fold the identical integers.
     */
   private val boilerplatePrune = QueryDef(
     fn = (spark, dir) => {
       val ch = Tables.documents(spark, dir)
         .select(col("doc_id"),
-          posexplode(TextAnalysis.chunks(col("text"), chunkTokens = 3, overlap = 0)))
-        .select(col("doc_id"), md5(col("col.chunk_text")).as("h"))
+          Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunkHashesFromHashes(col("th"), 3)).as("h"))
       val boiler = ch.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 2)
@@ -1231,21 +1235,32 @@ object ExtensionQueries {
             - col("n_boiler").cast("double") / col("n_chunks").cast("double")))
         .orderBy("doc_id")
     },
-    oracle = Some(
-      s"""WITH docs AS (SELECT doc_id, ${dToks("text")} AS toks FROM documents),
-         |idx AS (SELECT doc_id, toks,
-         |        unnest(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS ci
-         |        FROM docs WHERE len(toks) > 0),
-         |ch AS (SELECT doc_id,
-         |        md5(array_to_string(toks[CAST(ci * 3 + 1 AS BIGINT):CAST(ci * 3 + 3 AS BIGINT)], ' ')) AS h
-         |        FROM idx),
+    oracle = Some {
+      val C = TextAnalysis.ShingleHashC; val M = TextAnalysis.ShingleHashM
+      // the composed chunk hash: fold th[ci*3+1 .. ci*3+3] (short tail
+      // folds its actual tokens) — exact BIGINT twin of
+      // chunkHashesFromHashes' aggregate
+      val h =
+        s"""CASE WHEN len(th) - ci * 3 >= 3
+           |  THEN ((th[ci*3+1] * $C + th[ci*3+2]) % $M * $C + th[ci*3+3]) % $M
+           |  WHEN len(th) - ci * 3 = 2
+           |  THEN (th[ci*3+1] * $C + th[ci*3+2]) % $M
+           |  ELSE th[ci*3+1] END""".stripMargin
+      s"""WITH tk AS (SELECT doc_id,
+         |        list_transform(${dToks("text")}, t -> ${dHash32("t")}) AS th
+         |        FROM documents),
+         |idx AS (SELECT doc_id, th,
+         |        unnest(range(0, CAST(ceil(len(th) / 3.0) AS BIGINT))) AS ci
+         |        FROM tk WHERE len(th) > 0),
+         |ch AS (SELECT doc_id, $h AS h FROM idx),
          |b AS (SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) > 2)
          |SELECT doc_id, COUNT(*) AS n_chunks,
          |  CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
          |  floor((1.0 - CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |               / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS kept_frac
          |FROM ch LEFT JOIN b ON ch.h = b.h
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
 
   /** Count-Min Sketch frequency estimation over the token stream: build a
     * depth-4 × width-64 counter grid in ONE map-side-combinable shuffle
@@ -1302,13 +1317,15 @@ object ExtensionQueries {
 
   /** Bloom-filter decontamination: the sketch twin of q_decontaminate.
     * The held-out set's distinct 4-gram shingles build a 4096-word
-    * blocked Bloom filter (k=3, 128 Kbit => <7% fill through sf0.1) — a
-    * 4096-row table replacing the eval-shingle join side entirely; corpus shingles probe it by (word, mask) lookup. A
-    * doc's bloom hits can only overcount its exact matches (no false
-    * negatives — `no_false_negative` is emitted per doc and must be true
-    * everywhere). At 100 TB: the filter builds from the (small) eval set
-    * once, broadcasts as scalar state, and the corpus-side probe is a
-    * scan-stage hash + 64-row lookup — no data-sized shuffle at all.
+    * blocked Bloom filter (k=3, 128 Kbit => <7% fill through sf0.1),
+    * collected into a 32 KB long-array LITERAL; corpus shingles probe all
+    * k bits with scan-stage `element_at` + mask tests — no ×k explode, no
+    * per-shingle shuffle, no join on the sketch side. A doc's bloom hits
+    * can only overcount its exact matches (no false negatives —
+    * `no_false_negative` is emitted per doc and must be true everywhere).
+    * At 100 TB: the filter builds from the (small) eval set once, ships
+    * as expression state to every task, and the corpus-side probe is a
+    * scan-stage hash + array lookup — no data-sized shuffle at all.
     */
   private val bloomDecontaminate = QueryDef(
     fn = (spark, dir) => {
@@ -1319,21 +1336,28 @@ object ExtensionQueries {
           .select(col("doc_id"),
             explode(array_distinct(TextAnalysis.shinglesFromTokens(col("__toks"), 4))).as("g"))
       val eval_ = shingle(docs.filter(col("doc_id") % 97 === 0))
-      val bloom = eval_
+      // build the 4096-word filter distributedly, then collect it into a
+      // 32 KB long-array literal — metadata-scale (words rows, independent
+      // of corpus size), the same driver-state contract as the centroid
+      // literals in Similarity. Probing becomes a pure scan-stage
+      // expression: no ×k explode, no (doc_id, g) shuffle, no join.
+      val bloomArr = Array.fill[Long](words)(0L)
+      eval_
         .select(explode(Sketches.bloomBits(col("g"), k, words)).as("b"))
         .select(col("b.word").as("word"), col("b.mask").as("mask"))
         .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+        .collect()
+        .foreach(r => bloomArr(r.getLong(0).toInt) = r.getLong(1))
+      val bloomLit = lit(bloomArr)
       val exact = eval_.select(col("g")).distinct().withColumn("is_exact", lit(1))
-      val probes = shingle(docs.filter(col("doc_id") % 97 =!= 0))
-        .select(col("doc_id"), col("g"),
-          explode(Sketches.bloomBits(col("g"), k, words)).as("b"))
-        .select(col("doc_id"), col("g"),
-          col("b.word").as("word"), col("b.mask").as("mask"))
-      probes
-        .join(broadcast(bloom), Seq("word"), "left_outer")
-        .groupBy(col("doc_id"), col("g"))
-        .agg(sum(when(col("bits").isNotNull
-            && col("bits").bitwiseAND(col("mask")) =!= 0L, 1).otherwise(0)).as("k_hit"))
+      val probeBits = Sketches.bloomBits(col("g"), k, words)
+      val kHit = (0 until k).map { j =>
+        val b = element_at(probeBits, j + 1)
+        when(element_at(bloomLit, b.getField("word").cast("int") + 1)
+          .bitwiseAND(b.getField("mask")) =!= 0L, 1).otherwise(0)
+      }.reduce(_ + _)
+      shingle(docs.filter(col("doc_id") % 97 =!= 0))
+        .select(col("doc_id"), col("g"), kHit.as("k_hit"))
         .join(broadcast(exact), Seq("g"), "left_outer")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),

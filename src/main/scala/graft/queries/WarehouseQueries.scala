@@ -722,28 +722,37 @@ object WarehouseQueries {
 
   // --- market-basket co-occurrence ------------------------------------------
 
-  /** Brand co-occurrence with support and lift: distinct (order, brand)
-    * pairs self-joined on the order key, counted, and scored against the
-    * independence assumption. The distinct projection collapses each order
-    * to its brand SET before pairing, so the self-join fans out
-    * |brands-per-order|² per order — bounded by the brand domain, never by
-    * order size — the same candidates-only discipline as the LSH band join.
-    * Brand marginals and the order count are domain-/scalar-sized
-    * (broadcast + 1-row crossJoin). Lift's integer products stay below
-    * 2^53, so the double quotient is exact-input deterministic.
+  /** Brand co-occurrence with support and lift, scored against the
+    * independence assumption. Each order is collapsed to its SORTED brand
+    * set with ONE `collect_set` aggregation keyed on the order (map-side
+    * combinable, single exchange on l_orderkey); ordered pairs are then
+    * generated in-place with array `transform`/`slice` over the sorted
+    * set — no self-join, no second data-sized shuffle, and the fan-out is
+    * |brands-per-order|²/2 per order, bounded by the brand domain, never
+    * by order size. All three consumers (order count, brand marginals,
+    * pair counts) hang off the same exchange (ReusedExchange). Marginals
+    * and the order count are domain-/scalar-sized (broadcast + 1-row
+    * crossJoin). Lift's integer products stay below 2^53, so the double
+    * quotient is exact-input deterministic.
     */
   private val cooccurLift = QueryDef(
     fn = (spark, dir) => {
-      val ob = Tables.lineitem(spark, dir)
+      val sets = Tables.lineitem(spark, dir)
         .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey"), col("p_brand")).distinct()
-      val nOrders = ob.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val bc = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
-      val pr = ob.as("a")
-        .join(ob.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") && col("a.p_brand") < col("b.p_brand"))
-        .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+      val nOrders = sets.agg(count(lit(1)).as("n_orders"))
+      val bc = sets.select(explode(col("brands")).as("p_brand"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
+      // (a, b) with a < b: element i paired with every later element of
+      // the sorted, deduplicated set (slice is 1-based: i+2 skips self)
+      val pairs = expr(
+        """flatten(transform(brands, (x, i) ->
+          |  transform(slice(brands, i + 2, size(brands)),
+          |            y -> named_struct('brand_a', x, 'brand_b', y))))""".stripMargin)
+      val pr = sets.select(explode(pairs).as("p"))
+        .select(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
+        .groupBy(col("brand_a"), col("brand_b"))
         .agg(count(lit(1)).as("n_ab"))
       pr.join(broadcast(bc.select(col("p_brand").as("brand_a"), col("n_b").as("n_a"))), "brand_a")
         .join(broadcast(bc.select(col("p_brand").as("brand_b"), col("n_b").as("n_b"))), "brand_b")
