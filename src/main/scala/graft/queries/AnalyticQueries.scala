@@ -561,22 +561,29 @@ object AnalyticQueries {
         |FROM v ORDER BY vec_id""".stripMargin))
 
   /** Pearson correlation matrix over the lineitem numeric columns, from
-    * exact DECIMAL power sums in ONE aggregation pass (the same
+    * exact integer power sums in ONE aggregation pass (the same
     * sufficient-statistics discipline as q_regr_ols/q_stats_agg — 14 sums,
     * map-side combinable, so the full k×k matrix costs one shuffle of one
-    * row regardless of input size). The 6 upper-triangle pairs unpivot
-    * from the singleton via 1-row projections; sqrt/divide run on
-    * identical doubles in both engines (VARCHAR-cast roundtrip guards the
-    * past-2^53 decimal sums, as statsAgg's oracle documents). */
+    * row regardless of input size). Per-row arithmetic is UNSCALED-LONG:
+    * each column is `round(v·10^4)` (exact — the data is ≤4-decimal, never
+    * near a .5 boundary) and cross-products multiply as 64-bit ints
+    * (≤1.3e18, inside Long), replacing ten BigDecimal multiplies per row;
+    * only the accumulators are DECIMAL(38,0). Pearson r is scale-invariant
+    * so the 10^4 factors cancel in the quotient and no rescale is ever
+    * applied. The 6 upper-triangle pairs unpivot from the singleton via
+    * 1-row projections; sqrt/divide run on identical doubles in both
+    * engines (VARCHAR-cast roundtrip guards the past-2^53 sums, as
+    * statsAgg's oracle documents). */
   private val corrMatrix = QueryDef(
     fn = (spark, dir) => {
       val vars = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
         "l_discount" -> "disc", "l_tax" -> "tax")
-      def d19(c: String): Column = col(c).cast(DecimalType(19, 4))
-      val sums = vars.map { case (c, a) => sum(d19(c)).as(s"s_$a") } ++
+      def u(c: String): Column = round(col(c) * lit(10000)).cast("long")
+      def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+      val sums = vars.map { case (c, a) => sum(d38(u(c))).as(s"s_$a") } ++
         (for { i <- vars.indices; j <- i until vars.size } yield {
           val (ci, ai) = vars(i); val (cj, aj) = vars(j)
-          sum(d19(ci) * d19(cj)).as(s"s_${ai}_$aj")
+          sum(d38(u(ci) * u(cj))).as(s"s_${ai}_$aj")
         })
       val agg = Tables.lineitem(spark, dir)
         .agg(count(lit(1)).as("n"), sums: _*)
@@ -603,12 +610,12 @@ object AnalyticQueries {
     oracle = Some {
       val vars = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
         "l_discount" -> "disc", "l_tax" -> "tax")
-      def d19(c: String) = s"CAST($c AS DECIMAL(19,4))"
+      def u(c: String) = s"CAST(round($c * 10000) AS BIGINT)"
       val sums = (vars.map { case (c, a) =>
-        s"CAST(CAST(SUM(${d19(c)}) AS VARCHAR) AS DOUBLE) AS s_$a" } ++
+        s"CAST(CAST(SUM(${u(c)}) AS VARCHAR) AS DOUBLE) AS s_$a" } ++
         (for { i <- vars.indices; j <- i until vars.size } yield {
           val (ci, ai) = vars(i); val (cj, aj) = vars(j)
-          s"CAST(CAST(SUM(${d19(ci)} * ${d19(cj)}) AS VARCHAR) AS DOUBLE) AS s_${ai}_$aj"
+          s"CAST(CAST(SUM(${u(ci)} * ${u(cj)}) AS VARCHAR) AS DOUBLE) AS s_${ai}_$aj"
         })).mkString(",\n    ")
       val rows = (for { i <- vars.indices; j <- (i + 1) until vars.size } yield {
         val ai = vars(i)._2; val aj = vars(j)._2
