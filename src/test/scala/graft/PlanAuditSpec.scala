@@ -244,7 +244,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("MAD outliers: driver-assembled literal result — no rank window, no wide exchange at all") {
-    // the four bounded-output aggregation jobs run eagerly inside the query
+    // the two bounded-output aggregation jobs (bucket histogram + covered
+    // value counts, RobustStats.madProfile) run eagerly inside the query
     // fn; the returned plan must be the metadata-sized literal, proving no
     // full-table sort can land in the 3-value flag exchange
     val p = plan("q_outlier_mad")
