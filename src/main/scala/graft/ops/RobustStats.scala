@@ -118,6 +118,45 @@ object RobustStats {
       .getOrElse(throw new IllegalStateException("rank target outside bucket"))
   }
 
+  /** Driver walk: locate an ARBITRARY target rank in ascending bucket
+    * counts → (bucket, countBelowBucket). `target` must be in [1, n].
+    */
+  def rankBucket(buckets: Seq[(Long, Long)], target: Long): (Long, Long) = {
+    var cum = 0L
+    val hit = buckets.find { case (_, c) =>
+      val found = cum + c >= target
+      if (!found) cum += c
+      found
+    }.getOrElse(throw new IllegalStateException("rank target outside histogram"))
+    (hit._1, cum)
+  }
+
+  /** Exact value at a caller-chosen rank per group — the grouped
+    * order-statistic without a sort (two jobs: bucket histogram +
+    * in-bucket value counts; see the object doc for the scale argument).
+    * Groups absent from `targets`, and targets outside [1, n], are
+    * dropped. Returns per group the value `v` at the rank and the exact
+    * `#{u < v}` (callers doing exact-quota selection need the tie split).
+    */
+  def exactRankValue(df: DataFrame, grp: String, u: Column, widthU: Long,
+      targets: Map[String, Long]): Map[String, (Long, Long)] = {
+    val counts = bucketCounts(df, grp, u, widthU)
+    val wanted = targets.flatMap { case (g, t) =>
+      counts.get(g).filter(bs => t >= 1 && t <= bs.map(_._2).sum)
+        .map(bs => g -> rankBucket(bs, t))
+    }
+    if (wanted.isEmpty) return Map.empty
+    val vals = valueCounts(df, grp, u, widthU,
+      wanted.map { case (g, (b0, _)) => g -> Set(b0) })
+    wanted.map { case (g, (b0, cBefore)) =>
+      val inBkt = vals(g)
+      val v = pickAtRank(inBkt, cBefore, targets(g))
+      // #{u < v} = histogram prefix below b0 + in-bucket values below v
+      val below = cBefore + inBkt.takeWhile(_._1 < v).map(_._2).sum
+      g -> (v, below)
+    }
+  }
+
   /** Exact lower median per group in two jobs (bucket pass + in-bucket
     * pass). See the object doc for the scale argument.
     */

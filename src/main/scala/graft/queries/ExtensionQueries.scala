@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{Dedup, Multimodal, Similarity, Sketches, Tables, TextAnalysis}
+import graft.ops.{Dedup, Mixing, Multimodal, Similarity, Sketches, Tables, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** North-star extension queries (SURVEY.md §2.4): text analysis, exact +
@@ -1901,7 +1901,38 @@ object ExtensionQueries {
          |  (10 * abs(est_only_a - n_only_a) <= 3 * n_union) AS ok
          |FROM fin ORDER BY src_a, src_b""".stripMargin))
 
+  /** Deterministic equal-representation rebalance ([[Mixing]]): keep
+    * `min(n_lang, (n_total div 2) div |langs|)` documents per language —
+    * the quota-smallest by (md5-fold hash of doc_id, doc_id) — so the
+    * dominant language is down-sampled to the same budget share as the
+    * rest. Selection is content-hash-keyed (reproducible, no rand()); the
+    * oracle replays it with a rank window over the identical hash, while
+    * the Spark plan finds each per-group quota threshold with the
+    * two-pass bucket-histogram rank search (no full-table sort in a
+    * |langs|-partition window — see [[graft.ops.RobustStats]]).
+    */
+  private val mixRebalance = QueryDef(
+    fn = (spark, dir) =>
+      Mixing.rebalanceEqual(
+          Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+          "lang",
+          TextAnalysis.tokenHash32(col("doc_id").cast("string")),
+          col("doc_id"), num = 1, den = 2)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id"),
+    oracle = Some(
+      s"""WITH d AS (SELECT lang, doc_id,
+         |        ${dHash32("CAST(doc_id AS VARCHAR)")} AS h
+         |        FROM documents),
+         |t AS (SELECT (COUNT(*) // 2) // COUNT(DISTINCT lang) AS per_g FROM d),
+         |r AS (SELECT lang, doc_id,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+         |        FROM d)
+         |SELECT lang, doc_id FROM r, t WHERE rn <= per_g
+         |ORDER BY lang, doc_id""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_mix_rebalance" -> mixRebalance,
     "q_kmv_diff" -> kmvDiff,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_prefix_join" -> dedupPrefixJoin,
