@@ -1157,9 +1157,11 @@ object ExtensionQueries {
     * real removal, not a pass-through.
     *
     * Scale shape: the chunk TEXT is dropped before the shuffle — dedup
-    * keys on the md5 digest, so the wide exchange carries (digest, doc_id,
-    * chunk_idx) only, never document bytes. Two shuffles total (by digest
-    * for keep-first, by doc_id for the survival profile); both AQE-
+    * keys on the composed token-hash combine
+    * ([[TextAnalysis.chunkHashesFromHashes]]: md5 once per TOKEN, no chunk
+    * string ever built), so the wide exchange carries (8-byte hash,
+    * doc_id, chunk_idx) only, never document bytes. Two shuffles total (by
+    * hash for keep-first, by doc_id for the survival profile); both AQE-
     * coalescible. Keep-first order (doc_id, chunk_idx) is a total order,
     * so the survivor set is deterministic under any partitioning.
     */
@@ -1169,9 +1171,10 @@ object ExtensionQueries {
         .partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_idx"))
       Tables.documents(spark, dir)
         .select(col("doc_id"),
-          posexplode(TextAnalysis.chunks(col("text"), chunkTokens = 4, overlap = 0)))
-        .select(col("doc_id"), col("col.chunk_idx").as("chunk_idx"),
-          md5(col("col.chunk_text")).as("h"))
+          Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkHashesFromHashes(col("th"), 4)))
+        .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("h"))
         .withColumn("rn", row_number().over(w))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
@@ -1180,13 +1183,23 @@ object ExtensionQueries {
           TextAnalysis.round6(col("n_kept").cast("double") / col("n_chunks").cast("double")))
         .orderBy("doc_id")
     },
-    oracle = Some(
-      s"""WITH docs AS (SELECT doc_id, ${dToks("text")} AS toks FROM documents),
-         |idx AS (SELECT doc_id, toks,
-         |        unnest(range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS chunk_idx
-         |        FROM docs WHERE len(toks) > 0),
-         |ch AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
-         |        md5(array_to_string(toks[CAST(chunk_idx * 4 + 1 AS BIGINT):CAST(chunk_idx * 4 + 4 AS BIGINT)], ' ')) AS h
+    oracle = Some {
+      val C = TextAnalysis.ShingleHashC; val M = TextAnalysis.ShingleHashM
+      def fold(k: Int) = (1 until k).foldLeft("th[ci*4+1]") { (acc, j) =>
+        s"(($acc * $C + th[ci*4+${j + 1}]) % $M)"
+      }
+      val h =
+        s"""CASE WHEN len(th) - ci * 4 >= 4 THEN ${fold(4)}
+           |  WHEN len(th) - ci * 4 = 3 THEN ${fold(3)}
+           |  WHEN len(th) - ci * 4 = 2 THEN ${fold(2)}
+           |  ELSE ${fold(1)} END""".stripMargin
+      s"""WITH tk AS (SELECT doc_id,
+         |        list_transform(${dToks("text")}, t -> ${dHash32("t")}) AS th
+         |        FROM documents),
+         |idx AS (SELECT doc_id, th,
+         |        unnest(range(0, CAST(ceil(len(th) / 4.0) AS BIGINT))) AS ci
+         |        FROM tk WHERE len(th) > 0),
+         |ch AS (SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx, $h AS h
          |        FROM idx),
          |r AS (SELECT doc_id, chunk_idx,
          |        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
@@ -1195,7 +1208,8 @@ object ExtensionQueries {
          |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  floor((CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
          |        * 1000000.0 + 0.5) / 1000000.0 AS kept_frac
-         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
 
   /** Boilerplate pruning (RefinedWeb/CCNet rule): a paragraph unit that
     * appears in MORE THAN 2 distinct documents is boilerplate — removed
