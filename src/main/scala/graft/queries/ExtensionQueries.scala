@@ -156,29 +156,36 @@ object ExtensionQueries {
          |FROM h ORDER BY doc_id""".stripMargin
     })
 
+  /** The [[TextAnalysis.qualityScore]] DuckDB twin as a two-CTE fragment
+    * (`qm`, `qual(doc_id, quality)`), filterable — shared by
+    * q_text_quality and the best-of-cluster survivor policy. */
+  private def dQualityCte(where: String): String = {
+    val en = TextAnalysis.StopwordLists.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""qm AS (SELECT doc_id,
+       |  CAST(len(${dToks("text")}) AS DOUBLE) AS n_tok,
+       |  CAST(len(text) AS DOUBLE) AS n_char,
+       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+       |  CAST(len(list_filter(${dToks("text")}, t -> list_contains($en, t))) AS DOUBLE) AS stop,
+       |  ${dSum(s"list_transform(${dToks("text")}, t -> CAST(len(t) AS BIGINT))")} AS tok_chars
+       |FROM documents $where),
+       |qual AS (SELECT doc_id, floor((
+       |  least(n_tok / 100.0, 1.0) * 0.3
+       |  + (CASE WHEN n_tok > 0 THEN stop / n_tok ELSE 0.0 END) * 0.3
+       |  + (1.0 - least(CASE WHEN n_char > 0 THEN punct / n_char ELSE 0.0 END, 1.0)) * 0.2
+       |  + least((CASE WHEN n_tok > 0 THEN CAST(tok_chars AS DOUBLE) / n_tok ELSE 0.0 END) / 8.0, 1.0) * 0.2
+       |  ) * 1000000.0 + 0.5) / 1000000.0 AS quality
+       |FROM qm)""".stripMargin
+  }
+
   private val qualityQ = QueryDef(
     fn = (spark, dir) =>
       Tables.documents(spark, dir)
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id"),
-    oracle = Some {
-      val en = TextAnalysis.StopwordLists.toMap.apply("en")
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH m AS (SELECT doc_id,
-         |  CAST(len(${dToks("text")}) AS DOUBLE) AS n_tok,
-         |  CAST(len(text) AS DOUBLE) AS n_char,
-         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
-         |  CAST(len(list_filter(${dToks("text")}, t -> list_contains($en, t))) AS DOUBLE) AS stop,
-         |  ${dSum(s"list_transform(${dToks("text")}, t -> CAST(len(t) AS BIGINT))")} AS tok_chars
-         |FROM documents)
-         |SELECT doc_id, floor((
-         |  least(n_tok / 100.0, 1.0) * 0.3
-         |  + (CASE WHEN n_tok > 0 THEN stop / n_tok ELSE 0.0 END) * 0.3
-         |  + (1.0 - least(CASE WHEN n_char > 0 THEN punct / n_char ELSE 0.0 END, 1.0)) * 0.2
-         |  + least((CASE WHEN n_tok > 0 THEN CAST(tok_chars AS DOUBLE) / n_tok ELSE 0.0 END) / 8.0, 1.0) * 0.2
-         |  ) * 1000000.0 + 0.5) / 1000000.0 AS quality
-         |FROM m ORDER BY doc_id""".stripMargin
-    })
+    oracle = Some(
+      s"""WITH ${dQualityCte("")}
+         |SELECT doc_id, quality FROM qual ORDER BY doc_id""".stripMargin))
 
   /** Gopher-style repetition removal signals ([[TextAnalysis
     * .repetitionStats]]): per document, the most-frequent-n-gram slot
@@ -623,6 +630,56 @@ object ExtensionQueries {
          |  (COALESCE(c.comp, d.id) = d.id) AS survivor
          |FROM docs d LEFT JOIN comp c ON d.id = c.id
          |ORDER BY doc_id""".stripMargin))
+
+  /** Best-of-cluster survivor selection — the production dedup policy:
+    * within each near-dup cluster keep the HIGHEST-QUALITY member (ties
+    * to the lowest doc_id), not the arbitrary first one. Composes the
+    * memoized minhash pair graph → connected components → the
+    * [[TextAnalysis.qualityScore]] signal, so the expensive chains run
+    * once per session across the dedup family. Scale shape: quality is a
+    * scan-stage expression; the arg-max is one `min_by(doc_id,
+    * struct(-quality, doc_id))` aggregation keyed on the component id
+    * (high cardinality — components, not a groups-sized window) plus a
+    * comp-keyed join back. Oracle replays components with the recursive
+    * CTE and the policy with a rank window over identical quality values.
+    */
+  private val dedupBestOfCluster = QueryDef(
+    fn = (spark, dir) => {
+      val sample = dedupSampleDocs(spark, dir)
+      val comps = Dedup.connectedComponents(minhashPairs(spark, dir), "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val scored = sample
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      val best = scored.groupBy(col("comp"))
+        .agg(min_by(col("doc_id"),
+          struct((-col("quality")).as("nq"), col("doc_id"))).as("best_id"))
+      scored.join(best, "comp")
+        .select(col("doc_id"), col("comp"), col("quality"),
+          (col("doc_id") === col("best_id")).as("keep"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE $minhashOracle,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |${dQualityCte("WHERE doc_id % 10 = 0")},
+         |scored AS (
+         |  SELECT q.doc_id, COALESCE(c.comp, q.doc_id) AS comp, q.quality
+         |  FROM qual q LEFT JOIN comp c ON q.doc_id = c.id),
+         |r AS (SELECT doc_id, comp, quality,
+         |  row_number() OVER (PARTITION BY comp ORDER BY quality DESC, doc_id) AS rn
+         |  FROM scored)
+         |SELECT doc_id, comp, quality, (rn = 1) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin))
 
   /** SimHash signature oracle CTE over a sampled doc set. The final LEFT
     * JOIN keeps zero-token docs (unnest emits no rows for them, so they
@@ -1987,6 +2044,7 @@ object ExtensionQueries {
     "q_dedup_minhash_capped" -> dedupMinhashCapped,
     "q_dedup_minhash_incr" -> dedupMinhashIncr,
     "q_dedup_components" -> dedupComponents,
+    "q_dedup_best_of_cluster" -> dedupBestOfCluster,
     "q_dedup_simhash_sigs" -> simhashSigs,
     "q_dedup_simhash_pairs" -> simhashPairs,
     "q_dedup_simhash_banded" -> simhashBanded,
