@@ -552,6 +552,18 @@ object ExtensionQueries {
         "doc_id", "text", k = 16, bands = 4, minJaccard = 0.5)
         .localCheckpoint(true))
 
+  /** Components over [[minhashPairs]], memoized alongside them — the
+    * iterative label propagation (driver-looped, inherently eager) runs
+    * once per session for q_dedup_components AND q_dedup_best_of_cluster.
+    * Checkpointed: the loop's lineage is deep and both consumers join it
+    * back to the sample. */
+  private def minhashComps(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    minhashPairsCache.getOrElseUpdate((spark, dir, "comps"),
+      Dedup.connectedComponents(minhashPairs(spark, dir), "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+        .localCheckpoint(true))
+
   private val dedupMinhash = QueryDef(
     fn = (spark, dir) =>
       minhashPairs(spark, dir).orderBy("id_a", "id_b"),
@@ -606,9 +618,7 @@ object ExtensionQueries {
   private val dedupComponents = QueryDef(
     fn = (spark, dir) => {
       val sample = dedupSampleDocs(spark, dir)
-      val pairs = minhashPairs(spark, dir)
-      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
-        .withColumnRenamed("id", "doc_id")
+      val comps = minhashComps(spark, dir)
       sample.select(col("doc_id")).join(comps, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("comp"),
@@ -646,8 +656,7 @@ object ExtensionQueries {
   private val dedupBestOfCluster = QueryDef(
     fn = (spark, dir) => {
       val sample = dedupSampleDocs(spark, dir)
-      val comps = Dedup.connectedComponents(minhashPairs(spark, dir), "id_a", "id_b")
-        .withColumnRenamed("id", "doc_id")
+      val comps = minhashComps(spark, dir)
       val scored = sample
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .join(comps, Seq("doc_id"), "left")
