@@ -803,4 +803,53 @@ object Dedup {
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** EXACT edit-distance ≤ 1 self-join via deletion neighborhoods (the
+    * FastSS family — Bocek et al., "Fast Similarity Search in Large
+    * Dictionaries", 2007): all string pairs within one insert / delete /
+    * substitute, with NO false negatives. The typo-dedup sibling of
+    * [[nearDupPrefixJoin]] — token-SET similarity misses single-character
+    * corruption entirely (a typo'd token is simply a different set
+    * element); this operator catches exactly that class.
+    *
+    * Candidate generation: each string emits itself plus its |s|
+    * single-character deletions. If ed(a,b) ≤ 1 the two neighborhoods
+    * intersect — substitution at i: deleting i from both sides yields the
+    * same string; insertion/deletion: the shorter string IS a deletion
+    * variant of the longer; equality: the strings themselves collide — so
+    * an equi-join on the variant key yields every qualifying pair.
+    * Exact `levenshtein` then verifies candidates only — a shared variant
+    * does NOT imply ed ≤ 1 ("ab" and "ba" share the variant "a" but sit at
+    * edit distance 2) — and distinct-pair dedup precedes the verify so
+    * each candidate pair pays the distance computation once.
+    *
+    * Scale shape: the variant explode is a (|s|+1)× narrow map, the
+    * candidate join is an equi-join on the variant string — a
+    * high-cardinality, hash-partitionable key (bucket size = strings
+    * within one deletion of each other, i.e. the local near-dup density,
+    * never the corpus) — and verification is per-candidate scalar codegen.
+    * No n² anywhere; the quadratic brute force exists only as the oracle's
+    * ground truth over a bounded key domain.
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val v = df.select(col(idCol).as("id"), lower(col(strCol)).as("w"))
+    // the string itself (deletion-0) plus each single-position deletion;
+    // sequence(1, 0) would count DOWN, so guard the empty string
+    val dels = when(length(col("w")) > 0,
+      transform(sequence(lit(1), length(col("w"))),
+        i => concat(col("w").substr(lit(1), i - 1),
+          col("w").substr(i + 1, length(col("w"))))))
+      .otherwise(array())
+    val vars = v.select(col("id"), col("w"),
+      explode(concat(array(col("w")), dels)).as("variant"))
+    vars.as("a")
+      .join(vars.as("b"),
+        col("a.variant") === col("b.variant") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.w").as("w_a"), col("b.w").as("w_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("w_a"), col("w_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

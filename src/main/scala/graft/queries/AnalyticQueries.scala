@@ -632,7 +632,66 @@ object AnalyticQueries {
          |ORDER BY var_a, var_b""".stripMargin
     })
 
+  /** Lag-1 autocorrelation of the event value stream: Pearson r between
+    * consecutive per-user observations — the stationarity / trend probe a
+    * time-series pipeline runs before modeling (white noise → ≈ 0). The
+    * lag pairs come from ONE window partitioned by user_id — a
+    * high-cardinality key, so the sort is per-user-sized and
+    * embarrassingly parallel (NOT the 3-value-key straggler shape the
+    * outlier queries were purged of); the Pearson sums then collapse in
+    * one map-side-combinable aggregation to a single row.
+    *
+    * Determinism: values are quantized once to unscaled integers via the
+    * floor form (`⌊v·10⁴+0.5⌋` — bit-identical in both engines, where a
+    * builtin round() would diverge at .5 boundaries), cross-products
+    * multiply as 64-bit ints, accumulators are DECIMAL(38,0), and the
+    * final quotient replays the oracle's double expression tree on
+    * VARCHAR-guarded casts (sums exceed 2^53 at scale) — the same
+    * discipline as q_corr_matrix. */
+  private val autocorrLag1 = QueryDef(
+    fn = (spark, dir) => {
+      def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val p = Tables.events(spark, dir)
+        .select(col("user_id"),
+          floor(col("value") * 10000 + 0.5).cast("long").as("u"),
+          expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+        .withColumn("up", lag(col("u"), 1).over(w))
+        .filter(col("up").isNotNull)
+      val s = p.agg(count(lit(1)).cast("double").as("n"),
+        sum(d38(col("u"))).as("sx"), sum(d38(col("up"))).as("sy"),
+        sum(d38(col("u") * col("u"))).as("sxx"),
+        sum(d38(col("up") * col("up"))).as("syy"),
+        sum(d38(col("u") * col("up"))).as("sxy"))
+      def dd(name: String): Column = col(name).cast("string").cast("double")
+      s.select(col("n").cast("long").as("n_pairs"),
+        r6((col("n") * dd("sxy") - dd("sx") * dd("sy"))
+          / (sqrt(col("n") * dd("sxx") - dd("sx") * dd("sx"))
+            * sqrt(col("n") * dd("syy") - dd("sy") * dd("sy"))))
+          .as("autocorr"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT user_id,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS u,
+        |    epoch_us(ts) AS ts_us, event_id FROM events),
+        |p AS (SELECT u, lag(u) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id) AS up FROM q),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(CAST(SUM(u)     AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(up)    AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(u*u)   AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(up*up) AS VARCHAR) AS DOUBLE) AS syy,
+        |  CAST(CAST(SUM(u*up)  AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM p WHERE up IS NOT NULL)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |  floor(((n*sxy - sx*sy)
+        |    / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS autocorr
+        |FROM s""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_autocorr_lag1" -> autocorrLag1,
     "q_corr_matrix" -> corrMatrix,
     "q_stats_agg" -> statsAgg,
     "q_outlier_zscore" -> outlierZscore,

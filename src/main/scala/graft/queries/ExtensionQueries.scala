@@ -2011,7 +2011,172 @@ object ExtensionQueries {
          |SELECT lang, doc_id FROM r, t WHERE rn <= per_g
          |ORDER BY lang, doc_id""".stripMargin))
 
+  /** Typo-class dedup: EXACT edit-distance ≤ 1 pairs over supplier names
+    * via [[Dedup.editDistanceJoin]]'s deletion-neighborhood equi-join
+    * (FastSS) — the single-character-corruption sibling the token-set
+    * family (Jaccard / containment / MinHash) structurally misses. The
+    * oracle is the BRUTE-FORCE quadratic `levenshtein` join over the
+    * bounded name domain, so a green row proves the deletion-variant
+    * pruning dropped no pair. This fixture only exercises the
+    * substitution case (all names are equal length); insert / delete /
+    * identity candidates are pinned by TextDedupSpec on a crafted corpus.
+    */
+  private val dedupEdit1 = QueryDef(
+    fn = (spark, dir) =>
+      Dedup.editDistanceJoin(
+          Tables.supplier(spark, dir), "s_suppkey", "s_name")
+        .orderBy("id_a", "id_b"),
+    oracle = Some(
+      """WITH v AS (SELECT s_suppkey AS id, lower(s_name) AS w FROM supplier)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+        |FROM v a JOIN v b ON a.id < b.id AND levenshtein(a.w, b.w) <= 1
+        |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Okapi BM25 ranked retrieval (k1 = 1.2, b = 0.75) for a fixed 3-term
+    * query over the documents corpus — the scored-retrieval step after
+    * q_phrase_search's boolean match and q_tfidf_top_terms' per-doc
+    * weighting. Two token-keyed aggregations (tf per (doc, term), df per
+    * term over the QUERY TERMS only — the explode is filtered to the
+    * query vocabulary at the scan, so the shuffled stream is a tiny
+    * fraction of the corpus) plus one broadcast 1-row corpus-stats frame;
+    * the top-10 cut runs through a rank window over the ≤|terms|·N scored
+    * slice, map-side-limited by WindowGroupLimit. Scale: every stage keys
+    * on token or doc id (hash-partitionable, no global structure);
+    * nothing data-sized is collected or broadcast.
+    *
+    * Determinism: each per-term score is floor-rounded to 6dp then summed
+    * in DECIMAL(18,6) — double addition across terms would be
+    * association-ordered and Spark's partial aggregation order is not
+    * DuckDB's sequential one. ln() agrees bit-for-bit across the engines'
+    * libm on this data (same discipline as q_tfidf_top_terms); the final
+    * rank orders by the exact decimal score with doc_id ties. */
+  private val bm25Topk = QueryDef(
+    fn = (spark, dir) => {
+      val terms = Seq("spark", "window", "merge")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n"),
+        (sum(size(col("toks"))).cast("double")
+          / count(lit(1)).cast("double")).as("avgdl"))
+      val dl = docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+      val tok = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+        .filter(col("token").isin(terms: _*))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfq = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+      val perTerm = tf.join(dfq, "token").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          TextAnalysis.round6(
+            log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+              * (col("tf") * 2.2)
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("s"))
+      perTerm.groupBy(col("doc_id"))
+        .agg(sum(col("s")).cast("double").as("bm25"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("rn") <= 10)
+        .orderBy("rn")
+    },
+    oracle = Some(
+      s"""WITH docs AS (SELECT doc_id, ${dToks("text")} AS toks FROM documents),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM docs),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE token IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+         |dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |per_term AS (SELECT tf.doc_id,
+         |    CAST(floor(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS s
+         |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |scored AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+         |           FROM per_term GROUP BY doc_id)
+         |SELECT doc_id, bm25, CAST(row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rn
+         |FROM scored QUALIFY rn <= 10 ORDER BY rn""".stripMargin))
+
+  /** Join-size estimation from Count-Min sketches (the AMS/CMS
+    * inner-product estimator — Cormode & Muthukrishnan, J.Alg 2005 §4.2):
+    * |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated by the minimum over hash
+    * rows of the sketch-row dot product, one-sided (≥ exact, error ≤
+    * ‖A‖₁·‖B‖₁/width per row) — what a cost-based optimizer consults
+    * BEFORE running a join it cannot afford to mis-plan. Two probes: the
+    * orders×customer key join, and lineitem's SELF-join size on suppkey
+    * (= the second frequency moment F2, the canonical skew signal). Each
+    * sketch build is one map-side-combinable aggregation to depth×width
+    * cells regardless of input size; the dot product joins two 1024-cell
+    * frames. The exact sides are data-sized joins/aggregations emitted
+    * only as the verification contract (same pattern as q_cms_topk's
+    * exact top-20). Estimates are deterministic: md5-fold cell hashes,
+    * integer counters, integer dot products — the oracle rebuilds
+    * identical sketches in SQL. */
+  private val cmsJoinSize = QueryDef(
+    fn = (spark, dir) => {
+      val w = 256; val depth = 4
+      def sketch(keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        keys.select(explode(Sketches.cmsCells(col("k").cast("string"), depth, w)).as("c"))
+          .groupBy(col("c.d").as("d"), col("c.cell").as("cell"))
+          .agg(count(lit(1)).as("cnt"))
+      def estimate(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        sketch(a).as("x").join(sketch(b).as("y"), Seq("d", "cell"))
+          .groupBy(col("d")).agg(sum(col("x.cnt") * col("y.cnt")).as("ip"))
+          .agg(min(col("ip")).as("est_n"))
+      val o = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+      val c = Tables.customer(spark, dir).select(col("c_custkey").as("k"))
+      val l = Tables.lineitem(spark, dir).select(col("l_suppkey").as("k"))
+      val exactOC = o.join(c, "k").agg(count(lit(1)).as("exact_n"))
+      val exactLL = l.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt") * col("cnt")).as("exact_n"))
+      def row(name: String, exact: org.apache.spark.sql.DataFrame,
+          est: org.apache.spark.sql.DataFrame) =
+        exact.crossJoin(est).select(lit(name).as("join_name"),
+          col("exact_n"), col("est_n"),
+          (col("est_n") >= col("exact_n")).as("overestimate_only"))
+      row("lineitem_self_suppkey", exactLL, estimate(l, l))
+        .union(row("orders_x_customer", exactOC, estimate(o, c)))
+        .orderBy("join_name")
+    },
+    oracle = Some {
+      def cell(d: String) = Sketches.cmsCellSql(dHash32, "k", d, 256)
+      def sk(src: String) =
+        s"""(SELECT d, ${cell("d")} AS cell, COUNT(*) AS cnt
+           | FROM $src, range(0, 4) t(d) GROUP BY 1, 2)""".stripMargin
+      s"""WITH ko AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+         |kc AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+         |kl AS (SELECT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem),
+         |est_oc AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_n FROM (
+         |  SELECT x.d, SUM(x.cnt * y.cnt) AS ip
+         |  FROM ${sk("ko")} x JOIN ${sk("kc")} y USING (d, cell) GROUP BY 1)),
+         |est_ll AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_n FROM (
+         |  SELECT x.d, SUM(x.cnt * y.cnt) AS ip
+         |  FROM ${sk("kl")} x JOIN ${sk("kl")} y USING (d, cell) GROUP BY 1)),
+         |ex_oc AS (SELECT COUNT(*) AS exact_n
+         |          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |ex_ll AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_n FROM (
+         |  SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey))
+         |SELECT 'lineitem_self_suppkey' AS join_name, ex_ll.exact_n,
+         |  est_ll.est_n, est_ll.est_n >= ex_ll.exact_n AS overestimate_only
+         |FROM ex_ll, est_ll
+         |UNION ALL
+         |SELECT 'orders_x_customer', ex_oc.exact_n,
+         |  est_oc.est_n, est_oc.est_n >= ex_oc.exact_n
+         |FROM ex_oc, est_oc
+         |ORDER BY join_name""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
+    "q_dedup_edit1" -> dedupEdit1,
+    "q_bm25_topk" -> bm25Topk,
+    "q_cms_join_size" -> cmsJoinSize,
     "q_mix_rebalance" -> mixRebalance,
     "q_kmv_diff" -> kmvDiff,
     "q_dedup_containment" -> dedupContainment,

@@ -898,7 +898,62 @@ object WarehouseQueries {
         |GROUP BY d.l_returnflag, d.n, d.med, mad.mad
         |ORDER BY d.l_returnflag""".stripMargin))
 
+  // --- time-weighted average ------------------------------------------------
+
+  /** Time-weighted average open-line price per order priority over 1995 Q1
+    * — the interval-overlap aggregate behind "average balance over the
+    * period" / TWAP-style reporting, where a plain AVG over rows would
+    * weight a line open for 1 day the same as one open for 80. Each
+    * lineitem contributes its extendedprice weighted by the number of
+    * days its order-to-ship interval [o_orderdate, l_shipdate) overlaps
+    * the window — integer day counts via clamped GREATEST/LEAST, no
+    * interval explode (a per-day grid would multiply the fact ~90×; the
+    * overlap-length closed form keeps it one row per line). One equi-join
+    * (orderkey, data-sized, AQE-planned) and one 5-group aggregation
+    * whose weighted sum runs in exact DECIMAL; the single division
+    * happens on the VARCHAR-guarded double cast of the total, r6-rounded.
+    */
+  private val timeWeightedAvg = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_shipdate"),
+          dec(col("l_extendedprice")).as("price"))
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          greatest(lit(0), datediff(
+            least(col("l_shipdate"), to_date(lit("1995-04-01"))),
+            greatest(col("o_orderdate"), to_date(lit("1995-01-01")))))
+            .cast("long").as("days"),
+          col("price"))
+        .filter(col("days") > 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("days")).as("total_days"),
+          sum(col("price") * col("days")).as("pd"))
+        .select(col("o_orderpriority"), col("total_days"),
+          r6(col("pd").cast("string").cast("double")
+            / col("total_days").cast("double")).as("twa_price"))
+        .orderBy("o_orderpriority")
+    },
+    oracle = Some(
+      """WITH x AS (
+        |  SELECT o.o_orderpriority,
+        |    GREATEST(0, date_diff('day',
+        |       GREATEST(o.o_orderdate, DATE '1995-01-01'),
+        |       LEAST(l.l_shipdate, DATE '1995-04-01'))) AS days,
+        |    CAST(l.l_extendedprice AS DECIMAL(12,4)) AS price
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT o_orderpriority, CAST(SUM(days) AS BIGINT) AS total_days,
+        |  floor((CAST(CAST(SUM(price * days) AS VARCHAR) AS DOUBLE)
+        |       / CAST(SUM(days) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS twa_price
+        |FROM x WHERE days > 0 GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_time_weighted_avg" -> timeWeightedAvg,
     "q_scd2_build" -> scd2Build,
     "q_funnel_steps" -> funnelSteps,
     "q_funnel_lag" -> funnelLag,

@@ -121,4 +121,23 @@ class GraphQueriesSpec extends SparkSpec {
       assert(rows(2).getLong(j + 1) == expectedC, s"p$j not the exact signed sum")
     }
   }
+
+  test("q_graph_kcore: converged at shipped SFs, every member meets the degree floor") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("q_graph_kcore")(spark, d).collect()
+      assert(rows.forall(_.getAs[Boolean]("converged")),
+        s"$d: 4 peel rounds must reach the fixpoint (5th round a no-op)")
+      assert(rows.forall(_.getAs[Long]("core_degree") >= 8),
+        s"$d: a k-core member with degree < k")
+    }
+  }
+
+  test("q_cms_join_size: the CMS inner-product estimate is one-sided (est >= exact)") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("q_cms_join_size")(spark, d).collect()
+      assert(rows.length == 2)
+      assert(rows.forall(_.getAs[Boolean]("overestimate_only")),
+        s"$d: collision noise can only ADD to a counter product")
+    }
+  }
 }

@@ -563,4 +563,33 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(got(0)._3 - 4.0 / 6.0) < 1e-5)
     assert(math.abs(got(1)._3 - 1.0 / 9.0) < 1e-5)
   }
+
+  test("editDistanceJoin covers substitute/insert/delete/equal; no false negatives") {
+    // cat~bat (substitute), cat~cats (insert), cats~cat (delete, same pair),
+    // dog=dog (equal twice), cat vs dog (far), ab vs ba (shared deletion
+    // variant 'a' but edit distance 2 — candidate must be REJECTED)
+    val rows = Seq(
+      (1L, "cat"), (2L, "bat"), (3L, "cats"), (4L, "dog"),
+      (5L, "dog"), (6L, "ab"), (7L, "ba"), (8L, "")).toDF("id", "s")
+    val got = Dedup.editDistanceJoin(rows, "id", "s")
+      .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val brute = (for {
+      a <- rows.as[(Long, String)].collect(); b <- rows.as[(Long, String)].collect()
+      if a._1 < b._1
+      d = {
+        val (x, y) = (a._2, b._2)
+        val dp = Array.tabulate(x.length + 1)(i => Array.tabulate(y.length + 1)(j =>
+          if (i == 0) j else if (j == 0) i else 0))
+        for (i <- 1 to x.length; j <- 1 to y.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        dp(x.length)(y.length)
+      }
+      if d <= 1
+    } yield (a._1, b._1, d)).sortBy(p => (p._1, p._2)).toSeq
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 1)) &&
+      got.contains((4L, 5L, 0)))
+    assert(!got.exists(p => p._1 == 6L && p._2 == 7L), "ab~ba is distance 2")
+  }
 }
