@@ -48,6 +48,12 @@ object TextAnalysis {
   def tokenHash32Sql(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
+  /** All four 32-bit words of one md5 digest (`array<long>`, word 0 ≡
+    * [[tokenHash32]]) — one digest per FOUR independent hash streams; see
+    * [[graft.functions.TokenHash32x4Expr]]. */
+  def tokenHash32Words(tok: Column): Column =
+    graft.functions.TokenHash32x4Expr.tokenHash4Fast(tok)
+
   /** Word n-gram shingles over an ALREADY-MATERIALIZED token-array column.
     * The token array must be a projected column (attribute), not an inline
     * expression: `toks` appears inside the transform lambda, where an

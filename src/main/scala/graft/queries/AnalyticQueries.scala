@@ -690,8 +690,84 @@ object AnalyticQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS autocorr
         |FROM s""".stripMargin))
 
+  /** Deterministic Poisson bootstrap (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google TR 2012): a 90% CI for
+    * the mean event value WITHOUT resampling passes — each row's weight
+    * in replica b is Poisson(1), inverted from the uniform
+    * `hash(id:b)/2^32` through fixed CDF literals, so one scan feeds all
+    * 32 replicas and the whole thing replays bit-identically in the
+    * oracle (a seeded RNG would not: partition order differs across
+    * engines). The replica explode is in-stage (×32 rows into a
+    * map-side-combinable 32-group aggregation); the rank window that
+    * picks the 2nd/31st replica means orders a 32-row frame. Weighted
+    * sums run on the floor-quantized integer values in DECIMAL(38,0) —
+    * the q_autocorr_lag1 discipline. */
+  private val bootstrapCi = QueryDef(
+    fn = (spark, dir) => {
+      def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+      val q = Tables.events(spark, dir)
+        .select(col("event_id"), floor(col("value") * 10000 + 0.5).cast("long").as("u"))
+      val n = q.agg(count(lit(1)).as("n"))
+      // 8 digests × 4 words = 32 uniforms per row: md5 is the per-row
+      // cost floor, so the replica streams ride TokenHash32x4Expr's full
+      // 128 digest bits instead of one 32-bit word each (2.0 s → 1.1 s)
+      val wts = q.select(col("event_id"), col("u"),
+          explode(expr("sequence(0, 7)")).as("g"))
+        .select(col("u"), col("g"),
+          posexplode(TextAnalysis.tokenHash32Words(
+            concat(col("event_id").cast("string"), lit(":"), col("g").cast("string"))))
+            .as(Seq("wi", "h")))
+        .select(col("u"), (col("g") * 4 + col("wi")).as("b"),
+          (col("h") / lit(4294967296.0)).as("p"))
+        .withColumn("wt",
+          when(col("p") < 0.36787944117144233, 0L)
+            .when(col("p") < 0.73575888234288467, 1L)
+            .when(col("p") < 0.91969860292860584, 2L)
+            .when(col("p") < 0.98101184312384615, 3L)
+            .otherwise(4L))
+      val means = wts.groupBy(col("b"))
+        .agg(sum(col("wt")).as("nw"), sum(d38(col("wt") * col("u"))).as("swu"))
+        .select(col("b"),
+          r6(col("swu").cast("string").cast("double")
+            / col("nw").cast("double") / 10000.0).as("mean_b"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("mean_b"), col("b"))))
+      n.crossJoin(broadcast(means.filter(col("rn") === 2).select(col("mean_b").as("ci_lo"))))
+        .crossJoin(broadcast(means.filter(col("rn") === 31).select(col("mean_b").as("ci_hi"))))
+    },
+    oracle = Some {
+      s"""WITH q AS (SELECT event_id,
+         |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS u FROM events),
+         |dg AS (SELECT u, g,
+         |    md5(CAST(event_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)) AS mx
+         |  FROM q, range(0, 8) t(g)),
+         |r AS (SELECT u, g * 4 + wi AS b,
+         |    list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |      list_transform(string_split(
+         |          substr(mx, CAST(1 + 8 * wi AS INTEGER), 8), ''),
+         |        ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT))),
+         |      (acc, d) -> acc * 16 + d) / 4294967296.0 AS p
+         |  FROM dg, range(0, 4) t2(wi)),
+         |w AS (SELECT u, b, CASE WHEN p < 0.36787944117144233 THEN 0
+         |                        WHEN p < 0.73575888234288467 THEN 1
+         |                        WHEN p < 0.91969860292860584 THEN 2
+         |                        WHEN p < 0.98101184312384615 THEN 3
+         |                        ELSE 4 END AS wt FROM r),
+         |m AS (SELECT b,
+         |        floor((CAST(CAST(SUM(wt * u) AS VARCHAR) AS DOUBLE)
+         |             / CAST(SUM(wt) AS DOUBLE) / 10000.0)
+         |          * 1000000.0 + 0.5) / 1000000.0 AS mean_b
+         |      FROM w GROUP BY b),
+         |rk AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn
+         |       FROM m)
+         |SELECT (SELECT COUNT(*) FROM q) AS n,
+         |  (SELECT mean_b FROM rk WHERE rn = 2) AS ci_lo,
+         |  (SELECT mean_b FROM rk WHERE rn = 31) AS ci_hi""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_autocorr_lag1" -> autocorrLag1,
+    "q_bootstrap_ci" -> bootstrapCi,
     "q_corr_matrix" -> corrMatrix,
     "q_stats_agg" -> statsAgg,
     "q_outlier_zscore" -> outlierZscore,

@@ -2104,6 +2104,92 @@ object ExtensionQueries {
          |    (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rn
          |FROM scored QUALIFY rn <= 10 ORDER BY rn""".stripMargin))
 
+  /** The distributed half of BPE vocabulary induction: adjacent-symbol
+    * pair counts over the word-frequency table — the argmax of this
+    * frame IS the next merge rule, and re-running the count after each
+    * (cheap, local) merge apply is exactly how BPE training iterates at
+    * corpus scale. Counting on the DISTINCT-word frame weighted by word
+    * frequency (not the raw token stream) is the standard trick: the
+    * pair explode runs over vocabulary-sized input — corpus growth only
+    * fattens the integer weights, not the exploded row count. One
+    * vocabulary-keyed aggregation, one in-stage index expansion
+    * (`transform` over 1..len-1 — single-char words filtered first,
+    * since a descending `sequence(1, 0)` would fabricate indices), one
+    * domain-sized pair aggregation; the top-10 window orders a
+    * ≤alphabet² frame. */
+  private val bpePairs = QueryDef(
+    fn = (spark, dir) => {
+      val wf = Tables.documents(spark, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      wf.select(col("cnt"), split(col("word"), "").as("cs"))
+        .filter(size(col("cs")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(cs) - 1),
+            |  i -> struct(element_at(cs, i) AS a, element_at(cs, i + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("a"), col("b"))))
+        .filter(col("rn") <= 10)
+        .orderBy("rn")
+    },
+    oracle = Some(
+      s"""WITH w AS (SELECT unnest(${dToks("text")}) AS word FROM documents),
+         |wf AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+         |ch AS (SELECT cnt, regexp_split_to_array(word, '') AS cs FROM wf),
+         |pairs AS (SELECT cs[i] AS a, cs[i+1] AS b, cnt
+         |          FROM ch, unnest(range(1, len(cs))) t(i)),
+         |pc AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n
+         |       FROM pairs GROUP BY a, b)
+         |SELECT a, b, n,
+         |  CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INTEGER) AS rn
+         |FROM pc QUALIFY rn <= 10 ORDER BY rn""".stripMargin))
+
+  /** Per-source token-distribution drift: KL(source ‖ corpus) — the
+    * data-quality probe that flags a crawl shard whose language suddenly
+    * shifts before it poisons a training mix. Two token-keyed
+    * aggregations (per-source counts, corpus counts) and one broadcast
+    * of the source totals; every per-token term is floor-rounded to 9dp
+    * and summed in DECIMAL(18,9) (the BM25 discipline — double addition
+    * across tokens would be association-ordered), so the oracle replays
+    * the identical sum. Sources are disjoint slices of the corpus, so
+    * q_s > 0 whenever p_s > 0 and the KL is always finite. */
+  private val klDivergence = QueryDef(
+    fn = (spark, dir) => {
+      val tok = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val cs = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val ns = cs.groupBy(col("source")).agg(sum(col("c")).cast("double").as("n_s"))
+      val cq = cs.groupBy(col("token")).agg(sum(col("c")).cast("double").as("c_q"))
+      val nq = cq.agg(sum(col("c_q")).as("n_q"))
+      val p = col("c").cast("double") / col("n_s")
+      val q = col("c_q") / col("n_q")
+      cs.join(broadcast(ns), "source").join(cq, "token").crossJoin(broadcast(nq))
+        .select(col("source"),
+          (floor(p * log(p / q) * 1e9 + 0.5) / 1e9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("term"))
+        .groupBy(col("source"))
+        .agg(sum(col("term")).cast("double").as("kl"))
+        .orderBy("source")
+    },
+    oracle = Some(
+      s"""WITH tok AS (SELECT source, unnest(${dToks("text")}) AS token
+         |             FROM documents),
+         |cs AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS n_s FROM cs GROUP BY 1),
+         |cq AS (SELECT token, CAST(SUM(c) AS DOUBLE) AS c_q FROM cs GROUP BY 1),
+         |nq AS (SELECT CAST(SUM(c_q) AS DOUBLE) AS n_q FROM cq),
+         |terms AS (SELECT cs.source,
+         |    CAST(floor((CAST(cs.c AS DOUBLE) / ns.n_s)
+         |        * ln((CAST(cs.c AS DOUBLE) / ns.n_s) / (cq.c_q / nq.n_q))
+         |        * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(18,9)) AS term
+         |  FROM cs JOIN ns USING (source) JOIN cq USING (token) CROSS JOIN nq)
+         |SELECT source, CAST(SUM(term) AS DOUBLE) AS kl
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin))
+
   /** Join-size estimation from Count-Min sketches (the AMS/CMS
     * inner-product estimator — Cormode & Muthukrishnan, J.Alg 2005 §4.2):
     * |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated by the minimum over hash
@@ -2177,6 +2263,8 @@ object ExtensionQueries {
     "q_dedup_edit1" -> dedupEdit1,
     "q_bm25_topk" -> bm25Topk,
     "q_cms_join_size" -> cmsJoinSize,
+    "q_bpe_pairs" -> bpePairs,
+    "q_kl_divergence" -> klDivergence,
     "q_mix_rebalance" -> mixRebalance,
     "q_kmv_diff" -> kmvDiff,
     "q_dedup_containment" -> dedupContainment,

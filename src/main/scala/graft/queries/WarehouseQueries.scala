@@ -952,8 +952,48 @@ object WarehouseQueries {
         |FROM x WHERE days > 0 GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin))
 
+  /** Weekly OHLC resampling of the event value stream per event type —
+    * the time-series downsampling shape (candlesticks, telemetry rollup).
+    * ONE map-side-combinable aggregation: open/close via `min_by`/
+    * `max_by` on a zero-padded (ts_us, event_id) string key (a composite
+    * ORDER, encoded so DuckDB's two-argument arg_min can replay it —
+    * lexicographic on the padding ≡ numeric), high/low as plain MIN/MAX.
+    * No per-group window, no sort: the first/last-in-group selection
+    * rides the aggregation, so the (type × week) group count — bounded
+    * by calendar × enum, the straggler shape windows would create —
+    * never materializes a partition-wide ordering. Values pass through
+    * untouched (comparison only), so doubles hash-match exactly. */
+  private val resampleOhlc = QueryDef(
+    fn = (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").as("wk"),
+          col("value"),
+          concat(lpad(expr("CAST(ts_ns div 1000 AS STRING)"), 20, "0"),
+            lpad(col("event_id").cast("string"), 12, "0")).as("ok"))
+      e.groupBy(col("event_type"), col("wk"))
+        .agg(min_by(col("value"), col("ok")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ok")).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "wk")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT event_type,
+        |    date_trunc('week', CAST(ts AS DATE)) AS wk, value,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |      || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+        |  FROM events)
+        |SELECT event_type, wk,
+        |  arg_min(value, ok) AS open, MAX(value) AS high, MIN(value) AS low,
+        |  arg_max(value, ok) AS close, COUNT(*) AS n
+        |FROM e GROUP BY event_type, wk
+        |ORDER BY event_type, wk""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_time_weighted_avg" -> timeWeightedAvg,
+    "q_resample_ohlc" -> resampleOhlc,
     "q_scd2_build" -> scd2Build,
     "q_funnel_steps" -> funnelSteps,
     "q_funnel_lag" -> funnelLag,

@@ -564,6 +564,23 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(got(1)._3 - 1.0 / 9.0) < 1e-5)
   }
 
+  test("tokenHash32Words: word 0 is tokenHash32; all words match the conv(substr(md5)) form") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+    val cols = Seq(
+      TextAnalysis.tokenHash32Words(col("t")).as("ws"),
+      TextAnalysis.tokenHash32(col("t")).as("w0")) ++
+      (0 until 4).map(k =>
+        conv(substring(md5(col("t")), 1 + 8 * k, 8), 16, 10).cast("long")
+          .as(s"ref$k"))
+    val checked = toks.select(cols: _*)
+    val bad = checked.filter(
+      element_at(col("ws"), 1) =!= col("w0") ||
+        (1 to 4).map(k => element_at(col("ws"), k) =!= col(s"ref${k - 1}"))
+          .reduce(_ || _))
+    assert(bad.count() == 0)
+  }
+
   test("editDistanceJoin covers substitute/insert/delete/equal; no false negatives") {
     // cat~bat (substitute), cat~cats (insert), cats~cat (delete, same pair),
     // dog=dog (equal twice), cat vs dog (far), ab vs ba (shared deletion
