@@ -246,14 +246,20 @@ object GraphQueries {
       val e0 = keep.select(col("sa").as("u"), col("sb").as("v"))
         .union(keep.select(col("sb").as("u"), col("sa").as("v")))
         .localCheckpoint(true)
-      val rounds = Iterator.iterate(e0) { e =>
+      def peel(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
         import org.apache.spark.sql.expressions.Window
         e.withColumn("du", count(lit(1)).over(Window.partitionBy(col("u"))))
           .withColumn("dv", count(lit(1)).over(Window.partitionBy(col("v"))))
           .filter(col("du") >= K && col("dv") >= K)
           .select(col("u"), col("v"))
-      }.take(5).toSeq
-      val (e3, e4) = (rounds(3), rounds(4))
+      }
+      // checkpoint the round-3 and round-4 frames too: e3 feeds the
+      // convergence count and e4 is referenced twice (count + final agg),
+      // so without these the 2-windows-per-round chain re-runs ~3× —
+      // rounds 1-3 execute as ONE linear job, round 4 as one more.
+      // Measured 6.6 s → 5.1 s warm at sf0.1; frames are edge-domain-sized.
+      val e3 = peel(peel(peel(e0))).localCheckpoint(true)
+      val e4 = peel(e3).localCheckpoint(true)
       val converged = e3.agg(count(lit(1)).as("n3"))
         .crossJoin(e4.agg(count(lit(1)).as("n4")))
         .select((col("n3") === col("n4")).as("converged"))
