@@ -24,8 +24,23 @@ object GraphQueries {
   /** Customer-nation → supplier-nation weighted edge list from the 4-table
     * join — the one data-sized stage every graph query here shares.
     * Dimension joins stay unhinted: customer/supplier grow with SF, so the
-    * broadcast-vs-shuffle choice belongs to AQE's size estimate. */
-  private def tradeEdges(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    * broadcast-vs-shuffle choice belongs to AQE's size estimate.
+    *
+    * Memoized per (session, dir) — the ExtensionQueries.minhashPairsCache
+    * pattern: q_pagerank, q_graph_triangles, and q_graph_degrees all
+    * consume the identical edge frame, so the fact-sized 4-table join runs
+    * once per session, not once per consumer. The checkpointed frame is
+    * nation-domain-sized (≤ 625 rows). */
+  private val tradeEdgesCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  private def tradeEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    tradeEdgesCache.getOrElseUpdate((spark, dir),
+      tradeEdgesBuild(spark, dir).localCheckpoint(true))
+
+  private def tradeEdgesBuild(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
