@@ -2190,6 +2190,68 @@ object ExtensionQueries {
          |SELECT source, CAST(SUM(term) AS DOUBLE) AS kl
          |FROM terms GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Bigram-LM cross-entropy scoring — the CCNet-style perplexity filter
+    * (Wenzek et al., LREC 2020): docs whose token stream surprises a
+    * language model trained on the corpus itself are boilerplate/noise
+    * candidates (high score) or degenerate repetition (low score). The
+    * "LM" is the corpus bigram table with add-one smoothing, so training
+    * IS two token-keyed aggregations (bigram counts, unigram
+    * continuation counts) — no gradient, fully replayable. Score = mean
+    * of -ln((c(a,b)+1)/(c(a)+V)) over the doc's bigrams.
+    *
+    * Scale shape: the bigram explode is in-stage (transform over
+    * 1..len-1); count tables join back on high-cardinality token keys
+    * (unhinted — at real vocabulary they exceed broadcast size, AQE
+    * decides); V is a 1-row broadcast; the final agg is doc-keyed. Each
+    * per-bigram term is floor-rounded to 9dp and summed in
+    * DECIMAL(18,9) — the q_kl_divergence discipline — so the mean's
+    * numerator is association-order-free and the oracle replays it. */
+  private val lmPerplexity = QueryDef(
+    fn = (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      val bg = d.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      val bc = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      val uc = bg.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      val v = d.select(explode(col("toks")).as("tok"))
+        .agg(countDistinct(col("tok")).as("vs"))
+      bg.join(bc, Seq("a", "b")).join(uc, Seq("a")).crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          (floor(-log((col("cab").cast("double") + 1.0)
+              / (col("ca").cast("double") + col("vs").cast("double")))
+            * 1e9 + 0.5) / 1e9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (floor((sum(col("h")).cast("double") / count(lit(1)))
+            * 1e6 + 0.5) / 1e6).as("cross_entropy"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH d AS (SELECT doc_id, ${dToks("text")} AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+         |       FROM d, unnest(range(1, len(toks))) t(i)
+         |       WHERE len(toks) >= 2),
+         |bc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+         |uc AS (SELECT a, COUNT(*) AS ca FROM bg GROUP BY a),
+         |v AS (SELECT COUNT(DISTINCT t.tok) AS vs
+         |      FROM (SELECT unnest(toks) AS tok FROM d) t),
+         |terms AS (SELECT g.doc_id,
+         |    CAST(floor(-ln((CAST(bc.cab AS DOUBLE) + 1.0)
+         |                   / (CAST(uc.ca AS DOUBLE) + CAST(v.vs AS DOUBLE)))
+         |         * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(18,9)) AS h
+         |  FROM bg g JOIN bc ON g.a = bc.a AND g.b = bc.b
+         |  JOIN uc ON g.a = uc.a CROSS JOIN v)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  floor((CAST(SUM(h) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS cross_entropy
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Join-size estimation from Count-Min sketches (the AMS/CMS
     * inner-product estimator — Cormode & Muthukrishnan, J.Alg 2005 §4.2):
     * |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated by the minimum over hash
@@ -2265,6 +2327,7 @@ object ExtensionQueries {
     "q_cms_join_size" -> cmsJoinSize,
     "q_bpe_pairs" -> bpePairs,
     "q_kl_divergence" -> klDivergence,
+    "q_lm_perplexity" -> lmPerplexity,
     "q_mix_rebalance" -> mixRebalance,
     "q_kmv_diff" -> kmvDiff,
     "q_dedup_containment" -> dedupContainment,
