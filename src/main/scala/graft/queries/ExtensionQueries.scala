@@ -690,6 +690,101 @@ object ExtensionQueries {
          |SELECT doc_id, comp, quality, (rn = 1) AS keep
          |FROM r ORDER BY doc_id""".stripMargin))
 
+  /** Cross-source near-dup contamination matrix: the verified minhash
+    * pair graph aggregated by (source, source) — the provenance
+    * diagnostic that tells you WHICH crawl shards duplicate each other
+    * before you spend a full dedup pass (e.g. a mirror site shows up as
+    * one hot off-diagonal cell). Consumes the memoized
+    * [[minhashPairs]]/[[dedupSampleDocs]] chain, so the marginal cost is
+    * two doc-keyed joins (data-sized, unhinted) and one aggregation on
+    * the source-pair DOMAIN (≤ S²/2 groups). Pair Jaccards are already
+    * 6dp-rounded; they sum in DECIMAL(18,6) so the mean replays. */
+  private val dedupCrossSource = QueryDef(
+    fn = (spark, dir) => {
+      val src = dedupSampleDocs(spark, dir).select(col("doc_id"), col("source"))
+      minhashPairs(spark, dir)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"),
+          col("jaccard").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("jd"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (floor((sum(col("jd")).cast("double") / count(lit(1)))
+            * 1e6 + 0.5) / 1e6).as("mean_jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    oracle = Some(
+      s"""WITH $minhashOracle,
+         |ps AS (SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5),
+         |src AS (SELECT doc_id AS id, source FROM documents WHERE doc_id % 10 = 0),
+         |lab AS (SELECT LEAST(a.source, b.source) AS src_a,
+         |               GREATEST(a.source, b.source) AS src_b,
+         |               CAST(jaccard AS DECIMAL(18,6)) AS jd
+         |        FROM ps JOIN src a ON ps.id_a = a.id JOIN src b ON ps.id_b = b.id)
+         |SELECT src_a, src_b, COUNT(*) AS n_pairs,
+         |  floor((CAST(SUM(jd) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mean_jaccard
+         |FROM lab GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin))
+
+  /** Newman modularity of the SOURCE partition on the near-dup graph —
+    * the one-number answer to "is duplication intra-source or
+    * cross-source?" (Q → 1: each source duplicates only itself, dedup
+    * can shard by source; Q ≈ 0: duplication ignores provenance and the
+    * pair join genuinely needs the global corpus). Q = Σ_s [e_s/m −
+    * (d_s/2m)²] over the unweighted pair graph: e_s, d_s, m are exact
+    * integer aggregates of the memoized pair set (node degrees on the
+    * doc-id DOMAIN, then one source-keyed rollup); each source's term is
+    * 9dp floor-rounded and summed in DECIMAL(18,9) — the
+    * q_kl_divergence discipline. */
+  private val dedupSrcModularity = QueryDef(
+    fn = (spark, dir) => {
+      val src = dedupSampleDocs(spark, dir).select(col("doc_id"), col("source"))
+      val pairs = minhashPairs(spark, dir)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+      val m = pairs.agg(count(lit(1)).as("m")).localCheckpoint(true)
+      val intra = pairs.filter(col("sa") === col("sb"))
+        .groupBy(col("sa").as("source")).agg(count(lit(1)).as("e_s"))
+      val deg = pairs.select(col("sa").as("source"))
+        .union(pairs.select(col("sb").as("source")))
+        .groupBy(col("source")).agg(count(lit(1)).as("d_s"))
+      // x*x, not pow(x, 2): Math.pow/std::pow make no exactness promise
+      // for integer exponents, a self-multiply is the same IEEE op on
+      // both engines
+      val t = col("d_s").cast("double") / (col("m") * 2)
+      val q = deg.join(intra, Seq("source"), "left").crossJoin(broadcast(m))
+        .select(
+          (floor((coalesce(col("e_s"), lit(0L)).cast("double") / col("m")
+              - t * t) * 1e9 + 0.5) / 1e9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("term"))
+        .agg((floor(sum(col("term")).cast("double") * 1e6 + 0.5) / 1e6)
+          .as("q_modularity"))
+      m.crossJoin(broadcast(q))
+    },
+    oracle = Some(
+      s"""WITH $minhashOracle,
+         |ps AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+         |src AS (SELECT doc_id AS id, source FROM documents WHERE doc_id % 10 = 0),
+         |lab AS (SELECT a.source AS sa, b.source AS sb
+         |        FROM ps JOIN src a ON ps.id_a = a.id JOIN src b ON ps.id_b = b.id),
+         |mm AS (SELECT COUNT(*) AS m FROM lab),
+         |intra AS (SELECT sa AS source, COUNT(*) AS e_s FROM lab
+         |          WHERE sa = sb GROUP BY 1),
+         |deg AS (SELECT source, COUNT(*) AS d_s FROM (
+         |          SELECT sa AS source FROM lab
+         |          UNION ALL SELECT sb FROM lab) GROUP BY 1),
+         |terms AS (SELECT CAST(floor((
+         |      CAST(COALESCE(i.e_s, 0) AS DOUBLE) / mm.m
+         |      - (CAST(d.d_s AS DOUBLE) / (mm.m * 2))
+         |        * (CAST(d.d_s AS DOUBLE) / (mm.m * 2)))
+         |    * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(18,9)) AS term
+         |  FROM deg d LEFT JOIN intra i USING (source) CROSS JOIN mm)
+         |SELECT mm.m AS m,
+         |  floor(CAST(SUM(term) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         |    AS q_modularity
+         |FROM terms CROSS JOIN mm GROUP BY mm.m""".stripMargin))
+
   /** SimHash signature oracle CTE over a sampled doc set. The final LEFT
     * JOIN keeps zero-token docs (unnest emits no rows for them, so they
     * never reach `bits`) with sig 0 — matching the Spark side, which folds
@@ -2370,6 +2465,8 @@ object ExtensionQueries {
     "q_dedup_minhash_incr" -> dedupMinhashIncr,
     "q_dedup_components" -> dedupComponents,
     "q_dedup_best_of_cluster" -> dedupBestOfCluster,
+    "q_dedup_cross_source" -> dedupCrossSource,
+    "q_dedup_src_modularity" -> dedupSrcModularity,
     "q_dedup_simhash_sigs" -> simhashSigs,
     "q_dedup_simhash_pairs" -> simhashPairs,
     "q_dedup_simhash_banded" -> simhashBanded,
