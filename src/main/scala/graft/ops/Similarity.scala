@@ -276,6 +276,35 @@ object Similarity {
         :+ col("__bestcell").as(cellCol): _*)
   }
 
+  /** Per-row centroid-separation margin — the cheap silhouette stand-in
+    * for IVF index quality: `cos_own` (rounded cosine to the row's
+    * assigned centroid) minus `cos_other` (best rounded cosine to any
+    * OTHER centroid). Margin > 0 means the row agrees with its cell under
+    * the CURRENT centroid set; ≈ 0 flags boundary rows that IVF probing
+    * will miss first (exactly the rows that cost recall at low nprobe).
+    * Same zero-shuffle shape as [[kmeansAssign]]: centroids are embedded
+    * as literals and both cosines are one map-side transform over the
+    * literal array — nothing joins, nothing shuffles, scale cost is one
+    * scan. Requires ≥ 2 cells (cos_other of a single-cell set is
+    * undefined). */
+  def silhouetteMargin(corpus: DataFrame, cents: DataFrame,
+      vecCol: String, cellCol: String): DataFrame = {
+    val cs = cents.select(col(cellCol), col("centroid")).orderBy(col(cellCol))
+      .collect().map(r => (r.get(0), r.getSeq[Double](1)))
+    require(cs.length >= 2, "silhouetteMargin: need at least 2 cells")
+    val centLits = array(cs.map(c => typedlit(c._2)).toSeq: _*)
+    val cellLits = array(cs.map(c => lit(c._1)).toSeq: _*)
+    val scores = transform(centLits, c =>
+      TextAnalysis.round6(dotD(col(vecCol), c) / (norm(col(vecCol)) * normD(c))))
+    val ownIdx = array_position(cellLits, col(cellCol)).cast("int")
+    // array_max skips the null the mask leaves at the own-cell slot
+    val masked = zip_with(scores, sequence(lit(1), lit(cs.length)),
+      (s, i) => when(i === ownIdx, lit(null)).otherwise(s))
+    corpus
+      .withColumn("cos_own", element_at(scores, ownIdx))
+      .withColumn("cos_other", array_max(masked))
+  }
+
   /** IVF-style approximate top-k: corpus rows are indexed by their cell
     * (coarse label); each query probes only its `nprobe` nearest cells by
     * centroid cosine. The probe join is an equi-join on cell id — at

@@ -1233,6 +1233,51 @@ object ExtensionQueries {
     * catches a broken probe join, a training regression, or a centroid
     * regression, not a bar the index geometry cannot meet.
     */
+  /** IVF index-quality report: per-cell mean centroid-separation margin
+    * over the trained assignment ([[Similarity.silhouetteMargin]] — the
+    * silhouette stand-in that prices recall risk per cell BEFORE paying
+    * for a recall measurement: low-margin cells are where low-nprobe
+    * probes lose neighbors first). Consumes the memoized level-2 Lloyd
+    * chain and its literal centroids, so the marginal cost is ONE
+    * map-side scan (both cosines are transforms over literal arrays) plus
+    * a cell-domain aggregation. Margins are 6dp floor-rounded and summed
+    * in DECIMAL(18,6); the oracle replays the identical training chain,
+    * so the driver hash-gates train + margin + rollup end-to-end. */
+  private val ivfSilhouette = QueryDef(
+    fn = (spark, dir) => {
+      val cells = trainedIvfCells(spark, dir, 2)
+      val cents = Similarity.centroidsLiteral(cells, "label", "embedding")
+      Similarity.silhouetteMargin(cells, cents, "embedding", "label")
+        .select(col("label"),
+          (floor((col("cos_own") - col("cos_other")) * 1e6 + 0.5) / 1e6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("mg"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          (floor((sum(col("mg")).cast("double") / count(lit(1)))
+            * 1e6 + 0.5) / 1e6).as("mean_margin"))
+        .orderBy("label")
+    },
+    oracle = Some {
+      val dotEC = dSumD("list_transform(range(1, len(e) + 1), i -> CAST(e[i] AS DOUBLE) * centroid[i])")
+      val normE = s"sqrt(${dDot("e", "e")})"
+      val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
+      s"""WITH ${dLloydCtes(2)},
+         |sc AS (SELECT vec_id, a2.cell AS own, c.cell AS ocell,
+         |    floor(($dotEC / ($normE * $normC)) * 1000000.0 + 0.5) / 1000000.0 AS cs
+         |  FROM a2 CROSS JOIN cent3 c),
+         |ow AS (SELECT vec_id, own, cs AS a FROM sc WHERE ocell = own),
+         |ot AS (SELECT vec_id, MAX(cs) AS b FROM sc WHERE ocell <> own
+         |       GROUP BY vec_id),
+         |mg AS (SELECT ow.own AS label,
+         |    CAST(floor((a - b) * 1000000.0 + 0.5) / 1000000.0
+         |      AS DECIMAL(18,6)) AS mg
+         |  FROM ow JOIN ot USING (vec_id))
+         |SELECT label, COUNT(*) AS n,
+         |  floor((CAST(SUM(mg) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mean_margin
+         |FROM mg GROUP BY label ORDER BY label""".stripMargin
+    })
+
   private val annRecall = QueryDef(
     fn = (spark, dir) => {
       val emb = trainedIvfCells(spark, dir, 0)
@@ -2447,6 +2492,7 @@ object ExtensionQueries {
     "q_token_freq" -> tokenFreq,
     "q_hash_split" -> hashSplit,
     "q_sim_ann_ivf" -> annIvf,
+    "q_ivf_silhouette" -> ivfSilhouette,
     "q_ivf_kmeans_assign" -> ivfKmeans,
     "q_multimodal_meta" -> mmMeta,
     "q_multimodal_frames" -> mmFrames,
