@@ -160,6 +160,35 @@ class SimilaritySpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("silhouetteMargin: separated clusters yield positive margins; own/other correct") {
+    val clustered = Seq(
+      (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(0.9f, 0.1f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 1),
+      (4L, Array(0.1f, 0.9f, 0f), 1)).toDF("vec_id", "embedding", "cell")
+    val cents = Similarity.centroidsLiteral(clustered, "cell", "embedding")
+    val got = Similarity.silhouetteMargin(clustered, cents, "embedding", "cell")
+      .select(col("vec_id"), col("cos_own"), col("cos_other"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.size == 4)
+    // every vector sits with its own cluster: cos_own > cos_other, both in [-1, 1]
+    got.foreach { case (id, own, other) =>
+      assert(own > other, s"vec $id: own $own <= other $other")
+      assert(own <= 1.0 && own >= -1.0 && other <= 1.0 && other >= -1.0)
+    }
+    // vec 1 vs its own centroid (0.95, 0.05, 0) is near-parallel
+    assert(got.head._2 > 0.99)
+  }
+
+  test("silhouetteMargin rejects a single-cell centroid set") {
+    val one = Seq((1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "cell")
+    val cents = Similarity.centroidsLiteral(one, "cell", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.silhouetteMargin(one, cents, "embedding", "cell")
+    }
+  }
+
   test("cosineNearDupPairs returns ordered pairs above threshold") {
     val got = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95)
       .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
