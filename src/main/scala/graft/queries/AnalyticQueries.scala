@@ -765,7 +765,61 @@ object AnalyticQueries {
          |  (SELECT mean_b FROM rk WHERE rn = 31) AS ci_hi""".stripMargin
     })
 
+  /** Inter-arrival-regularity bot screen: per-user coefficient of
+    * variation of event gaps — humans are bursty (cv ≈ 1 for Poisson
+    * arrivals), schedulers are metronomic (cv → 0), so `cv < 0.1` is the
+    * classic automation flag (and the fixture, being Poisson-ish,
+    * correctly flags nobody). Gaps are exact integer microseconds
+    * (`ts_ns div 1000`, the q_resample_ohlc ordering discipline) from ONE
+    * lag window partitioned by the high-cardinality user key; power sums
+    * accumulate in DECIMAL(38,0) and come back to double through the
+    * VARCHAR cast (sxx exceeds 2^53 immediately); mean/cv replay the
+    * oracle's expression tree and the flag compares the UNROUNDED cv so
+    * rounding can't flip it at the boundary. Scale: one shuffle on
+    * user_id, then a user-keyed aggregate — no global structure. */
+  private val botRegularity = QueryDef(
+    fn = (spark, dir) => {
+      val us = expr("ts_ns div 1000")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val g = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), us.as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val s = g.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(d38(col("gap"))).cast("string").cast("double").as("sx"),
+          sum(d38(col("gap")) * d38(col("gap"))).cast("string").cast("double").as("sxx"))
+        .filter(col("n") >= 4)
+      val cv = sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)) /
+        (col("sx") / col("n"))
+      s.select(col("user_id"), col("n"),
+          (floor(col("sx") / col("n") / 1e6 * 1000.0 + 0.5) / 1000.0).as("mean_gap_s"),
+          (floor(cv * 1e6 + 0.5) / 1e6).as("cv"),
+          (cv < 0.1).as("metronomic"))
+        .orderBy("user_id")
+    },
+    oracle = Some(
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events),
+        |s AS (SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS VARCHAR) AS sx_s,
+        |    CAST(SUM(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
+        |      AS VARCHAR) AS sxx_s
+        |  FROM g WHERE gap IS NOT NULL GROUP BY user_id HAVING COUNT(*) >= 4),
+        |c AS (SELECT user_id, n, CAST(sx_s AS DOUBLE) AS sx,
+        |             CAST(sxx_s AS DOUBLE) AS sxx FROM s)
+        |SELECT user_id, n,
+        |  floor(sx / n / 1000000.0 * 1000.0 + 0.5) / 1000.0 AS mean_gap_s,
+        |  floor((sqrt((sxx - sx * sx / n) / (n - 1.0)) / (sx / n))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cv,
+        |  (sqrt((sxx - sx * sx / n) / (n - 1.0)) / (sx / n)) < 0.1 AS metronomic
+        |FROM c ORDER BY user_id""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_bot_regularity" -> botRegularity,
     "q_autocorr_lag1" -> autocorrLag1,
     "q_bootstrap_ci" -> bootstrapCi,
     "q_corr_matrix" -> corrMatrix,

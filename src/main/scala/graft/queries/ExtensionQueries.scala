@@ -2244,6 +2244,108 @@ object ExtensionQueries {
          |    (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rn
          |FROM scored QUALIFY rn <= 10 ORDER BY rn""".stripMargin))
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009, k = 60): the lexical BM25 ranking (q_bm25_topk's pipeline, cut
+    * at 20) fused with the semantic cosine ranking (q_sim_ann_brute's
+    * ranking for query vector 0, cut at 20) — the standard RAG retrieval
+    * stack, where either signal alone misses what the other catches.
+    * RRF(d) = Σ_lists 1/(60 + rank_d); absent-from-list contributes 0.
+    * Both legs are the proven scale shapes (token-keyed aggs; broadcast
+    * query row); the fusion itself is a full-outer join of two ≤20-row
+    * frames and a ≤40-row window — free. Contributions are 9dp
+    * floor-rounded and added in DECIMAL(18,9) before the double cast, so
+    * the fused order replays exactly. */
+  private val hybridRrf = QueryDef(
+    fn = (spark, dir) => {
+      val terms = Seq("spark", "window", "merge")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n"),
+        (sum(size(col("toks"))).cast("double")
+          / count(lit(1)).cast("double")).as("avgdl"))
+      val dl = docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+      val tf = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfq = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+      val lex = tf.join(dfq, "token").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          TextAnalysis.round6(
+            log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+              * (col("tf") * 2.2)
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("s")).cast("double").as("bm25"))
+        .withColumn("lex_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("lex_rank") <= 20)
+        .select(col("doc_id"), col("lex_rank"))
+      val emb = Tables.embeddings(spark, dir)
+      val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+      val d189 = org.apache.spark.sql.types.DecimalType(18, 9)
+      def contrib(r: org.apache.spark.sql.Column) =
+        coalesce(floor(lit(1.0) / (lit(60) + r) * 1e9 + 0.5) / 1e9, lit(0.0)).cast(d189)
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+          (contrib(col("lex_rank")) + contrib(col("sem_rank")))
+            .cast("double").as("rrf"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rn") <= 10)
+        .orderBy("rn")
+    },
+    oracle = Some(
+      s"""WITH docs AS (SELECT doc_id, ${dToks("text")} AS toks FROM documents),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM docs),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+         |       WHERE token IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+         |dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |per_term AS (SELECT tf.doc_id,
+         |    CAST(floor(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS s
+         |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |lexsc AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+         |          FROM per_term GROUP BY doc_id),
+         |lex AS (SELECT doc_id, CAST(rn AS INTEGER) AS lex_rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+         |  FROM lexsc) WHERE rn <= 20),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |semsc AS (SELECT query_id, neighbor_id, ${dCos("qv", "cv")} AS cos
+         |          FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         |sem AS (SELECT neighbor_id AS doc_id, CAST(rank AS INTEGER) AS sem_rank
+         |  FROM (SELECT *, row_number() OVER (
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank FROM semsc)
+         |  WHERE rank <= 20),
+         |f AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         |             l.lex_rank, s.sem_rank
+         |      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+         |r AS (SELECT doc_id, lex_rank, sem_rank,
+         |    CAST(CAST(COALESCE(floor(1.0 / (60 + lex_rank)
+         |        * 1000000000.0 + 0.5) / 1000000000.0, 0.0) AS DECIMAL(18,9))
+         |      + CAST(COALESCE(floor(1.0 / (60 + sem_rank)
+         |        * 1000000000.0 + 0.5) / 1000000000.0, 0.0) AS DECIMAL(18,9))
+         |      AS DOUBLE) AS rrf
+         |  FROM f)
+         |SELECT doc_id, lex_rank, sem_rank, rrf,
+         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
+         |FROM r QUALIFY rn <= 10 ORDER BY rn""".stripMargin))
+
   /** The distributed half of BPE vocabulary induction: adjacent-symbol
     * pair counts over the word-frequency table — the argmax of this
     * frame IS the next merge rule, and re-running the count after each
@@ -2464,6 +2566,7 @@ object ExtensionQueries {
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_edit1" -> dedupEdit1,
     "q_bm25_topk" -> bm25Topk,
+    "q_hybrid_rrf" -> hybridRrf,
     "q_cms_join_size" -> cmsJoinSize,
     "q_bpe_pairs" -> bpePairs,
     "q_kl_divergence" -> klDivergence,
