@@ -8,8 +8,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `PushedFilters`/narrow `ReadSchema` in `.explain("formatted")`.
   */
 object Tables {
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Reads a harness table, normalizing any TIMESTAMP_NTZ column to
+    * TimestampType. The driver's parquet writer has flipped
+    * `isAdjustedToUTC` between rounds; with the session timezone pinned to
+    * UTC (Verify/Bench/tests) the cast is wall-clock-identical, so every
+    * epoch-based function (`unix_micros`, RANGE frames, lag arithmetic)
+    * keeps working and the DuckDB oracle — which reads the same values as
+    * naive timestamps — still hash-matches.
+    */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    raw.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(raw) { (df, c) =>
+      df.withColumn(c, df.col(c).cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = t(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = t(spark, d, "orders")
