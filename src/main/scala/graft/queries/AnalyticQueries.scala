@@ -818,8 +818,93 @@ object AnalyticQueries {
         |  (sqrt((sxx - sx * sx / n) / (n - 1.0)) / (sx / n)) < 0.1 AS metronomic
         |FROM c ORDER BY user_id""".stripMargin))
 
+  // --- sweep-line interval concurrency --------------------------------------
+
+  /** Peak session concurrency — the classic interval-overlap sweep line
+    * (max concurrent sessions/connections/jobs), distributed. Sessions are
+    * the repo's standard 30-minute-gap islands (identical arithmetic to
+    * q_sessionize); each closed interval [start, end] emits a +1/-1
+    * endpoint pair, and the peak is the maximum of the running endpoint
+    * sum ordered by (ts, starts-before-ends).
+    *
+    * Scale shape: the running sum is NOT a single-partition global window —
+    * endpoints are `repartitionByRange` on ts, each partition computes its
+    * local running sum, and the per-partition exclusive offsets come from
+    * a numPartitions-scalar totals collect folded into a CASE literal (the
+    * zipWithIndex/packBins pattern; driver state is partition-count-sized
+    * metadata). The final reduction is a single `max(struct(run, -ts))` —
+    * peak and its earliest timestamp in one aggregate, no second pass over
+    * the data. Although ties on (ts, delta) make per-row `run` values
+    * order-dependent, the MULTISET of running values within a timestamp is
+    * permutation-invariant (+1 steps walk up a fixed ladder, -1 steps walk
+    * back down), so (peak, first_peak_us) is deterministic and the
+    * oracle's plain windowed running sum agrees.
+    */
+  private val concurrencyPeak = QueryDef(
+    fn = (spark, dir) => {
+      val gapUs = 30L * 60 * 1000000L
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val sessions = Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(wu) > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts_us")).as("s"), max(col("ts_us")).as("e"))
+        .localCheckpoint(false)
+      val endpoints = sessions.select(col("s").as("ts"), lit(1).as("delta"))
+        .unionAll(sessions.select(col("e").as("ts"), lit(-1).as("delta")))
+      val parts = endpoints.repartitionByRange(col("ts"))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(false) // totals pass + final pass share one compute
+      val totals = parts.groupBy(col("__pid")).agg(sum(col("delta")).as("d"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      val excl = totals.map { case (p, d) => val o = p -> acc; acc += d; o }.toMap
+      val offset = totals.map(_._1).foldLeft(lit(0L)) { (rest, p) =>
+        when(col("__pid") === p, lit(excl(p))).otherwise(rest)
+      }
+      val w = Window.partitionBy(col("__pid"))
+        .orderBy(col("ts").asc, col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parts
+        .withColumn("run", sum(col("delta")).over(w) + offset)
+        .agg(
+          sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"),
+          max(struct(col("run"), (-col("ts")).as("nts"))).as("m"))
+        .select(col("n_sessions"), col("m.run").as("peak"),
+          (-col("m.nts")).as("first_peak_us"))
+    },
+    oracle = Some(
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id)
+        |         > CAST(30 AS BIGINT) * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess0 AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |sess AS (SELECT user_id, session_id, MIN(ts_us) AS s, MAX(ts_us) AS e
+        |         FROM sess0 GROUP BY user_id, session_id),
+        |ep AS (SELECT s AS ts, 1 AS delta FROM sess
+        |       UNION ALL SELECT e AS ts, -1 AS delta FROM sess),
+        |rs AS (SELECT ts, delta,
+        |         CAST(SUM(delta) OVER (ORDER BY ts, delta DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        |       FROM ep),
+        |m AS (SELECT MAX(run) AS peak FROM rs)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+        |  m.peak AS peak,
+        |  (SELECT MIN(ts) FROM rs WHERE run = m.peak) AS first_peak_us
+        |FROM m""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_bot_regularity" -> botRegularity,
+    "q_concurrency_peak" -> concurrencyPeak,
     "q_autocorr_lag1" -> autocorrLag1,
     "q_bootstrap_ci" -> bootstrapCi,
     "q_corr_matrix" -> corrMatrix,

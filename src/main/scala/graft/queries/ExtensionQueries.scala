@@ -1278,6 +1278,56 @@ object ExtensionQueries {
          |FROM mg GROUP BY label ORDER BY label""".stripMargin
     })
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then drop every vector that has a LOWER-id near-duplicate
+    * (cosine >= 0.2, the repo's near-dup threshold) within its OWN
+    * cluster — cross-cluster pairs are never compared. Consumes the
+    * memoized level-2 Lloyd chain ([[trainedIvfCells]]), so clustering
+    * adds no marginal cost over the ANN family. Output: per-cell vector /
+    * dropped / kept counts (cell-domain-sized).
+    *
+    * Scale shape: the pair join is an equi-join ON THE CELL KEY — the
+    * quadratic form is confined within clusters, and in production k grows
+    * with the corpus (k ∝ √n keeps cells near-constant), so per-cell work
+    * is bounded and AQE-skew-splittable. The label-seeded fixture has only
+    * 10 cells, so the input is id-sampled (vec_id % 2) exactly like the
+    * other pair-space oracle twins; the unsampled deploy path is the same
+    * plan with real k.
+    */
+  private val semDedup = QueryDef(
+    fn = (spark, dir) => {
+      val cells = trainedIvfCells(spark, dir, 2)
+        .filter(col("vec_id") % 2 === 0)
+      val a = cells.select(col("label").as("cell"),
+        col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = cells.select(col("label").as("cell"),
+        col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("ea"), col("eb")) >= 0.2)
+        .select(col("cell"), col("id_b").as("vec_id")).distinct()
+      cells.select(col("label").as("cell"), col("vec_id"))
+        .join(dropped.withColumn("is_dup", lit(1)), Seq("cell", "vec_id"), "left_outer")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(coalesce(col("is_dup"), lit(0))).cast("bigint").as("n_dropped"))
+        .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+        .orderBy("cell")
+    },
+    oracle = Some {
+      s"""WITH ${dLloydCtes(2)},
+         |v AS (SELECT vec_id, e, cell FROM a2 WHERE vec_id % 2 = 0),
+         |dp AS (SELECT DISTINCT y.cell AS cell, y.vec_id AS vec_id
+         |       FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |       WHERE ${dCos("x.e", "y.e")} >= 0.2)
+         |SELECT v.cell, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN dp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(COUNT(*) - SUM(CASE WHEN dp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM v LEFT JOIN dp ON v.cell = dp.cell AND v.vec_id = dp.vec_id
+         |GROUP BY v.cell ORDER BY v.cell""".stripMargin
+    })
+
   private val annRecall = QueryDef(
     fn = (spark, dir) => {
       val emb = trainedIvfCells(spark, dir, 0)
@@ -1480,6 +1530,104 @@ object ExtensionQueries {
          |               / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS kept_frac
          |FROM ch LEFT JOIN b ON ch.h = b.h
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
+  /** Exact duplicated-substring spans — the token-level twin of the
+    * ExactSubstr dedup in Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (suffix-array substring dedup): every 8-token
+    * window whose composed hash occurs in >= 2 DISTINCT documents marks its
+    * token span [pos, pos+7] as duplicated; overlapping or abutting flagged
+    * windows merge into maximal spans (gaps-and-islands over window starts —
+    * with a fixed window length L the span-merge test is simply
+    * `pos <= prev_pos + L`, no running-max needed). Per document: span
+    * count, duplicated-token total, duplicated fraction (all docs emitted,
+    * zero-filled).
+    *
+    * Scale shape: wide exchanges are keyed ONLY on the 8-byte window hash
+    * (high-cardinality, AQE-skew-splittable) and on doc_id (span merge).
+    * Document text never crosses an exchange — windows are composed from
+    * per-token hashes ([[TextAnalysis.shingleHashesFromHashes]]: md5 once
+    * per TOKEN, no window string, rolling-combine replayed exactly by the
+    * oracle). The df >= 2 window set joins back LEFT SEMI on the same hash
+    * key, so each (doc, pos) survives at most once — no posting-list
+    * fan-out — and the groupBy exchange is reused for the semi join. The
+    * span merge is a per-doc window over FLAGGED positions only (a small
+    * fraction of the corpus), partitioned by high-cardinality doc_id.
+    */
+  private val dedupSubstring = QueryDef(
+    fn = (spark, dir) => {
+      val L = 8
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val docs = Tables.documents(spark, dir)
+      val nTok = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      val grams = docs
+        .select(col("doc_id"),
+          Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.shingleHashesFromHashes(col("th"), L)))
+        .select(col("doc_id"), col("pos"), col("col").as("g"))
+      val dup = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("g"))
+      val flagged = grams.join(dup, Seq("g"), "left_semi")
+      val spans = flagged
+        .withColumn("new_span",
+          when(lag(col("pos"), 1).over(w).isNull
+            || col("pos") > lag(col("pos"), 1).over(w) + L, 1).otherwise(0))
+        .withColumn("island", sum(col("new_span"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("p1") - col("p0") + L).as("dup_tokens"))
+      nTok.join(spans, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+        .withColumn("dup_frac", TextAnalysis.round6(
+          col("dup_tokens").cast("double") / col("n_tokens").cast("double")))
+        .orderBy("doc_id")
+    },
+    oracle = Some {
+      val C = TextAnalysis.ShingleHashC; val M = TextAnalysis.ShingleHashM
+      val fold8 = (1 until 8).foldLeft("th[i]") { (acc, j) =>
+        s"(($acc * $C + th[i+$j]) % $M)"
+      }
+      s"""WITH tk AS (SELECT doc_id,
+         |        list_transform(${dToks("text")}, t -> ${dHash32("t")}) AS th
+         |        FROM documents),
+         |g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, $fold8 AS g
+         |      FROM (SELECT doc_id, th, unnest(range(1, len(th) - 6)) AS i
+         |            FROM tk WHERE len(th) >= 8) z),
+         |dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+         |f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (g)),
+         |s AS (SELECT doc_id, pos,
+         |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+         |             THEN 1 ELSE 0 END AS new_span
+         |      FROM f),
+         |isl AS (SELECT doc_id, pos,
+         |        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |        FROM s),
+         |sp AS (SELECT doc_id, island, MIN(pos) AS p0, MAX(pos) AS p1
+         |       FROM isl GROUP BY doc_id, island),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |          CAST(SUM(p1 - p0 + 8) AS BIGINT) AS dup_tokens
+         |        FROM sp GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(${dToks("text")}) AS BIGINT) AS n_tokens
+         |       FROM documents)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  COALESCE(agg.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+         |  COALESCE(agg.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+         |  floor((CAST(COALESCE(agg.dup_tokens, CAST(0 AS BIGINT)) AS DOUBLE)
+         |         / nt.n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+         |FROM nt LEFT JOIN agg ON nt.doc_id = agg.doc_id
+         |ORDER BY nt.doc_id""".stripMargin
     })
 
   /** Count-Min Sketch frequency estimation over the token stream: build a
@@ -2584,6 +2732,7 @@ object ExtensionQueries {
     "q_tfidf_top_terms" -> tfidf,
     "q_dedup_paragraphs" -> dedupParagraphs,
     "q_boilerplate_prune" -> boilerplatePrune,
+    "q_dedup_substring" -> dedupSubstring,
     "q_cms_topk" -> cmsTopk,
     "q_bloom_decontaminate" -> bloomDecontaminate,
     "q_doc_profile" -> docProfile,
@@ -2595,6 +2744,7 @@ object ExtensionQueries {
     "q_token_freq" -> tokenFreq,
     "q_hash_split" -> hashSplit,
     "q_sim_ann_ivf" -> annIvf,
+    "q_semdedup" -> semDedup,
     "q_ivf_silhouette" -> ivfSilhouette,
     "q_ivf_kmeans_assign" -> ivfKmeans,
     "q_multimodal_meta" -> mmMeta,

@@ -898,6 +898,81 @@ object WarehouseQueries {
         |GROUP BY d.l_returnflag, d.n, d.med, mad.mad
         |ORDER BY d.l_returnflag""".stripMargin))
 
+  // --- exact equi-depth binning (no global sort) ----------------------------
+
+  /** Exact equi-depth quantile binning of `l_extendedprice` into 8 bins —
+    * the histogram/partition-boundary builder (equi-depth file splits,
+    * stratified storage layout, range-partitioner boundaries) done WITHOUT
+    * a global sort. Boundaries are the exact values at ranks
+    * `max(1, i·n/8)` (lower-value convention; value-at-rank is
+    * tie-invariant), found by [[RobustStats]]' two-pass bucket rank
+    * search: one map-side-combinable (bucket → count) histogram, one
+    * value-count pass over ONLY the <= 7 buckets containing a boundary
+    * rank. Bin assignment is then a scan-stage CASE chain over the 7
+    * broadcast boundary literals — no join, no window, no sort anywhere;
+    * the driver walks domain-bounded histograms only. Contrast `ntile()`:
+    * a single-task total sort of the fact table at any group cardinality.
+    * Rows equal to a boundary fall in the lower bin (`bin = #{b_i < u}`),
+    * so coincident boundaries (mass ties) skip bins deterministically.
+    * Per-row arithmetic is unscaled-long (same exactness argument as
+    * q_outlier_mad).
+    */
+  private val equidepthBins = QueryDef(
+    fn = (spark, dir) => {
+      val K = 8
+      val W = 160000L // 16.0000 price units
+      val x = Tables.lineitem(spark, dir)
+        .select(lit("all").as("g"),
+          (dec(col("l_extendedprice")) * lit(10000)).cast("long").as("u"))
+      val buckets = RobustStats.bucketCounts(x, "g", col("u"), W)("all")
+      val n = buckets.map(_._2).sum
+      val located = (1 until K).map { i =>
+        val t = math.max(1L, i * n / K)
+        t -> RobustStats.rankBucket(buckets, t)
+      }
+      val vals = RobustStats.valueCounts(x, "g", col("u"), W,
+        Map("all" -> located.map(_._2._1).toSet))("all")
+      val bounds = located.map { case (t, (b0, cBefore)) =>
+        RobustStats.pickAtRank(vals.filter(_._1 / W == b0), cBefore, t)
+      }
+      val bin = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("u") > lit(b), 1).otherwise(0)
+      }
+      val hi = (1 until K - 1).foldLeft(
+        when(col("bin") === 0, lit(bounds(0).toDouble / 10000.0))) { (acc, i) =>
+        acc.when(col("bin") === i, lit(bounds(i).toDouble / 10000.0))
+      }
+      x.withColumn("bin", bin)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("u")).as("min_u"), max(col("u")).as("max_u"))
+        .select(col("bin"), col("n_rows"),
+          (col("min_u").cast("double") / 10000.0).as("min_v"),
+          (col("max_u").cast("double") / 10000.0).as("max_v"),
+          hi.as("hi_bound"))
+        .orderBy("bin")
+    },
+    oracle = Some(
+      """WITH x AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 10000 AS BIGINT) AS u
+        |           FROM lineitem),
+        |n0 AS (SELECT COUNT(*) AS n FROM x),
+        |r AS (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM x),
+        |ii AS (SELECT unnest(range(1, 8)) AS i),
+        |bnd AS (SELECT ii.i AS i, r.u AS bv
+        |        FROM ii CROSS JOIN n0
+        |        JOIN r ON r.rn = GREATEST(1, (ii.i * n0.n) // 8)),
+        |bl AS (SELECT list(bv ORDER BY i) AS l FROM bnd),
+        |a AS (SELECT u,
+        |        CAST(len(list_filter((SELECT l FROM bl), b -> u > b)) AS INTEGER) AS bin
+        |      FROM x)
+        |SELECT bin, COUNT(*) AS n_rows,
+        |  CAST(MIN(u) AS DOUBLE) / 10000.0 AS min_v,
+        |  CAST(MAX(u) AS DOUBLE) / 10000.0 AS max_v,
+        |  CASE WHEN bin < 7
+        |       THEN CAST(list_extract((SELECT l FROM bl), bin + 1) AS DOUBLE) / 10000.0
+        |  END AS hi_bound
+        |FROM a GROUP BY bin ORDER BY bin""".stripMargin))
+
   // --- time-weighted average ------------------------------------------------
 
   /** Time-weighted average open-line price per order priority over 1995 Q1
@@ -1005,6 +1080,7 @@ object WarehouseQueries {
     "q_cooccur_lift" -> cooccurLift,
     "q_skyline" -> skyline,
     "q_outlier_mad" -> outlierMad,
+    "q_equidepth_bins" -> equidepthBins,
     "q_merkle_diff" -> merkleDiff,
     "q_chisq" -> chisq,
     "q_ivm_agg" -> ivmAgg,
