@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-9 operator additions: exact substring-span
+  * dedup, SemDeDup, equi-depth binning, sweep-line concurrency. The DuckDB
+  * oracle hash-gates exact values; these specs pin the invariants a hash
+  * can't express — span accounting vs a driver-side brute force, bin
+  * ordering/coverage, and the distributed prefix-sum's agreement with a
+  * sequential sweep.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q_dedup_substring: per-doc accounting and brute-force span agreement") {
+    val got = run("q_dedup_substring").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens")))
+      .toMap
+    val docs = graft.ops.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    assert(got.size == docs.length, "one output row per document")
+    // driver-side brute force over the actual token 8-grams (string
+    // equality, not hashes — also proves no cross-doc hash collision
+    // perturbed the result at this SF)
+    val L = 8
+    val windows = docs.flatMap { case (id, toks) =>
+      toks.sliding(L).filter(_.size == L).zipWithIndex
+        .map { case (w, p) => (w.mkString(" "), id, p) }
+    }
+    val dupGrams = windows.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val flagged = windows.filter(w => dupGrams(w._1))
+      .groupBy(_._2).map { case (id, ws) => id -> ws.map(_._3).sorted.toSeq }
+    docs.foreach { case (id, toks) =>
+      val (nTok, nSpans, dupTok) = got(id)
+      assert(nTok == toks.size, s"doc $id token count")
+      val ps = flagged.getOrElse(id, Seq.empty[Int])
+      // merge flagged window starts into maximal spans
+      var spans = 0L; var covered = 0L
+      var start = -1; var end = -1
+      (ps :+ Int.MaxValue).foreach { p =>
+        if (start < 0) { start = p; end = p }
+        else if (p <= end + L) end = p
+        else {
+          spans += 1; covered += end - start + L
+          start = p; end = p
+        }
+      }
+      if (ps.isEmpty) { spans = 0; covered = 0 }
+      assert(nSpans == spans, s"doc $id spans $nSpans != brute $spans")
+      assert(dupTok == covered, s"doc $id dup tokens $dupTok != brute $covered")
+      assert(dupTok <= nTok, s"doc $id duplicated more tokens than it has")
+      assert(nSpans == 0 || dupTok >= nSpans * L, s"doc $id span shorter than a window")
+    }
+  }
+
+  test("q_semdedup: partition of the sampled vectors, at least one survivor per cell") {
+    val got = run("q_semdedup")
+    val sampled = graft.ops.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 2 === 0).count()
+    assert(got.agg(sum(col("n_vecs"))).collect().head.getLong(0) == sampled)
+    assert(got.filter(col("n_dropped") + col("n_kept") =!= col("n_vecs")).count() == 0)
+    // the lowest id in a cell can never have a LOWER-id near-dup
+    assert(got.filter(col("n_kept") < 1).count() == 0)
+  }
+
+  test("q_equidepth_bins: covers the table, ordered non-overlapping bins, near-equal depth") {
+    val got = run("q_equidepth_bins").collect().sortBy(_.getAs[Int]("bin"))
+    val n = graft.ops.Tables.lineitem(spark, dir).count()
+    assert(got.map(_.getAs[Long]("n_rows")).sum == n, "bins partition the table")
+    got.foreach { r =>
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+      if (!r.isNullAt(r.fieldIndex("hi_bound")))
+        assert(r.getAs[Double]("max_v") <= r.getAs[Double]("hi_bound"),
+          s"bin ${r.getAs[Int]("bin")} exceeds its boundary")
+    }
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("max_v") <= b.getAs[Double]("min_v"),
+          s"bins ${a.getAs[Int]("bin")}/${b.getAs[Int]("bin")} overlap")
+        assert(b.getAs[Double]("min_v") > a.getAs[Double]("hi_bound"),
+          "next bin starts at or below the previous boundary")
+      case _ =>
+    }
+    // near-continuous prices => depths stay close to n/8
+    val depths = got.map(_.getAs[Long]("n_rows"))
+    assert(depths.forall(d => d >= n / 16 && d <= n / 4),
+      s"bin depth far from n/8: ${depths.mkString(",")}")
+  }
+
+  test("q_concurrency_peak: matches a sequential driver-side sweep") {
+    val row = run("q_concurrency_peak").collect().head
+    val sessions = run("q_sessionize")
+      .select(col("start_us"), col("end_us")).collect()
+      .map(r => (r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
+    assert(row.getAs[Long]("n_sessions") == sessions.length)
+    val events = sessions.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+      .sortBy { case (t, d) => (t, -d) }
+    var run0 = 0L; var peak = 0L; var firstTs = Long.MaxValue
+    events.foreach { case (t, d) =>
+      run0 += d
+      if (run0 > peak) { peak = run0; firstTs = t }
+    }
+    assert(row.getAs[Long]("peak") == peak, s"peak ${row.getAs[Long]("peak")} != $peak")
+    assert(row.getAs[Long]("first_peak_us") == firstTs)
+    assert(peak >= 1 && peak <= sessions.length)
+  }
+}
