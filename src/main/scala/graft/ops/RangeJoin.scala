@@ -50,4 +50,35 @@ object RangeJoin {
           l(point) >= r(lo) && l(point) <= r(hi))
       .drop("__graft_bin_l", "__graft_bin_r")
   }
+
+  /** Equality-prefix variant — the SCD2 / time-series probe shape
+    * `k_l = k_r AND point BETWEEN lo AND hi` (the same shape
+    * [[graft.plans.BinnedRangeJoinRule]] rewrites when installed as an
+    * optimizer rule; this is the explicit operator form). Spark's planner
+    * hash-joins the bare key and filters the per-key m×n product AFTER the
+    * join — quadratic per key once keys are few or skewed. Joining on
+    * (key, bin) instead means each bucket only meets rows whose ranges can
+    * overlap; the one-bin-ownership argument of [[binned]] still holds, so
+    * no dedup pass is needed. `lo`/`hi` must be non-null inclusive longs —
+    * cap open-ended intervals at the maximum probe value BEFORE calling
+    * (exact, since no probe can exceed it).
+    */
+  def binnedKeyed(
+      left: DataFrame, leftKey: String, point: String,
+      right: DataFrame, rightKey: String, lo: String, hi: String,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    def divW(c: Column): Column = org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(binSize)))
+    val l = left.withColumn("__graft_bin_l", divW(left(point)))
+    val r = right.withColumn("__graft_bin_r",
+      explode(sequence(divW(right(lo)), divW(right(hi)))))
+    l.join(r,
+        l(leftKey) === r(rightKey) &&
+          l("__graft_bin_l") === r("__graft_bin_r") &&
+          l(point) >= r(lo) && l(point) <= r(hi))
+      .drop("__graft_bin_l", "__graft_bin_r")
+  }
 }

