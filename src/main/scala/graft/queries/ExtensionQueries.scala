@@ -2538,6 +2538,86 @@ object ExtensionQueries {
          |  CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INTEGER) AS rn
          |FROM pc QUALIFY rn <= 10 ORDER BY rn""".stripMargin))
 
+  /** The BPE merge APPLICATION step — the other half of tokenizer
+    * induction (q_bpe_pairs counts; this applies the argmax merge and
+    * recounts, i.e. one full training iteration). The top pair (ordered
+    * by count desc, then a, b; SELF-pairs a = b excluded so leftmost-
+    * greedy application reduces to an independent positional predicate —
+    * with a ≠ b two merge sites can never overlap) is resolved on the
+    * driver from the vocabulary-sized pair table (metadata-class, the
+    * merge table IS driver state in every real BPE trainer) and embedded
+    * as literals. Each word then rewrites its symbol stream (merge sites
+    * emit the fused symbol, their right halves drop) and pairs are
+    * recounted — the fused symbol now participates in new pairs on both
+    * sides, exactly like iteration 2 of Sennrich et al.'s algorithm.
+    *
+    * Scale shape: identical to q_bpe_pairs — all heavy work is keyed on
+    * the WORD VOCABULARY (corpus growth fattens `cnt` weights, not rows),
+    * the rewrite is a scan-stage array transform, and the recount is a
+    * map-side-combinable weighted aggregation over symbol pairs.
+    */
+  private val bpeMergeStep = QueryDef(
+    fn = (spark, dir) => {
+      val wf = Tables.documents(spark, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"), split(col("word"), "").as("cs"))
+      def pairCounts(df: org.apache.spark.sql.DataFrame, csCol: String) = df
+        .filter(size(col(csCol)) >= 2)
+        .select(col("cnt"), explode(expr(
+          s"""transform(sequence(1, size($csCol) - 1),
+             |  i -> struct(element_at($csCol, i) AS a, element_at($csCol, i + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+      val top = pairCounts(wf, "cs").filter(col("a") =!= col("b"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect().head
+      val (ma, mb) = (top.getString(0), top.getString(1))
+      // Column-built (no literal splicing): merge sites emit the fused
+      // symbol, their right halves drop; with a != b sites cannot overlap
+      val merged = wf.withColumn("ms",
+        filter(
+          transform(sequence(lit(1), size(col("cs"))), i =>
+            when(i < size(col("cs"))
+                && element_at(col("cs"), i) === ma
+                && element_at(col("cs"), i + 1) === mb, lit(ma + mb))
+              .when(i > lit(1)
+                && element_at(col("cs"), i - 1) === ma
+                && element_at(col("cs"), i) === mb, lit(null).cast("string"))
+              .otherwise(element_at(col("cs"), i))),
+          x => x.isNotNull))
+      pairCounts(merged, "ms")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("a"), col("b"))))
+        .filter(col("rn") <= 10)
+        .orderBy("rn")
+    },
+    oracle = Some(
+      s"""WITH w AS (SELECT unnest(${dToks("text")}) AS word FROM documents),
+         |wf AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+         |ch AS (SELECT cnt, regexp_split_to_array(word, '') AS cs FROM wf),
+         |p0 AS (SELECT cs[i] AS a, cs[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+         |       FROM ch, unnest(range(1, len(cs))) t(i) GROUP BY 1, 2),
+         |top AS (SELECT a, b FROM p0 WHERE a <> b
+         |        ORDER BY n DESC, a, b LIMIT 1),
+         |mg AS (SELECT cnt, list_filter(
+         |         list_transform(range(1, len(cs) + 1), i ->
+         |           CASE WHEN i < len(cs) AND cs[i] = top.a AND cs[i+1] = top.b
+         |                THEN top.a || top.b
+         |                WHEN i > 1 AND cs[i-1] = top.a AND cs[i] = top.b
+         |                THEN NULL
+         |                ELSE cs[i] END),
+         |         x -> x IS NOT NULL) AS ms
+         |       FROM ch CROSS JOIN top),
+         |pc AS (SELECT ms[i] AS a, ms[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+         |       FROM mg, unnest(range(1, len(ms))) t(i)
+         |       WHERE len(ms) >= 2 GROUP BY 1, 2)
+         |SELECT a, b, n,
+         |  CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INTEGER) AS rn
+         |FROM pc QUALIFY rn <= 10 ORDER BY rn""".stripMargin))
+
   /** Per-source token-distribution drift: KL(source ‖ corpus) — the
     * data-quality probe that flags a crawl shard whose language suddenly
     * shifts before it poisons a training mix. Two token-keyed
@@ -2717,6 +2797,7 @@ object ExtensionQueries {
     "q_hybrid_rrf" -> hybridRrf,
     "q_cms_join_size" -> cmsJoinSize,
     "q_bpe_pairs" -> bpePairs,
+    "q_bpe_merge_step" -> bpeMergeStep,
     "q_kl_divergence" -> klDivergence,
     "q_lm_perplexity" -> lmPerplexity,
     "q_mix_rebalance" -> mixRebalance,

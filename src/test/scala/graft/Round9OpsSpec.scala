@@ -144,6 +144,38 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_bpe_merge_step: matches a driver-side reimplementation of iteration 2") {
+    val got = run("q_bpe_merge_step").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"), r.getAs[Int]("rn")))
+    val words = graft.ops.Tables.documents(spark, dir)
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count"))
+    def pairs(ws: Seq[(Seq[String], Long)]): Map[(String, String), Long] =
+      ws.flatMap { case (cs, c) => cs.sliding(2).filter(_.size == 2)
+          .map(p => (p.head, p(1)) -> c) }
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val chars = words.map { case (w, c) => (w.split("").toSeq, c) }.toSeq
+    val p0 = pairs(chars)
+    val (ma, mb) = p0.filter { case ((a, b), _) => a != b }.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+    val mergedWords = chars.map { case (cs, c) =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < cs.length) {
+        if (i + 1 < cs.length && cs(i) == ma && cs(i + 1) == mb) {
+          out += (ma + mb); i += 2
+        } else { out += cs(i); i += 1 }
+      }
+      (out.toSeq, c)
+    }
+    val expected = pairs(mergedWords).toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(10).zipWithIndex
+      .map { case (((a, b), n), i) => (a, b, n, i + 1) }
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexpected $expected")
+    assert(!got.exists(r => r._1 == ma && r._2 == mb), "merged pair must vanish")
+  }
+
   test("q_concurrency_peak: matches a sequential driver-side sweep") {
     val row = run("q_concurrency_peak").collect().head
     val sessions = run("q_sessionize")
