@@ -2558,10 +2558,14 @@ object ExtensionQueries {
     */
   private val bpeMergeStep = QueryDef(
     fn = (spark, dir) => {
+      // vocabulary-sized; checkpointed so the argmax collect and the
+      // rewrite+recount pass share ONE word-frequency build (2.5 s ->
+      // 1.0 s warm at sf0.1)
       val wf = Tables.documents(spark, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .select(col("cnt"), split(col("word"), "").as("cs"))
+        .localCheckpoint(false)
       def pairCounts(df: org.apache.spark.sql.DataFrame, csCol: String) = df
         .filter(size(col(csCol)) >= 2)
         .select(col("cnt"), explode(expr(
