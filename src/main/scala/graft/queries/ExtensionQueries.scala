@@ -727,6 +727,134 @@ object ExtensionQueries {
          |    / 1000000.0 AS mean_jaccard
          |FROM lab GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin))
 
+  /** Train/val/test SPLIT-LEAKAGE report: near-duplicate pairs that cross
+    * the deterministic hash-split boundary ([[TextAnalysis.assignSplit]]).
+    * A near-dup of a training document sitting in val/test silently
+    * inflates eval scores — the cross-split rows (`leaks = true`) are the
+    * contamination a split-by-hash pipeline must drive to zero (the
+    * standard fix: split by near-dup COMPONENT, not by document). Consumes
+    * the memoized verified minhash pair graph, so the marginal cost over
+    * the dedup family is two split-label joins and a 6-row rollup.
+    */
+  private val splitLeakage = QueryDef(
+    fn = (spark, dir) => {
+      val sp = dedupSampleDocs(spark, dir)
+        .select(col("doc_id"), TextAnalysis.assignSplit(col("doc_id")).as("split"))
+      minhashPairs(spark, dir)
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("pa")), Seq("id_a"))
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("pb")), Seq("id_b"))
+        .select(least(col("pa"), col("pb")).as("split_a"),
+          greatest(col("pa"), col("pb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaks", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    },
+    oracle = Some(
+      s"""WITH $minhashOracle,
+         |ps AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+         |sp AS (SELECT doc_id AS id,
+         |         CASE WHEN ${dHash32("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |              WHEN ${dHash32("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |lab AS (SELECT LEAST(a.split, b.split) AS split_a,
+         |               GREATEST(a.split, b.split) AS split_b
+         |        FROM ps JOIN sp a ON ps.id_a = a.id JOIN sp b ON ps.id_b = b.id)
+         |SELECT split_a, split_b, COUNT(*) AS n_pairs,
+         |  split_a <> split_b AS leaks
+         |FROM lab GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin))
+
+  /** Component-aware split assignment — the FIX for what q_split_leakage
+    * measures: hash the near-dup COMPONENT id (min-label survivor root,
+    * singletons root at themselves) instead of the document id, so every
+    * member of a near-dup cluster lands in the same train/val/test split
+    * by construction. The emitted `leak_pairs` column is the verified
+    * contract (q_ann_recall pattern): the number of near-dup pairs still
+    * crossing a split boundary under this assignment — provably 0, and
+    * the oracle recomputes it from the recursive-CTE components. Marginal
+    * cost over the memoized component chain: one hash projection, two
+    * label joins, a count.
+    */
+  private val componentSplit = QueryDef(
+    fn = (spark, dir) => {
+      val sample = dedupSampleDocs(spark, dir)
+      val comps = minhashComps(spark, dir)
+      val lab = sample.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        .withColumn("split", TextAnalysis.assignSplit(col("comp")))
+      val leak = minhashPairs(spark, dir)
+        .join(lab.select(col("doc_id").as("id_a"), col("split").as("pa")), Seq("id_a"))
+        .join(lab.select(col("doc_id").as("id_b"), col("split").as("pb")), Seq("id_b"))
+        .filter(col("pa") =!= col("pb"))
+        .agg(count(lit(1)).as("leak_pairs"))
+      lab.crossJoin(broadcast(leak)).orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE $minhashOracle,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |lab0 AS (SELECT d.id AS doc_id, COALESCE(c.comp, d.id) AS comp
+         |         FROM docs d LEFT JOIN comp c ON d.id = c.id),
+         |lab AS (SELECT doc_id, comp,
+         |          CASE WHEN ${dHash32("CAST(comp AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |               WHEN ${dHash32("CAST(comp AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |               ELSE 'test' END AS split
+         |        FROM lab0),
+         |ps AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+         |leak AS (SELECT COUNT(*) AS leak_pairs FROM ps
+         |         JOIN lab a ON ps.id_a = a.doc_id
+         |         JOIN lab b ON ps.id_b = b.doc_id
+         |         WHERE a.split <> b.split)
+         |SELECT doc_id, comp, split, leak_pairs
+         |FROM lab CROSS JOIN leak ORDER BY doc_id""".stripMargin))
+
+  /** Per-document character-level Shannon entropy (bits/char) — the
+    * gibberish / encoding-junk screen (low entropy: repeated filler;
+    * high entropy: random noise or binary spill), a standard cheap
+    * quality facet next to [[TextAnalysis.qualityScore]]. Two shuffles,
+    * both on high-cardinality keys: (doc, char) counts, then a doc-keyed
+    * rollup; p = count/n_chars reuses the table's n_chars column instead
+    * of a second length aggregation. Each -p·log2(p) term is 9dp
+    * floor-rounded and summed in DECIMAL(18,9) (the q_kl_divergence
+    * discipline), so partial-aggregation order cannot split the engines.
+    */
+  private val textEntropy = QueryDef(
+    fn = (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val p = col("c").cast("double") / col("n_chars").cast("double")
+      docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .select(col("doc_id"),
+          (floor(-(p * log(p) / math.log(2.0)) * 1e9 + 0.5) / 1e9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_chars"),
+          sum(col("term")).cast("double").as("entropy_bits"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |            FROM documents),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c),
+        |t AS (SELECT cc.doc_id,
+        |        CAST(floor(-((CAST(cc.n AS DOUBLE) / d.n_chars)
+        |            * ln(CAST(cc.n AS DOUBLE) / d.n_chars) / ln(2.0))
+        |          * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(18,9)) AS term
+        |      FROM cc JOIN documents d USING (doc_id))
+        |SELECT doc_id, COUNT(*) AS n_distinct_chars,
+        |  CAST(SUM(term) AS DOUBLE) AS entropy_bits
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Newman modularity of the SOURCE partition on the near-dup graph —
     * the one-number answer to "is duplication intra-source or
     * cross-source?" (Q → 1: each source duplicates only itself, dedup
@@ -2850,6 +2978,9 @@ object ExtensionQueries {
     "q_dedup_components" -> dedupComponents,
     "q_dedup_best_of_cluster" -> dedupBestOfCluster,
     "q_dedup_cross_source" -> dedupCrossSource,
+    "q_split_leakage" -> splitLeakage,
+    "q_component_split" -> componentSplit,
+    "q_text_entropy" -> textEntropy,
     "q_dedup_src_modularity" -> dedupSrcModularity,
     "q_dedup_simhash_sigs" -> simhashSigs,
     "q_dedup_simhash_pairs" -> simhashPairs,

@@ -144,6 +144,42 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_split_leakage: totals match the pair set; leak flag consistent") {
+    val m = run("q_split_leakage").collect()
+    val pairs = run("q_dedup_minhash_pairs").count()
+    assert(m.map(_.getAs[Long]("n_pairs")).sum == pairs,
+      "leakage matrix must partition the near-dup pair set")
+    m.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "labels must be ordered")
+      assert(r.getAs[Boolean]("leaks") == (r.getString(0) != r.getString(1)))
+    }
+  }
+
+  test("q_component_split: zero cross-split pairs, clusters stay together") {
+    val rows = run("q_component_split").collect()
+    assert(rows.forall(_.getAs[Long]("leak_pairs") == 0L),
+      "component-keyed splitting must eliminate leakage by construction")
+    val byComp = rows.groupBy(_.getAs[Long]("comp"))
+    byComp.foreach { case (c, ms) =>
+      assert(ms.map(_.getAs[String]("split")).distinct.length == 1,
+        s"component $c spans multiple splits")
+    }
+  }
+
+  test("q_text_entropy: one row per doc, bounded by log2 of the alphabet size") {
+    val got = run("q_text_entropy").collect()
+    val nDocs = graft.ops.Tables.documents(spark, dir).count()
+    assert(got.length == nDocs)
+    got.foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val k = r.getAs[Long]("n_distinct_chars")
+      assert(h >= 0.0, s"doc ${r.get(0)}: negative entropy $h")
+      // + slack for the 9dp per-term floor rounding
+      assert(h <= math.log(k.toDouble) / math.log(2.0) + 1e-6,
+        s"doc ${r.get(0)}: entropy $h exceeds log2($k)")
+    }
+  }
+
   test("q_bpe_merge_step: matches a driver-side reimplementation of iteration 2") {
     val got = run("q_bpe_merge_step").collect()
       .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"), r.getAs[Int]("rn")))
