@@ -241,8 +241,12 @@ object GraphQueries {
       // expansion) was measured SLOWER here — 7.7 s vs 4.8 s at sf0.1 —
       // because with ~26 suppliers per part the 325-struct nested-lambda
       // arrays fall out of whole-stage codegen, while the equi-join keeps
-      // the 6.8M-row expansion inside codegen'd join stages. Fanout is
-      // bounded by suppliers-per-part on both shapes.
+      // the 6.8M-row expansion inside codegen'd join stages. A struct-free
+      // retry (single-LONG pair keys `sa << 32 | sb` from nested
+      // transforms) also loses: 4.5 s vs 3.3 s warm for the isolated pair
+      // build — the nested lambdas, not the struct shape, are the
+      // codegen barrier. Fanout is bounded by suppliers-per-part on both
+      // shapes.
       val ps = Tables.lineitem(spark, dir)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
       val pairs = ps.as("a")

@@ -1070,6 +1070,73 @@ object WarehouseQueries {
         |  AND (d.valid_to_us IS NULL OR p.start_us < d.valid_to_us)
         |ORDER BY p.user_id, p.start_us""".stripMargin))
 
+  // --- last-touch attribution (as-of join application) ----------------------
+
+  /** Last-touch marketing attribution: every purchase is credited to the
+    * user's most recent view/click STRICTLY before it (probe at
+    * `purchase_ts - 1 µs` turns the as-of's at-or-before convention into
+    * strictly-before — exact on integer microseconds), falling back to
+    * the `direct` channel when no touch exists or the latest one is
+    * older than the 7-day lookback. Per channel: purchase count and
+    * attributed revenue (summed in DECIMAL, cast once — the repo's
+    * double discipline).
+    *
+    * Scale shape: [[graft.ops.AsOfJoin.backward]] — ONE user-keyed
+    * shuffle of the tagged union, `last(ignoreNulls)` carry, no
+    * per-purchase touch scan (the oracle's rank-per-purchase join is the
+    * quadratic twin, not the plan). Ties on (user, touch time) resolve
+    * to the highest event_id on both engines.
+    */
+  private val attribution = QueryDef(
+    fn = (spark, dir) => {
+      val lookbackUs = 7L * 86400L * 1000000L
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_ts"), col("value"))
+        .withColumn("probe_ts", col("p_ts") - 1)
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts_us").as("t_ts"),
+          col("event_id").as("touch_id"), col("event_type").as("touch_type"))
+      graft.ops.AsOfJoin.backward(purchases, touches, Seq("user_id"),
+          "probe_ts", "t_ts",
+          valueCols = Seq("touch_type", "t_ts"), rightTieBreak = Seq("touch_id"))
+        .select(col("value"),
+          when(col("asof_touch_type").isNull
+            || col("p_ts") - col("asof_t_ts") > lookbackUs, "direct")
+            .otherwise(col("asof_touch_type")).as("channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double")
+            .as("attributed_value"))
+        .orderBy("channel")
+    },
+    oracle = Some(
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |              event_type, value FROM events),
+        |p AS (SELECT user_id, event_id AS pid, ts_us AS pts, value
+        |      FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts_us AS tts, event_id AS tid,
+        |        event_type AS ttype
+        |      FROM ev WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT pid, pts, value, ttype, tts FROM (
+        |        SELECT p.pid, p.pts, p.value, t.ttype, t.tts,
+        |          row_number() OVER (PARTITION BY p.pid
+        |            ORDER BY t.tts DESC, t.tid DESC) AS rn
+        |        FROM p LEFT JOIN t
+        |          ON p.user_id = t.user_id AND t.tts <= p.pts - 1)
+        |      WHERE rn = 1),
+        |lab AS (SELECT value,
+        |          CASE WHEN ttype IS NULL
+        |                 OR pts - tts > CAST(7 AS BIGINT) * 86400 * 1000000
+        |               THEN 'direct' ELSE ttype END AS channel
+        |        FROM j)
+        |SELECT channel, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+        |FROM lab GROUP BY channel ORDER BY channel""".stripMargin))
+
   // --- grouped exact weighted median (no sort) ------------------------------
 
   /** Exact WEIGHTED lower median of `l_extendedprice` per return flag,
@@ -1245,6 +1312,7 @@ object WarehouseQueries {
     "q_outlier_mad" -> outlierMad,
     "q_equidepth_bins" -> equidepthBins,
     "q_scd2_pit" -> scd2Pit,
+    "q_attribution" -> attribution,
     "q_weighted_median" -> weightedMedian,
     "q_merkle_diff" -> merkleDiff,
     "q_chisq" -> chisq,

@@ -212,6 +212,21 @@ class Round9OpsSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == ma && r._2 == mb), "merged pair must vanish")
   }
 
+  test("q_attribution: conserves purchase count and revenue across channels") {
+    val got = run("q_attribution").collect()
+    val purchases = graft.ops.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+    assert(got.map(_.getAs[Long]("n_purchases")).sum == purchases.count(),
+      "every purchase must land in exactly one channel")
+    val total = purchases
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double")).collect().head.getDouble(0)
+    val attributed = got.map(_.getAs[Double]("attributed_value")).sum
+    assert(math.abs(attributed - total) < 1e-6,
+      s"revenue not conserved: $attributed vs $total")
+    val channels = got.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(Set("view", "click", "direct")))
+  }
+
   test("q_concurrency_peak: matches a sequential driver-side sweep") {
     val row = run("q_concurrency_peak").collect().head
     val sessions = run("q_sessionize")
