@@ -2470,8 +2470,12 @@ object ExtensionQueries {
   private val bm25Topk = QueryDef(
     fn = (spark, dir) => {
       val terms = Seq("spark", "window", "merge")
+      // checkpointed: the tokenized projection feeds THREE consumers
+      // (corpus stats, doc lengths, term frequencies) — one tokenization
+      // pass instead of three
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .localCheckpoint(false)
       val stats = docs.agg(
         count(lit(1)).cast("double").as("n"),
         (sum(size(col("toks"))).cast("double")
@@ -2534,8 +2538,10 @@ object ExtensionQueries {
   private val hybridRrf = QueryDef(
     fn = (spark, dir) => {
       val terms = Seq("spark", "window", "merge")
+      // checkpointed for the same three-consumer reason as bm25Topk
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .localCheckpoint(false)
       val stats = docs.agg(
         count(lit(1)).cast("double").as("n"),
         (sum(size(col("toks"))).cast("double")
@@ -2876,13 +2882,20 @@ object ExtensionQueries {
         keys.select(explode(Sketches.cmsCells(col("k").cast("string"), depth, w)).as("c"))
           .groupBy(col("c.d").as("d"), col("c.cell").as("cell"))
           .agg(count(lit(1)).as("cnt"))
-      def estimate(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
-        sketch(a).as("x").join(sketch(b).as("y"), Seq("d", "cell"))
+      def estimatePre(sa: org.apache.spark.sql.DataFrame,
+          sb: org.apache.spark.sql.DataFrame) =
+        sa.as("x").join(sb.as("y"), Seq("d", "cell"))
           .groupBy(col("d")).agg(sum(col("x.cnt") * col("y.cnt")).as("ip"))
           .agg(min(col("ip")).as("est_n"))
+      def estimate(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        estimatePre(sketch(a), sketch(b))
       val o = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
       val c = Tables.customer(spark, dir).select(col("c_custkey").as("k"))
       val l = Tables.lineitem(spark, dir).select(col("l_suppkey").as("k"))
+      // the self-join estimate would hash the 600k-key stream TWICE (x and
+      // y sides are the same subplan); checkpoint the 1024-cell sketch so
+      // it builds once (frame is sketch-sized, not data-sized)
+      val sl = sketch(l).localCheckpoint(false)
       val exactOC = o.join(c, "k").agg(count(lit(1)).as("exact_n"))
       val exactLL = l.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
         .agg(sum(col("cnt") * col("cnt")).as("exact_n"))
@@ -2891,7 +2904,7 @@ object ExtensionQueries {
         exact.crossJoin(est).select(lit(name).as("join_name"),
           col("exact_n"), col("est_n"),
           (col("est_n") >= col("exact_n")).as("overestimate_only"))
-      row("lineitem_self_suppkey", exactLL, estimate(l, l))
+      row("lineitem_self_suppkey", exactLL, estimatePre(sl, sl))
         .union(row("orders_x_customer", exactOC, estimate(o, c)))
         .orderBy("join_name")
     },
