@@ -187,6 +187,29 @@ object RobustStats {
     }
   }
 
+  /** Exact values at MULTIPLE caller-chosen ranks per group in two jobs
+    * total (one bucket histogram + one value-count pass over the union of
+    * located buckets). `ranksOf` maps a group's row count n to its target
+    * ranks (each must be in [1, n]) — so callers can ask for quantile
+    * grids without a prior count job. Returns the values in `ranksOf`
+    * order.
+    */
+  def rankValues(df: DataFrame, grp: String, u: Column, widthU: Long,
+      ranksOf: Long => Seq[Long]): Map[String, Seq[Long]] = {
+    val counts = bucketCounts(df, grp, u, widthU)
+    val located = counts.map { case (g, bs) =>
+      val n = bs.map(_._2).sum
+      g -> ranksOf(n).map(t => t -> rankBucket(bs, t))
+    }
+    val vals = valueCounts(df, grp, u, widthU,
+      located.map { case (g, ls) => g -> ls.map(_._2._1).toSet })
+    located.map { case (g, ls) =>
+      g -> ls.map { case (t, (b0, cBefore)) =>
+        pickAtRank(vals(g).filter(_._1 / widthU == b0), cBefore, t)
+      }
+    }
+  }
+
   /** Exact lower median per group in two jobs (bucket pass + in-bucket
     * pass). See the object doc for the scale argument.
     */

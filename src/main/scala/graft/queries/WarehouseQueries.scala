@@ -930,17 +930,8 @@ object WarehouseQueries {
       val x = Tables.lineitem(spark, dir)
         .select(lit("all").as("g"),
           (dec(col("l_extendedprice")) * lit(10000)).cast("long").as("u"))
-      val buckets = RobustStats.bucketCounts(x, "g", col("u"), W)("all")
-      val n = buckets.map(_._2).sum
-      val located = (1 until K).map { i =>
-        val t = math.max(1L, i * n / K)
-        t -> RobustStats.rankBucket(buckets, t)
-      }
-      val vals = RobustStats.valueCounts(x, "g", col("u"), W,
-        Map("all" -> located.map(_._2._1).toSet))("all")
-      val bounds = located.map { case (t, (b0, cBefore)) =>
-        RobustStats.pickAtRank(vals.filter(_._1 / W == b0), cBefore, t)
-      }
+      val bounds = RobustStats.rankValues(x, "g", col("u"), W,
+        n => (1 until K).map(i => math.max(1L, i * n / K)))("all")
       val bin = bounds.foldLeft(lit(0)) { (acc, b) =>
         acc + when(col("u") > lit(b), 1).otherwise(0)
       }
@@ -1075,6 +1066,80 @@ object WarehouseQueries {
         |  AND p.start_us >= d.valid_from_us
         |  AND (d.valid_to_us IS NULL OR p.start_us < d.valid_to_us)
         |ORDER BY p.user_id, p.start_us""".stripMargin))
+
+  // --- RFM customer segmentation --------------------------------------------
+
+  /** RFM segmentation — the classic CRM cut: per customer, Recency (days
+    * since last order, vs the corpus max date), Frequency (order count)
+    * and Monetary (DECIMAL-summed spend) are each quartiled EXACTLY and
+    * combined into a `100·r + 10·f + m` segment code with per-segment
+    * counts and average spend. Quartile boundaries come from
+    * [[RobustStats.rankValues]] — the same two-pass bucket rank search as
+    * q_equidepth_bins, three metrics on one checkpointed customer-domain
+    * frame (six histogram-bounded jobs, no sort anywhere); scoring is a
+    * scan-stage CASE chain over nine broadcast boundary literals. Rows
+    * equal to a boundary fall in the lower quartile (tie-invariant,
+    * value-at-rank convention), so both engines derive identical codes.
+    */
+  private val rfmSegments = QueryDef(
+    fn = (spark, dir) => {
+      val mx = Tables.orders(spark, dir)
+        .agg(max(to_date(col("o_orderdate"))).as("mxd"))
+      val cust = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("lastd"),
+          count(lit(1)).as("f"),
+          sum(dec(col("o_totalprice"))).as("m"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_custkey"),
+          datediff(col("mxd"), col("lastd")).cast("long").as("r"),
+          col("f"), col("m"),
+          (col("m") * lit(10000)).cast("long").as("mu"),
+          lit("all").as("g"))
+        .localCheckpoint(false)
+      def quartiles(u: Column, width: Long): Seq[Long] =
+        RobustStats.rankValues(cust, "g", u, width,
+          n => (1 to 3).map(i => math.max(1L, i * n / 4)))("all")
+      val rb = quartiles(col("r"), 32L)
+      val fb = quartiles(col("f"), 4L)
+      val mb = quartiles(col("mu"), 16000000L)
+      def score(c: Column, bs: Seq[Long]): Column =
+        bs.foldLeft(lit(0)) { (acc, b) => acc + when(c > lit(b), 1).otherwise(0) }
+      cust
+        .select((score(col("r"), rb) * 100 + score(col("f"), fb) * 10
+          + score(col("mu"), mb)).as("segment"), col("m"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          r6(sum(col("m")).cast("double") / count(lit(1))).as("avg_monetary"))
+        .orderBy("segment")
+    },
+    oracle = Some {
+      def bl(metric: String) =
+        s"""(SELECT list(v ORDER BY i) FROM (
+           |  SELECT ii.i, rr.v FROM ii CROSS JOIN n0
+           |  JOIN (SELECT $metric AS v, row_number() OVER (ORDER BY $metric) AS rn
+           |        FROM cust) rr
+           |    ON rr.rn = GREATEST(1, (ii.i * n0.n) // 4)))""".stripMargin
+      s"""WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+         |cust AS (SELECT o_custkey,
+         |           CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+         |                (SELECT mxd FROM mx)) AS BIGINT) AS r,
+         |           COUNT(*) AS f,
+         |           SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS m,
+         |           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 10000 AS BIGINT) AS mu
+         |         FROM orders GROUP BY o_custkey),
+         |n0 AS (SELECT COUNT(*) AS n FROM cust),
+         |ii AS (SELECT unnest(range(1, 4)) AS i),
+         |seg AS (SELECT
+         |    100 * len(list_filter(${bl("r")}, b -> r > b))
+         |    + 10 * len(list_filter(${bl("f")}, b -> f > b))
+         |    + len(list_filter(${bl("mu")}, b -> mu > b)) AS segment, m
+         |  FROM cust)
+         |SELECT CAST(segment AS INTEGER) AS segment, COUNT(*) AS n_customers,
+         |  floor((CAST(SUM(m) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS avg_monetary
+         |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
+    })
 
   // --- last-touch attribution (as-of join application) ----------------------
 
@@ -1319,6 +1384,7 @@ object WarehouseQueries {
     "q_equidepth_bins" -> equidepthBins,
     "q_scd2_pit" -> scd2Pit,
     "q_attribution" -> attribution,
+    "q_rfm_segments" -> rfmSegments,
     "q_weighted_median" -> weightedMedian,
     "q_merkle_diff" -> merkleDiff,
     "q_chisq" -> chisq,

@@ -212,6 +212,28 @@ class Round9OpsSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == ma && r._2 == mb), "merged pair must vanish")
   }
 
+  test("q_rfm_segments: partitions customers, digit marginals near-quartile") {
+    val got = run("q_rfm_segments").collect()
+    val nCust = graft.ops.Tables.orders(spark, dir)
+      .select(col("o_custkey")).distinct().count()
+    assert(got.map(_.getAs[Long]("n_customers")).sum == nCust)
+    got.foreach { r =>
+      val s = r.getAs[Int]("segment")
+      assert(s >= 0 && s <= 333 && s / 100 <= 3 && s / 10 % 10 <= 3 && s % 10 <= 3,
+        s"segment $s out of the quartile-code domain")
+    }
+    // each digit's marginal must stay within a loose band of n/4 (ties
+    // can skew the exact quarter; F is small-domain so its ties are wide)
+    for ((digitOf, name) <- Seq[((Int) => Int, String)](
+        (s => s / 100, "R"), (s => s / 10 % 10, "F"), (s => s % 10, "M"))) {
+      val marg = got.groupBy(r => digitOf(r.getAs[Int]("segment")))
+        .map { case (d, rs) => d -> rs.map(_.getAs[Long]("n_customers")).sum }
+      assert(marg.values.max <= nCust,
+        s"$name marginal exceeds the population")
+      assert(marg.nonEmpty && marg.keys.max <= 3 && marg.keys.min >= 0)
+    }
+  }
+
   test("q_attribution: conserves purchase count and revenue across channels") {
     val got = run("q_attribution").collect()
     val purchases = graft.ops.Tables.events(spark, dir)
