@@ -1067,6 +1067,98 @@ object WarehouseQueries {
         |  AND (d.valid_to_us IS NULL OR p.start_us < d.valid_to_us)
         |ORDER BY p.user_id, p.start_us""".stripMargin))
 
+  // --- DDSketch-style log-bucket quantile estimation ------------------------
+
+  /** Relative-error quantile sketch (the DDSketch construction, Masson et
+    * al. VLDB 2019): bucket every positive price at
+    * `floor(ln(v) / ln(γ))` with γ = (1+α)/(1−α), α = 5% — counts are
+    * mergeable, the state is value-RANGE-bounded (~50 buckets for the
+    * whole price domain, map-side combinable), and the bucket-midpoint
+    * estimator `2γ^b/(γ+1)` is GUARANTEED within α relative error of the
+    * true rank value. The query emits, for q ∈ {0.5, 0.9, 0.99}: the
+    * sketch estimate, the EXACT quantile (via [[RobustStats.rankValues]]
+    * — the verification twin, not the deploy path), the relative error,
+    * and the contract boolean `rel_err <= α` (the HLL/KMV verified-
+    * accuracy pattern). Rank convention `ceil(q·n)` is computed in
+    * integer arithmetic on both engines; all derived doubles are
+    * 6dp-floored.
+    */
+  private val ddsketchQuantiles = QueryDef(
+    fn = (spark, dir) => {
+      val gamma = 1.05 / 0.95
+      val lnG = math.log(gamma)
+      val qs = Seq((1L, 2L, "0.5"), (9L, 10L, "0.9"), (99L, 100L, "0.99"))
+      val x = Tables.lineitem(spark, dir)
+        .select((dec(col("l_extendedprice")) * lit(10000)).cast("long").as("u"),
+          col("l_extendedprice").cast("double").as("v"))
+        .filter(col("v") > 0)
+      val hist = x
+        .groupBy(floor(log(col("v")) / lnG).cast("long").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val n = hist.map(_._2).sum
+      val targets = qs.map { case (num, den, _) => (n * num + den - 1) / den }
+      val exact = RobustStats.rankValues(
+        x.select(lit("all").as("g"), col("u")), "g", col("u"), 160000L,
+        _ => targets)("all")
+      val rows = qs.zipWithIndex.map { case ((_, _, label), i) =>
+        val t = targets(i)
+        var cum = 0L
+        val b = hist.find { case (_, c) =>
+          val hit = cum + c >= t; if (!hit) cum += c; hit
+        }.get._1
+        // harmonic-mean midpoint of the FLOOR-bucket [γ^b, γ^(b+1)):
+        // x̂ = 2·lo·hi/(lo+hi) = 2γ^(b+1)/(γ+1), max rel err (γ−1)/(γ+1) = α
+        val est = 2.0 * math.pow(gamma, b + 1) / (gamma + 1.0)
+        val ex = java.math.BigDecimal.valueOf(exact(i), 4).doubleValue
+        val rel = math.abs(est - ex) / ex
+        def r6d(d: Double) = math.floor(d * 1e6 + 0.5) / 1e6
+        org.apache.spark.sql.Row(label, r6d(est), r6d(ex), r6d(rel), rel <= 0.050001)
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList[org.apache.spark.sql.Row](rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("est",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("exact",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("rel_err",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("within_alpha",
+            org.apache.spark.sql.types.BooleanType, nullable = false))))
+    },
+    oracle = Some(
+      """WITH x AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 10000 AS BIGINT) AS u,
+        |             CAST(l_extendedprice AS DOUBLE) AS v
+        |           FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) > 0),
+        |h AS (SELECT CAST(floor(ln(v) / ln(1.05 / 0.95)) AS BIGINT) AS b,
+        |        COUNT(*) AS c
+        |      FROM x GROUP BY 1),
+        |n0 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+        |qq AS (SELECT * FROM (VALUES ('0.5', 1, 2), ('0.9', 9, 10),
+        |                             ('0.99', 99, 100)) AS t(q, num, den)),
+        |tg AS (SELECT q, (n0.n * num + den - 1) // den AS t FROM qq CROSS JOIN n0),
+        |cumh AS (SELECT b, SUM(c) OVER (ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |         FROM h),
+        |eb AS (SELECT tg.q, tg.t, MIN(cumh.b) AS b
+        |       FROM tg JOIN cumh ON cumh.cum >= tg.t GROUP BY tg.q, tg.t),
+        |r AS (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM x),
+        |ex AS (SELECT tg.q, CAST(r.u AS DOUBLE) / 10000.0 AS exact
+        |       FROM tg JOIN r ON r.rn = tg.t),
+        |est AS (SELECT eb.q,
+        |          2.0 * pow(1.05 / 0.95, eb.b + 1) / (1.05 / 0.95 + 1.0) AS est
+        |        FROM eb)
+        |SELECT est.q,
+        |  floor(est.est * 1000000.0 + 0.5) / 1000000.0 AS est,
+        |  floor(ex.exact * 1000000.0 + 0.5) / 1000000.0 AS exact,
+        |  floor((abs(est.est - ex.exact) / ex.exact) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS rel_err,
+        |  (abs(est.est - ex.exact) / ex.exact) <= 0.050001 AS within_alpha
+        |FROM est JOIN ex USING (q) ORDER BY q""".stripMargin))
+
   // --- RFM customer segmentation --------------------------------------------
 
   /** RFM segmentation — the classic CRM cut: per customer, Recency (days
@@ -1385,6 +1477,7 @@ object WarehouseQueries {
     "q_scd2_pit" -> scd2Pit,
     "q_attribution" -> attribution,
     "q_rfm_segments" -> rfmSegments,
+    "q_ddsketch_quantiles" -> ddsketchQuantiles,
     "q_weighted_median" -> weightedMedian,
     "q_merkle_diff" -> merkleDiff,
     "q_chisq" -> chisq,

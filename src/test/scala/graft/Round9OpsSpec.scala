@@ -234,6 +234,17 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_ddsketch_quantiles: the relative-error guarantee holds at every q") {
+    val got = run("q_ddsketch_quantiles").collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("within_alpha"),
+        s"q=${r.getString(0)}: rel_err ${r.getAs[Double]("rel_err")} breaks the α=5% bound")
+      assert(r.getAs[Double]("est") > 0 && r.getAs[Double]("exact") > 0)
+      assert(r.getAs[Double]("rel_err") <= 0.05 + 1e-6)
+    }
+  }
+
   test("q_attribution: conserves purchase count and revenue across channels") {
     val got = run("q_attribution").collect()
     val purchases = graft.ops.Tables.events(spark, dir)
