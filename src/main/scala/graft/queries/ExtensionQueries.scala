@@ -2756,6 +2756,65 @@ object ExtensionQueries {
          |  CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INTEGER) AS rn
          |FROM pc QUALIFY rn <= 10 ORDER BY rn""".stripMargin))
 
+  /** Per-source embedding-centroid drift: cosine of each source's mean
+    * embedding against the corpus mean — the SEMANTIC sibling of
+    * q_kl_divergence's token drift (a shard whose content shifts shows up
+    * here even when its token mix doesn't). Every value is quantized to
+    * an exact integer (floor(v·1e6 + 0.5), the q_emb_project discipline)
+    * so the per-(source, dim) and corpus-dim sums are exact BIGINTs;
+    * count factors cancel in the cosine, so the score is computed from
+    * the raw sums with DECIMAL(38,0) products (int128 on the oracle
+    * side) and ONE double cast at the end — no float accumulation
+    * anywhere. Scale shape: one narrow (source, dim)-keyed aggregation
+    * (dims × sources cells), one dim-keyed corpus aggregation, and a
+    * dims-sized join — nothing data-sized after the first combinable
+    * pass.
+    */
+  private val embDrift = QueryDef(
+    fn = (spark, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = Tables.embeddings(spark, dir)
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+        .select(col("source"), col("vec_id"), posexplode(expr(
+          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")))
+        .select(col("source"), col("vec_id"), col("pos"), col("col").as("q"))
+        .localCheckpoint(false) // three consumers of the quantized explode
+      val ssum = e.groupBy(col("source"), col("pos")).agg(sum(col("q")).as("sd"))
+      val scnt = e.groupBy(col("source")).agg(countDistinct(col("vec_id")).as("n_vecs"))
+      val csum = e.groupBy(col("pos")).agg(sum(col("q")).as("cd"))
+      ssum.join(csum, "pos")
+        .groupBy(col("source"))
+        .agg(sum(col("sd").cast(d38) * col("cd").cast(d38)).as("dot"),
+          sum(col("sd").cast(d38) * col("sd").cast(d38)).as("ss"),
+          sum(col("cd").cast(d38) * col("cd").cast(d38)).as("cc"))
+        .join(scnt, "source")
+        .select(col("source"), col("n_vecs"),
+          TextAnalysis.round6(col("dot").cast("double")
+            / (sqrt(col("ss").cast("double")) * sqrt(col("cc").cast("double"))))
+            .as("cos_to_corpus"))
+        .orderBy("source")
+    },
+    oracle = Some(
+      """WITH e AS (
+        |  SELECT d.source, v.vec_id, i AS pos,
+        |    CAST(floor(CAST(v.embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id,
+        |       unnest(range(1, len(v.embedding) + 1)) t(i)),
+        |ssum AS (SELECT source, pos, SUM(q) AS sd FROM e GROUP BY source, pos),
+        |scnt AS (SELECT source, COUNT(DISTINCT vec_id) AS n_vecs FROM e GROUP BY source),
+        |csum AS (SELECT pos, SUM(q) AS cd FROM e GROUP BY pos),
+        |dots AS (SELECT s.source,
+        |           SUM(CAST(s.sd AS HUGEINT) * CAST(c.cd AS HUGEINT)) AS dot,
+        |           SUM(CAST(s.sd AS HUGEINT) * CAST(s.sd AS HUGEINT)) AS ss,
+        |           SUM(CAST(c.cd AS HUGEINT) * CAST(c.cd AS HUGEINT)) AS cc
+        |         FROM ssum s JOIN csum c USING (pos) GROUP BY s.source)
+        |SELECT dt.source, sc.n_vecs,
+        |  floor((CAST(dot AS DOUBLE)
+        |         / (sqrt(CAST(ss AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cos_to_corpus
+        |FROM dots dt JOIN scnt sc USING (source) ORDER BY dt.source""".stripMargin))
+
   /** Per-source token-distribution drift: KL(source ‖ corpus) — the
     * data-quality probe that flags a crawl shard whose language suddenly
     * shifts before it poisons a training mix. Two token-keyed
@@ -2944,6 +3003,7 @@ object ExtensionQueries {
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_merge_step" -> bpeMergeStep,
     "q_kl_divergence" -> klDivergence,
+    "q_emb_drift" -> embDrift,
     "q_lm_perplexity" -> lmPerplexity,
     "q_mix_rebalance" -> mixRebalance,
     "q_kmv_diff" -> kmvDiff,

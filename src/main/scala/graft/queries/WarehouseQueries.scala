@@ -133,6 +133,58 @@ object WarehouseQueries {
         |  END AS purchase_rate
         |FROM c""".stripMargin))
 
+  /** Time-window-constrained funnel (the ClickHouse `windowFunnel` shape):
+    * signup → first view WITHIN 24h → first purchase within 24h OF THAT
+    * VIEW. The unconstrained [[funnelSteps]] counts eventual converters;
+    * this one counts converters whose steps landed inside the engagement
+    * window — the difference is the drop-off a growth team actually
+    * watches. Same scale shape as funnelSteps: user-count-sized stage
+    * frames, broadcast-joined, integer-µs window arithmetic, singleton
+    * crossJoins for the summary row.
+    */
+  private val funnelWindowed = QueryDef(
+    fn = (spark, dir) => {
+      val winUs = 24L * 3600L * 1000000L
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "view")
+        .join(broadcast(s1), "user_id")
+        .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + winUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(s2), "user_id")
+        .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + winUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_view_24h")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_24h")))
+        .select(col("n_signup"), col("n_view_24h"), col("n_purchase_24h"),
+          when(col("n_signup") > 0,
+            r6(col("n_purchase_24h").cast("double") / col("n_signup").cast("double")))
+            .as("windowed_rate"))
+    },
+    oracle = Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts_us > t1
+        |         AND ts_us <= t1 + CAST(24 AS BIGINT) * 3600 * 1000000
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t2
+        |         AND ts_us <= t2 + CAST(24 AS BIGINT) * 3600 * 1000000
+        |       GROUP BY e.user_id),
+        |c AS (SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+        |             (SELECT COUNT(*) FROM s2) AS n_view_24h,
+        |             (SELECT COUNT(*) FROM s3) AS n_purchase_24h)
+        |SELECT n_signup, n_view_24h, n_purchase_24h,
+        |  CASE WHEN n_signup > 0 THEN
+        |    floor((CAST(n_purchase_24h AS DOUBLE) / CAST(n_signup AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS windowed_rate
+        |FROM c""".stripMargin))
+
   /** Funnel conversion-lag percentiles: how LONG each converting user took
     * between stages, as rank-exact lower median and p90 over integer-µs
     * lags (rn = (n+1) div 2 and ceil(0.9n) = (9n+9) div 10 under a
@@ -1464,6 +1516,7 @@ object WarehouseQueries {
     "q_resample_ohlc" -> resampleOhlc,
     "q_scd2_build" -> scd2Build,
     "q_funnel_steps" -> funnelSteps,
+    "q_funnel_windowed" -> funnelWindowed,
     "q_funnel_lag" -> funnelLag,
     "q_cohort_retention" -> cohortRetention,
     "q_regr_ols" -> regrOls,

@@ -245,6 +245,27 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_emb_drift: covers every joined vector, cosines bounded") {
+    val got = run("q_emb_drift").collect()
+    val joined = graft.ops.Tables.embeddings(spark, dir)
+      .join(graft.ops.Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id")), Seq("vec_id")).count()
+    assert(got.map(_.getAs[Long]("n_vecs")).sum == joined)
+    got.foreach { r =>
+      val c = r.getAs[Double]("cos_to_corpus")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cosine $c out of range")
+    }
+  }
+
+  test("q_funnel_windowed: windowed counts never exceed the unconstrained funnel") {
+    val w = run("q_funnel_windowed").collect().head
+    val u = run("q_funnel_steps").collect().head
+    assert(w.getAs[Long]("n_signup") == u.getAs[Long]("n_signup"))
+    assert(w.getAs[Long]("n_view_24h") <= u.getAs[Long]("n_view_after"))
+    assert(w.getAs[Long]("n_view_24h") <= w.getAs[Long]("n_signup"))
+    assert(w.getAs[Long]("n_purchase_24h") <= w.getAs[Long]("n_view_24h"))
+  }
+
   test("q_attribution: conserves purchase count and revenue across channels") {
     val got = run("q_attribution").collect()
     val purchases = graft.ops.Tables.events(spark, dir)
