@@ -1119,6 +1119,98 @@ object WarehouseQueries {
         |  AND (d.valid_to_us IS NULL OR p.start_us < d.valid_to_us)
         |ORDER BY p.user_id, p.start_us""".stripMargin))
 
+  // --- grouped equi-depth binning -------------------------------------------
+
+  /** PER-GROUP exact quartile binning (l_extendedprice within each return
+    * flag) — the grouped form of q_equidepth_bins, and precisely the
+    * shape where `ntile() OVER (PARTITION BY flag)` becomes a 3-partition
+    * single-task straggler. [[RobustStats.rankValues]] runs ONE
+    * histogram pass and ONE value pass covering all three groups at
+    * once; assignment composes the per-group boundary chains through
+    * [[RobustStats.caseByGroup]], so the scan-stage expression carries
+    * nine literals and no join, window, or sort exists anywhere in the
+    * plan.
+    */
+  private val groupedEquidepth = QueryDef(
+    fn = (spark, dir) => {
+      val W = 160000L
+      val fl = "l_returnflag"
+      val x = Tables.lineitem(spark, dir)
+        .select(col(fl),
+          (dec(col("l_extendedprice")) * lit(10000)).cast("long").as("u"))
+      val bounds = RobustStats.rankValues(x, fl, col("u"), W,
+        n => (1 to 3).map(i => math.max(1L, i * n / 4)))
+      val bin = RobustStats.caseByGroup(fl, bounds.map { case (g, bs) =>
+        g -> bs.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col("u") > lit(b), 1).otherwise(0)
+        }
+      })
+      x.withColumn("bin", bin)
+        .groupBy(col(fl), col("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          (min(col("u")).cast("double") / 10000.0).as("min_v"),
+          (max(col("u")).cast("double") / 10000.0).as("max_v"))
+        .orderBy(fl, "bin")
+    },
+    oracle = Some(
+      """WITH x AS (SELECT l_returnflag AS g,
+        |             CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 10000 AS BIGINT) AS u
+        |           FROM lineitem),
+        |n0 AS (SELECT g, COUNT(*) AS n FROM x GROUP BY g),
+        |r AS (SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rn FROM x),
+        |ii AS (SELECT unnest(range(1, 4)) AS i),
+        |bnd AS (SELECT n0.g, ii.i, r.u AS bv
+        |        FROM ii CROSS JOIN n0
+        |        JOIN r ON r.g = n0.g AND r.rn = GREATEST(1, (ii.i * n0.n) // 4)),
+        |bl AS (SELECT g, list(bv ORDER BY i) AS l FROM bnd GROUP BY g),
+        |a AS (SELECT x.g, x.u,
+        |        CAST(len(list_filter(bl.l, b -> x.u > b)) AS INTEGER) AS bin
+        |      FROM x JOIN bl USING (g))
+        |SELECT g AS l_returnflag, bin, COUNT(*) AS n_rows,
+        |  CAST(MIN(u) AS DOUBLE) / 10000.0 AS min_v,
+        |  CAST(MAX(u) AS DOUBLE) / 10000.0 AS max_v
+        |FROM a GROUP BY g, bin ORDER BY g, bin""".stripMargin))
+
+  // --- exponentially time-decayed aggregate ---------------------------------
+
+  /** Half-life-decayed value sum per event type — the feature-store
+    * recency primitive (`Σ value · 2^(−(T−t)/halflife)`, halflife = 7
+    * days, T = the corpus max timestamp). Each decayed term is computed
+    * in integer-µs age arithmetic, 9dp floor-rounded, and summed in
+    * DECIMAL(18,9) (the q_kl_divergence discipline) so
+    * partial-aggregation order cannot split the engines; the max-T
+    * singleton rides a broadcast crossJoin, never a collect. One
+    * map-side-combinable aggregation over a 5-value key.
+    */
+  private val timeDecay = QueryDef(
+    fn = (spark, dir) => {
+      val hlUs = 7.0 * 86400.0 * 1000000.0
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+      val mx = ev.agg(max(col("ts_us")).as("tmax"))
+      ev.crossJoin(broadcast(mx))
+        .select(col("event_type"),
+          (floor(col("value")
+            * pow(lit(2.0), -((col("tmax") - col("ts_us")).cast("double") / hlUs))
+            * 1e9 + 0.5) / 1e9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("term"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("term")).cast("double").as("decayed_sum"))
+        .orderBy("event_type")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+        |mx AS (SELECT MAX(ts_us) AS tmax FROM e),
+        |t AS (SELECT event_type,
+        |        CAST(floor(value
+        |            * pow(2.0, -(CAST(mx.tmax - ts_us AS DOUBLE) / 604800000000.0))
+        |          * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(18,9)) AS term
+        |      FROM e CROSS JOIN mx)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(term) AS DOUBLE) AS decayed_sum
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   // --- DDSketch-style log-bucket quantile estimation ------------------------
 
   /** Relative-error quantile sketch (the DDSketch construction, Masson et
@@ -1527,6 +1619,8 @@ object WarehouseQueries {
     "q_skyline" -> skyline,
     "q_outlier_mad" -> outlierMad,
     "q_equidepth_bins" -> equidepthBins,
+    "q_grouped_equidepth" -> groupedEquidepth,
+    "q_time_decay" -> timeDecay,
     "q_scd2_pit" -> scd2Pit,
     "q_attribution" -> attribution,
     "q_rfm_segments" -> rfmSegments,

@@ -245,6 +245,43 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_grouped_equidepth: per-group partition, ordered bins within each group") {
+    val got = run("q_grouped_equidepth").collect()
+    val x = graft.ops.Tables.lineitem(spark, dir)
+    assert(got.map(_.getAs[Long]("n_rows")).sum == x.count())
+    got.groupBy(_.getAs[String]("l_returnflag")).foreach { case (g, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("bin"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("max_v") <= b.getAs[Double]("min_v"),
+            s"group $g bins overlap")
+        case _ =>
+      }
+      // quartiles on near-continuous prices: depths near n_g/4
+      val tot = sorted.map(_.getAs[Long]("n_rows")).sum
+      sorted.foreach(r => assert(r.getAs[Long]("n_rows") >= tot / 8
+        && r.getAs[Long]("n_rows") <= tot / 2, s"group $g depth skew"))
+    }
+  }
+
+  test("q_time_decay: decayed sum bounded by the plain sum of positive parts") {
+    val got = run("q_time_decay").collect()
+    val plain = graft.ops.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 0, col("value")).otherwise(0.0)).as("pos"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("pos")))
+      .toMap
+    assert(got.length == plain.size)
+    got.foreach { r =>
+      val (n, pos) = plain(r.getString(0))
+      assert(r.getAs[Long]("n") == n)
+      // each |term| <= |value| (decay weight in (0, 1]); allow 9dp slack
+      assert(r.getAs[Double]("decayed_sum") <= pos + 1e-3,
+        s"${r.getString(0)}: decayed exceeds undecayed positive mass")
+    }
+  }
+
   test("q_emb_drift: covers every joined vector, cosines bounded") {
     val got = run("q_emb_drift").collect()
     val joined = graft.ops.Tables.embeddings(spark, dir)
