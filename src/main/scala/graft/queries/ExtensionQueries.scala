@@ -2756,6 +2756,74 @@ object ExtensionQueries {
          |  CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INTEGER) AS rn
          |FROM pc QUALIFY rn <= 10 ORDER BY rn""".stripMargin))
 
+  /** Zipf-law fit over the token frequency distribution: log-log OLS of
+    * ln(count) on ln(rank) for the top-100 tokens — the standard corpus
+    * sanity check (natural text fits slope ≈ −1; a synthetic or
+    * template-heavy corpus bends away). The rank window is
+    * VOCABULARY-sized (the bpePairs/cmsTopk domain-bounded-singleton
+    * argument); each ln term is 9dp floor-rounded and the OLS sufficient
+    * statistics are exact DECIMAL products summed over a fixed 100 rows
+    * (the q_regr_ols discipline), so both engines derive bit-identical
+    * slope/intercept/R².
+    */
+  private val zipfFit = QueryDef(
+    fn = (spark, dir) => {
+      val d189 = org.apache.spark.sql.types.DecimalType(18, 9)
+      def t9(c: org.apache.spark.sql.Column) =
+        (floor(c * 1e9 + 0.5) / 1e9).cast(d189)
+      val tf = Tables.documents(spark, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("tok"))))
+        .filter(col("rank") <= 100)
+      val agg = tf
+        .select(t9(log(col("rank").cast("double"))).as("x"),
+          t9(log(col("c").cast("double"))).as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sxd"), sum(col("x") * col("x")).as("sxxd"),
+          sum(col("y")).as("syd"), sum(col("y") * col("y")).as("syyd"),
+          sum(col("x") * col("y")).as("sxyd"))
+      val n = col("n").cast("double")
+      val sx = col("sxd").cast("double"); val sxx = col("sxxd").cast("double")
+      val sy = col("syd").cast("double"); val syy = col("syyd").cast("double")
+      val sxy = col("sxyd").cast("double")
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      agg.select(col("n"),
+        TextAnalysis.round6(slope).as("zipf_slope"),
+        TextAnalysis.round6((sy - slope * sx) / n).as("intercept"),
+        TextAnalysis.round6(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy))).as("r2"))
+    },
+    oracle = Some(
+      s"""WITH w AS (SELECT unnest(${dToks("text")}) AS tok FROM documents),
+         |tf AS (SELECT tok, COUNT(*) AS c FROM w GROUP BY tok),
+         |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+         |      FROM tf QUALIFY rank <= 100),
+         |xy AS (SELECT
+         |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000000.0 + 0.5)
+         |         / 1000000000.0 AS DECIMAL(18,9)) AS x,
+         |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000.0 + 0.5)
+         |         / 1000000000.0 AS DECIMAL(18,9)) AS y
+         |  FROM r),
+         |s AS (SELECT COUNT(*) AS n,
+         |    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+         |    CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         |    CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         |    CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+         |    CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+         |  FROM xy)
+         |SELECT n,
+         |  floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS zipf_slope,
+         |  floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+         |  floor((((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS r2
+         |FROM s""".stripMargin))
+
   /** Per-source embedding-centroid drift: cosine of each source's mean
     * embedding against the corpus mean — the SEMANTIC sibling of
     * q_kl_divergence's token drift (a shard whose content shifts shows up
@@ -3004,6 +3072,7 @@ object ExtensionQueries {
     "q_bpe_merge_step" -> bpeMergeStep,
     "q_kl_divergence" -> klDivergence,
     "q_emb_drift" -> embDrift,
+    "q_zipf_fit" -> zipfFit,
     "q_lm_perplexity" -> lmPerplexity,
     "q_mix_rebalance" -> mixRebalance,
     "q_kmv_diff" -> kmvDiff,

@@ -282,6 +282,18 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_zipf_fit: negative slope, r2 in [0,1], top-min(100, vocab) ranks") {
+    val r = run("q_zipf_fit").collect().head
+    val vocab = graft.ops.Tables.documents(spark, dir)
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
+      .distinct().count()
+    assert(r.getAs[Long]("n") == math.min(100L, vocab))
+    assert(r.getAs[Double]("zipf_slope") < 0,
+      "token frequency must decrease with rank")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 $r2 out of range")
+  }
+
   test("q_emb_drift: covers every joined vector, cosines bounded") {
     val got = run("q_emb_drift").collect()
     val joined = graft.ops.Tables.embeddings(spark, dir)
