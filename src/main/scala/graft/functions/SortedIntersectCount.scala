@@ -6,11 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
-
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 /** Native Catalyst expression counting common elements of two SORTED,
-  * DISTINCT `array<string>` columns in one fused merge walk — the hot
+  * DISTINCT `array<string>` (or `array<bigint>` — shingle-hash sets)
+  * columns in one fused merge walk — the hot
   * inner loop of the exact-Jaccard verify stage in the near-dup operators
   * (SURVEY.md §2.4; the token sets come from
   * [[graft.ops.TextAnalysis.tokenSet]] = array_sort(array_distinct(...)),
@@ -42,30 +41,39 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<string> arguments, " +
-        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  // array<string> (token sets, UTF8 binary order) or array<bigint>
+  // (shingle-hash sets, numeric order) — both are what array_sort emits
+  // for their element type, so the sortedness contract is unchanged
+  private def elemType: Option[DataType] = Seq(left, right).map(_.dataType) match {
+    case Seq(ArrayType(StringType, _), ArrayType(StringType, _)) => Some(StringType)
+    case Seq(ArrayType(LongType, _), ArrayType(LongType, _)) => Some(LongType)
+    case _ => None
   }
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> or two array<bigint> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
   override def nullable: Boolean = true
+
+  private def isLong: Boolean = elemType.contains(LongType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements()
     val ny = y.numElements()
+    val long = isLong
     var i = 0; var j = 0; var c = 0
     while (i < nx && j < ny) {
       if (x.isNullAt(i)) { i += 1 }
       else if (y.isNullAt(j)) { j += 1 }
       else {
-        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        val cmp =
+          if (long) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+          else x.getUTF8String(i).compareTo(y.getUTF8String(j))
         if (cmp == 0) { c += 1; i += 1; j += 1 }
         else if (cmp < 0) i += 1
         else j += 1
@@ -82,7 +90,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
       val cmp = ctx.freshName("cmp")
-      val utf8 = classOf[UTF8String].getName
+      val cmpExpr =
+        if (isLong) s"Long.compare($x.getLong($i), $y.getLong($j))"
+        else s"$x.getUTF8String($i).compareTo($y.getUTF8String($j))"
       s"""
          |int $nx = $x.numElements();
          |int $ny = $y.numElements();
@@ -91,7 +101,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |  if ($x.isNullAt($i)) { $i++; }
          |  else if ($y.isNullAt($j)) { $j++; }
          |  else {
-         |    int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+         |    int $cmp = $cmpExpr;
          |    if ($cmp == 0) { $c++; $i++; $j++; }
          |    else if ($cmp < 0) { $i++; }
          |    else { $j++; }

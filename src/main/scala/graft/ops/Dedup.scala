@@ -535,42 +535,31 @@ object Dedup {
     */
   def containmentPrefixJoin(
       df: DataFrame, idCol: String, textCol: String,
+      minContainment: Double): DataFrame =
+    containmentPrefixJoinSets(
+      df.select(col(idCol).as("id"),
+        TextAnalysis.tokenSet(col(textCol)).as("toks")),
+      "id", "toks", minContainment)
+
+  /** Element-domain-agnostic core of [[containmentPrefixJoin]]: the same
+    * rarest-first positional-postings prefix join over a PRECOMPUTED
+    * sorted-distinct set column (`array<string>` token sets or
+    * `array<bigint>` shingle-hash sets — anything
+    * [[graft.functions.SortedIntersectCount]] accepts). Lets callers pick
+    * the set domain: q_dedup_containment runs token sets,
+    * q_dedup_containment_prefix runs composed 3-gram shingle hashes
+    * (high-cardinality postings — the regime this index is built for).
+    */
+  def containmentPrefixJoinSets(
+      df: DataFrame, idCol: String, toksCol: String,
       minContainment: Double): DataFrame = {
     require(minContainment > 0 && minContainment < 1,
       s"minContainment in (0,1), got $minContainment")
     val t = minContainment
     val docs = df
-      .select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"), col(toksCol).as("toks"))
       .filter(size(col("toks")) > 0)
-    val freq = docs.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-    val ordered = docs.select(col("id"), explode(col("toks")).as("tok"))
-      .join(freq, "tok")
-      .groupBy(col("id"))
-      .agg(expr("transform(sort_array(collect_list(struct(f, tok))), x -> x.tok)")
-        .as("otoks"))
-      .select(col("id"), col("otoks"), size(col("otoks")).as("n"))
-    // positional postings (0-based pos in the rarest-first order).
-    // Overlap bound k = ⌊t·s⌋, NOT ⌈t·s⌉: the qualifying test is the
-    // DOUBLE comparison ni/s ≥ t, and 0.9·20 = 18.000000000000004 in
-    // binary — a ceil would prune exact-boundary pairs the filter admits.
-    // floor is provably ≤ the minimal qualifying overlap (the one-ulp
-    // slack cannot bridge the 1/(2s) gap), so pruning stays conservative
-    // and the prefix ⌊(1−t)·s⌋+1 becomes s − ⌊t·s⌋ + 1 (≥, float-safe).
-    val full = ordered.select(col("id"), col("n"),
-      posexplode(col("otoks")).as(Seq("pos", "pt")))
-    val pre = full.filter(
-      col("pos") < col("n") - floor(lit(t) * col("n")) + 1)
-    val k = floor(lit(t) * col("x.n")) // overlap bound from the smaller role
-    val candidates = pre.as("x")
-      .join(full.as("y"),
-        col("x.pt") === col("y.pt") &&
-          (col("x.n") < col("y.n") ||
-            (col("x.n") === col("y.n") && col("x.id") < col("y.id"))) &&
-          col("y.pos") <= col("y.n") - k)
-      .select(least(col("x.id"), col("y.id")).as("id_a"),
-        greatest(col("x.id"), col("y.id")).as("id_b"))
-      .distinct()
+    val candidates = containmentPrefixCandidates(docs, t)
     val sets = docs.select(col("id"), col("toks"), size(col("toks")).as("sz"))
     val ni = graft.functions.SortedIntersectCount
       .intersectCountFast(col("toks_a"), col("toks_b")).cast("long")
@@ -587,6 +576,46 @@ object Dedup {
         col("ni").cast("double") / (col("sz_a") + col("sz_b") - col("ni"))))
       .select(col("id_a"), col("id_b"), col("ni"), col("containment"),
         col("jaccard"))
+  }
+
+  /** Candidate stage of [[containmentPrefixJoinSets]], exposed so
+    * PlanAuditSpec can pin its size ≪ n²/2 on structured corpora — the
+    * whole point of the prefix bound is that candidates track the OUTPUT,
+    * not the pair space. `docs` must be (id, toks) with non-empty
+    * sorted-distinct sets.
+    *
+    * Positional postings (0-based pos in the rarest-first order).
+    * Overlap bound k = ⌊t·s⌋, NOT ⌈t·s⌉: the qualifying test is the
+    * DOUBLE comparison ni/s ≥ t, and 0.9·20 = 18.000000000000004 in
+    * binary — a ceil would prune exact-boundary pairs the filter admits.
+    * floor is provably ≤ the minimal qualifying overlap (the one-ulp
+    * slack cannot bridge the 1/(2s) gap), so pruning stays conservative
+    * and the prefix ⌊(1−t)·s⌋+1 becomes s − ⌊t·s⌋ + 1 (≥, float-safe).
+    */
+  private[graft] def containmentPrefixCandidates(
+      docs: DataFrame, t: Double): DataFrame = {
+    val freq = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val ordered = docs.select(col("id"), explode(col("toks")).as("tok"))
+      .join(freq, "tok")
+      .groupBy(col("id"))
+      .agg(expr("transform(sort_array(collect_list(struct(f, tok))), x -> x.tok)")
+        .as("otoks"))
+      .select(col("id"), col("otoks"), size(col("otoks")).as("n"))
+    val full = ordered.select(col("id"), col("n"),
+      posexplode(col("otoks")).as(Seq("pos", "pt")))
+    val pre = full.filter(
+      col("pos") < col("n") - floor(lit(t) * col("n")) + 1)
+    val k = floor(lit(t) * col("x.n")) // overlap bound from the smaller role
+    pre.as("x")
+      .join(full.as("y"),
+        col("x.pt") === col("y.pt") &&
+          (col("x.n") < col("y.n") ||
+            (col("x.n") === col("y.n") && col("x.id") < col("y.id"))) &&
+          col("y.pos") <= col("y.n") - k)
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+      .distinct()
   }
 
   /** EXACT containment self-join for BOUNDED vocabularies: when the corpus

@@ -73,8 +73,17 @@ object RangeJoin {
         org.apache.spark.sql.graftbridge.Bridge.expression(c),
         org.apache.spark.sql.catalyst.expressions.Literal(binSize)))
     val l = left.withColumn("__graft_bin_l", divW(left(point)))
-    val r = right.withColumn("__graft_bin_r",
-      explode(sequence(divW(right(lo)), divW(right(hi)))))
+    // inverted intervals (lo > hi) must fail loudly: sequence() would
+    // silently generate a DESCENDING bin list whose rows the residual
+    // filter then drops, turning a caller bug into empty matches (callers
+    // with open ends cap them first — scd2Pit's greatest() guard). The
+    // assert lives in a FILTER (always-true via isnull: assert_true yields
+    // null when the check passes) so column pruning can't eliminate it.
+    val r = right
+      .filter(isnull(assert_true(right(lo) <= right(hi),
+        lit(s"binnedKeyed requires $lo <= $hi on every right row"))))
+      .withColumn("__graft_bin_r",
+        explode(sequence(divW(right(lo)), divW(right(hi)))))
     l.join(r,
         l(leftKey) === r(rightKey) &&
           l("__graft_bin_l") === r("__graft_bin_r") &&

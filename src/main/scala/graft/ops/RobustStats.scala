@@ -192,7 +192,9 @@ object RobustStats {
     * located buckets). `ranksOf` maps a group's row count n to its target
     * ranks (each must be in [1, n]) — so callers can ask for quantile
     * grids without a prior count job. Returns the values in `ranksOf`
-    * order.
+    * order. Safe for negative unscaled values: the in-bucket filter uses
+    * Math.floorDiv, matching [[bucketOf]]'s floor semantics (truncating
+    * `/` would disagree below zero and leave the filter empty).
     */
   def rankValues(df: DataFrame, grp: String, u: Column, widthU: Long,
       ranksOf: Long => Seq[Long]): Map[String, Seq[Long]] = {
@@ -205,7 +207,12 @@ object RobustStats {
       located.map { case (g, ls) => g -> ls.map(_._2._1).toSet })
     located.map { case (g, ls) =>
       g -> ls.map { case (t, (b0, cBefore)) =>
-        pickAtRank(vals(g).filter(_._1 / widthU == b0), cBefore, t)
+        // floorDiv, NOT truncating /: bucket ids come from bucketOf
+        // (floor of a double division), and for negative unscaled values
+        // trunc and floor disagree (u = -1, width 10: 0 vs -1) — the
+        // filter would come up empty and pickAtRank would throw
+        pickAtRank(vals(g).filter(v => Math.floorDiv(v._1, widthU) == b0),
+          cBefore, t)
       }
     }
   }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.concurrent.TrieMap
+
+/** Session-keyed memoization cache with stop-time eviction.
+  *
+  * The query families that share an expensive deterministic chain
+  * (minhash pair graph, Lloyd-trained IVF cells, trade/co-supply edge
+  * lists) memoize the checkpointed frame per (session, key). A bare
+  * TrieMap keyed on the session never evicts — harmless in a
+  * run-and-exit harness, a leak in a long-lived multi-session service
+  * (every stopped session would pin its DataFrames, and through them the
+  * driver-side checkpoint blocks, forever).
+  *
+  * On the FIRST insert for a session this cache registers a
+  * SparkListener whose `onApplicationEnd` drops every entry belonging to
+  * that session, so `session.stop()` releases the memoized frames
+  * without any caller-side bookkeeping. Sessions sharing one
+  * SparkContext (`newSession()`) each register their own listener;
+  * context stop ends the application for all of them, and each listener
+  * evicts its own session's entries. If the context is already stopped
+  * when the first insert happens, registration fails — the entry is
+  * still served, but a session that can no longer run jobs will not be
+  * building cacheable frames in practice.
+  *
+  * SessionCacheSpec drives the eviction path by invoking the registered
+  * listener directly (a second in-JVM SparkContext is not available to a
+  * test suite, so a real stop cannot be exercised without tearing down
+  * the shared test session).
+  */
+final class SessionCache[K, V] {
+  private val entries = TrieMap.empty[(SparkSession, K), V]
+  private val hooked = TrieMap.empty[SparkSession, SparkListener]
+
+  def getOrElseUpdate(spark: SparkSession, key: K, build: => V): V = {
+    hooked.getOrElseUpdate(spark, {
+      val listener = new SparkListener {
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+          evict(spark)
+      }
+      try spark.sparkContext.addSparkListener(listener)
+      catch { case _: IllegalStateException => () } // context already stopped
+      listener
+    })
+    entries.getOrElseUpdate((spark, key), build)
+  }
+
+  /** Drop every entry (and the stop hook) belonging to `spark`. */
+  private[graft] def evict(spark: SparkSession): Unit = {
+    entries.filterInPlace { case ((s, _), _) => s ne spark }
+    hooked.remove(spark)
+  }
+
+  private[graft] def sessionEntryCount(spark: SparkSession): Int =
+    entries.count { case ((s, _), _) => s eq spark }
+
+  private[graft] def listenerFor(spark: SparkSession): Option[SparkListener] =
+    hooked.get(spark)
+}

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * hex chars of md5 folded to a long, minhash coefficients shared literals,
   * doubles accumulated in the same order and rounded to 6 digits.
   *
-  * Pair-space queries sample their input by key modulus so the quadratic
-  * verification stays bounded at every scale factor; the scalable paths
-  * (banded LSH equi-joins) are what run unsampled at 100 TB.
+  * Queries whose ORACLE is inherently quadratic (brute-force all-pairs
+  * verification, e.g. q_jaccard_ngram) sample their input by key modulus
+  * so the verification stays bounded at every scale factor; the scalable
+  * paths — including the full minhash dedup chain — run unsampled.
   */
 object ExtensionQueries {
 
@@ -483,8 +484,9 @@ object ExtensionQueries {
         |  FROM documents) WHERE rn = 1
         |ORDER BY doc_id""".stripMargin))
 
-  /** Shared oracle CTE computing minhash signatures band keys for sampled
-    * docs — mirrors Dedup.minhashSignature/bandKeys literal-for-literal.
+  /** Shared oracle CTE computing minhash signatures band keys over the
+    * FULL corpus — mirrors Dedup.minhashSignature/bandKeys
+    * literal-for-literal.
     * With `cap` set, (band, band_key) buckets larger than the cap are
     * dropped before pairing — the hot-bucket guard's oracle twin. */
   private def minhashOracle: String = minhashOracleWith(None)
@@ -510,7 +512,7 @@ object ExtensionQueries {
     }
     s"""docs AS (
        |  SELECT doc_id AS id, ${dTokSet("text")} AS toks
-       |  FROM documents WHERE doc_id % 10 = 0),
+       |  FROM documents),
        |tok AS (SELECT id, unnest(toks) AS t FROM docs),
        |th AS (SELECT id, ${dHash32("t")} % 2147483647 AS h FROM tok),
        |coef AS (SELECT * FROM (VALUES $coefValues) c(i, a, b)),
@@ -527,28 +529,30 @@ object ExtensionQueries {
        |  FROM cand JOIN docs a ON cand.id_a = a.id JOIN docs b ON cand.id_b = b.id)""".stripMargin
   }
 
-  /** Verified minhash pair graph over the 10% doc sample, memoized per
-    * (session, dir) — `q_dedup_minhash_pairs` and `q_dedup_components`
-    * consume the identical (deterministic) pair set, so the LSH signature
-    * + band join + exact-Jaccard verify chain runs once per session, not
-    * once per consumer (the shared-centroid pattern from the ANN family).
-    * The sample READ is memoized alongside: consumers joining the
+  /** Verified minhash pair graph over the FULL corpus (unsampled —
+    * round 8/9's rolling shingle-hash + banded join made the chain cheap
+    * enough that the historical 10% demo sample demonstrated less scale
+    * than the operator has), memoized per (session, dir) —
+    * `q_dedup_minhash_pairs` and `q_dedup_components` consume the
+    * identical (deterministic) pair set, so the LSH signature + band join
+    * + exact-Jaccard verify chain runs once per session, not once per
+    * consumer (the shared-centroid pattern from the ANN family).
+    * The corpus READ is memoized alongside: consumers joining the
     * checkpointed pairs back to the docs must share its lineage (see
     * trainedIvfCells' attribute-id note).
     */
-  private val minhashPairsCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, String),
-      org.apache.spark.sql.DataFrame]
+  private[graft] val minhashPairsCache =
+    new graft.ops.SessionCache[(String, String), org.apache.spark.sql.DataFrame]
 
-  private def dedupSampleDocs(spark: org.apache.spark.sql.SparkSession,
+  private def dedupDocs(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    minhashPairsCache.getOrElseUpdate((spark, dir, "docs"),
-      Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0))
+    minhashPairsCache.getOrElseUpdate(spark, (dir, "docs"),
+      Tables.documents(spark, dir))
 
   private def minhashPairs(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    minhashPairsCache.getOrElseUpdate((spark, dir, "pairs"),
-      Dedup.nearDupMinhash(dedupSampleDocs(spark, dir),
+    minhashPairsCache.getOrElseUpdate(spark, (dir, "pairs"),
+      Dedup.nearDupMinhash(dedupDocs(spark, dir),
         "doc_id", "text", k = 16, bands = 4, minJaccard = 0.5)
         .localCheckpoint(true))
 
@@ -556,10 +560,10 @@ object ExtensionQueries {
     * iterative label propagation (driver-looped, inherently eager) runs
     * once per session for q_dedup_components AND q_dedup_best_of_cluster.
     * Checkpointed: the loop's lineage is deep and both consumers join it
-    * back to the sample. */
+    * back to the corpus. */
   private def minhashComps(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    minhashPairsCache.getOrElseUpdate((spark, dir, "comps"),
+    minhashPairsCache.getOrElseUpdate(spark, (dir, "comps"),
       Dedup.connectedComponents(minhashPairs(spark, dir), "id_a", "id_b")
         .withColumnRenamed("id", "doc_id")
         .localCheckpoint(true))
@@ -576,12 +580,13 @@ object ExtensionQueries {
     * over 10 members dropped before pairing — the worst-case bound a
     * template-heavy corpus needs at scale (a bucket of m docs is m^2/2
     * pairs on ONE reducer; AQE cannot split within a key). The fixture's
-    * template clusters produce 20-270-doc buckets at every SF, so the cap
-    * binds and the oracle proves both engines drop identically. */
+    * template clusters produce multi-hundred-doc buckets at every SF on
+    * the full corpus, so the cap binds and the oracle proves both engines
+    * drop identically. */
   private val dedupMinhashCapped = QueryDef(
     fn = (spark, dir) =>
       Dedup.nearDupMinhash(
-          Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+          Tables.documents(spark, dir),
           "doc_id", "text", k = 16, bands = 4, minJaccard = 0.5,
           maxBucket = Some(10))
         .orderBy("id_a", "id_b"),
@@ -591,7 +596,7 @@ object ExtensionQueries {
          |ORDER BY id_a, id_b""".stripMargin))
 
   /** Incremental near-dup: the NEW batch (doc_id % 20 = 0) against the
-    * rest of the % 10 sample as the accumulated corpus — candidates are
+    * rest of the FULL corpus as the accumulated corpus — candidates are
     * new×new and new×corpus only, never corpus×corpus (the daily-ingest
     * shape; re-pairing the corpus each run is quadratically growing rework
     * for pairs already decided). Oracle = the full-batch pair set filtered
@@ -602,7 +607,7 @@ object ExtensionQueries {
       val docs = Tables.documents(spark, dir)
       Dedup.nearDupMinhashIncremental(
           docs.filter(col("doc_id") % 20 === 0),
-          docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 =!= 0),
           "doc_id", "text", k = 16, bands = 4, minJaccard = 0.5)
         .orderBy("id_a", "id_b")
     },
@@ -617,7 +622,7 @@ object ExtensionQueries {
     * components with a DuckDB recursive CTE over the identical pair set. */
   private val dedupComponents = QueryDef(
     fn = (spark, dir) => {
-      val sample = dedupSampleDocs(spark, dir)
+      val sample = dedupDocs(spark, dir)
       val comps = minhashComps(spark, dir)
       sample.select(col("doc_id")).join(comps, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -655,7 +660,7 @@ object ExtensionQueries {
     */
   private val dedupBestOfCluster = QueryDef(
     fn = (spark, dir) => {
-      val sample = dedupSampleDocs(spark, dir)
+      val sample = dedupDocs(spark, dir)
       val comps = minhashComps(spark, dir)
       val scored = sample
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -680,7 +685,7 @@ object ExtensionQueries {
          |  UNION
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
          |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
-         |${dQualityCte("WHERE doc_id % 10 = 0")},
+         |${dQualityCte("")},
          |scored AS (
          |  SELECT q.doc_id, COALESCE(c.comp, q.doc_id) AS comp, q.quality
          |  FROM qual q LEFT JOIN comp c ON q.doc_id = c.id),
@@ -695,13 +700,13 @@ object ExtensionQueries {
     * diagnostic that tells you WHICH crawl shards duplicate each other
     * before you spend a full dedup pass (e.g. a mirror site shows up as
     * one hot off-diagonal cell). Consumes the memoized
-    * [[minhashPairs]]/[[dedupSampleDocs]] chain, so the marginal cost is
+    * [[minhashPairs]]/[[dedupDocs]] chain, so the marginal cost is
     * two doc-keyed joins (data-sized, unhinted) and one aggregation on
     * the source-pair DOMAIN (≤ S²/2 groups). Pair Jaccards are already
     * 6dp-rounded; they sum in DECIMAL(18,6) so the mean replays. */
   private val dedupCrossSource = QueryDef(
     fn = (spark, dir) => {
-      val src = dedupSampleDocs(spark, dir).select(col("doc_id"), col("source"))
+      val src = dedupDocs(spark, dir).select(col("doc_id"), col("source"))
       minhashPairs(spark, dir)
         .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
         .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
@@ -717,7 +722,7 @@ object ExtensionQueries {
     oracle = Some(
       s"""WITH $minhashOracle,
          |ps AS (SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5),
-         |src AS (SELECT doc_id AS id, source FROM documents WHERE doc_id % 10 = 0),
+         |src AS (SELECT doc_id AS id, source FROM documents),
          |lab AS (SELECT LEAST(a.source, b.source) AS src_a,
          |               GREATEST(a.source, b.source) AS src_b,
          |               CAST(jaccard AS DECIMAL(18,6)) AS jd
@@ -738,7 +743,7 @@ object ExtensionQueries {
     */
   private val splitLeakage = QueryDef(
     fn = (spark, dir) => {
-      val sp = dedupSampleDocs(spark, dir)
+      val sp = dedupDocs(spark, dir)
         .select(col("doc_id"), TextAnalysis.assignSplit(col("doc_id")).as("split"))
       minhashPairs(spark, dir)
         .join(sp.select(col("doc_id").as("id_a"), col("split").as("pa")), Seq("id_a"))
@@ -757,7 +762,7 @@ object ExtensionQueries {
          |         CASE WHEN ${dHash32("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
          |              WHEN ${dHash32("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
          |              ELSE 'test' END AS split
-         |       FROM documents WHERE doc_id % 10 = 0),
+         |       FROM documents),
          |lab AS (SELECT LEAST(a.split, b.split) AS split_a,
          |               GREATEST(a.split, b.split) AS split_b
          |        FROM ps JOIN sp a ON ps.id_a = a.id JOIN sp b ON ps.id_b = b.id)
@@ -778,7 +783,7 @@ object ExtensionQueries {
     */
   private val componentSplit = QueryDef(
     fn = (spark, dir) => {
-      val sample = dedupSampleDocs(spark, dir)
+      val sample = dedupDocs(spark, dir)
       val comps = minhashComps(spark, dir)
       val lab = sample.select(col("doc_id"))
         .join(comps, Seq("doc_id"), "left")
@@ -867,7 +872,7 @@ object ExtensionQueries {
     * q_kl_divergence discipline. */
   private val dedupSrcModularity = QueryDef(
     fn = (spark, dir) => {
-      val src = dedupSampleDocs(spark, dir).select(col("doc_id"), col("source"))
+      val src = dedupDocs(spark, dir).select(col("doc_id"), col("source"))
       val pairs = minhashPairs(spark, dir)
         .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
         .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
@@ -893,7 +898,7 @@ object ExtensionQueries {
     oracle = Some(
       s"""WITH $minhashOracle,
          |ps AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
-         |src AS (SELECT doc_id AS id, source FROM documents WHERE doc_id % 10 = 0),
+         |src AS (SELECT doc_id AS id, source FROM documents),
          |lab AS (SELECT a.source AS sa, b.source AS sb
          |        FROM ps JOIN src a ON ps.id_a = a.id JOIN src b ON ps.id_b = b.id),
          |mm AS (SELECT COUNT(*) AS m FROM lab),
@@ -1240,12 +1245,12 @@ object ExtensionQueries {
     * dim+2)-sized assignment, not anything fact-scaled beyond the
     * embeddings themselves. Levels build cumulatively: level i reuses the
     * cached level i−1. */
-  private val ivfCellsCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Int), org.apache.spark.sql.DataFrame]
+  private[graft] val ivfCellsCache =
+    new graft.ops.SessionCache[(String, Int), org.apache.spark.sql.DataFrame]
 
   private def trainedIvfCells(spark: org.apache.spark.sql.SparkSession,
       dir: String, iters: Int): org.apache.spark.sql.DataFrame =
-    ivfCellsCache.getOrElseUpdate((spark, dir, iters),
+    ivfCellsCache.getOrElseUpdate(spark, (dir, iters),
       // level 0 memoizes the base READ itself: probe sides must share the
       // chain's lineage (consumers take their `emb` from here, not a fresh
       // read — two reads of the same file carry distinct attribute ids,
@@ -2312,6 +2317,48 @@ object ExtensionQueries {
          |WHERE CAST(ni AS DOUBLE) / LEAST(sz_a, sz_b) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Containment dedup on the HIGH-CARDINALITY composed 3-gram shingle
+    * domain via [[Dedup.containmentPrefixJoinSets]] — the scale path the
+    * bitmap query's ≤64-token vocabulary guard fails fast TOWARD. On
+    * shingles the vocabulary is |distinct trigrams| (thousands at sf0.01,
+    * unbounded at corpus scale), so the rarest-first positional-postings
+    * prefix index is the right plan: candidates come from (prefix tokens)
+    * ⋈ (positional postings), never df² per token, and exact
+    * intersection ([[graft.functions.SortedIntersectCount]], the
+    * array<bigint> overload) verifies candidates only. Oracle is the
+    * brute-force postings ground truth — green means the pruning dropped
+    * NOTHING. PlanAuditSpec pins candidate count ≪ n²/2 on a clustered
+    * fixture.
+    */
+  private val dedupContainmentPrefix = QueryDef(
+    fn = (spark, dir) => {
+      val sets = Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"),
+          array_sort(array_distinct(TextAnalysis.shingleHashesFromHashes(
+            Dedup.tokenHashes(TextAnalysis.tokens(col("text"))), 3))).as("gs"))
+      Dedup.containmentPrefixJoinSets(sets, "id", "gs", 0.8)
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(
+      s"""WITH tk AS (SELECT doc_id, list_transform(${dToks("text")}, t -> ${dHash32("t")}) AS th
+         |           FROM documents),
+         |d AS (SELECT doc_id AS id,
+         |        list_sort(list_distinct(${dShingleHashes(3)})) AS gs FROM tk),
+         |ne AS (SELECT id, gs, len(gs) AS sz FROM d WHERE len(gs) > 0),
+         |idx AS (SELECT id, unnest(gs) AS g, sz FROM ne),
+         |inter AS (SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS ni,
+         |                 MIN(x.sz) AS sz_a, MIN(y.sz) AS sz_b
+         |          FROM idx x JOIN idx y ON x.g = y.g AND x.id < y.id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, ni,
+         |  floor((CAST(ni AS DOUBLE) / LEAST(sz_a, sz_b)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS containment,
+         |  floor((CAST(ni AS DOUBLE) / (sz_a + sz_b - ni)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS jaccard
+         |FROM inter
+         |WHERE CAST(ni AS DOUBLE) / LEAST(sz_a, sz_b) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin))
+
   /** KMV set DIFFERENCE estimate |A \ B| for every ordered source pair —
     * completing the sketch algebra (distinct, union, Jaccard, difference).
     * est = (d/k)·est_union with d = |{h ∈ merged-k : h ∈ K_A ∧ h ∉ K_B}|,
@@ -2690,42 +2737,64 @@ object ExtensionQueries {
     * the rewrite is a scan-stage array transform, and the recount is a
     * map-side-combinable weighted aggregation over symbol pairs.
     */
+  /** Per-word symbol-frequency base of the BPE family: (cnt, cs) with cs
+    * the word's character array — vocabulary-sized, checkpointed so the
+    * argmax collect and the rewrite+recount pass(es) share ONE
+    * word-frequency build (2.5 s -> 1.0 s warm at sf0.1 for the single
+    * step; the k-step trainer reuses it across every round). */
+  private def bpeWordFreq(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), split(col("word"), "").as("cs"))
+      .localCheckpoint(false)
+
+  /** Adjacent-pair counts over a (cnt, symbol-array) frame — the BPE
+    * statistic, keyed on the (bounded) symbol-pair domain. */
+  private def bpePairCounts(df: org.apache.spark.sql.DataFrame,
+      csCol: String): org.apache.spark.sql.DataFrame = df
+    .filter(size(col(csCol)) >= 2)
+    .select(col("cnt"), explode(expr(
+      s"""transform(sequence(1, size($csCol) - 1),
+         |  i -> struct(element_at($csCol, i) AS a, element_at($csCol, i + 1) AS b))"""
+        .stripMargin)).as("p"))
+    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    .agg(sum(col("cnt")).as("n"))
+
+  /** Argmax mergeable pair (a <> b, ties by (a, b) asc) or a loud error. */
+  private def bpeTopPair(pairs: org.apache.spark.sql.DataFrame, what: String)
+      : (String, String, Long) = {
+    val top = pairs.filter(col("a") =!= col("b"))
+      .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+      .collect().headOption.getOrElse(throw new IllegalStateException(
+        s"$what requires at least one mergeable adjacent " +
+          "symbol pair (corpus has no 2+-character words)"))
+    (top.getString(0), top.getString(1), top.getLong(2))
+  }
+
+  /** One BPE merge applied to a symbol array column. Column-built (no
+    * literal splicing): merge sites emit the fused symbol, their right
+    * halves drop; with a != b sites cannot overlap. */
+  private def bpeApplyMerge(cs: String, ma: String, mb: String)
+      : org.apache.spark.sql.Column =
+    filter(
+      transform(sequence(lit(1), size(col(cs))), i =>
+        when(i < size(col(cs))
+            && element_at(col(cs), i) === ma
+            && element_at(col(cs), i + 1) === mb, lit(ma + mb))
+          .when(i > lit(1)
+            && element_at(col(cs), i - 1) === ma
+            && element_at(col(cs), i) === mb, lit(null).cast("string"))
+          .otherwise(element_at(col(cs), i))),
+      x => x.isNotNull)
+
   private val bpeMergeStep = QueryDef(
     fn = (spark, dir) => {
-      // vocabulary-sized; checkpointed so the argmax collect and the
-      // rewrite+recount pass share ONE word-frequency build (2.5 s ->
-      // 1.0 s warm at sf0.1)
-      val wf = Tables.documents(spark, dir)
-        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"), split(col("word"), "").as("cs"))
-        .localCheckpoint(false)
-      def pairCounts(df: org.apache.spark.sql.DataFrame, csCol: String) = df
-        .filter(size(col(csCol)) >= 2)
-        .select(col("cnt"), explode(expr(
-          s"""transform(sequence(1, size($csCol) - 1),
-             |  i -> struct(element_at($csCol, i) AS a, element_at($csCol, i + 1) AS b))"""
-            .stripMargin)).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("n"))
-      val top = pairCounts(wf, "cs").filter(col("a") =!= col("b"))
-        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-        .collect().head
-      val (ma, mb) = (top.getString(0), top.getString(1))
-      // Column-built (no literal splicing): merge sites emit the fused
-      // symbol, their right halves drop; with a != b sites cannot overlap
-      val merged = wf.withColumn("ms",
-        filter(
-          transform(sequence(lit(1), size(col("cs"))), i =>
-            when(i < size(col("cs"))
-                && element_at(col("cs"), i) === ma
-                && element_at(col("cs"), i + 1) === mb, lit(ma + mb))
-              .when(i > lit(1)
-                && element_at(col("cs"), i - 1) === ma
-                && element_at(col("cs"), i) === mb, lit(null).cast("string"))
-              .otherwise(element_at(col("cs"), i))),
-          x => x.isNotNull))
-      pairCounts(merged, "ms")
+      val wf = bpeWordFreq(spark, dir)
+      val (ma, mb, _) = bpeTopPair(bpePairCounts(wf, "cs"), "q_bpe_merge_step")
+      val merged = wf.withColumn("ms", bpeApplyMerge("cs", ma, mb))
+      bpePairCounts(merged, "ms")
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("n").desc, col("a"), col("b"))))
@@ -2755,6 +2824,76 @@ object ExtensionQueries {
          |SELECT a, b, n,
          |  CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INTEGER) AS rn
          |FROM pc QUALIFY rn <= 10 ORDER BY rn""".stripMargin))
+
+  /** Multi-step BPE TRAINING (k = 5 merges) — the full tokenizer-training
+    * loop q_bpe_merge_step demonstrates one round of: per round, count
+    * adjacent symbol pairs ([[bpePairCounts]]), pick the argmax mergeable
+    * pair (a <> b, ties by (a, b) — deterministic), apply the merge to
+    * every word ([[bpeApplyMerge]]) and iterate on the REWRITTEN symbol
+    * arrays, so later rounds merge fused symbols ("th"+"e" → "the") —
+    * genuine BPE induction, not five independent first merges. Output is
+    * the trained MERGE TABLE (step, a, b, n at selection time): exactly
+    * the artifact a BPE tokenizer ships. Scale shape: the driver loop
+    * moves only the k argmax rows; each round's heavy work is one
+    * symbol-pair-domain aggregation over the checkpointed
+    * vocabulary-sized word-frequency frame ([[bpeWordFreq]] built ONCE,
+    * rewritten in place per round — never re-scanning documents). The
+    * oracle replays the identical 5 chained rounds as CTEs; k is a query
+    * constant, so the SQL is static.
+    */
+  private val bpeTrainK = QueryDef(
+    fn = (spark, dir) => {
+      val K = 5
+      var wf = bpeWordFreq(spark, dir)
+      val merges = Seq.newBuilder[org.apache.spark.sql.Row]
+      for (step <- 1 to K) {
+        val (ma, mb, n) = bpeTopPair(bpePairCounts(wf, "cs"), "q_bpe_train_k")
+        merges += org.apache.spark.sql.Row(step, ma, mb, n)
+        // rewritten frame feeds the NEXT round's count and rewrite —
+        // checkpoint keeps the per-round lineage flat (k chained
+        // transform/filter lambdas would otherwise nest in one plan)
+        wf = wf.withColumn("cs", bpeApplyMerge("cs", ma, mb))
+          .localCheckpoint(false)
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList[org.apache.spark.sql.Row](merges.result(): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("step",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("a",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .orderBy("step")
+    },
+    oracle = Some {
+      val rounds = (1 to 5).map { r =>
+        s"""p$r AS (SELECT cs[i] AS a, cs[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+           |       FROM ch${r - 1}, unnest(range(1, len(cs))) t(i) GROUP BY 1, 2),
+           |t$r AS (SELECT a, b, n FROM p$r WHERE a <> b
+           |        ORDER BY n DESC, a, b LIMIT 1),
+           |ch$r AS (SELECT cnt, list_filter(
+           |         list_transform(range(1, len(cs) + 1), i ->
+           |           CASE WHEN i < len(cs) AND cs[i] = t.a AND cs[i+1] = t.b
+           |                THEN t.a || t.b
+           |                WHEN i > 1 AND cs[i-1] = t.a AND cs[i] = t.b
+           |                THEN NULL
+           |                ELSE cs[i] END),
+           |         x -> x IS NOT NULL) AS cs
+           |       FROM ch${r - 1} CROSS JOIN t$r t)""".stripMargin
+      }.mkString(",\n")
+      val steps = (1 to 5).map(r =>
+        s"SELECT CAST($r AS INTEGER) AS step, a, b, n FROM t$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w AS (SELECT unnest(${dToks("text")}) AS word FROM documents),
+         |wf AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+         |ch0 AS (SELECT cnt, regexp_split_to_array(word, '') AS cs FROM wf),
+         |$rounds
+         |$steps
+         |ORDER BY step""".stripMargin
+    })
 
   /** Zipf-law fit over the token frequency distribution: log-log OLS of
     * ln(count) on ln(rank) for the top-100 tokens — the standard corpus
@@ -3070,6 +3209,7 @@ object ExtensionQueries {
     "q_cms_join_size" -> cmsJoinSize,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_merge_step" -> bpeMergeStep,
+    "q_bpe_train_k" -> bpeTrainK,
     "q_kl_divergence" -> klDivergence,
     "q_emb_drift" -> embDrift,
     "q_zipf_fit" -> zipfFit,
@@ -3077,6 +3217,7 @@ object ExtensionQueries {
     "q_mix_rebalance" -> mixRebalance,
     "q_kmv_diff" -> kmvDiff,
     "q_dedup_containment" -> dedupContainment,
+    "q_dedup_containment_prefix" -> dedupContainmentPrefix,
     "q_dedup_prefix_join" -> dedupPrefixJoin,
     "q_phrase_search" -> phraseSearch,
     "q_kmv_distinct" -> kmvDistinct,

@@ -31,13 +31,12 @@ object GraphQueries {
     * consume the identical edge frame, so the fact-sized 4-table join runs
     * once per session, not once per consumer. The checkpointed frame is
     * nation-domain-sized (≤ 625 rows). */
-  private val tradeEdgesCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+  private[graft] val tradeEdgesCache =
+    new graft.ops.SessionCache[(String, String), org.apache.spark.sql.DataFrame]
 
   private def tradeEdges(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    tradeEdgesCache.getOrElseUpdate((spark, dir),
+    tradeEdgesCache.getOrElseUpdate(spark, (dir, "trade"),
       tradeEdgesBuild(spark, dir).localCheckpoint(true))
 
   private def tradeEdgesBuild(spark: org.apache.spark.sql.SparkSession, dir: String) = {
@@ -213,40 +212,29 @@ object GraphQueries {
         |LEFT JOIN recip r ON n.n_nationkey = r.nk
         |ORDER BY n.n_nationkey""".stripMargin))
 
-  /** k-core decomposition (k = 8, four peel rounds) of the supplier
-    * CO-SUPPLY graph — suppliers adjacent when they ship the same part,
-    * sparsified to edges whose shared-part count exceeds 1.1× the mean
-    * (cross-multiplied `w·ne·10 > tw·11`, integer-exact). Unlike the
-    * 25-node nation graph, this node domain GROWS with the data, so the
-    * peel is a genuine distributed iteration: each round recomputes
-    * degrees with two COUNT windows partitioned on the (high-cardinality)
-    * endpoint columns and drops edges with either endpoint under k —
-    * nothing driver-sized, nothing quadratic (the co-supply build fans
-    * out per part, bounded by suppliers-per-part, and aggregates straight
-    * back down).
+  /** Sparsified symmetric supplier co-supply edge list (u, v) — the one
+    * data-sized stage of q_graph_kcore, memoized per (session, dir) in
+    * [[tradeEdgesCache]] exactly like [[tradeEdges]]: repeated bench
+    * passes and any future co-supply consumer reuse the checkpointed,
+    * edge-domain-sized frame instead of re-running the distinct
+    * (part, supplier) self-join.
     *
-    * Iteration count is FIXED at 4 so the oracle replays the identical
-    * chained rounds; the emitted `converged` flag (round-3 and round-4
-    * edge counts equal — the edge set only shrinks, so count equality is
-    * set equality) attests that the fixpoint was reached, making the
-    * result the true k-core rather than a truncation. Measured: rounds
-    * stabilize by 3 at every shipped SF (GraphQueriesSpec pins the
-    * fixpoint at sf0.001/sf0.01).
+    * Build shape: co-supply pairs via the distinct (part, supplier)
+    * self-join, sparsified to edges whose shared-part count exceeds 1.1×
+    * the mean (cross-multiplied `w·ne·10 > tw·11`, integer-exact). The
+    * in-array alternative (q_cooccur_lift's collect_set + slice/transform
+    * expansion) was measured SLOWER here — 7.7 s vs 4.8 s at sf0.1 —
+    * because with ~26 suppliers per part the 325-struct nested-lambda
+    * arrays fall out of whole-stage codegen, while the equi-join keeps
+    * the 6.8M-row expansion inside codegen'd join stages. A struct-free
+    * retry (single-LONG pair keys `sa << 32 | sb` from nested
+    * transforms) also loses: 4.5 s vs 3.3 s warm for the isolated pair
+    * build — the nested lambdas, not the struct shape, are the codegen
+    * barrier. Fanout is bounded by suppliers-per-part on both shapes.
     */
-  private val kcore = QueryDef(
-    fn = (spark, dir) => {
-      val K = 8
-      // co-supply pairs via the distinct (part, supplier) self-join. The
-      // in-array alternative (q_cooccur_lift's collect_set + slice/transform
-      // expansion) was measured SLOWER here — 7.7 s vs 4.8 s at sf0.1 —
-      // because with ~26 suppliers per part the 325-struct nested-lambda
-      // arrays fall out of whole-stage codegen, while the equi-join keeps
-      // the 6.8M-row expansion inside codegen'd join stages. A struct-free
-      // retry (single-LONG pair keys `sa << 32 | sb` from nested
-      // transforms) also loses: 4.5 s vs 3.3 s warm for the isolated pair
-      // build — the nested lambdas, not the struct shape, are the
-      // codegen barrier. Fanout is bounded by suppliers-per-part on both
-      // shapes.
+  private def cosupplyEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    tradeEdgesCache.getOrElseUpdate(spark, (dir, "cosupply"), {
       val ps = Tables.lineitem(spark, dir)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
       val pairs = ps.as("a")
@@ -254,40 +242,107 @@ object GraphQueries {
         .groupBy(col("a.s").as("sa"), col("b.s").as("sb"))
         .agg(count(lit(1)).as("w"))
       val tot = pairs.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
+      // checkpoint the DIRECTED survivor set before mirroring: the union's
+      // two branches would otherwise each re-run the post-shuffle
+      // sparsification (ReusedExchange only saves the exchange itself)
       val keep = pairs.crossJoin(broadcast(tot))
         .filter(col("w") * col("ne") * 10 > col("tw") * 11)
         .select(col("sa"), col("sb"))
-      // materialize the sparsified symmetric edge list ONCE: the co-supply
-      // pair build above is the data-sized stage, and the peel's output
-      // (e4), plus the two convergence counts (e3, e4), are three plan
-      // references that would each re-run it — measured 5.8 s → 2.6 s at
-      // sf0.1. The checkpointed frame is edge-domain-sized, not data-sized.
-      val e0 = keep.select(col("sa").as("u"), col("sb").as("v"))
+        .localCheckpoint(true)
+      keep.select(col("sa").as("u"), col("sb").as("v"))
         .union(keep.select(col("sb").as("u"), col("sa").as("v")))
         .localCheckpoint(true)
-      def peel(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        import org.apache.spark.sql.expressions.Window
-        e.withColumn("du", count(lit(1)).over(Window.partitionBy(col("u"))))
-          .withColumn("dv", count(lit(1)).over(Window.partitionBy(col("v"))))
-          .filter(col("du") >= K && col("dv") >= K)
-          .select(col("u"), col("v"))
-      }
-      // checkpoint the round-3 and round-4 frames too: e3 feeds the
-      // convergence count and e4 is referenced twice (count + final agg),
-      // so without these the 2-windows-per-round chain re-runs ~3× —
-      // rounds 1-3 execute as ONE linear job, round 4 as one more.
-      // Measured 6.6 s → 5.1 s warm at sf0.1; frames are edge-domain-sized.
-      val e3 = peel(peel(peel(e0))).localCheckpoint(true)
-      val e4 = peel(e3).localCheckpoint(true)
-      val converged = e3.agg(count(lit(1)).as("n3"))
-        .crossJoin(e4.agg(count(lit(1)).as("n4")))
-        .select((col("n3") === col("n4")).as("converged"))
-      e4.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_degree"))
+    })
+
+  /** One peel round: drop every edge with an endpoint of degree < k in
+    * the CURRENT edge set. Degrees come from a single `groupBy(u)`
+    * aggregation over the symmetric edge frame (map-side combinable,
+    * output is node-DOMAIN-sized — suppliers, not edges) and are applied
+    * with two left-semi joins; AQE broadcasts the tiny survivor set at
+    * test scale and may pick shuffle joins at cluster scale. This
+    * replaces the earlier two-COUNT-windows formulation, which shuffled
+    * the full EDGE frame twice per round — the degree frame is smaller
+    * than the edge frame by the average-degree factor, and the semi-join
+    * probe side streams. */
+  private[graft] def peelOnce(e: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val ok = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k).select(col("u").as("n"))
+    e.join(ok, col("u") === col("n"), "left_semi")
+      .join(ok, col("v") === col("n"), "left_semi")
+      .select(col("u"), col("v"))
+  }
+
+  /** Driver-looped peel to the k-core FIXPOINT: iterate [[peelOnce]]
+    * until an entire round removes nothing (the edge set only shrinks,
+    * so count equality is set equality — the
+    * Dedup.connectedComponents count-stable exit). Each round is one
+    * eager localCheckpoint (edge-domain-sized) + one count; total rounds
+    * are bounded by the peel depth of the graph, not assumed. Returns the
+    * fixpoint edge set and the number of peel rounds executed (≥ 1; the
+    * final round is the no-op that proves convergence). */
+  private[graft] def peelToFixpoint(e0: org.apache.spark.sql.DataFrame,
+      k: Int): (org.apache.spark.sql.DataFrame, Int) = {
+    var e = e0
+    var n = e0.count()
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      val next = peelOnce(e, k).localCheckpoint(true)
+      val m = next.count()
+      rounds += 1
+      stable = m == n
+      n = m
+      e = next
+    }
+    (e, rounds)
+  }
+
+  /** Peel-round count discovered by the latest q_graph_kcore run — read
+    * by the oracle builder so the DuckDB twin replays exactly the rounds
+    * the Spark fixpoint executed. Verify.scala dumps oracle_sql.json
+    * AFTER running every query on a single (session, sfDir), so the
+    * discovered count is always the one matching the dumped run; the
+    * default (4) only applies if the oracle is dumped without the query
+    * having run. */
+  @volatile private[graft] var lastKcoreRounds: Int = 4
+
+  /** k-core decomposition (k = 8, peeled to FIXPOINT) of the supplier
+    * CO-SUPPLY graph — suppliers adjacent when they ship the same part
+    * (edge build + sparsification: [[cosupplyEdges]]). Unlike the 25-node
+    * nation graph, this node domain GROWS with the data, so the peel is a
+    * genuine distributed iteration; each round is a node-domain degree
+    * aggregate + two semi-joins ([[peelOnce]]), and the driver loops
+    * until a round removes nothing ([[peelToFixpoint]]) — the result is
+    * the true k-core on ANY input, not a fixed-depth truncation
+    * (GraphQueriesSpec pins a path-plus-triangle fixture needing > 4
+    * rounds). The emitted `converged` flag compares the last two rounds'
+    * edge counts — true by construction of the loop exit, and the oracle
+    * (which replays the DISCOVERED round count, see [[lastKcoreRounds]])
+    * re-derives it from its own replayed rounds rather than trusting the
+    * loop. */
+  private def kcore = QueryDef(
+    fn = (spark, dir) => {
+      val K = 8
+      val e0 = cosupplyEdges(spark, dir)
+      val (eFinal, rounds) = peelToFixpoint(e0, K)
+      lastKcoreRounds = rounds
+      // converged = |e_{r-1}| == |e_r|, exactly the loop's exit test —
+      // recomputed in-plan (counts of the two checkpointed frames) so the
+      // output row carries the attestation rather than a driver literal.
+      val prevCount =
+        if (rounds == 1) e0.agg(count(lit(1)).as("np"))
+        else eFinal.agg(count(lit(1)).as("np")) // e_{r-1} == e_r at fixpoint
+      val converged = prevCount
+        .crossJoin(eFinal.agg(count(lit(1)).as("nf")))
+        .select((col("np") === col("nf")).as("converged"))
+      eFinal.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_degree"))
         .crossJoin(broadcast(converged))
         .orderBy("node")
     },
     oracle = Some {
-      val rounds = (1 to 4).map { i =>
+      val r = lastKcoreRounds
+      val rounds = (1 to r).map { i =>
         s"""e$i AS (SELECT u, v FROM (
            |  SELECT u, v, COUNT(*) OVER (PARTITION BY u) AS du,
            |               COUNT(*) OVER (PARTITION BY v) AS dv FROM e${i - 1})
@@ -301,13 +356,13 @@ object GraphQueries {
          |e0 AS (SELECT sa AS u, sb AS v FROM keep
          |       UNION ALL SELECT sb, sa FROM keep),
          |$rounds,
-         |conv AS (SELECT (SELECT COUNT(*) FROM e3) = (SELECT COUNT(*) FROM e4)
+         |conv AS (SELECT (SELECT COUNT(*) FROM e${r - 1}) = (SELECT COUNT(*) FROM e$r)
          |           AS converged)
          |SELECT u AS node, COUNT(*) AS core_degree, ANY_VALUE(converged) AS converged
-         |FROM e4 CROSS JOIN conv GROUP BY u ORDER BY node""".stripMargin
+         |FROM e$r CROSS JOIN conv GROUP BY u ORDER BY node""".stripMargin
     })
 
-  val defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = Map(
     "q_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
     "q_graph_kcore" -> kcore,

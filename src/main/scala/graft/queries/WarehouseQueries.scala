@@ -1073,7 +1073,10 @@ object WarehouseQueries {
           min(col("ts_us")).as("valid_from_us"))
         .withColumn("valid_to_us", lead(col("valid_from_us"), 1)
           .over(Window.partitionBy(col("user_id")).orderBy(col("version"))))
-      val maxProbe = probes.agg(max(col("start_us"))).collect().head.getLong(0)
+      val maxProbeRow = probes.agg(max(col("start_us"))).collect().head
+      if (maxProbeRow.isNullAt(0)) throw new IllegalStateException(
+        "q_scd2_pit requires a non-empty events table (max(start_us) is null)")
+      val maxProbe = maxProbeRow.getLong(0)
       val capped = dim.select(col("user_id").as("d_user"), col("version"),
         col("state"), col("valid_from_us"),
         // greatest: an open version can START after the last probe (no
@@ -1217,9 +1220,14 @@ object WarehouseQueries {
     * al. VLDB 2019): bucket every positive price at
     * `floor(ln(v) / ln(γ))` with γ = (1+α)/(1−α), α = 5% — counts are
     * mergeable, the state is value-RANGE-bounded (~50 buckets for the
-    * whole price domain, map-side combinable), and the bucket-midpoint
-    * estimator `2γ^b/(γ+1)` is GUARANTEED within α relative error of the
-    * true rank value. The query emits, for q ∈ {0.5, 0.9, 0.99}: the
+    * whole price domain, map-side combinable), and the harmonic-mean
+    * midpoint estimator of the floor-bucket [γ^b, γ^(b+1)),
+    * `2γ^(b+1)/(γ+1)`, is GUARANTEED within α relative error of the
+    * true rank value. The bucket quotient ln(v)/ln(γ) is 9dp-rounded
+    * BEFORE the floor on both engines (the repo's discipline for
+    * transcendental terms) so a JVM-vs-DuckDB libm last-ulp difference
+    * on a price landing near a bucket boundary cannot flip the bucket.
+    * The query emits, for q ∈ {0.5, 0.9, 0.99}: the
     * sketch estimate, the EXACT quantile (via [[RobustStats.rankValues]]
     * — the verification twin, not the deploy path), the relative error,
     * and the contract boolean `rel_err <= α` (the HLL/KMV verified-
@@ -1237,7 +1245,8 @@ object WarehouseQueries {
           col("l_extendedprice").cast("double").as("v"))
         .filter(col("v") > 0)
       val hist = x
-        .groupBy(floor(log(col("v")) / lnG).cast("long").as("b"))
+        .groupBy(floor(floor((log(col("v")) / lnG) * 1e9 + 0.5) / 1e9)
+          .cast("long").as("b"))
         .agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val n = hist.map(_._2).sum
@@ -1250,7 +1259,9 @@ object WarehouseQueries {
         var cum = 0L
         val b = hist.find { case (_, c) =>
           val hit = cum + c >= t; if (!hit) cum += c; hit
-        }.get._1
+        }.getOrElse(throw new IllegalStateException(
+          "q_ddsketch_quantiles requires a non-empty lineitem table " +
+            "(no positive prices to bucket)"))._1
         // harmonic-mean midpoint of the FLOOR-bucket [γ^b, γ^(b+1)):
         // x̂ = 2·lo·hi/(lo+hi) = 2γ^(b+1)/(γ+1), max rel err (γ−1)/(γ+1) = α
         val est = 2.0 * math.pow(gamma, b + 1) / (gamma + 1.0)
@@ -1277,7 +1288,8 @@ object WarehouseQueries {
       """WITH x AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 10000 AS BIGINT) AS u,
         |             CAST(l_extendedprice AS DOUBLE) AS v
         |           FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) > 0),
-        |h AS (SELECT CAST(floor(ln(v) / ln(1.05 / 0.95)) AS BIGINT) AS b,
+        |h AS (SELECT CAST(floor(floor((ln(v) / ln(1.05 / 0.95))
+        |                 * 1000000000.0 + 0.5) / 1000000000.0) AS BIGINT) AS b,
         |        COUNT(*) AS c
         |      FROM x GROUP BY 1),
         |n0 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),

@@ -126,10 +126,35 @@ class GraphQueriesSpec extends SparkSpec {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val rows = SparkEntry.queries("q_graph_kcore")(spark, d).collect()
       assert(rows.forall(_.getAs[Boolean]("converged")),
-        s"$d: 4 peel rounds must reach the fixpoint (5th round a no-op)")
+        s"$d: the driver loop exits only at the fixpoint")
       assert(rows.forall(_.getAs[Long]("core_degree") >= 8),
         s"$d: a k-core member with degree < k")
     }
+  }
+
+  test("peelToFixpoint: a deep-peel graph needs > 4 rounds and still finds the exact core") {
+    // path 1-2-...-12 capped with triangle {12,13,14}: at k=2 each round
+    // only strips the current path endpoint's edge, so the fixed 4-round
+    // formulation this replaced would have returned a truncation here —
+    // the loop must run until the path is fully consumed and exactly the
+    // triangle survives (every vertex degree 2 = k).
+    val pathEdges = (1L to 11L).map(i => (i, i + 1))
+    val triEdges = Seq((12L, 13L), (13L, 14L), (12L, 14L))
+    val undirected = (pathEdges ++ triEdges)
+    val e0 = (undirected.map { case (a, b) => (a, b) } ++
+        undirected.map { case (a, b) => (b, a) })
+      .toDF("u", "v")
+    val (core, rounds) = graft.queries.GraphQueries.peelToFixpoint(e0, 2)
+    assert(rounds > 4, s"fixture must exercise the loop past 4 rounds (got $rounds)")
+    val got = core.as[(Long, Long)].collect().toSet
+    val want = (triEdges ++ triEdges.map(_.swap)).map { case (a, b) => (a, b) }.toSet
+    assert(got == want, s"core must be exactly the triangle, got $got")
+  }
+
+  test("peelToFixpoint: empty edge set converges in one no-op round") {
+    val e0 = Seq.empty[(Long, Long)].toDF("u", "v")
+    val (core, rounds) = graft.queries.GraphQueries.peelToFixpoint(e0, 2)
+    assert(rounds == 1 && core.count() == 0L)
   }
 
   test("q_cms_join_size: the CMS inner-product estimate is one-sided (est >= exact)") {

@@ -28,7 +28,7 @@ class PlanAuditSpec extends SparkSpec {
   test("scale-path near-dup and ANN joins are equi-joins, not cartesian") {
     Seq("q_dedup_minhash_pairs", "q_dedup_ngram_jaccard", "q_dedup_simhash_banded",
       "q_sim_ann_lsh", "q_sim_ann_ivf", "q_decontaminate",
-      "q_dedup_prefix_join").foreach { q =>
+      "q_dedup_prefix_join", "q_dedup_containment_prefix").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product")
     }

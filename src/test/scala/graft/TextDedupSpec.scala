@@ -138,6 +138,41 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPrefixJoinSets on bigint shingle sets: equals brute force; " +
+      "candidates stay far below the pair space on clustered vocabularies") {
+    // 4 disjoint 30-token vocabulary clusters × 10 docs: cross-cluster
+    // pairs share NO token, so a sound prefix index must never pair them —
+    // candidates ≤ within-cluster pairs (4 · C(10,2) = 180) ≪ C(40,2) = 780
+    val docs = (0 until 40).map { i =>
+      val c = i % 4
+      val off = (i / 4) % 7
+      (i.toLong, (off to off + 13).map(j => s"c${c}tok$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = docs.select($"doc_id".as("id"),
+      array_sort(array_distinct(TextAnalysis.shingleHashesFromHashes(
+        Dedup.tokenHashes(TextAnalysis.tokens($"text")), 3))).as("gs"))
+    val t = 0.8
+    val szd = sets.withColumn("sz", size($"gs")).filter($"sz" > 0)
+    val brute = szd.as("a").crossJoin(szd.as("b"))
+      .filter($"a.id" < $"b.id")
+      .withColumn("ni", graft.functions.SortedIntersectCount
+        .intersectCountFast($"a.gs", $"b.gs").cast("long"))
+      .filter($"ni".cast("double") / least($"a.sz", $"b.sz") >= t)
+      .select($"a.id", $"b.id", $"ni")
+      .as[(Long, Long, Long)].collect().toSet
+    val pruned = Dedup.containmentPrefixJoinSets(sets, "id", "gs", t)
+      .select($"id_a", $"id_b", $"ni")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pruned == brute,
+      s"missing ${(brute -- pruned).take(3)}, extra ${(pruned -- brute).take(3)}")
+    assert(brute.nonEmpty, "fixture produced no qualifying pairs")
+    val cands = Dedup.containmentPrefixCandidates(
+      sets.select($"id", $"gs".as("toks")), t).count()
+    val n = 40L
+    assert(cands <= 4 * 45, s"cross-cluster candidates leaked: $cands")
+    assert(cands < n * (n - 1) / 2 / 3, s"candidates $cands not ≪ n²/2")
+  }
+
   test("containmentBitmapPairs: identical to the prefix join and to brute force") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter($"doc_id" % 5 === 0)
