@@ -359,4 +359,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed((1L, "2024-01-03", 11.0)) && streamed((1L, "2024-01-06", 20.0)))
     assert(streamed.size == 9 + 8 + 2, s"dense grid size off: ${streamed.size}")
   }
+
+  test("locfGridSink: a LATE change at date d corrects exactly the LOCF days in " +
+      "[d, next change); untouched ids' partitions stay byte-identical") {
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-locf-late").toString
+    val (log, grid, ckpt) = (s"$base/log", s"$base/grid", s"$base/ckpt")
+    val in = MemoryStream[(Long, String, Double, Long)]
+    def shaped(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("id", "day_s", "price", "seq")
+      .select($"id", to_date($"day_s").as("day"), $"price", $"seq")
+    def idFiles(id: Long): Map[String, Seq[Byte]] = {
+      val dir = java.nio.file.Paths.get(grid, s"id=$id")
+      if (!java.nio.file.Files.exists(dir)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(dir).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p)
+            && !p.getFileName.toString.endsWith(".crc"))
+          .map(p => p.getFileName.toString ->
+            java.nio.file.Files.readAllBytes(p).toSeq)
+          .toMap
+      }
+    }
+    def gridOf(id: Long): Map[String, Double] = spark.read.parquet(grid)
+      .filter($"id" === id)
+      .select($"day".cast("string"), $"price")
+      .as[(String, Double)].collect().toMap
+    val q = StreamingOps.locfGridSink(shaped(in.toDF()),
+      "id", "day", "price", Seq("seq"), "2024-01-01", "2024-01-10",
+      log, grid, ckpt, trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // in-order history for id 1 (Jan 2 → 10, Jan 8 → 30) + bystander id 2
+      in.addData((1L, "2024-01-02", 10.0, 1L), (1L, "2024-01-08", 30.0, 2L),
+        (2L, "2024-01-01", 5.0, 3L))
+      q.processAllAvailable()
+      val before = gridOf(1L)
+      val bystanderBefore = idFiles(2L)
+      assert(before("2024-01-05") == 10.0 && before("2024-01-09") == 30.0)
+
+      // LATE change point: Jan 5 → 20 arrives AFTER Jan 8 was processed
+      in.addData((1L, "2024-01-05", 20.0, 4L))
+      q.processAllAvailable()
+      val after = gridOf(1L)
+      // days < d: identical values (fill looks backward, d can't reach them)
+      for (day <- Seq("2024-01-02", "2024-01-03", "2024-01-04"))
+        assert(after(day) == before(day), s"$day must be untouched by the late point")
+      // [d, next change): exactly these flip to the late value
+      for (day <- Seq("2024-01-05", "2024-01-06", "2024-01-07"))
+        assert(after(day) == 20.0, s"$day must carry the late change")
+      // >= next change: the Jan-8 step still wins
+      for (day <- Seq("2024-01-08", "2024-01-09", "2024-01-10"))
+        assert(after(day) == 30.0, s"$day must keep the later in-order change")
+      assert(after.size == before.size, "late data must not grow the grid")
+      // the untouched id's partition was never rewritten — same files, same bytes
+      assert(idFiles(2L) == bystanderBefore,
+        "dynamic partition overwrite rewrote a bystander id's files")
+    } finally q.stop()
+  }
 }
