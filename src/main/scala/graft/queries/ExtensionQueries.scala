@@ -69,11 +69,11 @@ object ExtensionQueries {
 
   // ---- text analysis -------------------------------------------------------
 
-  /** Context-window chunking over the sampled docs: 32-token windows
+  /** Context-window chunking over the full corpus: 32-token windows
     * advancing by 24 (8-token overlap) — the doc→training-row splitter. */
   private val textChunks = QueryDef(
     fn = (spark, dir) =>
-      Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
+      Tables.documents(spark, dir)
         .select(col("doc_id"),
           posexplode(TextAnalysis.chunks(col("text"), chunkTokens = 32, overlap = 8)))
         .select(col("doc_id"), col("col.chunk_idx").as("chunk_idx"),
@@ -81,7 +81,7 @@ object ExtensionQueries {
         .orderBy("doc_id", "chunk_idx"),
     oracle = Some(
       s"""WITH docs AS (SELECT doc_id, ${dToks("text")} AS toks
-         |              FROM documents WHERE doc_id % 10 = 0),
+         |              FROM documents),
          |idx AS (SELECT doc_id, toks,
          |        unnest(range(0, CAST(ceil(len(toks) / 24.0) AS BIGINT))) AS chunk_idx
          |        FROM docs WHERE len(toks) > 0)
@@ -351,7 +351,7 @@ object ExtensionQueries {
     */
   private val tfidf = QueryDef(
     fn = (spark, dir) => {
-      val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
+      val docs = Tables.documents(spark, dir)
       // 1-row scalar, stays lazy; Spark broadcasts the single row
       val n = docs.agg(count(lit(1)).cast("double").as("__n"))
       val tokens = docs.select(col("doc_id"),
@@ -371,7 +371,7 @@ object ExtensionQueries {
     },
     oracle = Some(
       s"""WITH docs AS (SELECT doc_id, ${dToks("text")} AS toks
-         |             FROM documents WHERE doc_id % 10 = 0),
+         |             FROM documents),
          |n AS (SELECT COUNT(*) AS n FROM docs),
          |tok AS (SELECT doc_id, unnest(toks) AS token FROM docs),
          |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
@@ -392,7 +392,6 @@ object ExtensionQueries {
   private val textRedact = QueryDef(
     fn = (spark, dir) =>
       Tables.events(spark, dir)
-        .filter(col("event_id") % 10 === 0)
         .select(col("event_id"),
           regexp_replace(col("props"), "[0-9]+", "<num>").as("redacted"),
           size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
@@ -402,7 +401,7 @@ object ExtensionQueries {
       """SELECT event_id,
         |  regexp_replace(props, '[0-9]+', '<num>', 'g') AS redacted,
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_redactions
-        |FROM events WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin))
+        |FROM events ORDER BY event_id""".stripMargin))
 
   /** Deterministic stratified sampling: per-language keep-rates applied via
     * the stable hash bucket (not df.sample, whose output depends on
@@ -1168,7 +1167,7 @@ object ExtensionQueries {
     fn = (spark, dir) =>
       Multimodal.frameSample(
           Multimodal.withPayload(
-            Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+            Tables.documents(spark, dir),
             "doc_id", "text"),
           "doc_id", "payload", frameBytes = 32, stride = 24)
         .select(col("doc_id"), col("frame_idx"),
@@ -1177,7 +1176,7 @@ object ExtensionQueries {
     oracle = Some(
       """WITH f AS (
         |  SELECT doc_id, unnest(range(0, greatest((len(text) - 32) // 24 + 1, 0))) AS frame_idx
-        |  FROM documents WHERE doc_id % 10 = 0)
+        |  FROM documents)
         |SELECT f.doc_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
         |  substr(d.text, CAST(1 + f.frame_idx * 24 AS INTEGER), 32) AS frame_text
         |FROM f JOIN documents d ON f.doc_id = d.doc_id
@@ -1223,7 +1222,7 @@ object ExtensionQueries {
     fn = (spark, dir) =>
       Multimodal.resize(
           Multimodal.withPayload(
-              Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+              Tables.documents(spark, dir),
               "doc_id", "text")
             .select(col("doc_id"), col("payload"),
               col("media_meta.width").as("w"), col("media_meta.height").as("h")),
@@ -1235,7 +1234,7 @@ object ExtensionQueries {
       """WITH d AS (
         |  SELECT doc_id, text, len(text) AS n,
         |         len(text) % 64 + 1 AS w, len(text) % 48 + 1 AS h
-        |  FROM documents WHERE doc_id % 10 = 0)
+        |  FROM documents)
         |SELECT doc_id, 8 AS width, 6 AS height,
         |  CASE WHEN n = 0 THEN '' ELSE
         |    array_to_string(list_transform(range(0, 48), k ->
@@ -2346,10 +2345,22 @@ object ExtensionQueries {
     */
   private val dedupContainmentPrefix = QueryDef(
     fn = (spark, dir) => {
+      // th PROJECTED first (the shingleHashesFromHashes discipline):
+      // passing the token-hash transform inline re-evaluates it through
+      // every element_at of the shingle lambda — measured 37.5 s vs 0.8 s
+      // for this set build at sf0.1 (42M redundant md5s vs 270k)
+      // checkpointed: the set build feeds SIX plan references inside the
+      // prefix join (freq, rarest-first reorder, both posting sides, both
+      // verify joins) and Catalyst re-inlines the md5 token-hash transform
+      // through several of them — measured 37.9 s -> 2.1 s warm at sf0.1
+      // for the whole query; the frame is docs × ~52 longs
       val sets = Tables.documents(spark, dir)
         .select(col("doc_id").as("id"),
-          array_sort(array_distinct(TextAnalysis.shingleHashesFromHashes(
-            Dedup.tokenHashes(TextAnalysis.tokens(col("text"))), 3))).as("gs"))
+          Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+        .select(col("id"),
+          array_sort(array_distinct(
+            TextAnalysis.shingleHashesFromHashes(col("th"), 3))).as("gs"))
+        .localCheckpoint(true)
       Dedup.containmentPrefixJoinSets(sets, "id", "gs", 0.8)
         .orderBy("id_a", "id_b")
     },
