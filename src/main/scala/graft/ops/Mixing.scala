@@ -60,6 +60,32 @@ object Mixing {
       counts)
   }
 
+  /** Temperature-flattened rebalance (the multilingual α-sampling rule of
+    * mC4 / XLM-R with α = 1/2): group g's share of the `n_total · num /
+    * den` budget is proportional to `√n_g` instead of `n_g`, so dominant
+    * languages are down-weighted and tail languages up-weighted relative
+    * to natural sampling, each capped by availability.
+    *
+    * quota_g = min(n_g, budget · w_g div Σw_g) with w_g = ⌊√n_g⌋ — the
+    * integer square root keeps every quota a pure integer computation:
+    * `sqrt` is IEEE-correctly-rounded on both engines and ⌊√n⌋ cannot
+    * misround for n ≤ 2^52 (the nearest double to √(k²−1) is below k for
+    * all k < 2^25 since the gap 1/(2k) exceeds the ulp k·2^−52), so the
+    * SQL twin `floor(sqrt(n))` lands on the same integer. Same two-pass
+    * histogram rank search as [[rebalanceEqual]] — no full-table sort.
+    */
+  def rebalanceTemperature(df: DataFrame, grp: String, hash: Column,
+      tieKey: Column, num: Long, den: Long): DataFrame = {
+    val h = df.withColumn("__h", hash)
+    val counts = RobustStats.bucketCounts(h, grp, col("__h"), W)
+    val nG = counts.map { case (g, bs) => g -> bs.map(_._2).sum }
+    val w = nG.map { case (g, n) => g -> math.sqrt(n.toDouble).toLong }
+    val wSum = w.values.sum
+    val budget = nG.values.sum * num / den
+    quotaSampleWith(h, grp, tieKey,
+      nG.map { case (g, n) => g -> math.min(n, budget * w(g) / wSum) }, counts)
+  }
+
   /** Shared core over a precomputed pass-1 histogram (so rebalanceEqual
     * pays two passes total, not three). `df` already carries `__h`. */
   private def quotaSampleWith(df: DataFrame, grp: String, tieKey: Column,

@@ -350,6 +350,35 @@ object Similarity {
   private def normD(d: Column): Column =
     sqrt(aggregate(zip_with(d, d, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
 
+  /** In-cell hard-negative mining for contrastive training: for each
+    * query vector, the `k` most-cosine-similar corpus vectors carrying a
+    * DIFFERENT label — close in embedding space yet known non-matches,
+    * the negatives that actually move a contrastive loss (ANCE / DPR
+    * style). Candidates come from the query's own coarse cell, so the
+    * search is an equi-join on cell id: at 100 TB the corpus is written
+    * bucketed by cell and never reshuffles, and cost is one cell's worth
+    * of scoring per query, not a corpus scan. Inputs carry (id, vector,
+    * cell, label); the label filter runs inside the join stage before
+    * any cosine is computed.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cellCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(cellCol).as("cell"), col(labelCol).as("label_q"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(cellCol).as("cell"), col(labelCol).as("label_n"))
+    c.join(q, Seq("cell"))
+      .filter(col("label_q") =!= col("label_n"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "label_q", "neighbor_id", "label_n", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs on a pre-sampled input:
     * all (id_a < id_b) pairs with cosine >= minCosine. The quadratic form is
     * the oracle twin; at scale route through `lshTopK`-style bucketing.

@@ -1344,6 +1344,44 @@ object ExtensionQueries {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     })
 
+  /** In-cell hard-negative mining ([[Similarity.hardNegatives]]): for
+    * each of the first 16 vectors, the 3 nearest same-trained-cell
+    * vectors whose ORIGINAL label differs — the ANCE/DPR contrastive-
+    * training negative set. Consumes the memoized level-2 Lloyd chain
+    * (cells) joined back to the level-0 base (true labels), so the only
+    * new work over the ANN family is one cell-keyed candidate join; the
+    * oracle replays training, the label join, and the ranked cut in SQL.
+    */
+  private val hardNegs = QueryDef(
+    fn = (spark, dir) => {
+      val emb = trainedIvfCells(spark, dir, 0)
+      val cells = trainedIvfCells(spark, dir, 2)
+      val corpus = cells
+        .select(col("vec_id"), col("embedding"), col("label").as("cell"))
+        .join(emb.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+      Similarity.hardNegatives(
+          corpus, corpus.filter(col("vec_id") < 16),
+          "vec_id", "embedding", "cell", "true_label", k = 3)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""WITH ${dLloydCtes(2)},
+         |c AS (SELECT a2.vec_id, a2.e, a2.cell, lab.label
+         |      FROM a2 JOIN (SELECT vec_id, label FROM embeddings) lab USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, e AS qv, cell, label AS label_q
+         |      FROM c WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT query_id, label_q, c.vec_id AS neighbor_id,
+         |    c.label AS label_n, ${dCos("qv", "cv")} AS cos
+         |  FROM (SELECT vec_id, e AS cv, cell, label FROM c) c
+         |  JOIN q USING (cell) WHERE c.label <> q.label_q),
+         |ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, label_q, neighbor_id, label_n, cos,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
   /** One Lloyd reassignment step over the label-seeded centroids — the IVF
     * training operator. Output = every vector's new cell, deterministic
     * (cosine rounded 1e-6, ties to lowest cell); the oracle recomputes the
@@ -2499,6 +2537,142 @@ object ExtensionQueries {
          |SELECT lang, doc_id FROM r, t WHERE rn <= per_g
          |ORDER BY lang, doc_id""".stripMargin))
 
+  /** Temperature-flattened language mixture ([[Mixing
+    * .rebalanceTemperature]], α = 1/2): half-corpus budget split across
+    * languages proportionally to ⌊√n_lang⌋ — the mC4/XLM-R multilingual
+    * sampling rule, which keeps more of the tail languages than natural
+    * sampling and less of the dominant one. Selection stays content-hash-
+    * keyed and engine-replayable; the oracle recomputes the integer quota
+    * arithmetic (floor(sqrt(n)) is exact for these counts — see the op's
+    * scaladoc) and replays selection with a rank window over the same
+    * hash, while the Spark plan uses the two-pass bucket-histogram rank
+    * search (no |langs|-partition full sort).
+    */
+  private val mixTemperature = QueryDef(
+    fn = (spark, dir) =>
+      Mixing.rebalanceTemperature(
+          Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+          "lang",
+          TextAnalysis.tokenHash32(col("doc_id").cast("string")),
+          col("doc_id"), num = 1, den = 2)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id"),
+    oracle = Some(
+      s"""WITH d AS (SELECT lang, doc_id,
+         |        ${dHash32("CAST(doc_id AS VARCHAR)")} AS h
+         |        FROM documents),
+         |n AS (SELECT lang, COUNT(*) AS n_g FROM d GROUP BY lang),
+         |w AS (SELECT lang, n_g,
+         |        CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS BIGINT) AS w_g FROM n),
+         |t AS (SELECT SUM(w_g) AS w_sum, SUM(n_g) // 2 AS budget FROM w),
+         |q AS (SELECT lang, least(n_g, (budget * w_g) // w_sum) AS quota FROM w, t),
+         |r AS (SELECT lang, doc_id,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+         |        FROM d)
+         |SELECT r.lang, doc_id FROM r JOIN q USING (lang)
+         |WHERE rn <= quota ORDER BY lang, doc_id""".stripMargin))
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by the average log-likelihood ratio of a smoothed
+    * unigram LM of the TARGET distribution (here the `lang = 'en'` slice)
+    * against the RAW corpus LM — the data-selection signal used to skim
+    * target-domain-like documents out of a web-scale crawl.
+    *
+    * w(t) = (ln(c_T(t)+1) − ln(N_T+V)) − (ln(c_R(t)+1) − ln(N_R+V))
+    * (add-one smoothing over the shared vocabulary V); score(d) =
+    * Σ_{t∈d} w(t) / |d| over token OCCURRENCES (the tf-weighted sum the
+    * paper's hashed-ngram features reduce to for n = 1).
+    *
+    * Scale shape: one token-keyed aggregation builds the vocabulary LM
+    * (map-side combinable; output is vocab-sized, not corpus-sized), one
+    * broadcast of the 1-row totals, one token-keyed join back to the
+    * exploded stream, one doc-keyed aggregation — every stage hashes on
+    * token or doc_id. Determinism: every ln() argument is an
+    * integer-valued double (the repo's libm-identity discipline), each
+    * token weight is 6dp-floored and summed in DECIMAL(18,6) so the
+    * per-doc mean replays exactly in DuckDB.
+    */
+  private val dsirWeights = QueryDef(
+    fn = (spark, dir) => {
+      // checkpointed: the exploded token stream feeds BOTH the vocabulary
+      // LM counts and the per-doc scoring join
+      val tok = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .localCheckpoint(false)
+      val vocab = tok.groupBy(col("token")).agg(
+          count(lit(1)).as("c_r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+        .localCheckpoint(false) // feeds the totals AND the weight join
+      val stats = vocab.agg(sum(col("c_r")).as("n_r"),
+        sum(col("c_t")).as("n_t"), count(lit(1)).as("v"))
+      val wtab = vocab.crossJoin(broadcast(stats))
+        .select(col("token"),
+          TextAnalysis.round6(
+            (log(col("c_t") + 1) - log(col("n_t") + col("v")))
+              - (log(col("c_r") + 1) - log(col("n_r") + col("v"))))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("w"))
+      tok.join(wtab, "token")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w")).as("sw"), count(lit(1)).as("n_toks"))
+        .select(col("doc_id"), col("n_toks"),
+          TextAnalysis.round6(col("sw").cast("double") / col("n_toks"))
+            .as("dsir_score"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(${dToks("text")}) AS token
+         |            FROM documents),
+         |v AS (SELECT token, COUNT(*) AS c_r,
+         |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+         |      FROM tok GROUP BY token),
+         |s AS (SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t, COUNT(*) AS vsz FROM v),
+         |w AS (SELECT token, CAST(floor(
+         |        ((ln(c_t + 1) - ln(n_t + vsz)) - (ln(c_r + 1) - ln(n_r + vsz)))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS w
+         |      FROM v, s),
+         |d AS (SELECT doc_id, SUM(w.w) AS sw, COUNT(*) AS n_toks
+         |      FROM tok JOIN w USING (token) GROUP BY doc_id)
+         |SELECT doc_id, n_toks,
+         |  floor(CAST(sw AS DOUBLE) / n_toks * 1000000.0 + 0.5) / 1000000.0
+         |    AS dsir_score
+         |FROM d ORDER BY doc_id""".stripMargin))
+
+  /** Sorted-neighborhood dedup ([[Dedup.sortedNeighborhoodPairs]],
+    * SIGMOD 1995): documents sorted by their alphanumeric content prefix,
+    * each compared to its 5 successors in GLOBAL sort order, pairs kept
+    * at token-set Jaccard ≥ 0.5 — the bounded-comparison classic whose
+    * cost is O(n·w) regardless of bucket skew. The oracle replays the
+    * identical algorithm with a single `row_number()` window + offset
+    * self-join, so a green row proves the distributed rank (range
+    * partition + per-partition window + exclusive offsets) equals the
+    * single-node total order exactly.
+    */
+  private val dedupSortedNbr = QueryDef(
+    fn = (spark, dir) =>
+      Dedup.sortedNeighborhoodPairs(
+          Tables.documents(spark, dir), "doc_id",
+          substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 24),
+          TextAnalysis.tokenSet(col("text")),
+          window = 5, minJaccard = 0.5)
+        .orderBy("id_a", "id_b"),
+    oracle = Some(
+      s"""WITH d AS (SELECT doc_id,
+         |        substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS sk,
+         |        ${dTokSet("text")} AS ts
+         |      FROM documents),
+         |r AS (SELECT doc_id, ts,
+         |        row_number() OVER (ORDER BY sk, doc_id) AS rn FROM d),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        floor((CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+         |          / (CAST(len(a.ts) + len(b.ts) AS DOUBLE)
+         |             - CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |      FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5)
+         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin))
+
   /** Typo-class dedup: EXACT edit-distance ≤ 1 pairs over supplier names
     * via [[Dedup.editDistanceJoin]]'s deletion-neighborhood equi-join
     * (FastSS) — the single-character-corruption sibling the token-set
@@ -3240,6 +3414,9 @@ object ExtensionQueries {
     "q_zipf_fit" -> zipfFit,
     "q_lm_perplexity" -> lmPerplexity,
     "q_mix_rebalance" -> mixRebalance,
+    "q_mix_temperature" -> mixTemperature,
+    "q_dsir_weights" -> dsirWeights,
+    "q_dedup_sorted_nbr" -> dedupSortedNbr,
     "q_kmv_diff" -> kmvDiff,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_containment_prefix" -> dedupContainmentPrefix,
@@ -3265,6 +3442,7 @@ object ExtensionQueries {
     "q_token_freq" -> tokenFreq,
     "q_hash_split" -> hashSplit,
     "q_sim_ann_ivf" -> annIvf,
+    "q_hard_negatives" -> hardNegs,
     "q_semdedup" -> semDedup,
     "q_ivf_silhouette" -> ivfSilhouette,
     "q_ivf_kmeans_assign" -> ivfKmeans,

@@ -385,6 +385,56 @@ object WarehouseQueries {
         |  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
         |SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin))
 
+  // --- CDC changelog apply (compaction) -------------------------------------
+
+  /** Apply a CDC changelog to produce the current snapshot — the
+    * merge-on-read compaction every lakehouse table format performs.
+    * The events stream is read as a change stream keyed on `user_id`
+    * with version order (ts_us, event_id): `signup` is an insert,
+    * `error` a delete tombstone, everything else an update. The latest
+    * op per key wins; a trailing tombstone removes the key entirely.
+    *
+    * Scale shape: ONE key-partitioned aggregation with `max_by` over the
+    * version struct — partial-aggregatable (each map task keeps one
+    * candidate row per key), so compaction of a 100 TB changelog is a
+    * single combine-enabled shuffle of one row per key, NOT the
+    * `row_number() = 1` window plan (which sorts every key group and
+    * ships every version to the reducer). The oracle IS that window
+    * formulation — two independent algorithms, one hash.
+    */
+  private val cdcApply = QueryDef(
+    fn = (spark, dir) => {
+      val e = Tables.events(spark, dir).select(
+        col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      e.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_ops"),
+          max_by(struct(col("event_type"), col("value"), col("ts_us")),
+            struct(col("ts_us"), col("event_id"))).as("last"))
+        .filter(col("last.event_type") =!= "error")
+        .select(col("user_id"), col("n_ops"),
+          when(col("last.event_type") === "signup", "I").otherwise("U").as("last_op"),
+          col("last.event_type").as("last_type"),
+          r6(col("last.value")).as("last_value"),
+          col("last.ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value FROM events),
+        |r AS (SELECT user_id, event_type, value, ts_us,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n_ops,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_us DESC, event_id DESC) AS rn
+        |      FROM e)
+        |SELECT user_id, n_ops,
+        |  CASE WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS last_op,
+        |  event_type AS last_type,
+        |  floor(value * 1000000.0 + 0.5) / 1000000.0 AS last_value,
+        |  ts_us AS last_ts_us
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin))
+
   // --- Markov transition matrix ---------------------------------------------
 
   /** First-order Markov transition matrix over per-user event sequences:
@@ -1625,6 +1675,7 @@ object WarehouseQueries {
     "q_cohort_retention" -> cohortRetention,
     "q_regr_ols" -> regrOls,
     "q_cdc_diff" -> cdcDiff,
+    "q_cdc_apply" -> cdcApply,
     "q_event_transitions" -> eventTransitions,
     "q_event_paths" -> eventPaths,
     "q_cooccur_lift" -> cooccurLift,

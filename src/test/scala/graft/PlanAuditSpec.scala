@@ -253,4 +253,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Exchange"),
       s"metadata-sized result must not shuffle or sort:\n$p")
   }
+
+  test("CDC apply compacts via partial max_by — no per-key window, one hash exchange") {
+    val p = plan("q_cdc_apply")
+    // the whole point vs the oracle's row_number formulation: no Window
+    // node anywhere, and the changelog shuffles ONCE (the groupBy), with
+    // map-side partial aggregation ahead of the exchange
+    assert(!p.contains("Window"), s"compaction regressed to a window sort:\n${p.take(1200)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx")
+    // struct-ordered max_by plans as SortAggregate (struct buffers are not
+    // hash-aggregable); the partial_ prefix is what proves map-side combine
+    assert(p.contains("partial_max_by"), s"no map-side partial max_by:\n${p.take(1200)}")
+    val aggs = "SortAggregate|HashAggregate|ObjectHashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final aggregation, got $aggs nodes")
+  }
+
+  test("sorted-neighborhood pairs: rank join is an equi-join, windows stay per-partition") {
+    val p = plan("q_dedup_sorted_nbr")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "successor-rank join degenerated to a nested loop")
+    // the global rank must come from the range-partitioned per-partition
+    // window + offsets, never a single-partition global window
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      "found an unpartitioned window")
+  }
+
+  test("hard negatives: candidates come from the cell equi-join, never corpus × queries") {
+    val p = plan("q_hard_negatives")
+    assert(!p.contains("CartesianProduct"),
+      "in-cell candidate generation degenerated to a cartesian")
+  }
+
+  test("DSIR weights: token-keyed joins only; sole nested loop is the 1-row totals broadcast") {
+    val p = plan("q_dsir_weights")
+    assert(!p.contains("CartesianProduct"), "vocab join degenerated")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "score join lost its equi-join")
+  }
 }
