@@ -435,6 +435,144 @@ object WarehouseQueries {
         |FROM r WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin))
 
+  // --- Fellegi-Sunter record linkage ----------------------------------------
+
+  /** Probabilistic record linkage (Fellegi & Sunter, JASA 1969): link a
+    * clean customer register against a deterministically-dirtied copy
+    * (name typo every 11th key, nation drift every 5th, segment loss
+    * every 7th, balance off by $1 every 3rd — the cdcDiff fixture
+    * pattern). Candidate pairs come from BLOCKING on the last-3-digit
+    * name suffix (an equi-join — never A × B); each pair is scored by
+    * the sum of per-field agreement/disagreement log-likelihood weights
+    * w_a = ln(m/u), w_d = ln((1−m)/(1−u)), and cut into
+    * link / possible / nonlink at the classic two thresholds.
+    *
+    * The u-probabilities (chance agreement of a NON-match) are estimated
+    * from the clean register's value-frequency marginals:
+    * u_f = Σ_v n_v² / N² — an exact integer statistic per field
+    * (domain-sized aggregations; the driver touches five longs, nothing
+    * row-scaled). m-probabilities are review-sample literals (0.9). All
+    * lns take integer-valued arguments except ln(m)/ln(1−m) (shared
+    * literal bits), composed identically on both engines and 6dp-floored
+    * into DECIMAL(18,6) weights, so the score sum replays exactly.
+    *
+    * Scale shape: two scans, one blocking equi-join, scan-stage CASE
+    * scoring against literal weights — no window, no data-sized driver
+    * state. At 100 TB both sides bucket by the blocking key.
+    */
+  private val recordLinkage = QueryDef(
+    fn = (spark, dir) => {
+      val cust = Tables.customer(spark, dir)
+      val a = cust.select(
+        col("c_custkey").as("id_a"),
+        col("c_name").as("name_a"),
+        col("c_nationkey").as("nat_a"),
+        col("c_mktsegment").as("seg_a"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_a"),
+        substring(col("c_name"), 16, 3).as("blk"))
+      val b = cust.select(
+        (col("c_custkey") + 1000000L).as("id_b"),
+        when(col("c_custkey") % 11 === 0,
+          concat(substring(col("c_name"), 1, 17), lit("x")))
+          .otherwise(col("c_name")).as("name_b"),
+        when(col("c_custkey") % 5 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("nat_b"),
+        when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg_b"),
+        (floor(col("c_acctbal") * 100 + 0.5).cast("long")
+          + when(col("c_custkey") % 3 === 0, 100L).otherwise(0L)).as("bal_b"),
+        substring(col("c_name"), 16, 3).as("blk"))
+      // u-statistics: Σ n_v² per field over the clean register — four
+      // domain-sized aggregations; the driver collects five scalars
+      def sumSq(c: String): Long = a.groupBy(col(c))
+        .agg(count(lit(1)).as("n")).agg(sum(col("n") * col("n")))
+        .collect().head.getLong(0)
+      val nTot = a.count()
+      def weights(s: Long): (java.math.BigDecimal, java.math.BigDecimal) = {
+        // u = s/N²; wa = ln(m) − (ln(s) − 2 ln(N));
+        // wd = ln(1−m) − (ln(N²−s) − 2 ln(N)) — integer-arg lns except
+        // the m terms, written as the literals 0.9 / 0.1 so both engines
+        // parse the SAME double (1 − 0.9 in binary is NOT 0.1)
+        val lnN2 = 2 * math.log(nTot.toDouble)
+        val wa = math.log(0.9) - (math.log(s.toDouble) - lnN2)
+        val wd = math.log(0.1) - (math.log((nTot * nTot - s).toDouble) - lnN2)
+        def d6(x: Double) =
+          java.math.BigDecimal.valueOf(math.floor(x * 1e6 + 0.5).toLong, 6)
+        (d6(wa), d6(wd))
+      }
+      val fields = Seq(
+        ("name", sumSq("name_a")), ("nat", sumSq("nat_a")),
+        ("seg", sumSq("seg_a")), ("bal", sumSq("bal_a")))
+      val scored = a.join(b, "blk")
+        .withColumn("agree_name", col("name_a") === col("name_b"))
+        .withColumn("agree_nat", col("nat_a") === col("nat_b"))
+        .withColumn("agree_seg", col("seg_a") === col("seg_b"))
+        .withColumn("agree_bal", col("bal_a") === col("bal_b"))
+      val score = fields.map { case (f, s) =>
+        val (wa, wd) = weights(s)
+        when(col(s"agree_$f"), lit(wa)).otherwise(lit(wd))
+      }.reduce(_ + _)
+      scored
+        .withColumn("score", score.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .withColumn("decision",
+          when(col("score") >= 8.0, "link")
+            .when(col("score") <= 0.0, "nonlink")
+            .otherwise("possible"))
+        .filter(col("decision") =!= "nonlink")
+        .select(col("id_a"), col("id_b"), col("agree_name"), col("agree_nat"),
+          col("agree_seg"), col("agree_bal"),
+          col("score").cast("double").as("score"), col("decision"))
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(
+      """WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+        |        c_nationkey AS nat_a, c_mktsegment AS seg_a,
+        |        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_a,
+        |        substr(c_name, 16, 3) AS blk FROM customer),
+        |b AS (SELECT c_custkey + 1000000 AS id_b,
+        |        CASE WHEN c_custkey % 11 = 0
+        |             THEN substr(c_name, 1, 17) || 'x' ELSE c_name END AS name_b,
+        |        CASE WHEN c_custkey % 5 = 0
+        |             THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS nat_b,
+        |        CASE WHEN c_custkey % 7 = 0
+        |             THEN 'UNKNOWN' ELSE c_mktsegment END AS seg_b,
+        |        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |          + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END AS bal_b,
+        |        substr(c_name, 16, 3) AS blk FROM customer),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a),
+        |ss AS (
+        |  SELECT
+        |    (SELECT SUM(c * c) FROM (SELECT COUNT(*) AS c FROM a GROUP BY name_a) t1) AS s_name,
+        |    (SELECT SUM(c * c) FROM (SELECT COUNT(*) AS c FROM a GROUP BY nat_a) t2) AS s_nat,
+        |    (SELECT SUM(c * c) FROM (SELECT COUNT(*) AS c FROM a GROUP BY seg_a) t3) AS s_seg,
+        |    (SELECT SUM(c * c) FROM (SELECT COUNT(*) AS c FROM a GROUP BY bal_a) t4) AS s_bal),
+        |w AS (SELECT
+        |    CAST(floor((ln(0.9) - (ln(s_name) - 2 * ln(n))) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS wa_name,
+        |    CAST(floor((ln(0.1) - (ln(n * n - s_name) - 2 * ln(n))) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS wd_name,
+        |    CAST(floor((ln(0.9) - (ln(s_nat) - 2 * ln(n))) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS wa_nat,
+        |    CAST(floor((ln(0.1) - (ln(n * n - s_nat) - 2 * ln(n))) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS wd_nat,
+        |    CAST(floor((ln(0.9) - (ln(s_seg) - 2 * ln(n))) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS wa_seg,
+        |    CAST(floor((ln(0.1) - (ln(n * n - s_seg) - 2 * ln(n))) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS wd_seg,
+        |    CAST(floor((ln(0.9) - (ln(s_bal) - 2 * ln(n))) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS wa_bal,
+        |    CAST(floor((ln(0.1) - (ln(n * n - s_bal) - 2 * ln(n))) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS wd_bal
+        |  FROM ss, nn),
+        |p AS (SELECT id_a, id_b,
+        |        name_a = name_b AS agree_name, nat_a = nat_b AS agree_nat,
+        |        seg_a = seg_b AS agree_seg, bal_a = bal_b AS agree_bal
+        |      FROM a JOIN b USING (blk)),
+        |sc AS (SELECT id_a, id_b, agree_name, agree_nat, agree_seg, agree_bal,
+        |        (CASE WHEN agree_name THEN wa_name ELSE wd_name END
+        |         + CASE WHEN agree_nat THEN wa_nat ELSE wd_nat END
+        |         + CASE WHEN agree_seg THEN wa_seg ELSE wd_seg END
+        |         + CASE WHEN agree_bal THEN wa_bal ELSE wd_bal END) AS score
+        |      FROM p, w),
+        |dec AS (SELECT *, CASE WHEN score >= 8.0 THEN 'link'
+        |                       WHEN score <= 0.0 THEN 'nonlink'
+        |                       ELSE 'possible' END AS decision FROM sc)
+        |SELECT id_a, id_b, agree_name, agree_nat, agree_seg, agree_bal,
+        |  CAST(score AS DOUBLE) AS score, decision
+        |FROM dec WHERE decision <> 'nonlink' ORDER BY id_a, id_b""".stripMargin))
+
   // --- Markov transition matrix ---------------------------------------------
 
   /** First-order Markov transition matrix over per-user event sequences:
@@ -1676,6 +1814,7 @@ object WarehouseQueries {
     "q_regr_ols" -> regrOls,
     "q_cdc_diff" -> cdcDiff,
     "q_cdc_apply" -> cdcApply,
+    "q_record_linkage" -> recordLinkage,
     "q_event_transitions" -> eventTransitions,
     "q_event_paths" -> eventPaths,
     "q_cooccur_lift" -> cooccurLift,

@@ -136,6 +136,66 @@ object StreamingOps {
       }
   }
 
+  case class CdcRow(key: Long, ts: java.sql.Timestamp, op: String, value: Double)
+
+  /** Streaming CDC apply — the streaming twin of the batch `q_cdc_apply`
+    * compaction: per key, the latest change (by event time) wins; an op
+    * of `"D"` is a delete tombstone that CLEARS the key's state and
+    * emits a `D` marker downstream (so a keyed sink can propagate the
+    * delete), anything else upserts and emits a `U` with the new value.
+    * A tombstoned key's state is dropped immediately — the live-state
+    * footprint shrinks with deletes instead of retaining dead keys until
+    * the idle TTL. Stale rows (at or behind the applied state's
+    * timestamp) are ignored exactly as in [[latestPerKey]]; the same
+    * watermark + event-time idle timeout bound total state at O(live
+    * keys).
+    *
+    * Late-data caveat (the price of dropping tombstone state): an update
+    * older than an applied delete but ahead of the watermark re-seeds the
+    * key from empty — the delete's timestamp is forgotten with its state.
+    * Sinks needing exactly-ordered deletes must retain tombstones
+    * downstream (the standard compaction tradeoff); within the watermark
+    * horizon the upstream filter already drops older rows.
+    */
+  def applyChangelog(
+      events: Dataset[CdcRow],
+      watermarkDelay: String = "1 hour",
+      idleTtlMs: Long = 24L * 3600 * 1000)
+      : Dataset[(Long, java.sql.Timestamp, String, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[LatestState, (Long, java.sql.Timestamp, String, Double)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[CdcRow], state: GroupState[LatestState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic within-batch winner: latest ts, D beats U on a
+            // tie (a delete and an update stamped identically must not
+            // resurrect the key), then value
+            val incoming = rows.maxByOption(r => (r.ts.getTime, r.op == "D", r.value))
+            val prev = state.getOption
+            val out = incoming match {
+              case Some(r) if prev.forall(_.ts <= r.ts.getTime) =>
+                if (r.op == "D") {
+                  state.remove()
+                  Iterator((key, r.ts, "D", r.value))
+                } else {
+                  state.update(LatestState(r.ts.getTime, r.value))
+                  Iterator((key, r.ts, "U", r.value))
+                }
+              case _ => Iterator.empty
+            }
+            if (state.exists)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTtlMs)
+            out
+          }
+      }
+  }
+
   /** Streaming fuzzy-dedup-at-ingest: keep the first document per MinHash
     * signature within the watermark horizon. Two documents collide on the
     * full k-element signature with probability jaccard^k, so an identical

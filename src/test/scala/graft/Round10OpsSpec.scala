@@ -126,6 +126,70 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.map(_._3).toSeq === Seq(1, 2), "contiguous ranks")
   }
 
+  test("q_record_linkage: decisions replay from a driver-side Fellegi-Sunter") {
+    val got = run("q_record_linkage").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[String]("decision"), r.getAs[Double]("score")))
+      .toMap
+    // independent replay: read the register, rebuild both sides, estimate
+    // u from marginals, score every blocked pair sequentially
+    val rows = graft.ops.Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.get(2).asInstanceOf[Number].longValue,
+        r.getString(3), math.floor(r.getDouble(4) * 100 + 0.5).toLong))
+    val a = rows.toSeq.map { case (k, nm, nat, seg, bal) =>
+      (k, nm, nat, seg, bal, nm.substring(15, 18))
+    }
+    val b = rows.toSeq.map { case (k, nm, nat, seg, bal) =>
+      (k + 1000000L,
+        if (k % 11 == 0) nm.substring(0, 17) + "x" else nm,
+        if (k % 5 == 0) (nat + 1) % 25 else nat,
+        if (k % 7 == 0) "UNKNOWN" else seg,
+        bal + (if (k % 3 == 0) 100L else 0L),
+        nm.substring(15, 18))
+    }
+    val n = a.length.toLong
+    def sumSq[T](vs: Seq[T]): Long =
+      vs.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+    def w(s: Long): (Double, Double) = {
+      val lnN2 = 2 * math.log(n.toDouble)
+      def d6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      (d6(math.log(0.9) - (math.log(s.toDouble) - lnN2)),
+        d6(math.log(0.1) - (math.log((n * n - s).toDouble) - lnN2)))
+    }
+    val (waName, wdName) = w(sumSq(a.map(_._2)))
+    val (waNat, wdNat) = w(sumSq(a.map(_._3)))
+    val (waSeg, wdSeg) = w(sumSq(a.map(_._4)))
+    val (waBal, wdBal) = w(sumSq(a.map(_._5)))
+    val bByBlk = b.groupBy(_._6)
+    val want = (for {
+      (ka, nmA, natA, segA, balA, blk) <- a
+      (kb, nmB, natB, segB, balB, _) <- bByBlk.getOrElse(blk, Seq.empty)
+    } yield {
+      val score = (if (nmA == nmB) waName else wdName) +
+        (if (natA == natB) waNat else wdNat) +
+        (if (segA == segB) waSeg else wdSeg) +
+        (if (balA == balB) waBal else wdBal)
+      val rounded = math.rint(score * 1e6) / 1e6
+      val dec = if (rounded >= 8.0) "link"
+        else if (rounded <= 0.0) "nonlink" else "possible"
+      (ka, kb) -> dec
+    }).filter(_._2 != "nonlink").toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (pair, dec) =>
+      assert(got(pair)._1 == dec, s"pair $pair decision")
+    }
+    // a fully-clean true pair (no field perturbed) must always link
+    got.foreach { case ((ka, kb), (dec, score)) =>
+      if (kb == ka + 1000000L &&
+          ka % 11 != 0 && ka % 5 != 0 && ka % 7 != 0 && ka % 3 != 0)
+        assert(dec == "link", s"clean pair ($ka,$kb) score $score did not link")
+    }
+    assert(got.values.exists(_._1 == "link") && got.nonEmpty)
+  }
+
   test("q_dsir_weights: en documents score higher than non-en on average") {
     val scores = run("q_dsir_weights")
       .join(graft.ops.Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")

@@ -114,6 +114,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("applyChangelog: tombstones clear state and emit D; insert-after-delete re-seeds") {
+    import graft.streaming.StreamingOps.CdcRow
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[CdcRow]
+    val q = StreamingOps.applyChangelog(in.toDS())
+      .toDF("key", "ts", "op", "value")
+      .writeStream.format("memory").queryName("cdcapply")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        CdcRow(1L, ts("2024-01-01 00:00:00"), "U", 10.0),
+        CdcRow(2L, ts("2024-01-01 00:00:00"), "U", 20.0))
+      q.processAllAvailable()
+      // batch 2: key 1 deleted; key 2 gets a stale row (ignored)
+      in.addData(
+        CdcRow(1L, ts("2024-01-02 00:00:00"), "D", 0.0),
+        CdcRow(2L, ts("2023-12-31 00:00:00"), "U", 99.0))
+      q.processAllAvailable()
+      // batch 3: key 1 re-inserted AFTER its delete (fresh state), key 2 updates
+      in.addData(
+        CdcRow(1L, ts("2024-01-03 00:00:00"), "U", 12.0),
+        CdcRow(2L, ts("2024-01-02 00:00:00"), "U", 21.0))
+      q.processAllAvailable()
+      val got = spark.table("cdcapply").as[(Long, Timestamp, String, Double)]
+        .collect().map { case (k, t, o, v) => (k, t.toString, o, v) }.sorted.toSeq
+      assert(got == Seq(
+        (1L, "2024-01-01 00:00:00.0", "U", 10.0),
+        (1L, "2024-01-02 00:00:00.0", "D", 0.0),
+        (1L, "2024-01-03 00:00:00.0", "U", 12.0),
+        (2L, "2024-01-01 00:00:00.0", "U", 20.0),
+        (2L, "2024-01-02 00:00:00.0", "U", 21.0)))
+    } finally q.stop()
+  }
+
+  test("applyChangelog: same-timestamp delete beats update — no resurrection") {
+    import graft.streaming.StreamingOps.CdcRow
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[CdcRow]
+    val q = StreamingOps.applyChangelog(in.toDS())
+      .toDF("key", "ts", "op", "value")
+      .writeStream.format("memory").queryName("cdctie")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        CdcRow(7L, ts("2024-01-01 00:00:00"), "U", 1.0),
+        CdcRow(7L, ts("2024-01-01 00:00:00"), "D", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("cdctie").as[(Long, Timestamp, String, Double)]
+        .collect().map { case (k, t, o, v) => (k, o, v) }.toSeq
+      assert(got == Seq((7L, "D", 0.0)))
+    } finally q.stop()
+  }
+
   test("nearDupFilter: repeated signatures drop, distinct docs and empties pass") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
