@@ -12,7 +12,7 @@ object SparkEntry {
   private def all: Map[String, QueryDef] =
     CoreQueries.defs ++ PricenowQueries.defs ++ FunctionQueries.defs ++
       ExtensionQueries.defs ++ RelationalExtras.defs ++ AnalyticQueries.defs ++
-      WarehouseQueries.defs ++ GraphQueries.defs
+      WarehouseQueries.defs ++ GraphQueries.defs ++ StatsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -362,9 +362,69 @@ object GraphQueries {
          |FROM e$r CROSS JOIN conv GROUP BY u ORDER BY node""".stripMargin
     })
 
+  /** Adamic-Adar link prediction over the supplier co-supply graph: for
+    * every non-adjacent pair (u, v) reachable in two hops, score
+    * AA(u,v) = Σ_{z ∈ Γ(u)∩Γ(v)} 1/ln(deg z) — common neighbors weighted
+    * by how selective they are (Adamic & Adar 2003, the classic
+    * feature for "who should trade next"). Reuses the memoized
+    * [[cosupplyEdges]] frame — a third consumer of the one data-sized
+    * build, free after q_graph_kcore.
+    *
+    * Scale shape: degrees are a node-domain aggregation; candidates come
+    * from the two-hop equi-join on the shared neighbor z (cost Σ_z deg²_z,
+    * the irreducible AA candidate mass — keyed on z, so AQE skew-split
+    * applies to hub nodes); existing edges leave via a left-anti
+    * equi-join. Every 1/ln(deg) term has an INTEGER-valued ln argument
+    * (deg ≥ 2 on any two-hop witness), is 9dp floor-rounded into
+    * DECIMAL(18,9), and the top-50 orders by the EXACT decimal sum (ties
+    * by pair id) — both engines rank identical numbers.
+    */
+  private val linkPrediction = QueryDef(
+    fn = (spark, dir) => {
+      val e0 = cosupplyEdges(spark, dir)
+      val deg = e0.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val twohop = e0.as("a")
+        .join(e0.as("b"), col("a.v") === col("b.u") && col("a.u") < col("b.v"))
+        .select(col("a.u").as("cu"), col("b.v").as("cv"), col("a.v").as("z"))
+      val cand = twohop.join(
+        e0.select(col("u").as("eu"), col("v").as("ev")),
+        col("cu") === col("eu") && col("cv") === col("ev"), "left_anti")
+      val term = (floor(lit(1.0) / log(col("d")) * 1e9 + 0.5) / 1e9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9))
+      cand.join(deg.select(col("u").as("zn"), col("d")), col("z") === col("zn"))
+        .groupBy(col("cu").as("u"), col("cv").as("v"))
+        .agg(count(lit(1)).as("n_common"), sum(term).as("aa"))
+        .orderBy(col("aa").desc, col("u"), col("v"))
+        .limit(50)
+        .select(col("u"), col("v"), col("n_common"),
+          (floor(col("aa").cast("double") * 1e6 + 0.5) / 1e6).as("aa_score"))
+    },
+    oracle = Some(
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |pairs AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS w
+        |          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM pairs),
+        |keep AS (SELECT sa, sb FROM pairs, tot WHERE w * ne * 10 > tw * 11),
+        |e0 AS (SELECT sa AS u, sb AS v FROM keep
+        |       UNION ALL SELECT sb, sa FROM keep),
+        |deg AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+        |twohop AS (SELECT a.u AS cu, b.v AS cv, a.v AS z
+        |           FROM e0 a JOIN e0 b ON a.v = b.u AND a.u < b.v),
+        |cand AS (SELECT t.cu, t.cv, t.z FROM twohop t
+        |         WHERE NOT EXISTS (SELECT 1 FROM e0 e
+        |                           WHERE e.u = t.cu AND e.v = t.cv)),
+        |scored AS (SELECT c.cu AS u, c.cv AS v, COUNT(*) AS n_common,
+        |    SUM(CAST(floor(1.0 / ln(d.d) * 1000000000.0 + 0.5) / 1000000000.0
+        |        AS DECIMAL(18,9))) AS aa
+        |  FROM cand c JOIN deg d ON c.z = d.u GROUP BY 1, 2)
+        |SELECT u, v, n_common,
+        |  floor(CAST(aa AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS aa_score
+        |FROM scored ORDER BY aa DESC, u, v LIMIT 50""".stripMargin))
+
   def defs: Map[String, QueryDef] = Map(
     "q_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
     "q_graph_kcore" -> kcore,
-    "q_graph_degrees" -> degrees)
+    "q_graph_degrees" -> degrees,
+    "q_link_prediction" -> linkPrediction)
 }

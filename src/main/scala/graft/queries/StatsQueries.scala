@@ -1,0 +1,391 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Tables, TextAnalysis}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-10 experimentation / statistical-inference family: the readouts a
+  * data platform bolts on once the warehouse tables exist — A/B experiment
+  * significance (two-proportion z + Welch's t from exact integer
+  * sufficient statistics), CUSUM changepoint detection over a daily
+  * series, and Kaplan-Meier survival with right-censoring (the
+  * time-to-event generalization of the funnel-lag family).
+  *
+  * Numeric discipline (shared with AnalyticQueries / WarehouseQueries):
+  * inputs quantized to integer micro-units, sufficient statistics
+  * accumulated exactly (long products, DECIMAL(38,0) accumulators — both
+  * engines see identical integers), transcendental terms (ln of
+  * integer-valued arguments, IEEE sqrt/exp of identically-composed
+  * doubles) 9dp floor-rounded where they enter a sum, and every emitted
+  * double 6dp floor-rounded. The DuckDB twins replay the identical
+  * expression tree.
+  */
+object StatsQueries {
+
+  private def r6(c: Column): Column = TextAnalysis.round6(c)
+  private val d380 = DecimalType(38, 0)
+  private val d189 = DecimalType(18, 9)
+  /** floor-round a transcendental term to 9dp before it enters a sum. */
+  private def f9(c: Column): Column = (floor(c * 1e9 + 0.5) / 1e9).cast(d189)
+
+  // --- A/B experiment readout ----------------------------------------------
+
+  /** A/B test significance report: users deterministically hash-split into
+    * variants (the engine's reproducible split primitive — the same
+    * md5-prefix bucket as q_hash_split, so assignment is a pure function
+    * of the key on any engine/cluster), then two classic tests over the
+    * purchase funnel:
+    *
+    *  - conversion (user bought something ≥ $150): two-proportion pooled
+    *    z-test, z = (p_a − p_b) / √(p̄(1−p̄)(1/n_a + 1/n_b));
+    *  - purchase value: Welch's unequal-variance t on the per-event
+    *    purchase amounts, t = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b).
+    *
+    * Scale shape: ONE user-keyed partial-aggregatable groupBy (combine
+    * collapses each map task to a row per user) followed by a global
+    * 10-number conditional aggregation — the classic sufficient-statistics
+    * pattern, no window, no driver state beyond the final single row.
+    * Counts are exact longs; value sums/squares are µ$-quantized long
+    * products accumulated in DECIMAL(38,0) (a $560.21 value squares to
+    * 3.2e17 — inside long; the ~20k-row sums are not — hence the decimal
+    * accumulator). The z/t compositions run on doubles cast from those
+    * exact integers in the same order on both engines.
+    */
+  private val abTest = QueryDef(
+    fn = (spark, dir) => {
+      val vq = floor(col("value") * 1e6 + 0.5).cast("long")
+      val isP = col("event_type") === "purchase"
+      val perUser = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(isP && col("value") >= 150, 1).otherwise(0)).as("conv"),
+          count(when(isP, 1)).as("np"),
+          sum(when(isP, vq)).as("sv"),
+          sum(when(isP, (vq * vq).cast(d380))).as("sq"))
+        .withColumn("variant", TextAnalysis.hashBucket(col("user_id"), 2))
+      def side(v: Int, c: Column) = sum(when(col("variant") === v, c))
+      val g = perUser.agg(
+        side(0, lit(1L)).as("n_a"), side(1, lit(1L)).as("n_b"),
+        side(0, col("conv")).as("conv_a"), side(1, col("conv")).as("conv_b"),
+        side(0, col("np")).as("np_a"), side(1, col("np")).as("np_b"),
+        side(0, col("sv")).as("sv_a"), side(1, col("sv")).as("sv_b"),
+        side(0, col("sq")).as("sq_a"), side(1, col("sq")).as("sq_b"))
+      val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+      val ra = col("conv_a").cast("double") / na
+      val rb = col("conv_b").cast("double") / nb
+      val p = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")).cast("double")
+      val z = (ra - rb) / sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+      def mean(sv: Column, np: Column) = sv.cast("double") / np.cast("double") / 1e6
+      def vr(sq: Column, sv: Column, np: Column) = {
+        val n = np.cast("double")
+        (sq.cast("double") - sv.cast("double") * sv.cast("double") / n) /
+          (n - lit(1.0)) / 1e12
+      }
+      val ma = mean(col("sv_a"), col("np_a"))
+      val mb = mean(col("sv_b"), col("np_b"))
+      val va = vr(col("sq_a"), col("sv_a"), col("np_a"))
+      val vb = vr(col("sq_b"), col("sv_b"), col("np_b"))
+      val t = (ma - mb) / sqrt(va / col("np_a").cast("double") + vb / col("np_b").cast("double"))
+      g.select(
+        col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        r6(ra).as("rate_a"), r6(rb).as("rate_b"),
+        r6(z).as("z_conv"), (abs(z) > 1.96).as("sig_conv"),
+        col("np_a"), col("np_b"),
+        r6(ma).as("mean_a"), r6(mb).as("mean_b"),
+        r6(t).as("t_welch"), (abs(t) > 1.96).as("sig_mean"))
+    },
+    oracle = Some {
+      val h = ExtensionQueries.dHash32("CAST(user_id AS VARCHAR)")
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    HVAR % 2 AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS np,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) END) AS sv,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+        |           * CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) END) AS sq
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT
+        |    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+        |    SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+        |    SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b,
+        |    SUM(CASE WHEN variant = 0 THEN np ELSE 0 END) AS np_a,
+        |    SUM(CASE WHEN variant = 1 THEN np ELSE 0 END) AS np_b,
+        |    SUM(CASE WHEN variant = 0 THEN sv ELSE 0 END) AS sv_a,
+        |    SUM(CASE WHEN variant = 1 THEN sv ELSE 0 END) AS sv_b,
+        |    SUM(CASE WHEN variant = 0 THEN sq ELSE 0 END) AS sq_a,
+        |    SUM(CASE WHEN variant = 1 THEN sq ELSE 0 END) AS sq_b
+        |  FROM pu),
+        |f AS (SELECT *,
+        |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
+        |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb,
+        |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p,
+        |    (CAST(sv_a AS DOUBLE) / CAST(np_a AS DOUBLE)) / 1000000.0 AS ma,
+        |    (CAST(sv_b AS DOUBLE) / CAST(np_b AS DOUBLE)) / 1000000.0 AS mb,
+        |    (CAST(sq_a AS DOUBLE) - CAST(sv_a AS DOUBLE) * CAST(sv_a AS DOUBLE) / CAST(np_a AS DOUBLE))
+        |      / (CAST(np_a AS DOUBLE) - 1.0) / 1000000000000.0 AS va,
+        |    (CAST(sq_b AS DOUBLE) - CAST(sv_b AS DOUBLE) * CAST(sv_b AS DOUBLE) / CAST(np_b AS DOUBLE))
+        |      / (CAST(np_b AS DOUBLE) - 1.0) / 1000000000000.0 AS vb
+        |  FROM g),
+        |f2 AS (SELECT *,
+        |    (ra - rb) / sqrt(p * (1.0 - p) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z,
+        |    (ma - mb) / sqrt(va / CAST(np_a AS DOUBLE) + vb / CAST(np_b AS DOUBLE)) AS t
+        |  FROM f)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  floor(ra * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+        |  floor(rb * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+        |  floor(z * 1000000.0 + 0.5) / 1000000.0 AS z_conv,
+        |  abs(z) > 1.96 AS sig_conv,
+        |  np_a, np_b,
+        |  floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+        |  floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+        |  floor(t * 1000000.0 + 0.5) / 1000000.0 AS t_welch,
+        |  abs(t) > 1.96 AS sig_mean
+        |FROM f2""".stripMargin.replace("HVAR", h)
+    })
+
+  // --- CUSUM changepoint ---------------------------------------------------
+
+  /** CUSUM changepoint detection per event_type: over the daily total of
+    * `value`, the cumulative sum of deviations from the series mean,
+    * C_k = Σ_{d≤k} S_d − k·(ΣS/D), peaks at the most likely level-shift
+    * point (Page 1954). To keep the arithmetic exact the deviation sum is
+    * scaled through by D: C'_k = D·Σ_{d≤k}S_d − k·ΣS — pure integer
+    * (µ$-quantized) DECIMAL(38,0) arithmetic, same argmax. The report
+    * emits the argmax day, |C| in $ (that is, C'/(D·1e6)) and the shift
+    * direction.
+    *
+    * Scale shape: the data-sized work is one (type, day) partial
+    * aggregation; everything after runs on the bounded (groups × days)
+    * daily frame — windows partitioned BY GROUP over ≤31-row frames, then
+    * a length-1 top-k. At 100 TB the daily rollup is the only shuffle and
+    * combines map-side.
+    */
+  private val cusumChangepoint = QueryDef(
+    fn = (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("vq")).cast(d380).as("s"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val stats = daily
+        .withColumn("cum_s", sum(col("s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("k", row_number().over(w))
+        .withColumn("tot", sum(col("s")).over(wAll))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .withColumn("cp", col("nd").cast(d380) * col("cum_s") - col("k").cast(d380) * col("tot"))
+      stats
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(abs(col("cp")).desc, col("day").asc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("cp_date"), col("nd").as("n_days"),
+          when(col("cp") > 0, "up").otherwise("down").as("direction"),
+          r6(abs(col("cp")).cast("double") / (col("nd") * lit(1e6))).as("cusum_mag"))
+        .orderBy("event_type")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq FROM events),
+        |d AS (SELECT event_type, day, SUM(vq) AS s FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, s,
+        |    SUM(s) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |    SUM(s) OVER (PARTITION BY event_type) AS tot,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM d),
+        |c AS (SELECT event_type, day, nd,
+        |    CAST(nd AS HUGEINT) * cum_s - CAST(k AS HUGEINT) * tot AS cp
+        |  FROM w),
+        |r AS (SELECT event_type, day, nd, cp,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs(cp) DESC, day ASC) AS rn
+        |  FROM c)
+        |SELECT event_type, day AS cp_date, nd AS n_days,
+        |  CASE WHEN cp > 0 THEN 'up' ELSE 'down' END AS direction,
+        |  floor(CAST(abs(cp) AS DOUBLE) / (nd * 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS cusum_mag
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin))
+
+  // --- Kaplan-Meier survival -----------------------------------------------
+
+  /** Kaplan-Meier product-limit survival with right-censoring: per user,
+    * time-to-event = days from their first event to their first "big
+    * purchase" (value ≥ $100); users who never get there are censored at
+    * the study end (the corpus' last event day). At each event time t:
+    * n_t at-risk (duration ≥ t), d_t events, and the survival estimate
+    * S(t) = Π_{s≤t} (n_s − d_s)/n_s.
+    *
+    * The product is computed as exp(Σ ln(n_s − d_s) − ln(n_s)): both lns
+    * take INTEGER-valued arguments (the repo's cross-engine
+    * transcendental rule), each difference term is 9dp floor-rounded into
+    * DECIMAL(18,9) before the cumulative-sum window, and the final exp is
+    * 6dp floored. A (reachable-only-in-theory) n_s = d_s extinction tail
+    * emits a −99 literal term, identical on both engines, so S collapses
+    * to 0 rather than diverging on ln(0) handling.
+    *
+    * Scale shape: ONE user-keyed aggregation (partial-aggregatable) is
+    * the only data-sized stage; the study-end scalar arrives as a 1-row
+    * broadcast (no driver collect), and the life table is a ≤31-row
+    * duration-domain frame — its windows are free. This is the funnel-lag
+    * family's statistically-honest sibling: percentiles of observed lags
+    * ignore censoring; KM does not.
+    */
+  private val survivalKm = QueryDef(
+    fn = (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), col("value"))
+      val studyEnd = ev.agg(max(col("day")).as("study_end"))
+      val perUser = ev
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"),
+          min(when(col("event_type") === "purchase" && col("value") >= 100,
+            col("day"))).as("ev_day"))
+        .crossJoin(broadcast(studyEnd))
+        .select(
+          when(col("ev_day").isNotNull, datediff(col("ev_day"), col("first_day")))
+            .otherwise(datediff(col("study_end"), col("first_day"))).as("t"),
+          col("ev_day").isNotNull.as("obs"))
+      val tt = perUser.groupBy(col("t"))
+        .agg(sum(when(col("obs"), 1).otherwise(0)).as("d"),
+          sum(when(col("obs"), 0).otherwise(1)).as("c"))
+      val w = Window.orderBy(col("t"))
+      val lifeTable = tt
+        .withColumn("n_total", sum(col("d") + col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("before_t", coalesce(sum(col("d") + col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_risk", col("n_total") - col("before_t"))
+        .withColumn("term",
+          when(col("d") > 0 && col("n_risk") > col("d"),
+            f9(log(col("n_risk") - col("d")) - log(col("n_risk"))))
+            .when(col("d") > 0, lit(-99).cast(d189))
+            .otherwise(lit(0).cast(d189)))
+        .withColumn("cum", sum(col("term")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      lifeTable.filter(col("d") > 0)
+        .select(col("t").as("t_day"), col("n_risk"), col("d").as("d_events"),
+          col("c").as("c_censored"),
+          r6(exp(col("cum").cast("double"))).as("km_survival"))
+        .orderBy("t_day")
+    },
+    oracle = Some(
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, value FROM events),
+        |fin AS (SELECT MAX(day) AS study_end FROM ev),
+        |pu AS (SELECT user_id, MIN(day) AS first_day,
+        |    MIN(CASE WHEN event_type = 'purchase' AND value >= 100 THEN day END) AS ev_day
+        |  FROM ev GROUP BY user_id),
+        |du AS (SELECT
+        |    CASE WHEN ev_day IS NOT NULL THEN datediff('day', first_day, ev_day)
+        |         ELSE datediff('day', first_day, (SELECT study_end FROM fin)) END AS t,
+        |    (ev_day IS NOT NULL) AS obs
+        |  FROM pu),
+        |tt AS (SELECT t, SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
+        |    SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS c
+        |  FROM du GROUP BY t),
+        |r AS (SELECT t, d, c,
+        |    SUM(d + c) OVER () AS n_total,
+        |    COALESCE(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_t
+        |  FROM tt),
+        |s AS (SELECT t, d, c, n_total - before_t AS n_risk,
+        |    CAST(CASE
+        |      WHEN d > 0 AND n_total - before_t > d THEN
+        |        floor((ln(n_total - before_t - d) - ln(n_total - before_t))
+        |          * 1000000000.0 + 0.5) / 1000000000.0
+        |      WHEN d > 0 THEN -99
+        |      ELSE 0 END AS DECIMAL(18,9)) AS term
+        |  FROM r),
+        |k AS (SELECT t, d, c, n_risk,
+        |    SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s)
+        |SELECT t AS t_day, n_risk, d AS d_events, c AS c_censored,
+        |  floor(exp(CAST(cum AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS km_survival
+        |FROM k WHERE d > 0 ORDER BY t_day""".stripMargin))
+
+  // --- join-key skew diagnosis ---------------------------------------------
+
+  /** Key-distribution skew report — the diagnostic a 100 TB pipeline runs
+    * BEFORE picking a shuffle key: for each candidate join key of the
+    * fact table, the Gini coefficient of the per-key row counts plus the
+    * top-1/top-10 key shares. Gini = 2·Σᵢ i·cᵢ/(K·Σc) − (K+1)/K over the
+    * ascending-sorted counts (rank ties broken by key id — both engines
+    * sort identical longs, so Σ i·cᵢ is the same exact integer).
+    *
+    * Scale shape: the data-sized stage is one partial-aggregatable
+    * groupBy per key column; the rank window then runs over the KEY
+    * DOMAIN (the vocabulary — smaller than the fact table by the average
+    * key multiplicity), which is the same domain-sized-window stance as
+    * the BPE/Zipf family. All sufficient statistics are exact longs; the
+    * three emitted ratios are identically-composed double divisions of
+    * those longs, 6dp floored.
+    */
+  private val keySkew = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      def report(keyCol: String) = {
+        val counts = li.groupBy(col(keyCol).as("k"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c"), col("k"))
+        val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        counts
+          .withColumn("i", row_number().over(w))
+          .withColumn("kk", count(lit(1)).over(wAll))
+          .withColumn("tot", sum(col("c")).over(wAll))
+          .agg(
+            max(col("kk")).as("n_keys"),
+            max(col("tot")).as("n_rows"),
+            sum(col("i").cast("long") * col("c")).as("s_ic"),
+            max(when(col("i") === col("kk"), col("c"))).as("c_top1"),
+            sum(when(col("i") > col("kk") - 10, col("c"))).as("c_top10"))
+          .select(
+            lit(keyCol).as("key_col"), col("n_keys"), col("n_rows"),
+            r6(lit(2.0) * col("s_ic").cast("double") /
+                (col("n_keys").cast("double") * col("n_rows").cast("double"))
+              - (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"))
+              .as("gini"),
+            r6(col("c_top1").cast("double") / col("n_rows").cast("double")).as("top1_share"),
+            r6(col("c_top10").cast("double") / col("n_rows").cast("double")).as("top10_share"))
+      }
+      report("l_partkey").unionAll(report("l_suppkey")).orderBy("key_col")
+    },
+    oracle = Some {
+      def side(k: String) =
+        s"""SELECT '$k' AS key_col, n_keys, n_rows,
+           |  floor((2.0 * CAST(s_ic AS DOUBLE)
+           |      / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+           |      - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE))
+           |    * 1000000.0 + 0.5) / 1000000.0 AS gini,
+           |  floor(CAST(c_top1 AS DOUBLE) / CAST(n_rows AS DOUBLE) * 1000000.0 + 0.5)
+           |    / 1000000.0 AS top1_share,
+           |  floor(CAST(c_top10 AS DOUBLE) / CAST(n_rows AS DOUBLE) * 1000000.0 + 0.5)
+           |    / 1000000.0 AS top10_share
+           |FROM (
+           |  SELECT MAX(kk) AS n_keys, MAX(tot) AS n_rows,
+           |    SUM(i * c) AS s_ic,
+           |    MAX(CASE WHEN i = kk THEN c END) AS c_top1,
+           |    SUM(CASE WHEN i > kk - 10 THEN c END) AS c_top10
+           |  FROM (
+           |    SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS i,
+           |      COUNT(*) OVER () AS kk, SUM(c) OVER () AS tot
+           |    FROM (SELECT $k AS k, COUNT(*) AS c FROM lineitem GROUP BY $k)))""".stripMargin
+      s"""${side("l_partkey")}
+         |UNION ALL
+         |${side("l_suppkey")}
+         |ORDER BY key_col""".stripMargin
+    })
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_ab_test" -> abTest,
+    "q_cusum_changepoint" -> cusumChangepoint,
+    "q_survival_km" -> survivalKm,
+    "q_key_skew" -> keySkew)
+}

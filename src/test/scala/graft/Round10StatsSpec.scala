@@ -1,0 +1,199 @@
+package graft
+
+import java.sql.Date
+
+/** Properties of the statistical-inference family (StatsQueries): each
+  * query is replayed sequentially on the driver from the same raw events
+  * and compared within float tolerance (the DuckDB oracle hash-gates the
+  * exact floor-rounded values at sf0.01; these specs prove the STATISTICS
+  * are the textbook ones, independent of the engine's decimal plumbing).
+  */
+class Round10StatsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  private lazy val events: Array[(Long, Date, String, Double)] =
+    graft.ops.Tables.events(spark, dir)
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getString(2), r.getDouble(3)))
+
+  test("q_ab_test matches a sequential two-proportion z and Welch t replay") {
+    val row = run("q_ab_test").collect().head
+    // variant via the engine's own hash (pure function of the key)
+    val ids = events.map(_._1).distinct
+    val vdf = graft.ops.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("user_id"))
+      .distinct()
+      .withColumn("v", graft.ops.TextAnalysis.hashBucket(
+        org.apache.spark.sql.functions.col("user_id"), 2))
+    val variant = vdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(variant.keySet === ids.toSet)
+
+    val byUser = events.groupBy(_._1)
+    def usersOf(v: Long) = byUser.filter { case (u, _) => variant(u) == v }
+    def conv(v: Long) = usersOf(v).count { case (_, es) =>
+      es.exists(e => e._3 == "purchase" && e._4 >= 150) }
+    val (nA, nB) = (usersOf(0).size, usersOf(1).size)
+    val (xA, xB) = (conv(0), conv(1))
+    assert(row.getAs[Long]("n_a") === nA.toLong)
+    assert(row.getAs[Long]("conv_b") === xB.toLong)
+    val (ra, rb) = (xA.toDouble / nA, xB.toDouble / nB)
+    val p = (xA + xB).toDouble / (nA + nB)
+    val z = (ra - rb) / math.sqrt(p * (1 - p) * (1.0 / nA + 1.0 / nB))
+    assert(math.abs(row.getAs[Double]("z_conv") - z) < 1e-4)
+    assert(row.getAs[Boolean]("sig_conv") === (math.abs(z) > 1.96))
+
+    def purchases(v: Long) = usersOf(v).values.flatten
+      .filter(_._3 == "purchase").map(_._4).toArray
+    val (pa, pb) = (purchases(0), purchases(1))
+    def meanVar(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val ((ma, va), (mb, vb)) = (meanVar(pa), meanVar(pb))
+    val t = (ma - mb) / math.sqrt(va / pa.length + vb / pb.length)
+    assert(math.abs(row.getAs[Double]("mean_a") - ma) < 1e-4)
+    assert(math.abs(row.getAs[Double]("t_welch") - t) < 1e-3)
+  }
+
+  test("q_cusum_changepoint matches the sequential argmax-|CUSUM| replay") {
+    val got = run("q_cusum_changepoint").collect()
+      .map(r => r.getString(0) -> (r.getDate(1), r.getString(3), r.getDouble(4)))
+      .toMap
+    val types = events.map(_._3).distinct
+    assert(got.keySet === types.toSet)
+    for (et <- types) {
+      val daily = events.filter(_._3 == et)
+        .groupBy(_._2).map { case (d, es) => (d, es.map(_._4).sum) }
+        .toSeq.sortBy(_._1.toString)
+      val tot = daily.map(_._2).sum
+      val dDays = daily.size
+      // C_k = sum_{d<=k} S_d - k*tot/D, peak by |C| then earliest day
+      var cum = 0.0
+      val cs = daily.zipWithIndex.map { case ((day, s), i) =>
+        cum += s; (day, cum - (i + 1) * tot / dDays)
+      }
+      // argmax |C| with ties broken by earliest day — replay explicitly
+      val maxAbs = cs.map(c => math.abs(c._2)).max
+      val first = cs.filter(c => math.abs(c._2) >= maxAbs - 1e-6).minBy(_._1.toString)
+      val (gd, gdir, gmag) = got(et)
+      assert(gd.toString === first._1.toString, s"cp day for $et")
+      assert(gdir === (if (first._2 > 0) "up" else "down"), s"direction for $et")
+      assert(math.abs(gmag - math.abs(first._2)) < 1e-3, s"magnitude for $et")
+    }
+  }
+
+  test("q_survival_km matches sequential Kaplan-Meier and is monotone") {
+    val rows = run("q_survival_km").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // monotone non-increasing, within (0, 1]
+    val surv = rows.map(_._5)
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-12 })
+    assert(surv.forall(s => s > 0 && s <= 1.0))
+
+    // sequential KM replay
+    val end = events.map(_._2.toString).max
+    val durations = events.groupBy(_._1).toSeq.map { case (_, es) =>
+      val firstDay = es.map(_._2.toString).min
+      val evDay = es.filter(e => e._3 == "purchase" && e._4 >= 100)
+        .map(_._2.toString).sorted.headOption
+      def days(a: String, b: String) =
+        (Date.valueOf(b).toLocalDate.toEpochDay - Date.valueOf(a).toLocalDate.toEpochDay).toInt
+      evDay match {
+        case Some(d) => (days(firstDay, d), true)
+        case None    => (days(firstDay, end), false)
+      }
+    }
+    val byT = durations.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = durations.size
+    var s = 1.0
+    val want = byT.flatMap { case (t, ds) =>
+      val d = ds.count(_._2)
+      val out = if (d > 0) {
+        s *= (atRisk - d).toDouble / atRisk
+        Some((t, atRisk.toLong, d.toLong, ds.count(!_._2).toLong, s))
+      } else None
+      atRisk -= ds.size
+      out
+    }
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSeq ===
+      want.map(w => (w._1, w._2, w._3, w._4)))
+    rows.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._5 - w._5) < 1e-5, s"KM at t=${g._1}") }
+    assert(rows.exists(_._4 > 0) || durations.exists(!_._2),
+      "fixture should include censored users somewhere in the life table")
+  }
+
+  test("q_key_skew matches a sequential Gini replay and flags the skewed key") {
+    val got = run("q_key_skew").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    val li = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for ((name, key) <- Seq("l_partkey" -> li.map(_._1), "l_suppkey" -> li.map(_._2))) {
+      val counts = key.groupBy(identity).toSeq
+        .map { case (k, vs) => (k, vs.length.toLong) }
+        .sortBy { case (k, c) => (c, k) }
+      val kk = counts.size
+      val tot = counts.map(_._2).sum
+      val sIc = counts.zipWithIndex.map { case ((_, c), i) => (i + 1).toLong * c }.sum
+      val gini = 2.0 * sIc / (kk.toDouble * tot) - (kk + 1.0) / kk
+      val (gKeys, gRows, gGini, gTop1, gTop10) = got(name)
+      assert(gKeys === kk.toLong && gRows === tot)
+      assert(math.abs(gGini - gini) < 1e-6, s"gini for $name")
+      assert(math.abs(gTop1 - counts.last._2.toDouble / tot) < 1e-6)
+      assert(math.abs(gTop10 - counts.takeRight(10).map(_._2).sum.toDouble / tot) < 1e-6)
+      assert(gGini >= 0.0 && gGini < 1.0)
+    }
+  }
+
+  test("q_link_prediction matches a sequential Adamic-Adar replay") {
+    // sf0.01: the sf0.001 co-supply graph sparsifies to a clique set with
+    // no non-adjacent two-hop pairs (0 rows) — the replay would be vacuous
+    val dir = "/root/testdata/sf0.01"
+    val gotRows = SparkEntry.queries("q_link_prediction")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    val got = gotRows.toMap
+    // driver replay of the co-supply build + AA scoring
+    val ps = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = ps.groupBy(_._1).values.flatMap { g =>
+      val ss = g.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
+    }.toSeq.groupBy(identity).map { case (p, o) => (p, o.size.toLong) }.toSeq
+    val tw = pairs.map(_._2).sum
+    val ne = pairs.size
+    val keep = pairs.collect { case ((a, b), w) if w * ne * 10 > tw * 11 => (a, b) }
+    val adj = (keep ++ keep.map(_.swap)).groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).toSet }
+    val deg = adj.map { case (u, vs) => u -> vs.size }
+    val cand = for {
+      (u, nbrs) <- adj.toSeq; z <- nbrs; v <- adj(z)
+      if u < v && !adj(u).contains(v)
+    } yield ((u, v), z)
+    val want = cand.groupBy(_._1).map { case (p, zs) =>
+      val s = zs.map { case (_, z) =>
+        math.floor(1.0 / math.log(deg(z)) * 1e9 + 0.5) / 1e9 }.sum
+      // snap back to the 1e-9 grid: the engine sums DECIMAL(18,9) exactly,
+      // the replay's double adds drift ~1e-16 — enough to break tie order
+      p -> (zs.size.toLong, math.rint(s * 1e9) / 1e9)
+    }
+    // the emitted 50 must be the top-50 of the replay by (score, pair)
+    val wantTop = want.toSeq
+      .sortBy { case ((u, v), (_, s)) => (-s, u, v) }.take(50)
+    assert(gotRows.length === math.min(50, want.size))
+    gotRows.zip(wantTop).foreach { case ((gp, (gn, gs)), (wp, (wn, ws))) =>
+      assert(gp === wp, s"pair order at $gp vs $wp")
+      assert(gn === wn, s"n_common for $gp")
+      assert(math.abs(gs - ws) < 1e-5, s"score for $gp")
+    }
+    // scores reward selective common neighbors: every score positive
+    assert(got.values.forall(_._2 > 0))
+  }
+}
