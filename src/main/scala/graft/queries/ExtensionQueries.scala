@@ -3401,7 +3401,86 @@ object ExtensionQueries {
          |ORDER BY join_name""".stripMargin
     })
 
+  /** Cluster topic labeling via c-TF-IDF (the BERTopic/cluster-card
+    * reduction): for every near-dup component with ≥ 2 members, the top-3
+    * characteristic tokens scored tf·ln((N+1)/cdf) — term frequency
+    * WITHIN the cluster × inverse CLUSTER frequency (cdf = how many
+    * clusters contain the token, N = cluster count). The corpus-curation
+    * companion to q_dedup_components: "what IS this duplicate cluster
+    * about", computed without touching any text twice.
+    *
+    * Composes the memoized minhash pair graph → components chain (sixth+
+    * consumer — the chains run once per session). Scale shape: tokens
+    * explode only for CLUSTER MEMBERS (the near-dup subset, corpus-scale
+    * invariant: dup clusters are a bounded fraction); tf and cdf are
+    * token-keyed partial-aggregatable shuffles; the cluster count is a
+    * 1-row broadcast; ranking is a window over (comp) — high-cardinality
+    * key, ≤ vocabulary rows per frame. Both lns take integer arguments,
+    * the idf is 9dp floor-rounded, and the rank orders by the EXACT
+    * DECIMAL(28,9) score (a (10,0)×(18,9) product — kept under Spark's
+    * 38-digit cap so neither engine rescales) with token tie-breaks.
+    */
+  private val clusterTerms = QueryDef(
+    fn = (spark, dir) => {
+      val d100 = org.apache.spark.sql.types.DecimalType(10, 0)
+      val comps = minhashComps(spark, dir)
+      val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .filter(col("sz") >= 2)
+      val members = comps.join(sizes.select(col("comp")), Seq("comp"))
+      val toks = dedupDocs(spark, dir)
+        .join(members, Seq("doc_id"))
+        .select(col("comp"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("comp"), col("token")).agg(count(lit(1)).as("tf"))
+      val nComp = sizes.agg(count(lit(1)).as("nc"))
+      val cdf = tf.groupBy(col("token")).agg(count(lit(1)).as("cdf"))
+      val d189 = org.apache.spark.sql.types.DecimalType(18, 9)
+      val scored = tf.join(cdf, Seq("token")).crossJoin(broadcast(nComp))
+        .withColumn("idf",
+          (floor((log(col("nc") + 1) - log(col("cdf"))) * 1e9 + 0.5) / 1e9).cast(d189))
+        .withColumn("score", col("tf").cast(d100) * col("idf"))
+      scored
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("comp")).orderBy(col("score").desc, col("token"))))
+        .filter(col("rank") <= 3)
+        .select(col("comp"), col("rank"), col("token"), col("tf"),
+          (floor(col("score").cast("double") * 1e6 + 0.5) / 1e6).as("score"))
+        .orderBy("comp", "rank")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE $minhashOracle,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |sizes AS (SELECT comp, COUNT(*) AS sz FROM comp GROUP BY comp
+         |          HAVING COUNT(*) >= 2),
+         |toks AS (SELECT c.comp, unnest(${dToks("d.text")}) AS token
+         |         FROM documents d
+         |         JOIN comp c ON d.doc_id = c.id
+         |         JOIN sizes s ON c.comp = s.comp),
+         |tf AS (SELECT comp, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |nc AS (SELECT COUNT(*) AS nc FROM sizes),
+         |cdf AS (SELECT token, COUNT(*) AS cdf FROM tf GROUP BY token),
+         |sc AS (SELECT tf.comp, tf.token, tf.tf,
+         |    CAST(tf.tf AS DECIMAL(10,0))
+         |      * CAST(floor((ln(nc.nc + 1) - ln(cdf.cdf)) * 1000000000.0 + 0.5)
+         |             / 1000000000.0 AS DECIMAL(18,9)) AS score
+         |  FROM tf JOIN cdf USING (token) CROSS JOIN nc),
+         |r AS (SELECT comp, token, tf, score,
+         |    row_number() OVER (PARTITION BY comp ORDER BY score DESC, token) AS rank
+         |  FROM sc)
+         |SELECT comp, rank, token, tf,
+         |  floor(CAST(score AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
+         |FROM r WHERE rank <= 3 ORDER BY comp, rank""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_cluster_terms" -> clusterTerms,
     "q_dedup_edit1" -> dedupEdit1,
     "q_bm25_topk" -> bm25Topk,
     "q_hybrid_rrf" -> hybridRrf,

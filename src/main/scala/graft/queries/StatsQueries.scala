@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{Tables, TextAnalysis}
+import graft.ops.{RobustStats, Tables, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -383,9 +383,255 @@ object StatsQueries {
          |ORDER BY key_col""".stripMargin
     })
 
+  // --- population stability index (drift monitor) --------------------------
+
+  /** Population Stability Index per event_type — the standard ML-serving
+    * drift monitor: octile bins are fit on the REFERENCE window (first
+    * half of the month) with [[graft.ops.RobustStats.rankValues]]'s
+    * driver-assisted bounded-histogram search (two domain-bounded passes,
+    * no per-group sort — the q_grouped_equidepth machinery), both windows
+    * are bucketed by the same scan-stage CASE chain, and
+    * PSI = Σ_bins (p̂ᵢ − q̂ᵢ)·ln(p̂ᵢ/q̂ᵢ) with Laplace-smoothed shares
+    * p̂ = (nᵣ+1)/(Nᵣ+8). PSI > 0.1 flags drift (the conventional "some
+    * shift" threshold).
+    *
+    * Exactness: the smoothed log-ratio rewrites to
+    * ln((nᵣ+1)(N_c+8)) − ln((n_c+1)(Nᵣ+8)) — two INTEGER-argument lns —
+    * and each bin term is 9dp floor-rounded into DECIMAL(18,9); the
+    * oracle re-derives the same boundaries with a rank window. Scale
+    * shape: two data-sized aggregations (the boundary histogram passes
+    * and the (type, bin) counts, all partial-aggregatable); the PSI sum
+    * runs on the ≤8-bins-per-type frame.
+    */
+  private val psiDrift = QueryDef(
+    fn = (spark, dir) => {
+      val W = 16384L
+      val split = lit("2024-01-15").cast("date")
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 1e4 + 0.5).cast("long").as("u"))
+      val ref = ev.filter(col("day") <= split)
+      val bounds = RobustStats.rankValues(ref, "event_type", col("u"), W,
+        n => (1 to 7).map(i => math.max(1L, i * n / 8)))
+      val bin = RobustStats.caseByGroup("event_type", bounds.map { case (g, bs) =>
+        g -> bs.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col("u") > lit(b), 1).otherwise(0)
+        }
+      })
+      val counts = ev
+        .withColumn("bin", bin)
+        // mirror the oracle's inner join on fitted groups: a group absent
+        // from the reference window has no boundary chain (null bin)
+        .filter(col("bin").isNotNull)
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("day") <= split, 1L).otherwise(0L)).as("nr"),
+          sum(when(col("day") > split, 1L).otherwise(0L)).as("nc"))
+      val wt = Window.partitionBy(col("event_type"))
+      val terms = counts
+        .withColumn("tr", sum(col("nr")).over(wt))
+        .withColumn("tc", sum(col("nc")).over(wt))
+        .withColumn("term", f9(
+          ((col("nr") + 1).cast("double") / (col("tr") + 8).cast("double")
+            - (col("nc") + 1).cast("double") / (col("tc") + 8).cast("double"))
+          * (log((col("nr") + 1) * (col("tc") + 8))
+            - log((col("nc") + 1) * (col("tr") + 8)))))
+      terms.groupBy(col("event_type"))
+        .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+          sum(col("term")).cast("double").as("psi_raw"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          r6(col("psi_raw")).as("psi"),
+          (r6(col("psi_raw")) > 0.1).as("drift_flag"))
+        .orderBy("event_type")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS u FROM events),
+        |ref AS (SELECT event_type, u FROM e WHERE day <= DATE '2024-01-15'),
+        |n0 AS (SELECT event_type, COUNT(*) AS n FROM ref GROUP BY 1),
+        |r AS (SELECT event_type, u,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn FROM ref),
+        |ii AS (SELECT unnest(range(1, 8)) AS i),
+        |bnd AS (SELECT n0.event_type, ii.i, r.u AS bv
+        |    FROM ii CROSS JOIN n0
+        |    JOIN r ON r.event_type = n0.event_type
+        |      AND r.rn = GREATEST(1, (ii.i * n0.n) // 8)),
+        |bl AS (SELECT event_type, list(bv ORDER BY i) AS l FROM bnd GROUP BY event_type),
+        |a AS (SELECT e.event_type,
+        |    CASE WHEN e.day <= DATE '2024-01-15' THEN 1 ELSE 0 END AS is_ref,
+        |    CAST(len(list_filter(bl.l, b -> e.u > b)) AS INTEGER) AS bin
+        |  FROM e JOIN bl USING (event_type)),
+        |b AS (SELECT event_type, bin,
+        |    SUM(is_ref) AS nr, SUM(1 - is_ref) AS nc
+        |  FROM a GROUP BY 1, 2),
+        |t AS (SELECT event_type, bin, nr, nc,
+        |    SUM(nr) OVER (PARTITION BY event_type) AS tr,
+        |    SUM(nc) OVER (PARTITION BY event_type) AS tc
+        |  FROM b),
+        |tm AS (SELECT event_type, tr, tc,
+        |    CAST(floor(
+        |      (CAST(nr + 1 AS DOUBLE) / CAST(tr + 8 AS DOUBLE)
+        |        - CAST(nc + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE))
+        |      * (ln((nr + 1) * (tc + 8)) - ln((nc + 1) * (tr + 8)))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(18,9)) AS term
+        |  FROM t),
+        |s AS (SELECT event_type, MAX(tr) AS n_ref, MAX(tc) AS n_cur,
+        |    SUM(term) AS psi_d FROM tm GROUP BY 1)
+        |SELECT event_type, n_ref, n_cur,
+        |  floor(CAST(psi_d AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS psi,
+        |  floor(CAST(psi_d AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 > 0.1 AS drift_flag
+        |FROM s ORDER BY event_type""".stripMargin))
+
+  // --- mutual information / categorical association ------------------------
+
+  /** Mutual information + χ² + Cramér's V between two categorical columns
+    * (market segment × order priority) — the feature-selection /
+    * association readout next to q_chisq's contingency table. All three
+    * statistics come from ONE joint-count aggregation:
+    * MI = Σ (n_xy/N)·ln(n_xy·N/(n_x·n_y)) with the log ratio split into
+    * two INTEGER-argument lns; χ² in the cross-multiplied form
+    * (n_xy·N − n_x·n_y)²/(N·n_x·n_y) — numerator squared in
+    * DECIMAL(38,0) (the long product n_xy·N fits, its square does not);
+    * V = √(χ²/(N·min(r−1,c−1))).
+    *
+    * Scale shape: the fact-sized work is the orders⋈customer join (AQE
+    * chooses broadcast vs shuffle — customer grows with SF) and one
+    * partial-aggregatable joint count; marginals and the three sums run
+    * on the r×c ≤ 25-row domain frame. Terms are 9dp floor-rounded into
+    * DECIMAL(18,9); emitted doubles 6dp floored.
+    */
+  private val mutualInfo = QueryDef(
+    fn = (spark, dir) => {
+      val joint = Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("x"), col("o_orderpriority").as("y"))
+        .agg(count(lit(1)).as("nxy"))
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val t = joint
+        .withColumn("nx", sum(col("nxy")).over(Window.partitionBy(col("x"))))
+        .withColumn("ny", sum(col("nxy")).over(Window.partitionBy(col("y"))))
+        .withColumn("n", sum(col("nxy")).over(wAll))
+        .withColumn("r", size(collect_set(col("x")).over(wAll)))
+        .withColumn("c", size(collect_set(col("y")).over(wAll)))
+        .withColumn("mi_term", f9(
+          col("nxy").cast("double") / col("n").cast("double")
+            * (log(col("nxy") * col("n")) - log(col("nx") * col("ny")))))
+        .withColumn("d", (col("nxy") * col("n") - col("nx") * col("ny")).cast(d380))
+        .withColumn("chi_term", f9(
+          (col("d") * col("d")).cast("double")
+            / (col("n") * col("nx") * col("ny")).cast("double")))
+      t.groupBy(col("n"), col("r"), col("c"))
+        .agg(sum(col("mi_term")).cast("double").as("mi_raw"),
+          sum(col("chi_term")).cast("double").as("chi_raw"))
+        .select(col("n"), col("r").cast("long").as("r_levels"),
+          col("c").cast("long").as("c_levels"),
+          r6(col("mi_raw")).as("mi"),
+          r6(col("chi_raw")).as("chi2"),
+          r6(sqrt(col("chi_raw") / (col("n") * least(col("r") - 1, col("c") - 1))
+            .cast("double"))).as("cramers_v"))
+    },
+    oracle = Some(
+      """WITH joint AS (
+        |  SELECT c.c_mktsegment AS x, o.o_orderpriority AS y, COUNT(*) AS nxy
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT x, y, nxy,
+        |    SUM(nxy) OVER (PARTITION BY x) AS nx,
+        |    SUM(nxy) OVER (PARTITION BY y) AS ny,
+        |    SUM(nxy) OVER () AS n,
+        |    (SELECT COUNT(DISTINCT x) FROM joint) AS r,
+        |    (SELECT COUNT(DISTINCT y) FROM joint) AS c
+        |  FROM joint),
+        |tt AS (SELECT n, r, c,
+        |    CAST(floor(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * (ln(nxy * n) - ln(nx * ny)) * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS DECIMAL(18,9)) AS mi_term,
+        |    CAST(floor(CAST(CAST(nxy * n - nx * ny AS HUGEINT)
+        |          * CAST(nxy * n - nx * ny AS HUGEINT) AS DOUBLE)
+        |        / CAST(n * nx * ny AS DOUBLE) * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS DECIMAL(18,9)) AS chi_term
+        |  FROM t),
+        |s AS (SELECT n, r, c,
+        |    CAST(SUM(mi_term) AS DOUBLE) AS mi_raw,
+        |    CAST(SUM(chi_term) AS DOUBLE) AS chi_raw
+        |  FROM tt GROUP BY 1, 2, 3)
+        |SELECT n, CAST(r AS BIGINT) AS r_levels, CAST(c AS BIGINT) AS c_levels,
+        |  floor(mi_raw * 1000000.0 + 0.5) / 1000000.0 AS mi,
+        |  floor(chi_raw * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+        |  floor(sqrt(chi_raw / CAST(n * least(r - 1, c - 1) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
+        |FROM s""".stripMargin))
+
+  // --- Benford first-digit screen ------------------------------------------
+
+  /** Benford's-law first-significant-digit screen over order totals — the
+    * classic forensic data-quality test (synthetic or fabricated amounts
+    * drift from log-uniform digits). The first digit is extracted with
+    * pure INTEGER arithmetic — cents = ⌊100·p + 0.5⌋, then the leading
+    * character of the integer's decimal string (both engines print
+    * integers identically; no float log10 anywhere). Expected shares are
+    * ln(1+1/d)/ln 10 with integer-argument lns, 9dp floored; the emitted
+    * χ² = N·Σ(obs−exp)²/exp rides every row of the 9-digit frame.
+    *
+    * Scale shape: one partial-aggregatable digit count; the rest runs on
+    * the 9-row digit domain.
+    */
+  private val benford = QueryDef(
+    fn = (spark, dir) => {
+      val digitCounts = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") >= 0.005)
+        .select(substring(floor(col("o_totalprice") * 100 + 0.5)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val exp = floor((log(col("digit") + 1) - log(col("digit"))) / log(lit(10.0))
+        * 1e9 + 0.5) / 1e9
+      val t = digitCounts
+        .withColumn("n", sum(col("n_obs")).over(wAll))
+        .withColumn("exp_frac", exp)
+        .withColumn("obs_frac", col("n_obs").cast("double") / col("n").cast("double"))
+        .withColumn("term", f9(
+          (col("obs_frac") - col("exp_frac")) * (col("obs_frac") - col("exp_frac"))
+            / col("exp_frac")))
+      t.withColumn("chi2", r6(col("n").cast("double")
+          * sum(col("term")).over(wAll).cast("double")))
+        .select(col("digit"), col("n_obs"), r6(col("obs_frac")).as("obs_frac"),
+          r6(col("exp_frac")).as("exp_frac"), col("chi2"))
+        .orderBy("digit")
+    },
+    oracle = Some(
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 0.005),
+        |c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+        |t AS (SELECT digit, n_obs,
+        |    SUM(n_obs) OVER () AS n,
+        |    floor((ln(digit + 1) - ln(digit)) / ln(10.0) * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS exp_frac,
+        |    CAST(n_obs AS DOUBLE) / CAST(SUM(n_obs) OVER () AS DOUBLE) AS obs_frac
+        |  FROM c),
+        |u AS (SELECT digit, n_obs, n, exp_frac, obs_frac,
+        |    CAST(floor((obs_frac - exp_frac) * (obs_frac - exp_frac) / exp_frac
+        |        * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(18,9)) AS term
+        |  FROM t)
+        |SELECT digit, n_obs,
+        |  floor(obs_frac * 1000000.0 + 0.5) / 1000000.0 AS obs_frac,
+        |  floor(exp_frac * 1000000.0 + 0.5) / 1000000.0 AS exp_frac,
+        |  floor(CAST(n AS DOUBLE) * CAST(SUM(term) OVER () AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS chi2
+        |FROM u ORDER BY digit""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_ab_test" -> abTest,
     "q_cusum_changepoint" -> cusumChangepoint,
     "q_survival_km" -> survivalKm,
-    "q_key_skew" -> keySkew)
+    "q_key_skew" -> keySkew,
+    "q_psi_drift" -> psiDrift,
+    "q_mutual_info" -> mutualInfo,
+    "q_benford" -> benford)
 }

@@ -84,6 +84,38 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming approximate distinct-count per tumbling window: the
+    * [[graft.functions.KmvSketch]] bottom-k sketch as a watermarked
+    * windowed AGGREGATION. Aggregator partials merge inside streaming
+    * state exactly like batch map-side combine, so per-(window, type)
+    * state is O(k) longs no matter how many rows or distinct keys the
+    * window sees — the bounded-state alternative to streaming
+    * `approx_count_distinct` (whose HLL registers are not
+    * value-portable) and to exact distinct (whose per-window key set
+    * state is unbounded). Keys are hashed with the engine's md5-fold
+    * (same universe as the batch KMV family); with fewer than k distinct
+    * keys the sketch is exhaustive and `est_distinct` is EXACT, above k
+    * it is the (k−1)·2³²/(h_k+1) estimator — both regimes spec-driven
+    * against the batch twin.
+    */
+  def windowedDistinctKmv(
+      events: DataFrame, tsCol: String, typeCol: String, keyCol: String,
+      windowLen: String = "10 minutes", watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(typeCol),
+        graft.ops.TextAnalysis.tokenHash32(col(keyCol).cast("string")).as("h"))
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(graft.functions.KmvSketch.kmv64(col("h")).as("kmv"),
+        count(lit(1)).as("n_rows"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(typeCol), col("n_rows"),
+        size(col("kmv")).cast("long").as("k_used"),
+        when(size(col("kmv")) < 64, size(col("kmv")).cast("long"))
+          .otherwise(expr("(63 * 4294967296) div (element_at(kmv, 64) + 1)"))
+          .as("est_distinct"))
+
   case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
   case class LatestState(ts: Long, value: Double)
 

@@ -196,4 +196,124 @@ class Round10StatsSpec extends SparkSpec {
     // scores reward selective common neighbors: every score positive
     assert(got.values.forall(_._2 > 0))
   }
+
+  test("q_psi_drift matches a sequential smoothed-PSI replay and is non-negative") {
+    val got = run("q_psi_drift").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    val split = "2024-01-15"
+    val types = events.map(_._3).distinct
+    assert(got.keySet === types.toSet)
+    for (et <- types) {
+      val all = events.filter(_._3 == et)
+        .map(e => (e._2.toString, math.floor(e._4 * 1e4 + 0.5).toLong))
+      val ref = all.filter(_._1 <= split).map(_._2).sorted
+      val cur = all.filter(_._1 > split).map(_._2)
+      val n = ref.length
+      val bounds = (1 to 7).map(i => ref(math.max(1L, i.toLong * n / 8).toInt - 1))
+      def bin(u: Long) = bounds.count(b => u > b)
+      val nr = ref.groupBy(bin).map { case (b, vs) => b -> vs.length }
+      val nc = cur.groupBy(bin).map { case (b, vs) => b -> vs.length }
+      val bins = (nr.keySet ++ nc.keySet).toSeq.sorted
+      val (tr, tc) = (ref.length, cur.length)
+      val psi = bins.map { b =>
+        val (a, c) = (nr.getOrElse(b, 0) + 1.0, nc.getOrElse(b, 0) + 1.0)
+        val (p, q) = (a / (tr + 8), c / (tc + 8))
+        (p - q) * math.log(p / q)
+      }.sum
+      val (gr, gc, gpsi, gflag) = got(et)
+      assert(gr === tr.toLong && gc === tc.toLong, s"window sizes for $et")
+      assert(math.abs(gpsi - psi) < 1e-5, s"psi for $et: got $gpsi want $psi")
+      assert(gpsi >= 0.0, "PSI terms are individually non-negative")
+      assert(gflag === (gpsi > 0.1))
+    }
+  }
+
+  test("q_cluster_terms ranks c-TF-IDF exactly as a replay over the verified components") {
+    // (doc_id, comp) from the already-oracle-verified components query
+    val comps = run("q_dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multiComps = comps.groupBy(_._2).filter(_._2.size >= 2).keySet
+    val multi = comps.filter { case (_, c) => multiComps.contains(c) }
+    val docs = graft.ops.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val tf = multi.toSeq.flatMap { case (d, c) => toks(docs(d)).map(t => (c, t)) }
+      .groupBy(identity).map { case (k, o) => k -> o.size }
+    val nComp = multi.values.toSet.size
+    val cdf = tf.keys.toSeq.groupBy(_._2).map { case (t, ks) => t -> ks.size }
+    val want = tf.toSeq.map { case ((c, t), f) =>
+      val idf = math.floor((math.log(nComp + 1.0) - math.log(cdf(t).toDouble)) * 1e9 + 0.5) / 1e9
+      (c, t, f, math.rint(f * idf * 1e9) / 1e9)
+    }.groupBy(_._1).toSeq.flatMap { case (c, ts) =>
+      ts.sortBy(x => (-x._4, x._2)).take(3).zipWithIndex
+        .map { case ((_, t, f, s), i) => (c, i + 1, t, f.toLong, s) }
+    }.sortBy(x => (x._1, x._2))
+    val gotRows = run("q_cluster_terms").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(gotRows.length === want.length)
+    gotRows.zip(want).foreach { case (g, w) =>
+      assert((g._1, g._2, g._3, g._4) === ((w._1, w._2, w._3, w._4)), s"row $g vs $w")
+      assert(math.abs(g._5 - w._5) < 1e-5, s"score at ${g._1}/${g._3}")
+    }
+    assert(gotRows.nonEmpty, "fixture should surface at least one multi-doc cluster")
+  }
+
+  test("q_mutual_info matches a sequential MI/chi2/CramersV replay") {
+    val row = run("q_mutual_info").collect().head
+    val joint = graft.ops.Tables.orders(spark, dir)
+      .selectExpr("o_custkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val seg = graft.ops.Tables.customer(spark, dir)
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = joint.map { case (ck, pr) => (seg(ck), pr) }
+    val nxy = pairs.groupBy(identity).map { case (k, o) => k -> o.length }
+    val nx = pairs.groupBy(_._1).map { case (k, o) => k -> o.length }
+    val ny = pairs.groupBy(_._2).map { case (k, o) => k -> o.length }
+    val n = pairs.length.toDouble
+    val mi = nxy.map { case ((x, y), c) =>
+      c / n * math.log(c * n / (nx(x).toDouble * ny(y)))
+    }.sum
+    val chi2 = nxy.map { case ((x, y), c) =>
+      val e = nx(x).toDouble * ny(y) / n
+      (c - e) * (c - e) / e
+    }.sum
+    val v = math.sqrt(chi2 / (n * math.min(nx.size - 1, ny.size - 1)))
+    assert(row.getAs[Long]("n") === pairs.length.toLong)
+    assert(row.getAs[Long]("r_levels") === nx.size.toLong)
+    assert(row.getAs[Long]("c_levels") === ny.size.toLong)
+    assert(math.abs(row.getAs[Double]("mi") - mi) < 1e-4)
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 0.05)
+    assert(math.abs(row.getAs[Double]("cramers_v") - v) < 1e-4)
+    assert(row.getAs[Double]("mi") >= 0.0, "MI is non-negative")
+    assert(row.getAs[Double]("cramers_v") >= 0.0 && row.getAs[Double]("cramers_v") <= 1.0)
+  }
+
+  test("q_benford matches a sequential first-digit replay") {
+    val rows = run("q_benford").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val prices = graft.ops.Tables.orders(spark, dir)
+      .selectExpr("o_totalprice").collect().map(_.getDouble(0))
+      .filter(_ >= 0.005)
+    val digits = prices.map(p => math.floor(p * 100 + 0.5).toLong.toString.head.asDigit)
+    val counts = digits.groupBy(identity).map { case (d, o) => d -> o.length.toLong }
+    val nTot = digits.length
+    assert(rows.map(r => r._1 -> r._2).toMap === counts)
+    var chi2 = 0.0
+    for (d <- counts.keys.toSeq.sorted) {
+      val expF = math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e9 + 0.5) / 1e9
+      val obsF = counts(d).toDouble / nTot
+      chi2 += (obsF - expF) * (obsF - expF) / expF
+    }
+    chi2 *= nTot
+    rows.foreach { r =>
+      val expF = math.log(1.0 + 1.0 / r._1) / math.log(10.0)
+      assert(math.abs(r._4 - expF) < 1e-6, s"exp_frac digit ${r._1}")
+      assert(math.abs(r._3 - counts(r._1).toDouble / nTot) < 1e-6)
+      assert(math.abs(r._5 - chi2) < 0.01, "chi2 column")
+    }
+  }
 }

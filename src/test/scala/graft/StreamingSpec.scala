@@ -471,4 +471,50 @@ class StreamingSpec extends SparkSpec {
         "dynamic partition overwrite rewrote a bystander id's files")
     } finally q.stop()
   }
+
+  test("windowedDistinctKmv: exhaustive window is exact, saturated window estimates") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val q = StreamingOps.windowedDistinctKmv(
+        in.toDF().toDF("ts", "event_type", "user_id"), "ts", "event_type", "user_id")
+      .writeStream.format("memory").queryName("kmvwin")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // window 1: 10 distinct users (< k = 64) with repeats — exhaustive
+      val small = (1 to 30).map(i =>
+        (ts(f"2024-01-01 00:0${i % 10}:00"), "click", (i % 10).toLong))
+      // window 2: 500 distinct users (> k) — estimator regime, two batches
+      // so streaming STATE must carry partial sketches across merges
+      val big = (0 until 500).map(i =>
+        (ts(s"2024-01-01 00:1${i % 10}:00"), "view", 1000L + i))
+      in.addData(small ++ big.take(250): _*)
+      q.processAllAvailable()
+      in.addData(big.drop(250): _*)
+      q.processAllAvailable()
+      val got = spark.table("kmvwin")
+        .select("window_start", "event_type", "n_rows", "k_used", "est_distinct")
+        .as[(Timestamp, String, Long, Long, Long)].collect()
+        .groupBy(r => (r._1.toString, r._2)).map { case (k, rs) =>
+          // Update mode re-emits per batch; the last row is the final state
+          k -> rs.maxBy(_._3)
+        }
+      val (_, _, nSmall, kSmall, estSmall) = got(("2024-01-01 00:00:00.0", "click"))
+      assert(nSmall == 30L && kSmall == 10L && estSmall == 10L,
+        "sub-k window must report the exact distinct count")
+      val (_, _, nBig, kBig, estBig) = got(("2024-01-01 00:10:00.0", "view"))
+      assert(nBig == 500L && kBig == 64L)
+      assert(math.abs(estBig - 500L) <= 175L,
+        s"saturated estimate $estBig outside the 35% KMV contract around 500")
+      // streaming result == the batch twin on the same rows (state merged
+      // across two micro-batches must equal one-shot aggregation)
+      val batch = StreamingOps.windowedDistinctKmv(
+          (small ++ big).toDF("ts", "event_type", "user_id"),
+          "ts", "event_type", "user_id")
+        .select("window_start", "event_type", "est_distinct")
+        .as[(Timestamp, String, Long)].collect()
+        .map(r => (r._1.toString, r._2) -> r._3).toMap
+      assert(batch(("2024-01-01 00:00:00.0", "click")) == estSmall)
+      assert(batch(("2024-01-01 00:10:00.0", "view")) == estBig)
+    } finally q.stop()
+  }
 }
