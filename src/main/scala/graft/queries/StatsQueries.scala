@@ -626,6 +626,77 @@ object StatsQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS chi2
         |FROM u ORDER BY digit""".stripMargin))
 
+  // --- exact EWMA anomaly screen -------------------------------------------
+
+  /** EWMA (α = 1/2) anomaly screen over the daily value total per event
+    * type — the recursive smoother eₖ = (Sₖ + eₖ₋₁)/2 made EXACT and
+    * window-parallel by de-recursing: Eₖ := 2^(k−1)·eₖ satisfies
+    * Eₖ = Eₖ₋₁ + Sₖ·2^(k−2), so the whole series is ONE cumulative sum of
+    * integer terms Sₖ·2^(k−2) in DECIMAL(38,0) (α = 1/2 is chosen
+    * precisely so the weights are powers of two — no float pow, no libm).
+    * A day spikes when |Sₖ − eₖ₋₁| > eₖ₋₁/2, tested in the
+    * cross-multiplied integer form 2·|Sₖ·2^(k−2) − Eₖ₋₁| > Eₖ₋₁ — the
+    * flag cannot sit on a float boundary. The 2^(k−2) factor bounds the
+    * window: 31 days × µ$-quantized totals peaks near 10²³ ≪ 10³⁸; a
+    * year-long series would restart the exponent per window.
+    *
+    * Scale shape: one (type, day) partial-aggregatable rollup; the
+    * smoother windows over ≤31-row per-type frames.
+    */
+  private val ewmaAnomaly = QueryDef(
+    fn = (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("vq")).as("s"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("k", row_number().over(w))
+        .withColumn("term",
+          when(col("k") === 1, col("s").cast(d380))
+            .otherwise(col("s").cast(d380) *
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(k - 2 AS INT))").cast(d380)))
+        .withColumn("e_big", sum(col("term")).over(cum))
+        .withColumn("e_prev", lag(col("e_big"), 1).over(w))
+        .withColumn("ewma", col("e_big").cast("double")
+          / expr("shiftleft(CAST(1 AS BIGINT), CAST(k - 1 AS INT))").cast("double"))
+        .withColumn("spike",
+          when(col("k") === 1, lit(false))
+            .otherwise(abs(col("term") - col("e_prev")) * 2 > col("e_prev")))
+        .select(col("event_type"), col("day"),
+          r6(col("s").cast("double") / 1e6).as("day_total"),
+          r6(col("ewma") / 1e6).as("ewma"), col("spike"))
+        .orderBy("event_type", "day")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq FROM events),
+        |d AS (SELECT event_type, day, SUM(vq) AS s FROM e GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, s,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k
+        |  FROM d),
+        |t AS (SELECT event_type, day, s, k,
+        |    CASE WHEN k = 1 THEN CAST(s AS HUGEINT)
+        |         ELSE CAST(s AS HUGEINT) * (CAST(1 AS BIGINT) << (k - 2))
+        |    END AS term
+        |  FROM r),
+        |c0 AS (SELECT event_type, day, s, k, term,
+        |    SUM(term) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e_big
+        |  FROM t),
+        |c AS (SELECT event_type, day, s, k, term, e_big,
+        |    lag(e_big) OVER (PARTITION BY event_type ORDER BY day) AS e_prev
+        |  FROM c0)
+        |SELECT event_type, day,
+        |  floor(CAST(s AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS day_total,
+        |  floor(CAST(e_big AS DOUBLE) / CAST(CAST(1 AS BIGINT) << (k - 1) AS DOUBLE)
+        |    / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS ewma,
+        |  CASE WHEN k = 1 THEN FALSE
+        |       ELSE abs(term - e_prev) * 2 > e_prev END AS spike
+        |FROM c ORDER BY event_type, day""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_ab_test" -> abTest,
     "q_cusum_changepoint" -> cusumChangepoint,
@@ -633,5 +704,6 @@ object StatsQueries {
     "q_key_skew" -> keySkew,
     "q_psi_drift" -> psiDrift,
     "q_mutual_info" -> mutualInfo,
-    "q_benford" -> benford)
+    "q_benford" -> benford,
+    "q_ewma_anomaly" -> ewmaAnomaly)
 }

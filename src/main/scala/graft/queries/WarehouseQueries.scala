@@ -1803,7 +1803,130 @@ object WarehouseQueries {
         |FROM e GROUP BY event_type, wk
         |ORDER BY event_type, wk""".stripMargin))
 
+  // --- ABC / Pareto classification ------------------------------------------
+
+  /** ABC (Pareto) classification of parts by net revenue — the inventory
+    * planner's 80/95 split: rank parts by revenue, classify by cumulative
+    * share (A ≤ 80 %, B ≤ 95 %, C the tail), report each class's size and
+    * exact share. Revenue is the integer product
+    * cents(l_extendedprice) · (100 − pct(l_discount)) — no float money —
+    * and every share threshold is a cross-multiplied integer compare
+    * (`20·cum ≤ 16·tot` for 80 %), so class boundaries cannot sit on a
+    * float knife-edge in either engine.
+    *
+    * Scale shape: one partkey-keyed partial-aggregatable revenue rollup
+    * (the only data-sized stage), then a rank window over the PART DOMAIN
+    * (vocabulary-sized — the q_key_skew stance) and a 3-row class rollup.
+    */
+  private val abcClass = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val rev = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          (floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+            * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+            .as("r"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("r")).cast(d380).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      rev
+        .withColumn("cum", sum(col("rev")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("rev")).over(wAll))
+        .withColumn("cls",
+          when(col("cum") * 20 <= col("tot") * 16, "A")
+            .when(col("cum") * 20 <= col("tot") * 19, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"),
+          r6(sum(col("rev")).cast("double") / max(col("tot")).cast("double"))
+            .as("rev_share"))
+        .orderBy("cls")
+    },
+    oracle = Some(
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |r AS (SELECT l_partkey, rev,
+        |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(rev) OVER () AS tot
+        |  FROM rev),
+        |c AS (SELECT rev, tot,
+        |    CASE WHEN cum * 20 <= tot * 16 THEN 'A'
+        |         WHEN cum * 20 <= tot * 19 THEN 'B'
+        |         ELSE 'C' END AS cls
+        |  FROM r)
+        |SELECT cls, COUNT(*) AS n_parts,
+        |  floor(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS rev_share
+        |FROM c GROUP BY cls ORDER BY cls""".stripMargin))
+
+  // --- periodic-snapshot running balance ------------------------------------
+
+  /** Weekly running inventory balance per part — the periodic-snapshot
+    * fact table: returns (`l_returnflag = 'R'`) flow IN, everything else
+    * flows OUT, netted per (part, week) and cumulated per part over the
+    * week spine. Emitted for the 20 parts with the largest absolute final
+    * balance (rank over the part domain, |balance| ties to the lower
+    * partkey) so the output is bounded and fully order-deterministic.
+    * Quantities are ×100-quantized integers end-to-end.
+    *
+    * Scale shape: one (part, week) partial-aggregatable rollup; the
+    * running sum windows over per-part week spines (high-cardinality
+    * partition key, ≤ #weeks rows per frame); the top-20 rank runs on the
+    * part domain.
+    */
+  private val inventoryBalance = QueryDef(
+    fn = (spark, dir) => {
+      val weekly = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          date_trunc("week", col("l_shipdate")).cast("date").as("wk"),
+          (when(col("l_returnflag") === "R", 1L).otherwise(-1L)
+            * floor(col("l_quantity") * 100 + 0.5).cast("long")).as("q"))
+        .groupBy(col("l_partkey"), col("wk"))
+        .agg(sum(col("q")).as("net"))
+      val wp = Window.partitionBy(col("l_partkey")).orderBy(col("wk"))
+      val bal = weekly.withColumn("balance", sum(col("net")).over(
+        wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val top = bal
+        .groupBy(col("l_partkey"))
+        .agg(max_by(col("balance"), col("wk")).as("final_bal"))
+        .orderBy(abs(col("final_bal")).desc, col("l_partkey"))
+        .limit(20)
+        .select(col("l_partkey").as("pk"), col("final_bal"))
+      bal.join(top, col("l_partkey") === col("pk"))
+        .select(col("l_partkey"), col("wk"),
+          r6(col("net").cast("double") / 100.0).as("net_qty"),
+          r6(col("balance").cast("double") / 100.0).as("balance_qty"))
+        .orderBy("l_partkey", "wk")
+    },
+    oracle = Some(
+      """WITH weekly AS (
+        |  SELECT l_partkey, date_trunc('week', CAST(l_shipdate AS DATE)) AS wk,
+        |    SUM((CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END)
+        |        * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS net
+        |  FROM lineitem GROUP BY 1, 2),
+        |bal AS (SELECT l_partkey, wk, net,
+        |    SUM(net) OVER (PARTITION BY l_partkey ORDER BY wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+        |  FROM weekly),
+        |fin AS (SELECT l_partkey, arg_max(balance, wk) AS final_bal
+        |        FROM bal GROUP BY l_partkey),
+        |top AS (SELECT l_partkey FROM fin
+        |        ORDER BY abs(final_bal) DESC, l_partkey LIMIT 20)
+        |SELECT b.l_partkey, b.wk,
+        |  floor(CAST(b.net AS DOUBLE) / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS net_qty,
+        |  floor(CAST(b.balance AS DOUBLE) / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS balance_qty
+        |FROM bal b JOIN top t ON b.l_partkey = t.l_partkey
+        |ORDER BY b.l_partkey, b.wk""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_abc_class" -> abcClass,
+    "q_inventory_balance" -> inventoryBalance,
     "q_time_weighted_avg" -> timeWeightedAvg,
     "q_resample_ohlc" -> resampleOhlc,
     "q_scd2_build" -> scd2Build,

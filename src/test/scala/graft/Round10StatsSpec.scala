@@ -316,4 +316,79 @@ class Round10StatsSpec extends SparkSpec {
       assert(math.abs(r._5 - chi2) < 0.01, "chi2 column")
     }
   }
+
+  test("q_abc_class matches a sequential Pareto replay and partitions all parts") {
+    val got = run("q_abc_class").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val li = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong
+          * (100 - math.floor(r.getDouble(2) * 100 + 0.5).toLong)))
+    val rev = li.groupBy(_._1).toSeq.map { case (p, rs) => (p, rs.map(_._2).sum) }
+      .sortBy { case (p, r) => (-r, p) }
+    val tot = rev.map(_._2).sum
+    var cum = 0L
+    val cls = rev.map { case (_, r) =>
+      cum += r
+      if (cum * 20 <= tot * 16) ("A", r) else if (cum * 20 <= tot * 19) ("B", r) else ("C", r)
+    }
+    val want = cls.groupBy(_._1).map { case (c, rs) =>
+      c -> (rs.size.toLong, rs.map(_._2).sum.toDouble / tot) }
+    assert(got.keySet === want.keySet)
+    for ((c, (n, share)) <- want) {
+      assert(got(c)._1 === n, s"class $c size")
+      assert(math.abs(got(c)._2 - share) < 1e-6, s"class $c share")
+    }
+    assert(got.values.map(_._1).sum === rev.size.toLong, "classes partition the parts")
+    // class shares honor the cut points (the synthetic revenue distribution
+    // is near-uniform, so A holds ~80% of revenue across ~73% of parts —
+    // the CLASSIFICATION is what's pinned, not a power-law shape)
+    assert(got("A")._2 <= 0.80 + 1e-6 && got("A")._2 + got("B")._2 <= 0.95 + 1e-6)
+  }
+
+  test("q_inventory_balance cumulates weekly nets exactly for every emitted part") {
+    val rows = run("q_inventory_balance").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length <= 20)
+    for ((pk, prows) <- rows.groupBy(_._1)) {
+      val ordered = prows.sortBy(_._2)
+      var bal = 0.0
+      for ((_, _, net, balance) <- ordered) {
+        bal += net
+        assert(math.abs(balance - bal) < 1e-6, s"balance for part $pk")
+      }
+    }
+    // replay one part fully from the fact table
+    val pk = rows.head._1
+    val li = graft.ops.Tables.lineitem(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("l_partkey") === pk)
+      .selectExpr("CAST(date_trunc('week', l_shipdate) AS DATE) AS wk",
+        "l_returnflag", "l_quantity").collect()
+      .map(r => (r.getDate(0).toString,
+        (if (r.getString(1) == "R") 1L else -1L)
+          * math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val weekly = li.groupBy(_._1).toSeq
+      .map { case (w, rs) => (w, rs.map(_._2).sum / 100.0) }.sortBy(_._1)
+    val gotPart = rows.filter(_._1 == pk).sortBy(_._2)
+    assert(gotPart.map(r => (r._2, r._3)).toSeq === weekly)
+  }
+
+  test("q_ewma_anomaly matches the recursive smoother and flags 50% jumps") {
+    val rows = run("q_ewma_anomaly").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    for ((et, ers) <- rows.groupBy(_._1)) {
+      val ordered = ers.sortBy(_._2)
+      var e = 0.0
+      ordered.zipWithIndex.foreach { case ((_, _, s, ewma, spike), i) =>
+        val prev = e
+        e = if (i == 0) s else (s + e) / 2
+        assert(math.abs(ewma - e) < 1e-4, s"ewma at $et day $i")
+        val wantSpike = i > 0 && math.abs(s - prev) > prev / 2
+        assert(spike === wantSpike, s"spike at $et day $i")
+      }
+    }
+    assert(rows.map(_._1).distinct.length === 5)
+  }
 }
