@@ -125,6 +125,27 @@ object ExtensionQueries {
          |  CAST(len(text) AS INTEGER) AS len_chars
          |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Stopword-hit columns + argmax CASE expressions for the lang-ID
+    * oracle — first-in-list wins ties, mirroring the Spark
+    * greatest(struct) tie-break. Shared by q_text_lang_id and
+    * q_lang_confusion. Returns (hit column list, lang CASE, score CASE). */
+  private def dLangIdSql: (String, String, String) = {
+    val hits = TextAnalysis.StopwordLists.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(${dToks("text")}, t -> list_contains($arr, t))) AS INTEGER) AS h_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.StopwordLists.map(_._1)
+    val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    val scoreExpr = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $rest THEN h_$l"
+    }.mkString("CASE ", " ", s" ELSE h_${langs.last} END")
+    (hits, caseExpr, scoreExpr)
+  }
+
   private val langIdQ = QueryDef(
     fn = (spark, dir) => {
       val d = Tables.documents(spark, dir)
@@ -135,20 +156,7 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
     oracle = Some {
-      val hits = TextAnalysis.StopwordLists.map { case (lang, words) =>
-        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"CAST(len(list_filter(${dToks("text")}, t -> list_contains($arr, t))) AS INTEGER) AS h_$lang"
-      }.mkString(",\n  ")
-      val langs = TextAnalysis.StopwordLists.map(_._1)
-      // first-in-list wins ties, mirroring the Spark greatest(struct) tie-break
-      val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
-        val rest = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
-        s"WHEN $rest THEN '$l'"
-      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
-      val scoreExpr = langs.init.zipWithIndex.map { case (l, i) =>
-        val rest = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
-        s"WHEN $rest THEN h_$l"
-      }.mkString("CASE ", " ", s" ELSE h_${langs.last} END")
+      val (hits, caseExpr, scoreExpr) = dLangIdSql
       s"""WITH h AS (SELECT doc_id, lang AS lang_declared,
          |  $hits
          |FROM documents)
@@ -156,6 +164,141 @@ object ExtensionQueries {
          |  $scoreExpr AS lang_score
          |FROM h ORDER BY doc_id""".stripMargin
     })
+
+  /** Classifier evaluation of the heuristic lang-ID against the declared
+    * labels — the eval harness a curation pipeline runs before trusting a
+    * cheap classifier as a filter: per declared language, documents /
+    * true positives / predicted-as, precision, recall, F1, plus corpus
+    * accuracy. All ratios are identically-composed double divisions of
+    * exact counts (guarded CASEs for empty predicted classes), 6dp
+    * floored.
+    *
+    * Scale shape: the data-sized stage is the same scan-stage stopword
+    * argmax as q_text_lang_id followed by one partial-aggregatable
+    * (declared, predicted) count; the P/R/F1 algebra runs on the ≤ 25-cell
+    * confusion domain.
+    */
+  private val langConfusion = QueryDef(
+    fn = (spark, dir) => {
+      val lid = TextAnalysis.langId(col("text"))
+      val conf = Tables.documents(spark, dir)
+        .select(col("lang").as("decl"), lid.getField("lang_pred").as("pred"))
+        .groupBy(col("decl"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+      val wAll = w.partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      // per-lang rows come from the DECLARED domain — a language the
+      // classifier never gets right still reports (tp = 0, recall = 0)
+      val declAgg = conf.groupBy(col("decl"))
+        .agg(sum(col("n")).as("n_docs"),
+          sum(when(col("decl") === col("pred"), col("n")).otherwise(0L)).as("tp"))
+      val predAgg = conf.groupBy(col("pred")).agg(sum(col("n")).as("pred_n"))
+      val perLang = declAgg
+        .join(predAgg, col("decl") === col("pred"), "left")
+        .select(col("decl").as("lang"), col("n_docs"), col("tp"),
+          coalesce(col("pred_n"), lit(0L)).as("n_predicted"))
+        .withColumn("total", sum(col("n_docs")).over(wAll))
+        .withColumn("tp_all", sum(col("tp")).over(wAll))
+      val prec = when(col("n_predicted") > 0,
+        col("tp").cast("double") / col("n_predicted").cast("double")).otherwise(0.0)
+      val rec = when(col("n_docs") > 0,
+        col("tp").cast("double") / col("n_docs").cast("double")).otherwise(0.0)
+      val r6 = TextAnalysis.round6 _
+      perLang
+        .withColumn("p", prec).withColumn("r", rec)
+        .select(col("lang"), col("n_docs"), col("tp"), col("n_predicted"),
+          r6(col("p")).as("precision"), r6(col("r")).as("recall"),
+          r6(when(col("p") + col("r") > 0,
+            lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+            .otherwise(0.0)).as("f1"),
+          r6(col("tp_all").cast("double") / col("total").cast("double"))
+            .as("accuracy"))
+        .orderBy("lang")
+    },
+    oracle = Some {
+      val (hits, caseExpr, _) = dLangIdSql
+      s"""WITH h AS (SELECT lang AS decl,
+         |  $hits
+         |FROM documents),
+         |p0 AS (SELECT decl, $caseExpr AS pred FROM h),
+         |conf AS (SELECT decl, pred, COUNT(*) AS n FROM p0 GROUP BY 1, 2),
+         |da AS (SELECT decl, SUM(n) AS n_docs,
+         |    SUM(CASE WHEN decl = pred THEN n ELSE 0 END) AS tp
+         |  FROM conf GROUP BY decl),
+         |pa AS (SELECT pred, SUM(n) AS pred_n FROM conf GROUP BY pred),
+         |t AS (SELECT da.decl AS lang, da.n_docs, da.tp,
+         |    COALESCE(pa.pred_n, 0) AS n_predicted,
+         |    SUM(da.n_docs) OVER () AS total,
+         |    SUM(da.tp) OVER () AS tp_all
+         |  FROM da LEFT JOIN pa ON da.decl = pa.pred),
+         |pl AS (SELECT lang, n_docs, tp, n_predicted, total, tp_all,
+         |    CASE WHEN n_predicted > 0
+         |         THEN CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE)
+         |         ELSE 0.0 END AS p,
+         |    CASE WHEN n_docs > 0 THEN CAST(tp AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |         ELSE 0.0 END AS r
+         |  FROM t)
+         |SELECT lang, n_docs, tp, n_predicted,
+         |  floor(p * 1000000.0 + 0.5) / 1000000.0 AS precision,
+         |  floor(r * 1000000.0 + 0.5) / 1000000.0 AS recall,
+         |  floor((CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS f1,
+         |  floor(CAST(tp_all AS DOUBLE) / CAST(total AS DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS accuracy
+         |FROM pl ORDER BY lang""".stripMargin
+    })
+
+  /** Vocabulary coverage / OOV-rate report per source: how much of each
+    * shard a fixed top-500 corpus vocabulary covers — the tokenizer-sizing
+    * and shard-quality readout (a shard with a high OOV rate against the
+    * corpus vocabulary is topically or linguistically divergent).
+    *
+    * Scale shape: one (source, token) partial-aggregatable count is the
+    * data-sized stage; the top-500 cut is a rank over the token VOCABULARY
+    * domain (freq desc, token asc — fully deterministic), membership
+    * flags ride an equi-join on the token key (broadcastable — 500 rows),
+    * and the report is a source-domain rollup. Exact integer counts;
+    * the single ratio is one double division, 6dp floored.
+    */
+  private val vocabCoverage = QueryDef(
+    fn = (spark, dir) => {
+      val st = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      val vocab = st.groupBy(col("token")).agg(sum(col("n")).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(500)
+        .select(col("token").as("vtok"))
+      st.join(broadcast(vocab), col("token") === col("vtok"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(when(col("vtok").isNotNull, col("n")).otherwise(0L)).as("n_covered"),
+          countDistinct(col("token")).as("n_types"),
+          countDistinct(when(col("vtok").isNull, col("token"))).as("oov_types"))
+        .select(col("source"), col("n_tokens"), col("n_covered"),
+          col("n_types"), col("oov_types"),
+          TextAnalysis.round6(lit(1.0)
+            - col("n_covered").cast("double") / col("n_tokens").cast("double"))
+            .as("oov_rate"))
+        .orderBy("source")
+    },
+    oracle = Some(
+      s"""WITH st AS (SELECT source, unnest(${dToks("text")}) AS token FROM documents),
+         |c AS (SELECT source, token, COUNT(*) AS n FROM st GROUP BY 1, 2),
+         |v AS (SELECT token FROM (
+         |    SELECT token, SUM(n) AS freq FROM c GROUP BY token
+         |    ORDER BY freq DESC, token LIMIT 500)),
+         |j AS (SELECT c.source, c.token, c.n, v.token AS vtok
+         |      FROM c LEFT JOIN v ON c.token = v.token)
+         |SELECT source, SUM(n) AS n_tokens,
+         |  SUM(CASE WHEN vtok IS NOT NULL THEN n ELSE 0 END) AS n_covered,
+         |  COUNT(DISTINCT token) AS n_types,
+         |  COUNT(DISTINCT CASE WHEN vtok IS NULL THEN token END) AS oov_types,
+         |  floor((1.0 - CAST(SUM(CASE WHEN vtok IS NOT NULL THEN n ELSE 0 END) AS DOUBLE)
+         |      / CAST(SUM(n) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS oov_rate
+         |FROM j GROUP BY source ORDER BY source""".stripMargin))
 
   /** The [[TextAnalysis.qualityScore]] DuckDB twin as a two-CTE fragment
     * (`qm`, `qual(doc_id, quality)`), filterable — shared by
@@ -3481,6 +3624,8 @@ object ExtensionQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "q_cluster_terms" -> clusterTerms,
+    "q_lang_confusion" -> langConfusion,
+    "q_vocab_coverage" -> vocabCoverage,
     "q_dedup_edit1" -> dedupEdit1,
     "q_bm25_topk" -> bm25Topk,
     "q_hybrid_rrf" -> hybridRrf,

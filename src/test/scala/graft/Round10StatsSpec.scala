@@ -391,4 +391,54 @@ class Round10StatsSpec extends SparkSpec {
     }
     assert(rows.map(_._1).distinct.length === 5)
   }
+
+  test("q_lang_confusion: P/R/F1 replay from the verified per-doc predictions") {
+    val preds = run("q_text_lang_id").collect()
+      .map(r => (r.getString(1), r.getString(2))) // (declared, predicted)
+    val rows = run("q_lang_confusion").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    val langs = preds.map(_._1).distinct
+    assert(rows.keySet === langs.toSet, "one row per DECLARED language")
+    val accuracy = preds.count(p => p._1 == p._2).toDouble / preds.length
+    for (l <- langs) {
+      val (nDocs, tp, nPred, p, r, f1, acc) = rows(l)
+      val wantDocs = preds.count(_._1 == l)
+      val wantTp = preds.count(x => x._1 == l && x._2 == l)
+      val wantPred = preds.count(_._2 == l)
+      assert((nDocs, tp, nPred) === ((wantDocs.toLong, wantTp.toLong, wantPred.toLong)), s"counts for $l")
+      val wp = if (wantPred > 0) wantTp.toDouble / wantPred else 0.0
+      val wr = if (wantDocs > 0) wantTp.toDouble / wantDocs else 0.0
+      val wf = if (wp + wr > 0) 2 * wp * wr / (wp + wr) else 0.0
+      assert(math.abs(p - wp) < 1e-6 && math.abs(r - wr) < 1e-6
+        && math.abs(f1 - wf) < 1e-6, s"P/R/F1 for $l")
+      assert(math.abs(acc - accuracy) < 1e-6)
+    }
+  }
+
+  test("q_vocab_coverage: OOV replay against a driver-built top-500 vocabulary") {
+    val rows = run("q_vocab_coverage").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val docs = graft.ops.Tables.documents(spark, dir)
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), toks(r.getString(1))))
+    val freq = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, o) => t -> o.size }.toSeq
+    val vocab = freq.sortBy { case (t, f) => (-f, t) }.take(500).map(_._1).toSet
+    for ((src, srcDocs) <- docs.groupBy(_._1)) {
+      val all = srcDocs.flatMap(_._2)
+      val covered = all.count(vocab.contains)
+      val types = all.distinct
+      val (nTok, nCov, nTypes, oovTypes, oovRate) = rows(src)
+      assert(nTok === all.size.toLong && nCov === covered.toLong, s"counts for $src")
+      assert(nTypes === types.size.toLong)
+      assert(oovTypes === types.count(t => !vocab.contains(t)).toLong)
+      assert(math.abs(oovRate - (1.0 - covered.toDouble / all.size)) < 1e-6)
+    }
+    // the corpus vocabulary covers the corpus better than random: every
+    // source's OOV rate is below 1 and the global mean is meaningful
+    assert(rows.values.forall(_._5 < 1.0))
+  }
 }
