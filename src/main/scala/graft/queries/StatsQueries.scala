@@ -697,6 +697,126 @@ object StatsQueries {
         |       ELSE abs(term - e_prev) * 2 > e_prev END AS spike
         |FROM c ORDER BY event_type, day""".stripMargin))
 
+  // --- PCA top component via power iteration -------------------------------
+
+  /** Top principal component of the 64-dim embedding corpus — PCA the way
+    * a 100 TB engine does it: the DATA-sized work is ONE pass building the
+    * exact integer co-moment matrix ([[graft.functions.MomentMatrix]]:
+    * 64 coordinate sums + 2080 upper-triangle Σeᵢeⱼ products in a single
+    * map-side-combinable Aggregator buffer), and everything after runs on
+    * the 64×64 DOMAIN: the driver forms the n-scaled covariance
+    * C′ᵢⱼ = n·Mᵢⱼ − sᵢsⱼ in exact BigInt (≈10²² — past long, inside the
+    * oracle's HUGEINT), converts each entry to double ONCE (both engines
+    * round-to-nearest the same integers), and runs 24 fixed power
+    * iterations with SEQUENTIAL left-fold dot products — the same ordered
+    * arithmetic the DuckDB twin replays with list_reduce folds, so the
+    * loadings hash-match to the last ulp. Sign is canonicalized (the
+    * largest-|loading| component is made positive); the eigenvalue is
+    * reported in original units (λ′/n²/10¹²) along with the
+    * explained-variance ratio λ′/tr(C′).
+    *
+    * The driver's state is the 2144-long buffer + a 64-vector — domain-
+    * bounded (the RobustStats contract), never row-scaled.
+    */
+  private val pcaPower = QueryDef(
+    fn = (spark, dir) => {
+      val dim = 64; val iters = 24
+      val head = Tables.embeddings(spark, dir)
+        .agg(graft.functions.MomentMatrix.moments64(col("embedding")).as("m"),
+          count(lit(1)).as("n_rows"))
+        .collect().head
+      val flat = head.getSeq[Long](0).toArray
+      val n = head.getLong(1)
+      val s = flat.take(dim).map(BigInt(_))
+      val M = Array.ofDim[BigInt](dim, dim)
+      var k = dim
+      for (i <- 0 until dim; j <- i until dim) {
+        M(i)(j) = BigInt(flat(k)); M(j)(i) = M(i)(j); k += 1
+      }
+      val bn = BigInt(n)
+      val C = Array.tabulate(dim, dim)((i, j) => (bn * M(i)(j) - s(i) * s(j)).toDouble)
+      def matVec(v: Array[Double]): Array[Double] =
+        Array.tabulate(dim) { i =>
+          var a = 0.0; var j = 0
+          while (j < dim) { a += C(i)(j) * v(j); j += 1 }
+          a
+        }
+      var v = Array.fill(dim)(1.0)
+      for (_ <- 1 to iters) {
+        val w = matVec(v)
+        var nr = 0.0; w.foreach(x => nr += x * x)
+        val sq = math.sqrt(nr)
+        v = w.map(_ / sq)
+      }
+      val w = matVec(v)
+      var num = 0.0; var den = 0.0
+      for (i <- 0 until dim) { num += v(i) * w(i); den += v(i) * v(i) }
+      val lam = num / den
+      var mx = 0.0; v.foreach(x => mx = math.max(mx, math.abs(x)))
+      val idx = v.indexWhere(x => math.abs(x) == mx)
+      val sign = if (v(idx) < 0) -1.0 else 1.0
+      val trace = (0 until dim).map(i => bn * M(i)(i) - s(i) * s(i)).sum.toDouble
+      def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val eigUnit = lam / (n.toDouble * n.toDouble) / 1e12
+      import spark.implicits._
+      (1 to dim).map(i => (i, r6d(sign * v(i - 1)), r6d(eigUnit),
+          r6d(lam / trace), n))
+        .toDF("dim", "loading", "eigval", "explained_ratio", "n_rows")
+    },
+    oracle = Some {
+      def fold(terms: String) =
+        s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], $terms), (a, b) -> a + b)"
+      def mv(c: String, v: String) =
+        s"list_transform(range(1, 65), i -> ${fold(s"list_transform(range(1, 65), j -> $c[i][j] * $v[j])")})"
+      val iterCtes = (1 to 24).map { t =>
+        s"""w$t AS (SELECT c, ${mv("c", "v")} AS w FROM it${t - 1}),
+           |it$t AS (SELECT c, list_transform(w, x ->
+           |  x / sqrt(${fold("list_transform(w, y -> y * y)")})) AS v FROM w$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH em AS (SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e
+         |  FROM embeddings),
+         |n0 AS (SELECT COUNT(*) AS n FROM em),
+         |ii AS (SELECT unnest(range(1, 65)) AS i),
+         |jj AS (SELECT unnest(range(1, 65)) AS j),
+         |s AS (SELECT i, SUM(e[i]) AS s FROM em, ii GROUP BY i),
+         |m AS (SELECT i, j, SUM(e[i] * e[j]) AS m
+         |      FROM em, ii, jj WHERE j >= i GROUP BY i, j),
+         |cf AS (SELECT ii.i, jj.j,
+         |    CAST(n0.n AS HUGEINT) * m.m - CAST(sa.s AS HUGEINT) * sb.s AS cc
+         |  FROM ii CROSS JOIN jj
+         |  JOIN m ON m.i = least(ii.i, jj.j) AND m.j = greatest(ii.i, jj.j)
+         |  JOIN s sa ON sa.i = ii.i JOIN s sb ON sb.i = jj.j
+         |  CROSS JOIN n0),
+         |tr AS (SELECT SUM(cc) AS tr FROM cf WHERE i = j),
+         |crow AS (SELECT i, list(CAST(cc AS DOUBLE) ORDER BY j) AS r FROM cf GROUP BY i),
+         |cmat AS (SELECT list(r ORDER BY i) AS c FROM crow),
+         |it0 AS (SELECT c, list_transform(range(1, 65), x -> 1.0) AS v FROM cmat),
+         |$iterCtes,
+         |wf AS (SELECT c, v, ${mv("c", "v")} AS w FROM it24),
+         |lm AS (SELECT v,
+         |    ${fold("list_transform(range(1, 65), i -> v[i] * w[i])")}
+         |      / ${fold("list_transform(range(1, 65), i -> v[i] * v[i])")} AS lam
+         |  FROM wf),
+         |sg AS (SELECT v, lam,
+         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      list_transform(v, x -> abs(x))), (a, b) -> greatest(a, b)) AS mx
+         |  FROM lm),
+         |sg2 AS (SELECT v, lam,
+         |    CASE WHEN v[list_filter(range(1, 65), i -> abs(v[i]) = mx)[1]] < 0
+         |         THEN -1.0 ELSE 1.0 END AS sgn
+         |  FROM sg)
+         |SELECT CAST(i AS INTEGER) AS dim,
+         |  floor(sgn * v[i] * 1000000.0 + 0.5) / 1000000.0 AS loading,
+         |  floor(lam / (CAST(n0.n AS DOUBLE) * CAST(n0.n AS DOUBLE))
+         |    / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS eigval,
+         |  floor(lam / CAST(tr.tr AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         |    AS explained_ratio,
+         |  n0.n AS n_rows
+         |FROM sg2, (SELECT unnest(range(1, 65)) AS i) z, n0, tr
+         |ORDER BY dim""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_ab_test" -> abTest,
     "q_cusum_changepoint" -> cusumChangepoint,
@@ -705,5 +825,6 @@ object StatsQueries {
     "q_psi_drift" -> psiDrift,
     "q_mutual_info" -> mutualInfo,
     "q_benford" -> benford,
-    "q_ewma_anomaly" -> ewmaAnomaly)
+    "q_ewma_anomaly" -> ewmaAnomaly,
+    "q_pca_power" -> pcaPower)
 }

@@ -441,4 +441,60 @@ class Round10StatsSpec extends SparkSpec {
     // source's OOV rate is below 1 and the global mean is meaningful
     assert(rows.values.forall(_._5 < 1.0))
   }
+
+  test("MomentMatrix equals the brute-force quantized outer product") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(40)(Array.fill(3)((rnd.nextDouble() * 4 - 2).toFloat))
+    val got = vecs.map(v => Tuple1(v)).toDF("v").repartition(7)
+      .agg(org.apache.spark.sql.functions.udaf(
+        graft.functions.MomentMatrix(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())(
+        org.apache.spark.sql.functions.col("v")))
+      .collect().head.getSeq[Long](0).toArray
+    def q(x: Float) = math.floor(x * 1e6 + 0.5).toLong
+    val want = new Array[Long](3 + 6)
+    for (v <- vecs) {
+      val e = v.map(q)
+      for (i <- 0 until 3) want(i) += e(i)
+      var k = 3
+      for (i <- 0 until 3; j <- i until 3) { want(k) += e(i) * e(j); k += 1 }
+    }
+    assert(got.toSeq === want.toSeq)
+    assert(graft.functions.MomentMatrix.maxRowsAt1e6(2.0) > 1000000L,
+      "unit-scale embeddings leave 7 digits of row headroom")
+  }
+
+  test("q_pca_power emits a unit eigenvector with a tight eigen-residual") {
+    val rows = run("q_pca_power").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length === 64)
+    val v = rows.map(_._2)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"loadings normalized, got $norm")
+    // sign canon: the largest-|loading| component is positive
+    val mx = v.map(math.abs).max
+    assert(v(v.indexWhere(x => math.abs(x) == mx)) > 0)
+    val explained = rows.head._4
+    assert(explained > 0 && explained <= 1.0)
+    assert(rows.forall(r => r._3 == rows.head._3 && r._4 == explained))
+    // eigen-residual: rebuild covariance from raw data, check ||Cv - λv||
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+      .selectExpr("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x * 1e6 + 0.5) / 1e6).toArray)
+    val n = emb.length
+    val mean = Array.tabulate(64)(i => emb.map(_(i)).sum / n)
+    def cov(i: Int, j: Int) =
+      emb.map(e => (e(i) - mean(i)) * (e(j) - mean(j))).sum / n
+    val C = Array.tabulate(64, 64)(cov)
+    val w = Array.tabulate(64)(i => (0 until 64).map(j => C(i)(j) * v(j)).sum)
+    val lam = (0 until 64).map(i => v(i) * w(i)).sum
+    val resid = math.sqrt((0 until 64).map(i => {
+      val d = w(i) - lam * v(i); d * d
+    }).sum) / lam
+    assert(resid < 0.05, s"eigen-residual $resid too large — not an eigenvector")
+    assert(math.abs(rows.head._3 - lam) / lam < 0.01,
+      "reported eigenvalue matches the raw-data quadratic form")
+  }
 }
