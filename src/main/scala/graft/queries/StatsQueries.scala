@@ -817,6 +817,61 @@ object StatsQueries {
          |ORDER BY dim""".stripMargin
     })
 
+  // --- bitmap-segment exact distinct ---------------------------------------
+
+  /** EXACT distinct count via 63-bit bitmap segments — the roaring-bitmap
+    * idea reduced to engine primitives: for a dense integer key domain
+    * (supplier keys), each (group, key) row sets bit `key mod 63` of
+    * segment `key div 63` (63, not 64: DuckDB's checked `<<` refuses the
+    * sign bit, so segments leave it clear on both engines); `bit_or` is the combine (commutative,
+    * idempotent — map-side partials are one LONG per live segment), and
+    * the distinct count is Σ bit_count(segment). Unlike
+    * `countDistinct` (which expands and shuffles every distinct value)
+    * the shuffled state is bounded by keyspace/64 longs per group, and
+    * unlike HLL it is exact. The exact `countDistinct` is emitted
+    * alongside with a verified `match_exact` contract.
+    *
+    * Scale shape: one (group, segment) bit_or aggregation + one
+    * group-domain rollup; at 100 TB the segment frame is
+    * |groups|·|keyspace|/63 longs regardless of row count.
+    */
+  private val bitmapDistinct = QueryDef(
+    fn = (spark, dir) => {
+      val seg = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"),
+          expr("l_suppkey div 63").as("seg"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_suppkey % 63 AS INT))").as("b"))
+        .groupBy(col("l_returnflag"), col("seg"))
+        .agg(bit_or(col("b")).as("bits"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(bit_count(col("bits")).cast("long")).as("n_distinct_bitmap"),
+          count(lit(1)).as("n_segments"))
+      val exact = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_distinct_exact"))
+      seg.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_segments"),
+          col("n_distinct_bitmap"), col("n_distinct_exact"),
+          (col("n_distinct_bitmap") === col("n_distinct_exact")).as("match_exact"))
+        .orderBy("l_returnflag")
+    },
+    oracle = Some(
+      """WITH seg AS (
+        |  SELECT l_returnflag, l_suppkey // 63 AS seg,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(l_suppkey % 63 AS INTEGER)) AS bits
+        |  FROM lineitem GROUP BY 1, 2),
+        |bm AS (SELECT l_returnflag,
+        |    SUM(CAST(bit_count(bits) AS BIGINT)) AS n_distinct_bitmap,
+        |    COUNT(*) AS n_segments
+        |  FROM seg GROUP BY 1),
+        |ex AS (SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct_exact
+        |       FROM lineitem GROUP BY 1)
+        |SELECT bm.l_returnflag, bm.n_segments, bm.n_distinct_bitmap,
+        |  ex.n_distinct_exact,
+        |  bm.n_distinct_bitmap = ex.n_distinct_exact AS match_exact
+        |FROM bm JOIN ex USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_ab_test" -> abTest,
     "q_cusum_changepoint" -> cusumChangepoint,
@@ -826,5 +881,6 @@ object StatsQueries {
     "q_mutual_info" -> mutualInfo,
     "q_benford" -> benford,
     "q_ewma_anomaly" -> ewmaAnomaly,
-    "q_pca_power" -> pcaPower)
+    "q_pca_power" -> pcaPower,
+    "q_bitmap_distinct" -> bitmapDistinct)
 }

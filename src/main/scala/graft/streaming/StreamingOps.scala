@@ -116,6 +116,41 @@ object StreamingOps {
           .otherwise(expr("(63 * 4294967296) div (element_at(kmv, 64) + 1)"))
           .as("est_distinct"))
 
+  case class DailyTotal(etype: String, day: java.sql.Date, total: Double)
+  case class EwmaState(e: Double, n: Long)
+
+  /** Streaming twin of q_ewma_anomaly: the α = 1/2 exponential smoother as
+    * keyed state — one (ewma, count) pair per series, updated in day order
+    * within each micro-batch, spanning batches through GroupState. A day
+    * spikes when its total departs from the previous smoothed level by
+    * more than 50 %. State is O(1) per key (two numbers), the streaming
+    * ideal; the price versus the batch twin is float recursion instead of
+    * the de-recursed exact integer sum — the spec bounds the drift, and
+    * the ingest contract is in-order days per key across batches (the
+    * latestPerKey late-data stance: sources lagging behind their key's
+    * frontier re-seed, they do not rewrite history).
+    */
+  def ewmaAnomalyStream(daily: Dataset[DailyTotal])
+      : Dataset[(String, java.sql.Date, Double, Double, Boolean)] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_.etype)
+      .flatMapGroupsWithState[EwmaState, (String, java.sql.Date, Double, Double, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[DailyTotal], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(_.day.toString)
+          var (e, n) = state.getOption.map(s => (s.e, s.n)).getOrElse((0.0, 0L))
+          val out = sorted.map { r =>
+            val prev = e
+            n += 1
+            e = if (n == 1) r.total else (r.total + e) / 2
+            val spike = n > 1 && math.abs(r.total - prev) > prev / 2
+            (k, r.day, r.total, e, spike)
+          }
+          state.update(EwmaState(e, n))
+          out.iterator
+      }
+  }
+
   case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
   case class LatestState(ts: Long, value: Double)
 

@@ -497,4 +497,17 @@ class Round10StatsSpec extends SparkSpec {
     assert(math.abs(rows.head._3 - lam) / lam < 0.01,
       "reported eigenvalue matches the raw-data quadratic form")
   }
+
+  test("q_bitmap_distinct: segments reproduce countDistinct exactly") {
+    val rows = run("q_bitmap_distinct").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.map(_._1).toSeq.sorted === Seq("A", "N", "R"))
+    rows.foreach { case (flag, nSeg, bm, exact, ok) =>
+      assert(ok && bm === exact, s"bitmap != exact for $flag")
+      // a segment holds at most 63 keys; count can't exceed capacity
+      assert(bm <= nSeg * 63, s"capacity violated for $flag")
+      assert(bm > 0)
+    }
+  }
 }

@@ -517,4 +517,41 @@ class StreamingSpec extends SparkSpec {
       assert(batch(("2024-01-01 00:10:00.0", "view")) == estBig)
     } finally q.stop()
   }
+
+  test("ewmaAnomalyStream: state carries the smoother across batches; spikes flag 50% jumps") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamingOps.DailyTotal
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val in = MemoryStream[DailyTotal]
+    val q = StreamingOps.ewmaAnomalyStream(in.toDS())
+      .toDF("etype", "day", "total", "ewma", "spike")
+      .writeStream.format("memory").queryName("ewmastream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        DailyTotal("click", d("2024-01-01"), 100.0),
+        DailyTotal("click", d("2024-01-02"), 110.0),
+        DailyTotal("view", d("2024-01-01"), 50.0))
+      q.processAllAvailable()
+      // batch 2 continues the same series — state must carry e across
+      in.addData(
+        DailyTotal("click", d("2024-01-03"), 300.0), // jump: |300-105| > 52.5
+        DailyTotal("click", d("2024-01-04"), 210.0),
+        DailyTotal("view", d("2024-01-02"), 55.0))
+      q.processAllAvailable()
+      val got = spark.table("ewmastream")
+        .select("etype", "day", "ewma", "spike")
+        .as[(String, java.sql.Date, Double, Boolean)].collect()
+        .map(r => (r._1, r._2.toString) -> (r._3, r._4)).toMap
+      // sequential replay: e1=100, e2=105, e3=(300+105)/2=202.5, e4=206.25
+      assert(math.abs(got(("click", "2024-01-02"))._1 - 105.0) < 1e-9)
+      assert(got(("click", "2024-01-02"))._2 === false)
+      assert(math.abs(got(("click", "2024-01-03"))._1 - 202.5) < 1e-9)
+      assert(got(("click", "2024-01-03"))._2 === true, "300 vs level 105 must spike")
+      assert(math.abs(got(("click", "2024-01-04"))._1 - 206.25) < 1e-9)
+      assert(got(("click", "2024-01-04"))._2 === false, "210 vs 202.5 is within 50%")
+      assert(got(("view", "2024-01-02"))._2 === false)
+      assert(math.abs(got(("view", "2024-01-02"))._1 - 52.5) < 1e-9)
+    } finally q.stop()
+  }
 }
