@@ -1924,8 +1924,184 @@ object WarehouseQueries {
         |FROM bal b JOIN top t ON b.l_partkey = t.l_partkey
         |ORDER BY b.l_partkey, b.wk""".stripMargin))
 
+  // --- Markov removal-effect attribution ------------------------------------
+
+  /** Markov-chain (removal-effect) attribution — the data-driven
+    * alternative to q_attribution's last-touch rule: user journeys become
+    * a first-order chain over {start, click, error, signup, view} with
+    * absorbing states {conv, null} (conv = the user's first purchase),
+    * and a channel's credit is its REMOVAL EFFECT — how much the
+    * start→conv absorption probability drops when visits to that channel
+    * are redirected to null (Anderl et al. 2016; the model behind
+    * GA's data-driven attribution).
+    *
+    * Scale shape: the data-sized work is ONE user-keyed window pass
+    * (order by (ts, id), lag for consecutive pairs) and a (src, dst)
+    * count — everything after runs on the ≤ 6×6 transition DOMAIN: the
+    * driver collects the ~25 integer counts (domain-bounded, the
+    * RobustStats contract), forms probabilities as identically-composed
+    * double ratios, and runs 20 fixed absorption iterations
+    * pᵢ₊₁(s) = T[s,conv] + Σ_c T[s,c]·pᵢ(c) with the channel sum in
+    * fixed alphabetical order — the oracle replays the same iterations
+    * as generated per-channel column arithmetic, so every probability
+    * matches to the last ulp. Removing channel c = pinning pᵢ(c) = 0.
+    */
+  private val attributionMarkov = QueryDef(
+    fn = (spark, dir) => {
+      val channels = Seq("click", "error", "signup", "view")
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      // rows strictly before the user's first purchase (purchase rows keep
+      // a flag so "converted" survives the filter)
+      val flagged = ev
+        .withColumn("p_seen", sum(when(col("event_type") === "purchase", 1)
+          .otherwise(0)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val pre = flagged.filter(
+        (col("event_type") =!= "purchase" && col("p_seen") === 0)
+          || (col("event_type") === "purchase" && col("p_seen") === 1))
+      val seq2 = pre
+        .withColumn("src", coalesce(lag(col("event_type"), 1).over(w), lit("start")))
+        .withColumn("dst", when(col("event_type") === "purchase", "conv")
+          .otherwise(col("event_type")))
+        // the chain stops at conv; a trailing non-purchase row also needs
+        // its terminal edge, added below from the per-user last row
+        .select(col("user_id"), col("src"), col("dst"), col("ts_us"), col("event_id"))
+      val trans = seq2.filter(col("src") =!= "purchase")
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      val lastRow = pre
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts_us").desc, col("event_id").desc)))
+        .filter(col("rn") === 1 && col("event_type") =!= "purchase")
+        .groupBy(col("event_type").as("src")).agg(count(lit(1)).as("n"))
+        .select(col("src"), lit("null").as("dst"), col("n"))
+      val counts = trans.unionByName(lastRow)
+        .groupBy(col("src"), col("dst")).agg(sum(col("n")).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val states = "start" +: channels
+      val outBy = states.map(s => s -> counts.collect {
+        case ((`s`, _), n) => n }.sum).toMap
+      def t(s: String, d: String): Double =
+        if (outBy(s) == 0L) 0.0
+        else counts.getOrElse((s, d), 0L).toDouble / outBy(s).toDouble
+      def absorb(removed: Option[String]): Double = {
+        var p = channels.map(_ => 0.0)
+        for (_ <- 1 to 20) {
+          p = channels.map { s =>
+            if (removed.contains(s)) 0.0
+            else {
+              var a = t(s, "conv")
+              for ((c, i) <- channels.zipWithIndex)
+                a += t(s, c) * p(i)
+              a
+            }
+          }
+        }
+        var a = t("start", "conv")
+        for ((c, i) <- channels.zipWithIndex) a += t("start", c) * p(i)
+        a
+      }
+      val base = absorb(None)
+      val re = channels.map(c => c -> (base - absorb(Some(c))) / base)
+      val reSum = re.foldLeft(0.0)(_ + _._2)
+      def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      import spark.implicits._
+      re.map { case (c, e) =>
+        (c, outBy(c), r6d(base), r6d(e), r6d(e / reSum))
+      }.toDF("channel", "n_visits", "base_conv", "removal_effect", "attribution")
+        .orderBy("channel")
+    },
+    oracle = Some {
+      val channels = Seq("click", "error", "signup", "view")
+      val states = "start" +: channels
+      // scalar transition probabilities pivoted into one row
+      val tCols = (for (s <- states; d <- channels :+ "conv") yield
+        s"""CASE WHEN MAX(CASE WHEN src = '$s' THEN outn END) > 0
+           |  THEN CAST(COALESCE(MAX(CASE WHEN src = '$s' AND dst = '$d' THEN n END), 0) AS DOUBLE)
+           |       / CAST(MAX(CASE WHEN src = '$s' THEN outn END) AS DOUBLE)
+           |  ELSE 0.0 END AS t_${s}_$d""".stripMargin).mkString(",\n    ")
+      def chain(tag: String, removed: Option[String]): String = {
+        // iteration inputs are re-aliased q_* so the freshly-computed p_*
+        // select-list aliases can never shadow them (lateral alias rules)
+        def step(i: Int, from: String) = {
+          val cols = channels.map { s =>
+            if (removed.contains(s)) s"0.0 AS p_$s"
+            else {
+              val sum = channels.foldLeft(s"t_${s}_conv") { (acc, c) =>
+                s"$acc + t_${s}_$c * q_$c" }
+              s"$sum AS p_$s"
+            }
+          }.mkString(", ")
+          s"${tag}_it$i AS (SELECT tm.*, $cols FROM tm, (SELECT ${
+            channels.map(s => s"p_$s AS q_$s").mkString(", ")} FROM ${from}) pz)"
+        }
+        val its = (1 to 20).map(i =>
+          step(i, if (i == 1) s"${tag}_it0" else s"${tag}_it${i - 1}")).mkString(",\n")
+        val startSum = channels.foldLeft("t_start_conv") { (acc, c) =>
+          s"$acc + t_start_$c * q_$c" }
+        s"""${tag}_it0 AS (SELECT ${channels.map(s => s"0.0 AS p_$s").mkString(", ")}),
+           |$its,
+           |${tag}_fin AS (SELECT $startSum AS pconv FROM tm,
+           |  (SELECT ${channels.map(s => s"p_$s AS q_$s").mkString(", ")}
+           |   FROM ${tag}_it20) pz)""".stripMargin
+      }
+      val chains = (chain("base", None) +:
+        channels.map(c => chain(s"rm_$c", Some(c)))).mkString(",\n")
+      val reTerms = channels.map(c =>
+        s"SELECT '$c' AS channel, (SELECT pconv FROM base_fin) AS base, (SELECT pconv FROM rm_${c}_fin) AS removed")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+         |fl AS (SELECT user_id, ts_us, event_id, event_type,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_seen
+         |  FROM ev),
+         |pre AS (SELECT * FROM fl
+         |  WHERE (event_type <> 'purchase' AND p_seen = 0)
+         |     OR (event_type = 'purchase' AND p_seen = 1)),
+         |sq AS (SELECT user_id,
+         |    COALESCE(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+         |             'start') AS src,
+         |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS dst
+         |  FROM pre),
+         |lastr AS (SELECT event_type AS src, 'null' AS dst, COUNT(*) AS n FROM (
+         |    SELECT user_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+         |    FROM pre) z
+         |  WHERE rn = 1 AND event_type <> 'purchase' GROUP BY event_type),
+         |trans AS (SELECT src, dst, COUNT(*) AS n FROM sq WHERE src <> 'purchase' GROUP BY 1, 2),
+         |allt AS (SELECT src, dst, SUM(n) AS n FROM
+         |  (SELECT * FROM trans UNION ALL SELECT * FROM lastr) GROUP BY 1, 2),
+         |outs AS (SELECT src, SUM(n) AS outn FROM allt GROUP BY src),
+         |wide AS (SELECT a.src, a.dst, a.n, o.outn FROM allt a JOIN outs o USING (src)),
+         |tm AS (SELECT
+         |    $tCols,
+         |    MAX(CASE WHEN src = 'click' THEN outn END) AS v_click,
+         |    MAX(CASE WHEN src = 'error' THEN outn END) AS v_error,
+         |    MAX(CASE WHEN src = 'signup' THEN outn END) AS v_signup,
+         |    MAX(CASE WHEN src = 'view' THEN outn END) AS v_view
+         |  FROM wide),
+         |$chains,
+         |re AS ($reTerms),
+         |re2 AS (SELECT channel, base, (base - removed) / base AS eff FROM re),
+         |tot AS (SELECT
+         |    ((SELECT eff FROM re2 WHERE channel = 'click')
+         |     + (SELECT eff FROM re2 WHERE channel = 'error'))
+         |     + (SELECT eff FROM re2 WHERE channel = 'signup')
+         |     + (SELECT eff FROM re2 WHERE channel = 'view') AS s)
+         |SELECT r.channel,
+         |  CASE r.channel WHEN 'click' THEN tm.v_click WHEN 'error' THEN tm.v_error
+         |    WHEN 'signup' THEN tm.v_signup ELSE tm.v_view END AS n_visits,
+         |  floor(r.base * 1000000.0 + 0.5) / 1000000.0 AS base_conv,
+         |  floor(r.eff * 1000000.0 + 0.5) / 1000000.0 AS removal_effect,
+         |  floor(r.eff / tot.s * 1000000.0 + 0.5) / 1000000.0 AS attribution
+         |FROM re2 r, tot, tm ORDER BY r.channel""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_abc_class" -> abcClass,
+    "q_attribution_markov" -> attributionMarkov,
     "q_inventory_balance" -> inventoryBalance,
     "q_time_weighted_avg" -> timeWeightedAvg,
     "q_resample_ohlc" -> resampleOhlc,

@@ -498,6 +498,54 @@ class Round10StatsSpec extends SparkSpec {
       "reported eigenvalue matches the raw-data quadratic form")
   }
 
+  test("q_attribution_markov matches a sequential removal-effect replay") {
+    val rows = run("q_attribution_markov").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val channels = Seq("click", "error", "signup", "view")
+    assert(rows.keySet === channels.toSet)
+    // attribution shares sum to ~1; base conv in (0, 1]
+    val base = rows.values.head._2
+    assert(base > 0 && base <= 1.0)
+    assert(math.abs(rows.values.map(_._4).sum - 1.0) < 1e-4)
+    // full sequential replay from raw events
+    var counts = Map.empty[(String, String), Long].withDefaultValue(0L)
+    val evSorted = graft.ops.Tables.events(spark, dir)
+      .selectExpr("user_id", "ts_ns div 1000 AS ts_us", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    for ((_, es) <- evSorted.groupBy(_._1)) {
+      val ordered = es.sortBy(e => (e._2, e._3))
+      val cut = ordered.indexWhere(_._4 == "purchase")
+      val (path, converted) =
+        if (cut >= 0) (ordered.take(cut).map(_._4), true)
+        else (ordered.map(_._4), false)
+      var prev = "start"
+      for (c <- path) { counts += ((prev, c) -> (counts((prev, c)) + 1)); prev = c }
+      val terminal = if (converted) "conv" else "null"
+      counts += ((prev, terminal) -> (counts((prev, terminal)) + 1))
+    }
+    val outBy = ("start" +: channels).map(s =>
+      s -> counts.collect { case ((`s`, _), n) => n }.sum).toMap
+    def t(s: String, d: String) =
+      if (outBy(s) == 0L) 0.0 else counts((s, d)).toDouble / outBy(s)
+    def absorb(removed: Option[String]): Double = {
+      var p = channels.map(_ => 0.0)
+      for (_ <- 1 to 20)
+        p = channels.map(s => if (removed.contains(s)) 0.0
+          else channels.zipWithIndex.foldLeft(t(s, "conv")) {
+            case (a, (c, i)) => a + t(s, c) * p(i) })
+      channels.zipWithIndex.foldLeft(t("start", "conv")) {
+        case (a, (c, i)) => a + t("start", c) * p(i) }
+    }
+    val wantBase = absorb(None)
+    assert(math.abs(base - wantBase) < 1e-5, s"base $base vs $wantBase")
+    for (c <- channels) {
+      val eff = (wantBase - absorb(Some(c))) / wantBase
+      assert(math.abs(rows(c)._3 - eff) < 1e-5, s"removal effect for $c")
+      assert(rows(c)._1 === outBy(c), s"n_visits for $c")
+    }
+  }
+
   test("q_bitmap_distinct: segments reproduce countDistinct exactly") {
     val rows = run("q_bitmap_distinct").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
