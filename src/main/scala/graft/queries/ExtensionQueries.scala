@@ -3622,10 +3622,62 @@ object ExtensionQueries {
          |  floor(CAST(score AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
          |FROM r WHERE rank <= 3 ORDER BY comp, rank""".stripMargin))
 
+  /** Lexical-diversity profile per source — the corpus-card richness
+    * metrics: type-token ratio, Simpson repeat probability
+    * D = Σ n_t(n_t−1) / (N(N−1)) (the chance two random token draws
+    * match — high D = templated/repetitive shard), and the hapax
+    * fraction (share of vocabulary seen exactly once). All three are
+    * identically-composed double ratios of exact integer counts.
+    *
+    * Scale shape: one (source, token) partial-aggregatable count — the
+    * q_vocab_coverage base — then a source-domain rollup. The Σn(n−1)
+    * products run in DECIMAL(38,0) (a 100 TB shard's top token count
+    * squares past long).
+    */
+  private val lexicalDiversity = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val st = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      st.groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum((col("n").cast(d380)) * (col("n") - 1).cast(d380)).as("rep"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          TextAnalysis.round6(col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("type_token_ratio"),
+          TextAnalysis.round6(col("rep").cast("double")
+            / (col("n_tokens").cast(d380) * (col("n_tokens") - 1).cast(d380)).cast("double"))
+            .as("simpson_d"),
+          TextAnalysis.round6(col("hapax").cast("double") / col("n_types").cast("double"))
+            .as("hapax_frac"))
+        .orderBy("source")
+    },
+    oracle = Some(
+      s"""WITH st AS (SELECT source, unnest(${dToks("text")}) AS token FROM documents),
+         |c AS (SELECT source, token, COUNT(*) AS n FROM st GROUP BY 1, 2),
+         |g AS (SELECT source, SUM(n) AS n_tokens, COUNT(*) AS n_types,
+         |    SUM(CAST(n AS HUGEINT) * (n - 1)) AS rep,
+         |    SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax
+         |  FROM c GROUP BY source)
+         |SELECT source, n_tokens, n_types,
+         |  floor(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS type_token_ratio,
+         |  floor(CAST(rep AS DOUBLE)
+         |    / CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS simpson_d,
+         |  floor(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS hapax_frac
+         |FROM g ORDER BY source""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_cluster_terms" -> clusterTerms,
     "q_lang_confusion" -> langConfusion,
     "q_vocab_coverage" -> vocabCoverage,
+    "q_lexical_diversity" -> lexicalDiversity,
     "q_dedup_edit1" -> dedupEdit1,
     "q_bm25_topk" -> bm25Topk,
     "q_hybrid_rrf" -> hybridRrf,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.ops.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over relational edge lists — the family next
@@ -434,10 +435,71 @@ object GraphQueries {
         |  floor(CAST(aa AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS aa_score
         |FROM scored ORDER BY aa DESC, u, v LIMIT 50""".stripMargin))
 
+  /** Degree assortativity of the co-supply graph (Newman 2002): the
+    * Pearson correlation of endpoint degrees over the symmetric directed
+    * edge list — do high-degree suppliers co-supply with each other
+    * (r > 0, hub clustering) or with the periphery (r < 0, hub-and-spoke)?
+    * Fourth consumer of the memoized [[cosupplyEdges]] build.
+    *
+    * Scale shape: degrees are the node-domain aggregation; attaching
+    * them to edge ends is two broadcast joins; the five sufficient sums
+    * (Σx, Σxy, Σx², plus y-side mirrors) are one edge-frame aggregation
+    * of exact longs; the Pearson cross-products m·Σxy − Σx·Σy run in
+    * DECIMAL(38,0) (they top long past ~10⁴ nodes, and the oracle's
+    * HUGEINT never wraps) — the q_corr_matrix discipline with a
+    * 2-variable special case. One final double composition, 6dp floored.
+    */
+  private val assortativity = QueryDef(
+    fn = (spark, dir) => {
+      val e0 = cosupplyEdges(spark, dir)
+      val deg = e0.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val xy = e0
+        .join(broadcast(deg.select(col("u").as("du"), col("d").as("x"))),
+          col("u") === col("du"))
+        .join(broadcast(deg.select(col("u").as("dv"), col("d").as("y"))),
+          col("v") === col("dv"))
+        .select(col("x"), col("y"))
+      val g = xy.agg(
+        count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      // DECIMAL(38,0) products: m·Σxy tops long past n ≈ 10⁴ nodes, and
+      // the oracle's HUGEINT side never wraps — neither may this one
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def dd(c: Column) = c.cast(d380)
+      val num = (dd(col("m")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))).cast("double")
+      val denx = (dd(col("m")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))).cast("double")
+      val deny = (dd(col("m")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))).cast("double")
+      g.select(col("m").as("n_directed_edges"),
+        (floor(num / sqrt(denx * deny) * 1e6 + 0.5) / 1e6).as("assortativity"))
+    },
+    oracle = Some(
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |pairs AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS w
+        |          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM pairs),
+        |keep AS (SELECT sa, sb FROM pairs, tot WHERE w * ne * 10 > tw * 11),
+        |e0 AS (SELECT sa AS u, sb AS v FROM keep
+        |       UNION ALL SELECT sb, sa FROM keep),
+        |deg AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+        |xy AS (SELECT dx.d AS x, dy.d AS y
+        |       FROM e0 JOIN deg dx ON e0.u = dx.u JOIN deg dy ON e0.v = dy.u),
+        |g AS (SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM xy)
+        |SELECT m AS n_directed_edges,
+        |  floor(CAST(m * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+        |FROM g""".stripMargin))
+
   def defs: Map[String, QueryDef] = Map(
     "q_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
     "q_graph_kcore" -> kcore,
     "q_graph_degrees" -> degrees,
-    "q_link_prediction" -> linkPrediction)
+    "q_link_prediction" -> linkPrediction,
+    "q_graph_assortativity" -> assortativity)
 }

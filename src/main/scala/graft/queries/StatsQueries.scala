@@ -872,7 +872,137 @@ object StatsQueries {
         |FROM bm JOIN ex USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin))
 
+  // --- forecast backtest ----------------------------------------------------
+
+  /** Forecast backtest of the two standard baselines every real forecast
+    * must beat — naive (tomorrow = today) and seasonal-naive (tomorrow =
+    * same weekday last week) — over the daily value totals per event
+    * type: MAE in dollars and sMAPE, the scale-free accuracy pair. Exact
+    * arithmetic: totals are µ$-quantized longs, each sMAPE term
+    * 2|a−f|/(a+f) is a ratio of integers 9dp floor-rounded into
+    * DECIMAL(18,9), and MAE divides an exact integer error sum once.
+    *
+    * Scale shape: one (type, day) rollup; the lag frames and averages run
+    * on the ≤31-row per-type daily domain.
+    */
+  private val forecastEval = QueryDef(
+    fn = (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("vq")).as("s"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      def eval(method: String, lagN: Int) = daily
+        .withColumn("f", lag(col("s"), lagN).over(w))
+        .filter(col("f").isNotNull)
+        .withColumn("ae", abs(col("s") - col("f")))
+        .withColumn("sm", f9(lit(2.0) * col("ae").cast("double")
+          / (col("s") + col("f")).cast("double")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          r6(sum(col("ae")).cast("double") / count(lit(1)).cast("double") / 1e6)
+            .as("mae"),
+          r6(sum(col("sm")).cast("double") / count(lit(1)).cast("double"))
+            .as("smape"))
+        .select(col("event_type"), lit(method).as("method"),
+          col("n_days"), col("mae"), col("smape"))
+      eval("naive", 1).unionByName(eval("seasonal_naive", 7))
+        .orderBy("event_type", "method")
+    },
+    oracle = Some {
+      def side(method: String, lagN: Int) =
+        s"""SELECT event_type, '$method' AS method, COUNT(*) AS n_days,
+           |  floor(CAST(SUM(ae) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+           |    * 1000000.0 + 0.5) / 1000000.0 AS mae,
+           |  floor(CAST(SUM(sm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    * 1000000.0 + 0.5) / 1000000.0 AS smape
+           |FROM (
+           |  SELECT event_type, abs(s - f) AS ae,
+           |    CAST(floor(2.0 * CAST(abs(s - f) AS DOUBLE) / CAST(s + f AS DOUBLE)
+           |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(18,9)) AS sm
+           |  FROM (
+           |    SELECT event_type, s,
+           |      lag(s, $lagN) OVER (PARTITION BY event_type ORDER BY day) AS f
+           |    FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+           |        SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS s
+           |      FROM events GROUP BY 1, 2))
+           |  WHERE f IS NOT NULL)
+           |GROUP BY event_type""".stripMargin
+      s"""${side("naive", 1)}
+         |UNION ALL
+         |${side("seasonal_naive", 7)}
+         |ORDER BY event_type, method""".stripMargin
+    })
+
+  // --- A/B power analysis ---------------------------------------------------
+
+  /** Power analysis companion to q_ab_test: from the observed conversion
+    * rates, the required per-arm sample size for 80 % power at α = 0.05
+    * (two-sided), n = (z_{0.975}+z_{0.80})²·(p₁q₁+p₂q₂)/(p₁−p₂)², and
+    * whether the experiment as run is already powered. The z constants
+    * ride as shared 6dp literals; everything else is identically-composed
+    * double arithmetic over exact integer counts (one user-keyed combine
+    * + one global conditional aggregation — the q_ab_test shape).
+    */
+  private val powerAnalysis = QueryDef(
+    fn = (spark, dir) => {
+      val isP = col("event_type") === "purchase"
+      val perUser = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(when(isP && col("value") >= 150, 1).otherwise(0)).as("conv"))
+        .withColumn("variant", TextAnalysis.hashBucket(col("user_id"), 2))
+      def side(v: Int, c: Column) = sum(when(col("variant") === v, c))
+      val g = perUser.agg(
+        side(0, lit(1L)).as("n_a"), side(1, lit(1L)).as("n_b"),
+        side(0, col("conv")).as("conv_a"), side(1, col("conv")).as("conv_b"))
+      val p1 = col("conv_a").cast("double") / col("n_a").cast("double")
+      val p2 = col("conv_b").cast("double") / col("n_b").cast("double")
+      val zsum = lit(1.959964) + lit(0.841621)
+      val nReq = ceil(zsum * zsum
+        * (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+        / ((p1 - p2) * (p1 - p2))).cast("long")
+      g.select(
+        col("n_a"), col("n_b"),
+        r6(p1).as("rate_a"), r6(p2).as("rate_b"),
+        r6(abs(p1 - p2)).as("observed_diff"),
+        nReq.as("n_required_per_arm"),
+        (least(col("n_a"), col("n_b")) >= nReq).as("powered"))
+    },
+    oracle = Some {
+      val h = ExtensionQueries.dHash32("CAST(user_id AS VARCHAR)")
+      """WITH pu AS (
+        |  SELECT user_id, HVAR % 2 AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT
+        |    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+        |    SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+        |    SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+        |  FROM pu),
+        |f AS (SELECT n_a, n_b,
+        |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+        |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2
+        |  FROM g),
+        |r AS (SELECT n_a, n_b, p1, p2,
+        |    CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621)
+        |      * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        |      / ((p1 - p2) * (p1 - p2))) AS BIGINT) AS n_req
+        |  FROM f)
+        |SELECT n_a, n_b,
+        |  floor(p1 * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+        |  floor(p2 * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+        |  floor(abs(p1 - p2) * 1000000.0 + 0.5) / 1000000.0 AS observed_diff,
+        |  n_req AS n_required_per_arm,
+        |  least(n_a, n_b) >= n_req AS powered
+        |FROM r""".stripMargin.replace("HVAR", h)
+    })
+
   val defs: Map[String, QueryDef] = Map(
+    "q_forecast_eval" -> forecastEval,
+    "q_power_analysis" -> powerAnalysis,
     "q_ab_test" -> abTest,
     "q_cusum_changepoint" -> cusumChangepoint,
     "q_survival_km" -> survivalKm,

@@ -498,6 +498,89 @@ class Round10StatsSpec extends SparkSpec {
       "reported eigenvalue matches the raw-data quadratic form")
   }
 
+  test("q_forecast_eval: naive and seasonal-naive baselines replay exactly") {
+    val got = run("q_forecast_eval").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val types = events.map(_._3).distinct
+    for (et <- types; (method, lagN) <- Seq("naive" -> 1, "seasonal_naive" -> 7)) {
+      val daily = events.filter(_._3 == et)
+        .groupBy(_._2.toString).map { case (d, es) => (d, es.map(_._4).sum) }
+        .toSeq.sortBy(_._1).map(_._2)
+      val pairs = daily.drop(lagN).zip(daily.dropRight(lagN))
+      val mae = pairs.map { case (a, f) => math.abs(a - f) }.sum / pairs.length
+      val smape = pairs.map { case (a, f) => 2 * math.abs(a - f) / (a + f) }.sum / pairs.length
+      val (n, gm, gs) = got((et, method))
+      assert(n === pairs.length.toLong, s"$et/$method n_days")
+      assert(math.abs(gm - mae) < 0.01, s"$et/$method mae")
+      assert(math.abs(gs - smape) < 1e-4, s"$et/$method smape")
+    }
+    // seasonal-naive should beat naive on a weekly-seasonal series OR at
+    // least both be finite and positive
+    assert(got.values.forall(v => v._2 > 0 && v._3 > 0 && v._3 < 2.0))
+  }
+
+  test("q_power_analysis: required n follows the two-proportion formula") {
+    val row = run("q_power_analysis").collect().head
+    val (nA, nB) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"))
+    val (ra, rb) = (row.getAs[Double]("rate_a"), row.getAs[Double]("rate_b"))
+    val zsum = 1.959964 + 0.841621
+    val want = math.ceil(zsum * zsum * (ra * (1 - ra) + rb * (1 - rb))
+      / ((ra - rb) * (ra - rb)))
+    val gotN = row.getAs[Long]("n_required_per_arm")
+    // rates are 6dp-rounded in the output; allow the formula wiggle
+    assert(math.abs(gotN - want) / want < 0.01, s"n_req $gotN vs $want")
+    assert(row.getAs[Boolean]("powered") === (math.min(nA, nB) >= gotN))
+  }
+
+  test("q_graph_assortativity is the Pearson of endpoint degrees (sf0.01 graph)") {
+    val dir = "/root/testdata/sf0.01"
+    val row = SparkEntry.queries("q_graph_assortativity")(spark, dir).collect().head
+    // rebuild edges exactly as the link-prediction replay does
+    val ps = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = ps.groupBy(_._1).values.flatMap { g =>
+      val ss = g.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
+    }.toSeq.groupBy(identity).map { case (p, o) => (p, o.size.toLong) }.toSeq
+    val tw = pairs.map(_._2).sum; val ne = pairs.size
+    val keep = pairs.collect { case ((a, b), w) if w * ne * 10 > tw * 11 => (a, b) }
+    val edges = keep ++ keep.map(_.swap)
+    val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size }
+    val xy = edges.map { case (u, v) => (deg(u).toDouble, deg(v).toDouble) }
+    val m = xy.size
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val r = (m * sxy - sx * sy) / math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert(row.getAs[Long]("n_directed_edges") === m.toLong)
+    assert(math.abs(row.getAs[Double]("assortativity") - r) < 1e-5)
+    assert(math.abs(row.getAs[Double]("assortativity")) <= 1.0)
+  }
+
+  test("q_lexical_diversity: TTR/Simpson/hapax replay per source") {
+    val got = run("q_lexical_diversity").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val docs = graft.ops.Tables.documents(spark, dir)
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), toks(r.getString(1))))
+    for ((src, ds) <- docs.groupBy(_._1)) {
+      val all = ds.flatMap(_._2)
+      val counts = all.groupBy(identity).map(_._2.size)
+      val nTok = all.size.toLong; val nTyp = counts.size.toLong
+      val rep = counts.map(n => n.toLong * (n - 1)).sum.toDouble
+      val (gt, gy, ttr, simp, hap) = got(src)
+      assert(gt === nTok && gy === nTyp, s"counts for $src")
+      assert(math.abs(ttr - nTyp.toDouble / nTok) < 1e-6)
+      assert(math.abs(simp - rep / (nTok.toDouble * (nTok - 1))) < 1e-6)
+      assert(math.abs(hap - counts.count(_ == 1).toDouble / nTyp) < 1e-6)
+    }
+  }
+
   test("q_attribution_markov matches a sequential removal-effect replay") {
     val rows = run("q_attribution_markov").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
