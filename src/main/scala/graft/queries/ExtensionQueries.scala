@@ -3673,8 +3673,102 @@ object ExtensionQueries {
          |    * 1000000.0 + 0.5) / 1000000.0 AS hapax_frac
          |FROM g ORDER BY source""".stripMargin))
 
+  /** LSH calibration report: for every verified near-dup pair, how many
+    * of the 16 MinHash coordinates agree vs the pair's TRUE Jaccard —
+    * the empirical check of the estimator identity E[agree/k] = J that
+    * justifies the banding parameters. Pairs ride the memoized chain;
+    * signatures are recomputed scan-stage (cheap — rolling shingle
+    * hashes) and compared with one zip_with. Output is the ≤17-row
+    * agreement domain with pair counts and the mean/min/max true Jaccard
+    * per agreement level (means summed in DECIMAL(12,6) — the jaccard
+    * values are already 6dp-floored, so the cast is exact and the sum
+    * order-free).
+    */
+  private val lshCalibration = QueryDef(
+    fn = (spark, dir) => {
+      val d126 = org.apache.spark.sql.types.DecimalType(12, 6)
+      val pairs = minhashPairs(spark, dir)
+      val sigs = dedupDocs(spark, dir)
+        .select(col("doc_id"),
+          Dedup.minhashSignature(TextAnalysis.tokenSet(col("text")), 16).as("sig"))
+      pairs
+        .join(sigs.select(col("doc_id").as("ia"), col("sig").as("sa")),
+          col("id_a") === col("ia"))
+        .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sb")),
+          col("id_b") === col("ib"))
+        .withColumn("agree",
+          expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))"))
+        .groupBy(col("agree"))
+        .agg(count(lit(1)).as("n_pairs"),
+          TextAnalysis.round6(sum(col("jaccard").cast(d126)).cast("double")
+            / count(lit(1)).cast("double")).as("mean_jaccard"),
+          min(col("jaccard")).as("min_jaccard"),
+          max(col("jaccard")).as("max_jaccard"))
+        .orderBy("agree")
+    },
+    oracle = Some(
+      s"""WITH $minhashOracle,
+         |agx AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS agree
+         |        FROM mh a JOIN mh b ON a.i = b.i AND a.v = b.v AND a.id < b.id
+         |        GROUP BY 1, 2),
+         |p AS (SELECT jac.id_a, jac.id_b, jac.jaccard,
+         |        COALESCE(agx.agree, 0) AS agree
+         |      FROM jac LEFT JOIN agx USING (id_a, id_b)
+         |      WHERE jac.jaccard >= 0.5)
+         |SELECT agree, COUNT(*) AS n_pairs,
+         |  floor(CAST(SUM(CAST(jaccard AS DECIMAL(12,6))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_jaccard,
+         |  MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+         |FROM p GROUP BY agree ORDER BY agree""".stripMargin))
+
+  /** Dedup ROI report: bytes the near-dup survivor policy would reclaim,
+    * per source — the business-case readout on top of the memoized pair
+    * graph (seventh consumer): a doc is a dupe when it is not its
+    * component's keep-first survivor (comp ≠ doc_id, the
+    * q_dedup_components policy). Pure integer byte sums + one ratio.
+    */
+  private val dedupSavings = QueryDef(
+    fn = (spark, dir) => {
+      val comps = minhashComps(spark, dir)
+      dedupDocs(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("dupe", coalesce(col("comp"), col("doc_id")) =!= col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dupe"), 1L).otherwise(0L)).as("n_dupes"),
+          sum(col("n_chars")).as("bytes_total"),
+          sum(when(col("dupe"), col("n_chars")).otherwise(0L)).as("bytes_dupe"))
+        .withColumn("savings_pct", TextAnalysis.round6(
+          col("bytes_dupe").cast("double") / col("bytes_total").cast("double")))
+        .orderBy("source")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE $minhashOracle,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |d AS (SELECT doc_id, source, n_chars,
+         |        COALESCE(c.comp, doc_id) <> doc_id AS dupe
+         |      FROM documents LEFT JOIN comp c ON documents.doc_id = c.id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  SUM(CASE WHEN dupe THEN 1 ELSE 0 END) AS n_dupes,
+         |  SUM(n_chars) AS bytes_total,
+         |  SUM(CASE WHEN dupe THEN n_chars ELSE 0 END) AS bytes_dupe,
+         |  floor(CAST(SUM(CASE WHEN dupe THEN n_chars ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(n_chars) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS savings_pct
+         |FROM d GROUP BY source ORDER BY source""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_cluster_terms" -> clusterTerms,
+    "q_lsh_calibration" -> lshCalibration,
+    "q_dedup_savings" -> dedupSavings,
     "q_lang_confusion" -> langConfusion,
     "q_vocab_coverage" -> vocabCoverage,
     "q_lexical_diversity" -> lexicalDiversity,

@@ -1000,7 +1000,72 @@ object StatsQueries {
         |FROM r""".stripMargin.replace("HVAR", h)
     })
 
+  // --- rolling correlation -------------------------------------------------
+
+  /** 14-day rolling Pearson correlation between the purchase and click
+    * daily totals — the metric-pair comovement monitor (decoupling of two
+    * KPIs that normally track is an incident signal). All five window
+    * sufficient sums run in DECIMAL(38,0) over µ$-quantized longs (a
+    * daily-total product tops long — 10²⁶ at sf0.1), the Pearson
+    * cross-products stay decimal, and one double composition per day is
+    * 6dp floored. Windows are ROWS frames over the ≤31-row day domain;
+    * the data-sized stage is the single (day) conditional rollup.
+    */
+  private val rollingCorr = QueryDef(
+    fn = (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+        .groupBy(col("day"))
+        .agg(coalesce(sum(when(col("event_type") === "purchase", col("vq"))), lit(0L)).as("x"),
+          coalesce(sum(when(col("event_type") === "click", col("vq"))), lit(0L)).as("y"))
+      val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+      def dd(c: Column) = c.cast(d380)
+      val t = daily
+        .withColumn("m", count(lit(1)).over(w))
+        .withColumn("sx", sum(dd(col("x"))).over(w))
+        .withColumn("sy", sum(dd(col("y"))).over(w))
+        .withColumn("sxy", sum(dd(col("x")) * dd(col("y"))).over(w))
+        .withColumn("sxx", sum(dd(col("x")) * dd(col("x"))).over(w))
+        .withColumn("syy", sum(dd(col("y")) * dd(col("y"))).over(w))
+        .filter(col("m") === 14)
+      val num = (dd(col("m")) * col("sxy") - col("sx") * col("sy")).cast("double")
+      val dx = (dd(col("m")) * col("sxx") - col("sx") * col("sx")).cast("double")
+      val dy = (dd(col("m")) * col("syy") - col("sy") * col("sy")).cast("double")
+      t.select(col("day"),
+        r6(col("x").cast("double") / 1e6).as("purchase_total"),
+        r6(col("y").cast("double") / 1e6).as("click_total"),
+        r6(num / sqrt(dx * dy)).as("corr_14d"))
+        .orderBy("day")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq FROM events),
+        |d AS (SELECT day,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN vq END), 0) AS x,
+        |    COALESCE(SUM(CASE WHEN event_type = 'click' THEN vq END), 0) AS y
+        |  FROM e GROUP BY day),
+        |t AS (SELECT day, x, y,
+        |    COUNT(*) OVER wf AS m,
+        |    SUM(CAST(x AS HUGEINT)) OVER wf AS sx,
+        |    SUM(CAST(y AS HUGEINT)) OVER wf AS sy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) OVER wf AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER wf AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER wf AS syy
+        |  FROM d WINDOW wf AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT day, x, y,
+        |    CAST(m * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(m * sxx - sx * sx AS DOUBLE) AS dx,
+        |    CAST(m * syy - sy * sy AS DOUBLE) AS dy
+        |  FROM t WHERE m = 14)
+        |SELECT day,
+        |  floor(CAST(x AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS purchase_total,
+        |  floor(CAST(y AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS click_total,
+        |  floor(num / sqrt(dx * dy) * 1000000.0 + 0.5) / 1000000.0 AS corr_14d
+        |FROM f ORDER BY day""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_rolling_corr" -> rollingCorr,
     "q_forecast_eval" -> forecastEval,
     "q_power_analysis" -> powerAnalysis,
     "q_ab_test" -> abTest,

@@ -498,6 +498,65 @@ class Round10StatsSpec extends SparkSpec {
       "reported eigenvalue matches the raw-data quadratic form")
   }
 
+  test("q_rolling_corr matches a sequential windowed Pearson replay") {
+    val rows = run("q_rolling_corr").collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val daily = events.groupBy(_._2.toString).toSeq.sortBy(_._1).map { case (_, es) =>
+      (es.filter(_._3 == "purchase").map(_._4).sum,
+        es.filter(_._3 == "click").map(_._4).sum)
+    }
+    assert(rows.length === daily.length - 13)
+    for ((got, idx) <- rows.zipWithIndex) {
+      val wnd = daily.slice(idx, idx + 14)
+      val (xs, ys) = (wnd.map(_._1), wnd.map(_._2))
+      val m = 14.0
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val syy = ys.map(b => b * b).sum
+      val r = (m * sxy - sx * sy) / math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+      assert(math.abs(got._4 - r) < 1e-4, s"corr at ${got._1}")
+      assert(math.abs(got._4) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_lsh_calibration: agreement tracks true Jaccard; banding floor holds") {
+    val rows = run("q_lsh_calibration").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // every candidate pair shares a FULL band of 4 coords — agreement >= 4
+    assert(rows.head._1 >= 4, s"band guarantee violated: agree=${rows.head._1}")
+    assert(rows.forall(r => r._1 <= 16 && r._2 > 0 && r._4 <= r._3 && r._3 <= r._5))
+    // estimator direction: top-agreement pairs have higher mean Jaccard
+    // than bottom-agreement pairs
+    if (rows.length >= 2)
+      assert(rows.last._3 >= rows.head._3, "agreement should track Jaccard")
+    // pair counts reconcile with the verified pair set
+    val nPairs = run("q_dedup_minhash_pairs").count()
+    assert(rows.map(_._2).sum === nPairs)
+  }
+
+  test("q_dedup_savings reconciles with the components' survivor policy") {
+    val comps = run("q_dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap // doc_id -> survivor
+    val docs = graft.ops.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = run("q_dedup_savings").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    for ((src, ds) <- docs.groupBy(_._2)) {
+      val dupes = ds.filter(d => !comps.getOrElse(d._1, true))
+      val (nd, ndup, bt, bd, pct) = got(src)
+      assert(nd === ds.length.toLong && ndup === dupes.length.toLong, s"counts for $src")
+      assert(bt === ds.map(_._3).sum && bd === dupes.map(_._3).sum, s"bytes for $src")
+      assert(math.abs(pct - bd.toDouble / bt) < 1e-6)
+    }
+    assert(got.values.exists(_._2 > 0), "corpus should contain some dupes")
+  }
+
   test("q_forecast_eval: naive and seasonal-naive baselines replay exactly") {
     val got = run("q_forecast_eval").collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3),
