@@ -1064,7 +1064,94 @@ object StatsQueries {
         |  floor(num / sqrt(dx * dy) * 1000000.0 + 0.5) / 1000000.0 AS corr_14d
         |FROM f ORDER BY day""".stripMargin))
 
+  // --- new vs returning users ----------------------------------------------
+
+  /** Daily new-vs-returning active-user split — the product-analytics
+    * staple: a user is NEW on their first-seen day, RETURNING on any
+    * later active day. Exact integer counts: one (day, user) distinct,
+    * one per-user min, two day-domain rollups.
+    */
+  private val newVsReturning = QueryDef(
+    fn = (spark, dir) => {
+      val du = Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val firstDay = du.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+      val newc = firstDay.groupBy(col("f").as("day")).agg(count(lit(1)).as("n_new"))
+      du.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+        .join(newc, Seq("day"), "left")
+        .select(col("day"), col("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          (col("n_active") - coalesce(col("n_new"), lit(0L))).as("n_returning"),
+          r6(coalesce(col("n_new"), lit(0L)).cast("double")
+            / col("n_active").cast("double")).as("pct_new"))
+        .orderBy("day")
+    },
+    oracle = Some(
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |fd AS (SELECT user_id, MIN(day) AS f FROM du GROUP BY user_id),
+        |nc AS (SELECT f AS day, COUNT(*) AS n_new FROM fd GROUP BY f),
+        |au AS (SELECT day, COUNT(*) AS n_active FROM du GROUP BY day)
+        |SELECT au.day, au.n_active,
+        |  COALESCE(nc.n_new, 0) AS n_new,
+        |  au.n_active - COALESCE(nc.n_new, 0) AS n_returning,
+        |  floor(CAST(COALESCE(nc.n_new, 0) AS DOUBLE) / CAST(au.n_active AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS pct_new
+        |FROM au LEFT JOIN nc USING (day) ORDER BY au.day""".stripMargin))
+
+  // --- day-of-week seasonality ---------------------------------------------
+
+  /** Multiplicative day-of-week seasonal index per event type: the mean
+    * daily total of each weekday over the overall mean daily total —
+    * the decomposition step before any deseasonalized trend or anomaly
+    * logic. Weekdays use the Monday-0 convention (`weekday()` /
+    * DuckDB `isodow − 1` — identical integers). The index is a ratio of
+    * two exact-decimal means composed identically and 6dp floored.
+    */
+  private val seasonalityDow = QueryDef(
+    fn = (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("vq")).cast(d380).as("s"))
+        .withColumn("dow", weekday(col("day")))
+      val w = Window.partitionBy(col("event_type"))
+      daily
+        .withColumn("tot", sum(col("s")).over(w))
+        .withColumn("nd", count(lit(1)).over(w))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("s")).as("sd"), max(col("tot")).as("tot"), max(col("nd")).as("nd"))
+        .select(col("event_type"), col("dow"), col("n_days"),
+          r6(col("sd").cast("double") / col("n_days").cast("double") / 1e6)
+            .as("avg_total"),
+          r6((col("sd").cast("double") / col("n_days").cast("double"))
+            / (col("tot").cast("double") / col("nd").cast("double")))
+            .as("seasonal_idx"))
+        .orderBy("event_type", "dow")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq FROM events),
+        |d AS (SELECT event_type, day, SUM(vq) AS s FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, s, isodow(day) - 1 AS dow,
+        |    SUM(s) OVER (PARTITION BY event_type) AS tot,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM d),
+        |g AS (SELECT event_type, dow, COUNT(*) AS n_days, SUM(s) AS sd,
+        |    MAX(tot) AS tot, MAX(nd) AS nd
+        |  FROM t GROUP BY 1, 2)
+        |SELECT event_type, dow, n_days,
+        |  floor(CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE) / 1000000.0
+        |    * 1000000.0 + 0.5) / 1000000.0 AS avg_total,
+        |  floor((CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |      / (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS seasonal_idx
+        |FROM g ORDER BY event_type, dow""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_new_vs_returning" -> newVsReturning,
+    "q_seasonality_dow" -> seasonalityDow,
     "q_rolling_corr" -> rollingCorr,
     "q_forecast_eval" -> forecastEval,
     "q_power_analysis" -> powerAnalysis,

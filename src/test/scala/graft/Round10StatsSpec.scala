@@ -498,6 +498,50 @@ class Round10StatsSpec extends SparkSpec {
       "reported eigenvalue matches the raw-data quadratic form")
   }
 
+  test("q_new_vs_returning: first-seen split replay; actives reconcile") {
+    val rows = run("q_new_vs_returning").collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val du = events.map(e => (e._2.toString, e._1)).distinct
+    val firstDay = du.groupBy(_._2).map { case (u, ds) => u -> ds.map(_._1).min }
+    for ((day, dayUsers) <- du.groupBy(_._1)) {
+      val active = dayUsers.map(_._2).distinct
+      val nNew = active.count(u => firstDay(u) == day)
+      val (ga, gn, gr, pct) = rows(day)
+      assert(ga === active.length.toLong && gn === nNew.toLong, s"counts for $day")
+      assert(gr === (active.length - nNew).toLong)
+      assert(math.abs(pct - nNew.toDouble / active.length) < 1e-6)
+    }
+    // day one: everyone is new
+    val d0 = rows.keys.min
+    assert(rows(d0)._3 === 0L && rows(d0)._4 === 1.0)
+  }
+
+  test("q_seasonality_dow: indexes replay and average to ~1 weighted by days") {
+    val rows = run("q_seasonality_dow").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    for (et <- events.map(_._3).distinct) {
+      val daily = events.filter(_._3 == et)
+        .groupBy(_._2.toString).map { case (d, es) => (d, es.map(_._4).sum) }.toSeq
+      val overall = daily.map(_._2).sum / daily.size
+      val byDow = daily.groupBy { case (d, _) =>
+        java.time.LocalDate.parse(d).getDayOfWeek.getValue - 1 } // Monday = 0
+      for ((dow, ds) <- byDow) {
+        val avg = ds.map(_._2).sum / ds.size
+        val (nDays, gAvg, gIdx) = rows((et, dow))
+        assert(nDays === ds.size.toLong, s"$et dow $dow n_days")
+        assert(math.abs(gAvg - avg) < 0.01, s"$et dow $dow avg")
+        assert(math.abs(gIdx - avg / overall) < 1e-4, s"$et dow $dow idx")
+      }
+      // day-weighted mean of the indexes is 1 by construction
+      val wn = byDow.values.map(_.size).sum
+      val weighted = byDow.map { case (dow, ds) =>
+        rows((et, dow))._3 * ds.size }.sum / wn
+      assert(math.abs(weighted - 1.0) < 1e-3, s"$et weighted index mean $weighted")
+    }
+  }
+
   test("q_rolling_corr matches a sequential windowed Pearson replay") {
     val rows = run("q_rolling_corr").collect()
       .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2), r.getDouble(3)))
