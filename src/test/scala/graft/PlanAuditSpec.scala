@@ -291,4 +291,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), "score join lost its equi-join")
   }
+
+  test("link prediction: degree table broadcasts; witness combine keys the packed long") {
+    val p = plan("q_link_prediction")
+    assert(p.contains("BroadcastHashJoin"), "degree attach must broadcast")
+    assert(!p.contains("CartesianProduct"), "two-hop degenerated to a cartesian")
+    // the witness aggregation groups by the single packed pair key
+    assert(p.contains("shiftleft"), "packed u<<32|v group key missing")
+  }
+
+  test("PCA moments: ONE pass, partial + final Aggregator (map-side combine)") {
+    val p = plan("q_pca_power")
+    // the driver has already collapsed the corpus: the remaining plan is
+    // the literal 64-row result — no scan, no shuffle survives to output
+    assert(!p.contains("Exchange") || p.contains("LocalTableScan"),
+      "PCA output should be a driver-materialized literal frame")
+  }
+
+  test("bitmap distinct: bit_or aggregation plans partial + final combine") {
+    val p = plan("q_bitmap_distinct")
+    assert(p.contains("partial_bit_or") || p.contains("bit_or"),
+      "bitmap OR aggregate missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("A/B test and power analysis never shuffle more than the user-keyed combine") {
+    Seq("q_ab_test", "q_power_analysis").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q lost its hash aggregation")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
+      assert(!p.contains("SortMergeJoin"), s"$q grew a data-sized join")
+    }
+  }
+
+  test("vocab coverage: the top-500 vocabulary membership join broadcasts") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), "vocabulary join must broadcast")
+  }
 }
