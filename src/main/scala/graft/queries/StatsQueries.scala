@@ -718,48 +718,72 @@ object StatsQueries {
     * The driver's state is the 2144-long buffer + a 64-vector — domain-
     * bounded (the RobustStats contract), never row-scaled.
     */
+  /** Shared PCA plumbing: the one-pass MomentMatrix collect and the exact
+    * n-scaled covariance C′ᵢⱼ = n·Mᵢⱼ − sᵢsⱼ as driver doubles (each
+    * BigInt entry converted once), plus trace(C′) and n. Used by
+    * q_pca_power and q_pca_top2 — identical integers, identical folds. */
+  private def pcaBase(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Array[Double]], Double, Long) = {
+    val dim = 64
+    val head = Tables.embeddings(spark, dir)
+      .agg(graft.functions.MomentMatrix.moments64(col("embedding")).as("m"),
+        count(lit(1)).as("n_rows"))
+      .collect().head
+    val flat = head.getSeq[Long](0).toArray
+    val n = head.getLong(1)
+    val s = flat.take(dim).map(BigInt(_))
+    val M = Array.ofDim[BigInt](dim, dim)
+    var k = dim
+    for (i <- 0 until dim; j <- i until dim) {
+      M(i)(j) = BigInt(flat(k)); M(j)(i) = M(i)(j); k += 1
+    }
+    val bn = BigInt(n)
+    val C = Array.tabulate(dim, dim)((i, j) => (bn * M(i)(j) - s(i) * s(j)).toDouble)
+    val trace = (0 until dim).map(i => bn * M(i)(i) - s(i) * s(i)).sum.toDouble
+    (C, trace, n)
+  }
+
+  /** 24 power iterations with sequential left-fold dot products (the
+    * DuckDB list_reduce order) from the all-ones start; returns the
+    * normalized vector and its Rayleigh eigenvalue. */
+  private def pcaIterate(C: Array[Array[Double]]): (Array[Double], Double) = {
+    val dim = C.length
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var a = 0.0; var j = 0
+        while (j < dim) { a += C(i)(j) * v(j); j += 1 }
+        a
+      }
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to 24) {
+      val w = matVec(v)
+      var nr = 0.0; w.foreach(x => nr += x * x)
+      val sq = math.sqrt(nr)
+      v = w.map(_ / sq)
+    }
+    val w = matVec(v)
+    var num = 0.0; var den = 0.0
+    for (i <- 0 until dim) { num += v(i) * w(i); den += v(i) * v(i) }
+    (v, num / den)
+  }
+
+  /** Sign canon: +1 unless the largest-|component| (first on ties) is
+    * negative. */
+  private def pcaSign(v: Array[Double]): Double = {
+    var mx = 0.0; v.foreach(x => mx = math.max(mx, math.abs(x)))
+    if (v(v.indexWhere(x => math.abs(x) == mx)) < 0) -1.0 else 1.0
+  }
+
+  private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
   private val pcaPower = QueryDef(
     fn = (spark, dir) => {
-      val dim = 64; val iters = 24
-      val head = Tables.embeddings(spark, dir)
-        .agg(graft.functions.MomentMatrix.moments64(col("embedding")).as("m"),
-          count(lit(1)).as("n_rows"))
-        .collect().head
-      val flat = head.getSeq[Long](0).toArray
-      val n = head.getLong(1)
-      val s = flat.take(dim).map(BigInt(_))
-      val M = Array.ofDim[BigInt](dim, dim)
-      var k = dim
-      for (i <- 0 until dim; j <- i until dim) {
-        M(i)(j) = BigInt(flat(k)); M(j)(i) = M(i)(j); k += 1
-      }
-      val bn = BigInt(n)
-      val C = Array.tabulate(dim, dim)((i, j) => (bn * M(i)(j) - s(i) * s(j)).toDouble)
-      def matVec(v: Array[Double]): Array[Double] =
-        Array.tabulate(dim) { i =>
-          var a = 0.0; var j = 0
-          while (j < dim) { a += C(i)(j) * v(j); j += 1 }
-          a
-        }
-      var v = Array.fill(dim)(1.0)
-      for (_ <- 1 to iters) {
-        val w = matVec(v)
-        var nr = 0.0; w.foreach(x => nr += x * x)
-        val sq = math.sqrt(nr)
-        v = w.map(_ / sq)
-      }
-      val w = matVec(v)
-      var num = 0.0; var den = 0.0
-      for (i <- 0 until dim) { num += v(i) * w(i); den += v(i) * v(i) }
-      val lam = num / den
-      var mx = 0.0; v.foreach(x => mx = math.max(mx, math.abs(x)))
-      val idx = v.indexWhere(x => math.abs(x) == mx)
-      val sign = if (v(idx) < 0) -1.0 else 1.0
-      val trace = (0 until dim).map(i => bn * M(i)(i) - s(i) * s(i)).sum.toDouble
-      def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val (cMat, trace, n) = pcaBase(spark, dir)
+      val (v, lam) = pcaIterate(cMat)
+      val sign = pcaSign(v)
       val eigUnit = lam / (n.toDouble * n.toDouble) / 1e12
       import spark.implicits._
-      (1 to dim).map(i => (i, r6d(sign * v(i - 1)), r6d(eigUnit),
+      (1 to 64).map(i => (i, r6d(sign * v(i - 1)), r6d(eigUnit),
           r6d(lam / trace), n))
         .toDF("dim", "loading", "eigval", "explained_ratio", "n_rows")
     },
@@ -1149,7 +1173,104 @@ object StatsQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS seasonal_idx
         |FROM g ORDER BY event_type, dow""".stripMargin))
 
+  // --- top-2 PCA via deflation ---------------------------------------------
+
+  /** Top TWO principal components via Hotelling deflation: after the
+    * q_pca_power iteration converges to (λ₁, v₁), the driver deflates
+    * C₂ = C′ − λ₁v₁v₁ᵀ (sign-invariant — ±v₁ give the same outer
+    * product, so the RAW iterate deflates before sign canon) and runs the
+    * same 24 sequential-fold iterations on C₂ — the textbook
+    * dimensionality-reduction step, still ONE data pass total (both
+    * components come from the same MomentMatrix collect). The oracle
+    * replays BOTH chains — 48 iterations plus the deflation as nested
+    * list arithmetic — and matches every loading at 6dp.
+    */
+  private val pcaTop2 = QueryDef(
+    fn = (spark, dir) => {
+      val (cMat, trace, n) = pcaBase(spark, dir)
+      val (v1, lam1) = pcaIterate(cMat)
+      val c2 = Array.tabulate(64, 64)((i, j) => cMat(i)(j) - lam1 * v1(i) * v1(j))
+      val (v2, lam2) = pcaIterate(c2)
+      def rows(comp: Int, v: Array[Double], lam: Double) = {
+        val sg = pcaSign(v)
+        (1 to 64).map(i => (comp, i, r6d(sg * v(i - 1)),
+          r6d(lam / (n.toDouble * n.toDouble) / 1e12), r6d(lam / trace), n))
+      }
+      import spark.implicits._
+      (rows(1, v1, lam1) ++ rows(2, v2, lam2))
+        .toDF("component", "dim", "loading", "eigval", "explained_ratio", "n_rows")
+    },
+    oracle = Some {
+      def fold(terms: String) =
+        s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], $terms), (a, b) -> a + b)"
+      def mv(c: String, v: String) =
+        s"list_transform(range(1, 65), i -> ${fold(s"list_transform(range(1, 65), j -> $c[i][j] * $v[j])")})"
+      def iters(tag: String) = (1 to 24).map { t =>
+        s"""${tag}w$t AS (SELECT c, ${mv("c", "v")} AS w FROM ${tag}it${t - 1}),
+           |${tag}it$t AS (SELECT c, list_transform(w, x ->
+           |  x / sqrt(${fold("list_transform(w, y -> y * y)")})) AS v FROM ${tag}w$t)""".stripMargin
+      }.mkString(",\n")
+      def lamCte(tag: String) =
+        s"""${tag}wf AS (SELECT c, v, ${mv("c", "v")} AS w FROM ${tag}it24),
+           |${tag}lm AS (SELECT c, v,
+           |    ${fold("list_transform(range(1, 65), i -> v[i] * w[i])")}
+           |      / ${fold("list_transform(range(1, 65), i -> v[i] * v[i])")} AS lam
+           |  FROM ${tag}wf)""".stripMargin
+      def sgCte(tag: String) =
+        s"""${tag}mx AS (SELECT v, lam,
+           |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+           |      list_transform(v, x -> abs(x))), (a, b) -> greatest(a, b)) AS mx
+           |  FROM ${tag}lm),
+           |${tag}sg AS (SELECT v, lam,
+           |    CASE WHEN v[list_filter(range(1, 65), i -> abs(v[i]) = mx)[1]] < 0
+           |         THEN -1.0 ELSE 1.0 END AS sgn
+           |  FROM ${tag}mx)""".stripMargin
+      def outBranch(tag: String, comp: Int) =
+        s"""SELECT $comp AS component, CAST(i AS INTEGER) AS dim,
+           |  floor(sgn * v[i] * 1000000.0 + 0.5) / 1000000.0 AS loading,
+           |  floor(lam / (CAST(n0.n AS DOUBLE) * CAST(n0.n AS DOUBLE))
+           |    / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS eigval,
+           |  floor(lam / CAST(tr.tr AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+           |    AS explained_ratio,
+           |  n0.n AS n_rows
+           |FROM ${tag}sg, (SELECT unnest(range(1, 65)) AS i) z$tag, n0, tr""".stripMargin
+      s"""WITH em AS (SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e
+         |  FROM embeddings),
+         |n0 AS (SELECT COUNT(*) AS n FROM em),
+         |ii AS (SELECT unnest(range(1, 65)) AS i),
+         |jj AS (SELECT unnest(range(1, 65)) AS j),
+         |s AS (SELECT i, SUM(e[i]) AS s FROM em, ii GROUP BY i),
+         |m AS (SELECT i, j, SUM(e[i] * e[j]) AS m
+         |      FROM em, ii, jj WHERE j >= i GROUP BY i, j),
+         |cf AS (SELECT ii.i, jj.j,
+         |    CAST(n0.n AS HUGEINT) * m.m - CAST(sa.s AS HUGEINT) * sb.s AS cc
+         |  FROM ii CROSS JOIN jj
+         |  JOIN m ON m.i = least(ii.i, jj.j) AND m.j = greatest(ii.i, jj.j)
+         |  JOIN s sa ON sa.i = ii.i JOIN s sb ON sb.i = jj.j
+         |  CROSS JOIN n0),
+         |tr AS (SELECT SUM(cc) AS tr FROM cf WHERE i = j),
+         |crow AS (SELECT i, list(CAST(cc AS DOUBLE) ORDER BY j) AS r FROM cf GROUP BY i),
+         |cmat AS (SELECT list(r ORDER BY i) AS c FROM crow),
+         |ait0 AS (SELECT c, list_transform(range(1, 65), x -> 1.0) AS v FROM cmat),
+         |${iters("a")},
+         |${lamCte("a")},
+         |${sgCte("a")},
+         |cm2 AS (SELECT list_transform(range(1, 65), i ->
+         |    list_transform(range(1, 65), j -> c[i][j] - lam * v[i] * v[j])) AS c
+         |  FROM alm),
+         |bit0 AS (SELECT c, list_transform(range(1, 65), x -> 1.0) AS v FROM cm2),
+         |${iters("b")},
+         |${lamCte("b")},
+         |${sgCte("b")}
+         |${outBranch("a", 1)}
+         |UNION ALL
+         |${outBranch("b", 2)}
+         |ORDER BY component, dim""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
+    "q_pca_top2" -> pcaTop2,
     "q_new_vs_returning" -> newVsReturning,
     "q_seasonality_dow" -> seasonalityDow,
     "q_rolling_corr" -> rollingCorr,

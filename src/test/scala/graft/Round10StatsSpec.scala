@@ -732,6 +732,32 @@ class Round10StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_pca_top2: orthogonal unit components with ordered eigenvalues") {
+    val rows = run("q_pca_top2").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val v1 = rows.filter(_._1 == 1).sortBy(_._2).map(_._3)
+    val v2 = rows.filter(_._1 == 2).sortBy(_._2).map(_._3)
+    assert(v1.length === 64 && v2.length === 64)
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm(v1) - 1) < 1e-3 && math.abs(norm(v2) - 1) < 1e-3)
+    // deflation makes the second iterate orthogonal to the first — up to
+    // the convergence of v1 itself: the synthetic corpus' near-isotropic
+    // spectrum (λ₂/λ₁ ≈ 0.96) leaves a small residual after 24 fixed
+    // iterations (measured ~0.04 at sf0.001; exactness of the VALUES is
+    // the oracle's job, this pins the geometry)
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.08, s"components not orthogonal: <v1,v2> = $dot")
+    val lam1 = rows.find(_._1 == 1).get._4
+    val lam2 = rows.find(_._1 == 2).get._4
+    assert(lam1 >= lam2 && lam2 > 0, s"spectrum out of order: $lam1 < $lam2")
+    val (e1, e2) = (rows.find(_._1 == 1).get._5, rows.find(_._1 == 2).get._5)
+    assert(e1 >= e2 && e1 + e2 < 1.0)
+    // component 1 agrees with q_pca_power (same chain, same folds)
+    val p1 = run("q_pca_power").collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2)
+    assert(v1.toSeq === p1.toSeq, "q_pca_top2 component 1 must equal q_pca_power")
+  }
+
   test("q_bitmap_distinct: segments reproduce countDistinct exactly") {
     val rows = run("q_bitmap_distinct").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
