@@ -3765,8 +3765,60 @@ object ExtensionQueries {
          |    / CAST(SUM(n_chars) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS savings_pct
          |FROM d GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Near-dup cluster-size histogram — the dedup family's shape report:
+    * how many clusters of each size the corpus contains (size-1 row =
+    * the singletons, derived as total − pair-graph members). Template
+    * corpora show a heavy tail here; a power-law blowup in this table is
+    * the early warning for the hot-bucket cap. Tenth consumer of the
+    * memoized chain; domain-sized everywhere after it.
+    */
+  private val dedupClusterSizes = QueryDef(
+    fn = (spark, dir) => {
+      val comps = minhashComps(spark, dir)
+      val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      val hist = sizes.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs_in"))
+      val totals = dedupDocs(spark, dir).agg(count(lit(1)).as("n_total"))
+        .crossJoin(broadcast(comps.agg(count(lit(1)).as("n_members"))))
+      val singletons = totals.select(
+        lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_members")).as("n_clusters"),
+        (col("n_total") - col("n_members")).as("n_docs_in"))
+      hist.unionByName(singletons)
+        .groupBy(col("cluster_size"))
+        .agg(sum(col("n_clusters")).as("n_clusters"),
+          sum(col("n_docs_in")).as("n_docs_in"))
+        .orderBy("cluster_size")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE $minhashOracle,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |sizes AS (SELECT comp, COUNT(*) AS sz FROM comp GROUP BY comp),
+         |hist AS (SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+         |           SUM(sz) AS n_docs_in FROM sizes GROUP BY sz),
+         |tot AS (SELECT (SELECT COUNT(*) FROM documents)
+         |          - (SELECT COUNT(*) FROM comp) AS singles)
+         |SELECT cluster_size, SUM(n_clusters) AS n_clusters,
+         |  SUM(n_docs_in) AS n_docs_in
+         |FROM (
+         |  SELECT * FROM hist
+         |  UNION ALL
+         |  SELECT 1 AS cluster_size, singles AS n_clusters, singles AS n_docs_in
+         |  FROM tot)
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_cluster_terms" -> clusterTerms,
+    "q_dedup_cluster_sizes" -> dedupClusterSizes,
     "q_lsh_calibration" -> lshCalibration,
     "q_dedup_savings" -> dedupSavings,
     "q_lang_confusion" -> langConfusion,

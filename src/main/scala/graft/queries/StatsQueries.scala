@@ -1269,8 +1269,107 @@ object StatsQueries {
          |ORDER BY component, dim""".stripMargin
     })
 
+  // --- PCA projection (2D embedding coordinates) ---------------------------
+
+  /** Project every embedding onto the top-2 principal components — the
+    * feature-engineering / visualization-coordinates step that completes
+    * the PCA pipeline (moments → components → projected features). The
+    * components come from the same shared chain as q_pca_top2; the
+    * sign-canonical FULL-precision loadings ride into the scan as a
+    * 64-double literal array, and each coordinate is one sequential
+    * zip_with/aggregate fold over the ×1e6-quantized vector — identical
+    * to the oracle's ordered list folds against its own replayed chain.
+    * Scale shape: after the one-pass moment collect, the projection is a
+    * pure scan-stage expression — no joins, no shuffles, 100 TB-safe.
+    */
+  private val pcaProject = QueryDef(
+    fn = (spark, dir) => {
+      val (cMat, _, _) = pcaBase(spark, dir)
+      val (v1r, lam1) = pcaIterate(cMat)
+      val c2 = Array.tabulate(64, 64)((i, j) => cMat(i)(j) - lam1 * v1r(i) * v1r(j))
+      val (v2r, _) = pcaIterate(c2)
+      val (s1, s2) = (pcaSign(v1r), pcaSign(v2r))
+      val l1 = typedLit(v1r.map(_ * s1).toSeq)
+      val l2 = typedLit(v2r.map(_ * s2).toSeq)
+      def proj(l: Column) = aggregate(
+        zip_with(
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6 + 0.5) / 1e6),
+          l, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          r6(proj(l1)).as("pc1"), r6(proj(l2)).as("pc2"))
+        .orderBy("vec_id")
+    },
+    oracle = Some {
+      def fold(terms: String) =
+        s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], $terms), (a, b) -> a + b)"
+      def mv(c: String, v: String) =
+        s"list_transform(range(1, 65), i -> ${fold(s"list_transform(range(1, 65), j -> $c[i][j] * $v[j])")})"
+      def iters(tag: String) = (1 to 24).map { t =>
+        s"""${tag}w$t AS (SELECT c, ${mv("c", "v")} AS w FROM ${tag}it${t - 1}),
+           |${tag}it$t AS (SELECT c, list_transform(w, x ->
+           |  x / sqrt(${fold("list_transform(w, y -> y * y)")})) AS v FROM ${tag}w$t)""".stripMargin
+      }.mkString(",\n")
+      def lamCte(tag: String) =
+        s"""${tag}wf AS (SELECT c, v, ${mv("c", "v")} AS w FROM ${tag}it24),
+           |${tag}lm AS (SELECT c, v,
+           |    ${fold("list_transform(range(1, 65), i -> v[i] * w[i])")}
+           |      / ${fold("list_transform(range(1, 65), i -> v[i] * v[i])")} AS lam
+           |  FROM ${tag}wf)""".stripMargin
+      def sgCte(tag: String) =
+        s"""${tag}mx AS (SELECT v, lam,
+           |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+           |      list_transform(v, x -> abs(x))), (a, b) -> greatest(a, b)) AS mx
+           |  FROM ${tag}lm),
+           |${tag}sg AS (SELECT
+           |    list_transform(v, x -> x *
+           |      CASE WHEN v[list_filter(range(1, 65), i -> abs(v[i]) = mx)[1]] < 0
+           |           THEN -1.0 ELSE 1.0 END) AS l
+           |  FROM ${tag}mx)""".stripMargin
+      s"""WITH em AS (SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e
+         |  FROM embeddings),
+         |em2 AS (SELECT vec_id, label, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS e
+         |  FROM embeddings),
+         |n0 AS (SELECT COUNT(*) AS n FROM em),
+         |ii AS (SELECT unnest(range(1, 65)) AS i),
+         |jj AS (SELECT unnest(range(1, 65)) AS j),
+         |s AS (SELECT i, SUM(e[i]) AS s FROM em, ii GROUP BY i),
+         |m AS (SELECT i, j, SUM(e[i] * e[j]) AS m
+         |      FROM em, ii, jj WHERE j >= i GROUP BY i, j),
+         |cf AS (SELECT ii.i, jj.j,
+         |    CAST(n0.n AS HUGEINT) * m.m - CAST(sa.s AS HUGEINT) * sb.s AS cc
+         |  FROM ii CROSS JOIN jj
+         |  JOIN m ON m.i = least(ii.i, jj.j) AND m.j = greatest(ii.i, jj.j)
+         |  JOIN s sa ON sa.i = ii.i JOIN s sb ON sb.i = jj.j
+         |  CROSS JOIN n0),
+         |crow AS (SELECT i, list(CAST(cc AS DOUBLE) ORDER BY j) AS r FROM cf GROUP BY i),
+         |cmat AS (SELECT list(r ORDER BY i) AS c FROM crow),
+         |ait0 AS (SELECT c, list_transform(range(1, 65), x -> 1.0) AS v FROM cmat),
+         |${iters("a")},
+         |${lamCte("a")},
+         |${sgCte("a")},
+         |cm2 AS (SELECT list_transform(range(1, 65), i ->
+         |    list_transform(range(1, 65), j -> c[i][j] - lam * v[i] * v[j])) AS c
+         |  FROM alm),
+         |bit0 AS (SELECT c, list_transform(range(1, 65), x -> 1.0) AS v FROM cm2),
+         |${iters("b")},
+         |${lamCte("b")},
+         |${sgCte("b")}
+         |SELECT em2.vec_id, em2.label,
+         |  floor(${fold("list_transform(range(1, 65), i -> (CAST(e[i] AS DOUBLE) / 1000000.0) * asg.l[i])")}
+         |    * 1000000.0 + 0.5) / 1000000.0 AS pc1,
+         |  floor(${fold("list_transform(range(1, 65), i -> (CAST(e[i] AS DOUBLE) / 1000000.0) * bsg.l[i])")}
+         |    * 1000000.0 + 0.5) / 1000000.0 AS pc2
+         |FROM em2, asg, bsg ORDER BY vec_id""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_pca_top2" -> pcaTop2,
+    "q_emb_pca_project" -> pcaProject,
     "q_new_vs_returning" -> newVsReturning,
     "q_seasonality_dow" -> seasonalityDow,
     "q_rolling_corr" -> rollingCorr,

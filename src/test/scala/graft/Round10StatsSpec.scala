@@ -758,6 +758,48 @@ class Round10StatsSpec extends SparkSpec {
     assert(v1.toSeq === p1.toSeq, "q_pca_top2 component 1 must equal q_pca_power")
   }
 
+  test("q_dedup_cluster_sizes: histogram reconciles with components and totals") {
+    val comps = run("q_dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nDocs = graft.ops.Tables.documents(spark, dir).count()
+    val hist = run("q_dedup_cluster_sizes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // q_dedup_components emits ALL docs (singletons as their own comp)
+    val sizes = comps.groupBy(_._2).map(_._2.size)
+    val want = sizes.groupBy(identity).map { case (s, o) =>
+      s.toLong -> (o.size.toLong, (s * o.size).toLong) }
+    assert(hist === want)
+    assert(hist.values.map(_._2).sum === nDocs, "every doc lands in exactly one bucket")
+    assert(hist.keys.max >= 2, "corpus should have at least one multi-doc cluster")
+  }
+
+  test("q_emb_pca_project: coordinates are the dot products; pc1 spreads wider") {
+    val rows = run("q_emb_pca_project").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    val loadings = run("q_pca_top2").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val l1 = loadings.filter(_._1 == 1).sortBy(_._2).map(_._3)
+    val l2 = loadings.filter(_._1 == 2).sortBy(_._2).map(_._3)
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x * 1e6 + 0.5) / 1e6).toArray).toMap
+    rows.take(50).foreach { case (id, pc1, pc2) =>
+      val e = emb(id)
+      val d1 = e.zip(l1).map { case (a, b) => a * b }.sum
+      val d2 = e.zip(l2).map { case (a, b) => a * b }.sum
+      // loadings from q_pca_top2 are 6dp-rounded; |e|≈1 keeps the slack tiny
+      assert(math.abs(pc1 - d1) < 1e-3, s"pc1 for vec $id")
+      assert(math.abs(pc2 - d2) < 1e-3, s"pc2 for vec $id")
+    }
+    def variance(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    assert(variance(rows.map(_._2)) >= variance(rows.map(_._3)) * 0.95,
+      "component 1 must capture at least as much variance as component 2")
+  }
+
   test("q_bitmap_distinct: segments reproduce countDistinct exactly") {
     val rows = run("q_bitmap_distinct").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
