@@ -379,6 +379,40 @@ object Similarity {
       .select("query_id", "label_q", "neighbor_id", "label_n", "cos", "rank")
   }
 
+  /** k-NN label-noise screen (the confident-learning-lite data-quality
+    * pass): each point's label is compared to the MAJORITY label among
+    * its k nearest in-cell cosine neighbors (ties on votes to the
+    * smaller label, on cosine to the smaller neighbor id — fully
+    * deterministic); disagreement flags the point as suspect. Candidates
+    * are confined to the point's IVF cell (the SemDeDup cost argument:
+    * Σ|cell|² pairs, never corpus²). Returns one row per screened point:
+    * (vec_id, own label, majority label, suspect flag).
+    */
+  def labelNoiseScreen(corpus: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = corpus.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(cellCol).as("cell"), col(labelCol).as("label_q"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"),
+      col(cellCol).as("cell"), col(labelCol).as("label_n"))
+    val topk = c.join(q, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+    topk.groupBy(col("qid"), col("label_q"), col("label_n"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("votes").desc, col("label_n").asc)))
+      .filter(col("r") === 1)
+      .select(col("qid"), col("label_q"),
+        col("label_n").as("majority_label"),
+        (col("label_q") =!= col("label_n")).as("suspect"))
+  }
+
   /** Embedding-cosine near-duplicate pairs on a pre-sampled input:
     * all (id_a < id_b) pairs with cosine >= minCosine. The quadratic form is
     * the oracle twin; at scale route through `lshTopK`-style bucketing.

@@ -1525,6 +1525,66 @@ object ExtensionQueries {
          |  CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
+  /** k-NN label-noise screen (Northcutt-style confident-learning lite):
+    * per label, how many points DISAGREE with the majority label of
+    * their 5 nearest in-cell cosine neighbors — the data-quality pass a
+    * labeled-corpus pipeline runs before training. Candidates are
+    * confined to the memoized trained IVF cells (the SemDeDup cost
+    * argument: Σ|cell|² cosines, never corpus²; the synthetic labels are
+    * near-random so the absolute rates here exercise the machinery, not
+    * a claim about this corpus). Majority and ranking ties are fully
+    * deterministic (votes desc → label asc; cos desc → id asc), and the
+    * 6dp-rounded cosines make both engines rank identical numbers.
+    */
+  private val labelNoise = QueryDef(
+    fn = (spark, dir) => {
+      val emb = trainedIvfCells(spark, dir, 0)
+      val cells = trainedIvfCells(spark, dir, 2)
+      val corpus = cells
+        .select(col("vec_id"), col("embedding"), col("label").as("cell"))
+        .join(emb.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+      val screened = Similarity.labelNoiseScreen(
+        corpus, "vec_id", "embedding", "cell", "true_label", k = 5)
+      val totals = corpus.groupBy(col("true_label").as("label"))
+        .agg(count(lit(1)).as("n_points"))
+      val sus = screened.groupBy(col("label_q").as("label"))
+        .agg(count(lit(1)).as("n_screened"),
+          sum(when(col("suspect"), 1L).otherwise(0L)).as("n_suspect"))
+      totals.join(sus, Seq("label"), "left")
+        .select(col("label"), col("n_points"),
+          coalesce(col("n_screened"), lit(0L)).as("n_screened"),
+          coalesce(col("n_suspect"), lit(0L)).as("n_suspect"),
+          TextAnalysis.round6(coalesce(col("n_suspect"), lit(0L)).cast("double")
+            / coalesce(col("n_screened"), lit(1L)).cast("double")).as("suspect_rate"))
+        .orderBy("label")
+    },
+    oracle = Some(
+      s"""WITH ${dLloydCtes(2)},
+         |c AS (SELECT a2.vec_id, a2.e, a2.cell, lab.label
+         |      FROM a2 JOIN (SELECT vec_id, label FROM embeddings) lab USING (vec_id)),
+         |p AS (SELECT q.vec_id AS qid, q.label AS lq,
+         |        n.vec_id AS nid, n.label AS ln, ${dCos("q.e", "n.e")} AS cos
+         |      FROM c q JOIN c n USING (cell) WHERE q.vec_id <> n.vec_id),
+         |r AS (SELECT qid, lq, ln,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+         |      FROM p),
+         |v AS (SELECT qid, lq, ln, COUNT(*) AS votes FROM r WHERE rank <= 5
+         |      GROUP BY 1, 2, 3),
+         |mj AS (SELECT qid, lq, ln AS mj,
+         |        row_number() OVER (PARTITION BY qid ORDER BY votes DESC, ln ASC) AS rr
+         |      FROM v),
+         |s AS (SELECT lq AS label, COUNT(*) AS n_screened,
+         |        SUM(CASE WHEN lq <> mj THEN 1 ELSE 0 END) AS n_suspect
+         |      FROM mj WHERE rr = 1 GROUP BY lq),
+         |t AS (SELECT label, COUNT(*) AS n_points FROM c GROUP BY label)
+         |SELECT t.label, t.n_points,
+         |  COALESCE(s.n_screened, 0) AS n_screened,
+         |  COALESCE(s.n_suspect, 0) AS n_suspect,
+         |  floor(CAST(COALESCE(s.n_suspect, 0) AS DOUBLE)
+         |    / CAST(COALESCE(s.n_screened, 1) AS DOUBLE) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS suspect_rate
+         |FROM t LEFT JOIN s USING (label) ORDER BY t.label""".stripMargin))
+
   /** One Lloyd reassignment step over the label-seeded centroids — the IVF
     * training operator. Output = every vector's new cell, deterministic
     * (cosine rounded 1e-6, ties to lowest cell); the oracle recomputes the
@@ -3865,6 +3925,7 @@ object ExtensionQueries {
     "q_hash_split" -> hashSplit,
     "q_sim_ann_ivf" -> annIvf,
     "q_hard_negatives" -> hardNegs,
+    "q_label_noise" -> labelNoise,
     "q_semdedup" -> semDedup,
     "q_ivf_silhouette" -> ivfSilhouette,
     "q_ivf_kmeans_assign" -> ivfKmeans,

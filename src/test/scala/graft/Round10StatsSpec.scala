@@ -758,6 +758,39 @@ class Round10StatsSpec extends SparkSpec {
     assert(v1.toSeq === p1.toSeq, "q_pca_top2 component 1 must equal q_pca_power")
   }
 
+  test("labelNoiseScreen flags the planted mislabel and clears the clean points") {
+    import spark.implicits._
+    // cell 0: tight cluster around e1 labeled "a" — except vec 3, labeled "b"
+    // cell 1: tight cluster around e2 labeled "b"
+    def v(dir: Int, eps: Float) = Array.tabulate(4)(i =>
+      (if (i == dir) 1f else 0f) + (if (i == 3) eps else 0f))
+    val rows = Seq(
+      (1L, v(0, 0.01f), 0L, "a"), (2L, v(0, 0.02f), 0L, "a"),
+      (3L, v(0, 0.03f), 0L, "b"), (4L, v(0, 0.04f), 0L, "a"),
+      (5L, v(1, 0.01f), 1L, "b"), (6L, v(1, 0.02f), 1L, "b"),
+      (7L, v(1, 0.03f), 1L, "b"), (8L, v(1, 0.04f), 1L, "b"))
+    val df = rows.toDF("vec_id", "embedding", "cell", "label")
+    val got = graft.ops.Similarity.labelNoiseScreen(
+        df, "vec_id", "embedding", "cell", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(got(3L) === (("a", true)), "planted mislabel must be flagged")
+    for (id <- Seq(1L, 2L, 4L)) assert(got(id) === (("a", false)), s"vec $id clean")
+    for (id <- Seq(5L, 6L, 7L, 8L)) assert(got(id) === (("b", false)), s"vec $id clean")
+  }
+
+  test("q_label_noise: totals reconcile and rates are sane") {
+    val rows = run("q_label_noise").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === (0 to 9))
+    val nEmb = graft.ops.Tables.embeddings(spark, dir).count()
+    assert(rows.map(_._2).sum === nEmb)
+    rows.foreach { case (l, np, ns, sus, rate) =>
+      assert(ns <= np && sus <= ns, s"label $l accounting")
+      assert(rate >= 0.0 && rate <= 1.0)
+      if (ns > 0) assert(math.abs(rate - sus.toDouble / ns) < 1e-6)
+    }
+  }
+
   test("q_dedup_cluster_sizes: histogram reconciles with components and totals") {
     val comps = run("q_dedup_components").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
