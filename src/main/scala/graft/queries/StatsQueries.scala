@@ -1367,7 +1367,91 @@ object StatsQueries {
          |FROM em2, asg, bsg ORDER BY vec_id""".stripMargin
     })
 
+  // --- seasonal decomposition (STL-lite) -----------------------------------
+
+  /** Classical additive decomposition of the daily series per event type:
+    * trend = centered 7-day moving average, seasonal = per-weekday mean
+    * of the detrended series CENTERED to zero day-weighted mean (the
+    * textbook normalization — its offset collapses to the exact integer
+    * ratio Σdetr/D), residual = the rest — the STL-lite step
+    * behind every "is this drop seasonality or an incident" question.
+    *
+    * Exactness trick: the detrended value is kept as the INTEGER
+    * 7·Sᵈ − Σ₇S (multiplying through by the window width — the CUSUM
+    * D-scaling idea), so the per-weekday seasonal means are sums of
+    * exact longs (order-free) and every emitted double is one fixed
+    * composition, 6dp floored. Only full 7-day windows decompose (the
+    * first/last 3 days have no centered trend). All windows run on the
+    * ≤31-row per-type daily domain.
+    */
+  private val seasonalDecompose = QueryDef(
+    fn = (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("vq")).as("s"))
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("m7", count(lit(1)).over(w7))
+        .withColumn("sum7", sum(col("s")).over(w7))
+        .filter(col("m7") === 7)
+        .withColumn("detr", col("s") * 7 - col("sum7"))
+        .withColumn("dow", weekday(col("day")))
+      val seas0 = t.groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("detr")).as("sd"), count(lit(1)).as("nd"))
+      val wt = Window.partitionBy(col("event_type"))
+      // textbook centering: subtract the day-weighted seasonal mean, which
+      // collapses to the EXACT integer ratio (Σ detr)/D — so the centered
+      // component really does average to zero over the decomposed days
+      val seas = seas0
+        .withColumn("td", sum(col("sd")).over(wt))
+        .withColumn("dd", sum(col("nd")).over(wt))
+      val seasExpr = (col("sd").cast("double") / col("nd").cast("double")
+        - col("td").cast("double") / col("dd").cast("double")) / 7.0 / 1e6
+      t.join(seas, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"),
+          r6(col("s").cast("double") / 1e6).as("day_total"),
+          r6(col("sum7").cast("double") / 7.0 / 1e6).as("trend"),
+          r6(seasExpr).as("seasonal"),
+          r6(col("detr").cast("double") / 7.0 / 1e6 - seasExpr).as("residual"))
+        .orderBy("event_type", "day")
+    },
+    oracle = Some(
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq FROM events),
+        |d AS (SELECT event_type, day, SUM(vq) AS s FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, s,
+        |    COUNT(*) OVER w7 AS m7, SUM(s) OVER w7 AS sum7
+        |  FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT event_type, day, s, sum7, s * 7 - sum7 AS detr,
+        |    isodow(day) - 1 AS dow
+        |  FROM t WHERE m7 = 7),
+        |seas0 AS (SELECT event_type, dow, SUM(detr) AS sd, COUNT(*) AS nd
+        |  FROM f GROUP BY 1, 2),
+        |seas AS (SELECT event_type, dow, sd, nd,
+        |    SUM(sd) OVER (PARTITION BY event_type) AS td,
+        |    SUM(nd) OVER (PARTITION BY event_type) AS dd
+        |  FROM seas0)
+        |SELECT f.event_type, f.day,
+        |  floor(CAST(f.s AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+        |    AS day_total,
+        |  floor(CAST(f.sum7 AS DOUBLE) / 7.0 / 1000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS trend,
+        |  floor((CAST(seas.sd AS DOUBLE) / CAST(seas.nd AS DOUBLE)
+        |      - CAST(seas.td AS DOUBLE) / CAST(seas.dd AS DOUBLE)) / 7.0 / 1000000.0
+        |    * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+        |  floor((CAST(f.detr AS DOUBLE) / 7.0 / 1000000.0
+        |      - (CAST(seas.sd AS DOUBLE) / CAST(seas.nd AS DOUBLE)
+        |         - CAST(seas.td AS DOUBLE) / CAST(seas.dd AS DOUBLE)) / 7.0 / 1000000.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS residual
+        |FROM f JOIN seas USING (event_type, dow)
+        |ORDER BY f.event_type, f.day""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_seasonal_decompose" -> seasonalDecompose,
     "q_pca_top2" -> pcaTop2,
     "q_emb_pca_project" -> pcaProject,
     "q_new_vs_returning" -> newVsReturning,

@@ -758,6 +758,34 @@ class Round10StatsSpec extends SparkSpec {
     assert(v1.toSeq === p1.toSeq, "q_pca_top2 component 1 must equal q_pca_power")
   }
 
+  test("q_seasonal_decompose: components replay and reassemble the series") {
+    val rows = run("q_seasonal_decompose").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    for (et <- events.map(_._3).distinct) {
+      val daily = events.filter(_._3 == et)
+        .groupBy(_._2.toString).map { case (d, es) => (d, es.map(_._4).sum) }
+        .toSeq.sortBy(_._1)
+      val got = rows.filter(_._1 == et).sortBy(_._2)
+      assert(got.length === daily.length - 6, s"trend range for $et")
+      // trend is the centered 7-day mean; total + decomposition identity
+      got.zipWithIndex.foreach { case ((_, day, tot, trend, seas, resid), i) =>
+        val wnd = daily.slice(i, i + 7).map(_._2)
+        assert(day === daily(i + 3)._1)
+        assert(math.abs(tot - daily(i + 3)._2) < 0.01)
+        assert(math.abs(trend - wnd.sum / 7) < 0.01, s"trend at $day")
+        // additive identity: total = trend + seasonal + residual (6dp slack)
+        assert(math.abs(tot - (trend + seas + resid)) < 1e-4, s"identity at $day")
+      }
+      // per-type seasonal components average to ~0 weighted by day counts
+      val seasByDow = got.groupBy(g =>
+        java.time.LocalDate.parse(g._2).getDayOfWeek.getValue - 1)
+      val wmean = seasByDow.map { case (_, gs) => gs.head._5 * gs.size }.sum /
+        got.length
+      assert(math.abs(wmean) < 0.01, s"seasonal mean for $et: $wmean")
+    }
+  }
+
   test("labelNoiseScreen flags the planted mislabel and clears the clean points") {
     import spark.implicits._
     // cell 0: tight cluster around e1 labeled "a" — except vec 3, labeled "b"
