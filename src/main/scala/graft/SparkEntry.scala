@@ -12,7 +12,8 @@ object SparkEntry {
   private def all: Map[String, QueryDef] =
     CoreQueries.defs ++ PricenowQueries.defs ++ FunctionQueries.defs ++
       ExtensionQueries.defs ++ RelationalExtras.defs ++ AnalyticQueries.defs ++
-      WarehouseQueries.defs ++ GraphQueries.defs ++ StatsQueries.defs
+      WarehouseQueries.defs ++ GraphQueries.defs ++ StatsQueries.defs ++
+      RankStatsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

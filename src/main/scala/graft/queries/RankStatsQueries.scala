@@ -1,0 +1,378 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Tables, TextAnalysis}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-10 nonparametric / rank-statistics family: the distribution-level
+  * significance tests a data platform reaches for when normality can't be
+  * assumed — two-sample Kolmogorov-Smirnov, Mann-Whitney U, Spearman rank
+  * correlation, and the Theil-Sen robust trend estimator.
+  *
+  * The shared scale stance: every statistic here is a RANK statistic, and
+  * the naive formulation ranks individual rows (a global sort — the one
+  * thing that cannot survive 100 TB). Instead each query reduces the data
+  * to per-value counts over a BOUNDED value domain first (one
+  * partial-aggregatable groupBy over the fact table), then derives exact
+  * average ranks / ECDFs from running sums over that tiny domain grid
+  * (≤ a few hundred rows — the only unpartitioned window in any plan
+  * here runs on the grid, never on fact rows). Ties are handled exactly:
+  * average ranks are kept as the INTEGER 2·rank (2·avg_rank = 2·preceding
+  * + ties + 1), so every sufficient statistic is integer/DECIMAL(38,0)
+  * and both engines see identical values; z/rho compositions then run on
+  * doubles cast from those exact integers in the same order (house
+  * numeric discipline — see StatsQueries), emitted 6dp floor-rounded.
+  */
+object RankStatsQueries {
+
+  private def r6(c: Column): Column = TextAnalysis.round6(c)
+  private val d380 = DecimalType(38, 0)
+
+  // --- two-sample Kolmogorov-Smirnov ---------------------------------------
+
+  /** Binned two-sample KS test: do high-priority orders ('1-URGENT' /
+    * '2-HIGH') have a different total-price distribution than the rest?
+    * Prices are quantized to $1000 bins (the binned KS statistic IS the
+    * exact KS statistic of the quantized variable — the quantization is
+    * part of the declared statistic, not an approximation of the
+    * continuous one), so the ECDF grid is bounded (~500 bins) regardless
+    * of row count. D = max over the grid of |F_a − F_b| computed in the
+    * cross-multiplied integer form |cum_a·n_b − cum_b·n_a| (exact in
+    * DECIMAL(38,0); cum·n overflows long at warehouse scale), divided
+    * once at the end. Rejection at alpha = 0.05 uses the large-sample
+    * critical value c(alpha)·sqrt((n_a+n_b)/(n_a·n_b)), c = 1.358.
+    *
+    * Scale shape: one partial-aggregatable groupBy(bin) over orders, then
+    * running sums on the ≤500-row grid (the only unpartitioned window),
+    * then a single-row global max. No row-level sort anywhere.
+    */
+  private val ksTest = QueryDef(
+    fn = (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(floor(col("o_totalprice") / 1000.0).cast("long").as("bin"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("ga"))
+      val g = o.groupBy(col("bin"))
+        .agg(sum(col("ga")).as("ca"), sum(lit(1L) - col("ga")).as("cb"))
+      val wRun = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val c = g
+        .withColumn("cuma", sum(col("ca")).over(wRun))
+        .withColumn("cumb", sum(col("cb")).over(wRun))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .withColumn("dn", abs(col("cuma").cast(d380) * col("nb")
+          - col("cumb").cast(d380) * col("na")))
+      val s = c.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("dn")).as("d_num"))
+      val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+      val d = col("d_num").cast("double") / (na * nb)
+      val crit = lit(1.358) * sqrt((na + nb) / (na * nb))
+      s.select(col("n_a"), col("n_b"), col("d_num"),
+        r6(d).as("ks_d"), r6(crit).as("ks_crit"), (d > crit).as("reject"))
+    },
+    oracle = Some(
+      """WITH b AS (SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS ga
+        |  FROM orders),
+        |g AS (SELECT bin, SUM(ga) AS ca, SUM(1 - ga) AS cb FROM b GROUP BY 1),
+        |c AS (SELECT bin, ca, cb,
+        |    SUM(ca) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        |  FROM g),
+        |d AS (SELECT na, nb,
+        |    abs(CAST(cuma AS DECIMAL(38,0)) * nb
+        |      - CAST(cumb AS DECIMAL(38,0)) * na) AS dn
+        |  FROM c),
+        |s AS (SELECT MAX(na) AS n_a, MAX(nb) AS n_b, MAX(dn) AS d_num FROM d)
+        |SELECT n_a, n_b, d_num,
+        |  floor(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
+        |  floor(1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ks_crit,
+        |  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    > 1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS reject
+        |FROM s""".stripMargin))
+
+  // --- Mann-Whitney U ------------------------------------------------------
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) test: do open ('O') and finished
+    * ('F') line items differ in quantity distribution? Quantity is a
+    * bounded integer domain (1..50), so exact tie-averaged ranks come
+    * from the per-value count grid: for a value with p rows preceding it
+    * and t rows tied at it, 2·avg_rank = 2p + t + 1 (integer — no .5
+    * ranks ever materialize). The rank sum R_a, U statistic, and the
+    * tie-corrected normal approximation
+    * z = (U − n_a·n_b/2) / sqrt(n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1))))
+    * all derive from DECIMAL(38,0) sufficient statistics (t³ overflows
+    * long at warehouse scale).
+    *
+    * Scale shape: one groupBy(quantity) over lineitem; every window runs
+    * on the ≤50-row grid. Emitted u2 = 2·U_a stays exact DECIMAL.
+    */
+  private val mannWhitney = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(floor(col("l_quantity") + 0.5).cast("long").as("q"),
+          when(col("l_linestatus") === "O", 1L).otherwise(0L).as("ga"))
+      val g = li.groupBy(col("q"))
+        .agg(sum(col("ga")).as("ca"), sum(lit(1L) - col("ga")).as("cb"))
+        .withColumn("t", col("ca") + col("cb"))
+      val wPrev = Window.orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = g.withColumn("p", coalesce(sum(col("t")).over(wPrev), lit(0L)))
+        // 2 x tie-averaged rank of every row at this value, as an integer
+        .withColumn("r2", lit(2L) * col("p") + col("t") + lit(1L))
+      val s = c.agg(
+        sum(col("ca")).cast(d380).as("n_a"),
+        sum(col("cb")).cast(d380).as("n_b"),
+        sum(col("ca").cast(d380) * col("r2")).as("r2a"),
+        sum(col("t").cast(d380) * col("t") * col("t") - col("t")).as("ties"))
+      val u2 = col("r2a") - col("n_a") * (col("n_a") + 1)
+      val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+      val n = na + nb
+      val varU = na * nb / 12.0 *
+        ((n + 1.0) - col("ties").cast("double") / (n * (n - 1.0)))
+      val z = (u2.cast("double") - na * nb) / (lit(2.0) * sqrt(varU))
+      s.select(col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        u2.as("u2"), r6(z).as("z"), (abs(z) > 1.96).as("sig"))
+    },
+    oracle = Some(
+      """WITH b AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+        |    CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS ga
+        |  FROM lineitem),
+        |g AS (SELECT q, SUM(ga) AS ca, SUM(1 - ga) AS cb, COUNT(*) AS t
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT q, ca, cb, t,
+        |    COALESCE(SUM(t) OVER (ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        |  FROM g),
+        |s AS (SELECT
+        |    CAST(SUM(ca) AS DECIMAL(38,0)) AS n_a,
+        |    CAST(SUM(cb) AS DECIMAL(38,0)) AS n_b,
+        |    SUM(CAST(ca AS DECIMAL(38,0)) * (2 * p + t + 1)) AS r2a,
+        |    SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS ties
+        |  FROM c)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  r2a - n_a * (n_a + 1) AS u2,
+        |  floor((CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |      * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |        - CAST(ties AS DOUBLE)
+        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS z,
+        |  abs((CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |      * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |        - CAST(ties AS DOUBLE)
+        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))) > 1.96
+        |    AS sig
+        |FROM s""".stripMargin))
+
+  // --- Spearman rank correlation -------------------------------------------
+
+  /** Spearman rank correlation between quantity and discount per return
+    * flag — the monotone-association sibling of the Pearson family
+    * (q_corr_matrix measures linear association on raw values; Spearman
+    * is Pearson on tie-averaged ranks, robust to any monotone transform).
+    * Both variables live on bounded domains (quantity 1..50, discount
+    * 0..10 cents), so per-group ranks come from the count grids exactly
+    * as in q_mann_whitney (2·avg_rank = 2·preceding + ties + 1, integer).
+    * The joint (quantity, discount) cell counts then carry each cell's
+    * two rank values, and the five Pearson sufficient statistics over
+    * rows — n, Σx, Σy, Σx², Σy², Σxy on the 2·rank scale (the factor 2
+    * cancels in rho) — are exact DECIMAL(38,0) sums over the ≤550-cell
+    * joint grid. The final rho composition runs on doubles cast from
+    * those exact decimals (their differences exceed 38 digits at extreme
+    * scale; IEEE composition is engine-deterministic), 6dp floored.
+    *
+    * Scale shape: one groupBy(flag, q, d) over lineitem (the only
+    * fact-sized op), two marginal grids with windows partitioned by
+    * flag over ≤50 rows, two broadcast-sized joins onto the joint grid.
+    */
+  private val spearmanCorr = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("rf"),
+          floor(col("l_quantity") + 0.5).cast("long").as("q"),
+          floor(col("l_discount") * 100.0 + 0.5).cast("long").as("d"))
+      val joint = li.groupBy(col("rf"), col("q"), col("d"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds both marginal grids AND the join
+      def rankGrid(key: String): org.apache.spark.sql.DataFrame = {
+        val g = joint.groupBy(col("rf"), col(key))
+          .agg(sum(col("c")).as("t"))
+        val wPrev = Window.partitionBy(col("rf")).orderBy(col(key))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("p", coalesce(sum(col("t")).over(wPrev), lit(0L)))
+          .select(col("rf"), col(key),
+            (lit(2L) * col("p") + col("t") + lit(1L)).as(s"r2_$key"))
+      }
+      val withRanks = joint
+        .join(rankGrid("q"), Seq("rf", "q"))
+        .join(rankGrid("d"), Seq("rf", "d"))
+      val s = withRanks.groupBy(col("rf")).agg(
+        sum(col("c")).cast(d380).as("n"),
+        sum(col("c").cast(d380) * col("r2_q")).as("sx"),
+        sum(col("c").cast(d380) * col("r2_d")).as("sy"),
+        sum(col("c").cast(d380) * col("r2_q") * col("r2_q")).as("sxx"),
+        sum(col("c").cast(d380) * col("r2_d") * col("r2_d")).as("syy"),
+        sum(col("c").cast(d380) * col("r2_q") * col("r2_d")).as("sxy"))
+      def dd(c: Column) = c.cast("double")
+      val num = dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+      val den = sqrt((dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx")))
+        * (dd(col("n")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))))
+      s.select(col("rf"), col("n").cast("long").as("n"),
+        r6(num / den).as("rho")).orderBy(col("rf"))
+    },
+    oracle = Some(
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+        |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d
+        |  FROM lineitem),
+        |joint AS (SELECT rf, q, d, COUNT(*) AS c FROM b GROUP BY 1, 2, 3),
+        |gq AS (SELECT rf, q, SUM(c) AS t FROM joint GROUP BY 1, 2),
+        |rq AS (SELECT rf, q, 2 * COALESCE(SUM(t) OVER (PARTITION BY rf ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2_q
+        |  FROM gq),
+        |gd AS (SELECT rf, d, SUM(c) AS t FROM joint GROUP BY 1, 2),
+        |rd AS (SELECT rf, d, 2 * COALESCE(SUM(t) OVER (PARTITION BY rf ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2_d
+        |  FROM gd),
+        |j AS (SELECT joint.rf, joint.c, rq.r2_q, rd.r2_d
+        |  FROM joint JOIN rq ON joint.rf = rq.rf AND joint.q = rq.q
+        |    JOIN rd ON joint.rf = rd.rf AND joint.d = rd.d),
+        |s AS (SELECT rf,
+        |    CAST(SUM(c) AS DECIMAL(38,0)) AS n,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * r2_q) AS sx,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * r2_d) AS sy,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * r2_q * r2_q) AS sxx,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * r2_d * r2_d) AS syy,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * r2_q * r2_d) AS sxy
+        |  FROM j GROUP BY 1)
+        |SELECT rf, CAST(n AS BIGINT) AS n,
+        |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS rho
+        |FROM s ORDER BY rf""".stripMargin))
+
+  // --- Theil-Sen robust trend ----------------------------------------------
+
+  /** Theil-Sen robust trend over the daily purchase-revenue series: the
+    * slope estimate is the MEDIAN of all pairwise slopes
+    * (v_j − v_i)/(d_j − d_i), the intercept the median of the residuals
+    * v_i − slope·d_i — the estimator that shrugs off up to ~29% outlier
+    * days where OLS (q_regr_ols) folds. The series is first reduced to
+    * one exact µ$-sum per day (partial-aggregatable groupBy), so the
+    * pairwise stage is bounded by |days|² — a calendar-bounded domain
+    * (~10⁴ pairs for a 4-month season), NOT data-sized; at 100 TB the
+    * fact scan still dominates and the pair frame stays tiny. Slopes are
+    * IEEE-divided from exact integers (deterministic across engines),
+    * 9dp floor-rounded, and the median is rank-exact: row_number over
+    * (slope, i, j) on the bounded pair frame, averaging the two middle
+    * elements for even counts.
+    */
+  private val theilSen = QueryDef(
+    fn = (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+        .groupBy(col("day")).agg(sum(col("vq")).cast(d380).as("v"))
+      val d0 = daily.agg(min(col("day")).as("d0"))
+      val pts = daily.crossJoin(broadcast(d0))
+        .select(datediff(col("day"), col("d0")).cast("long").as("di"),
+          col("v"))
+      def f9d(c: Column) = floor(c * 1e9 + 0.5) / 1e9
+      val l = pts.select(col("di").as("i"), col("v").as("vi"))
+      val r = pts.select(col("di").as("j"), col("v").as("vj"))
+      val pairs = l.join(r, col("i") < col("j"))
+        .select(col("i"), col("j"),
+          f9d((col("vj") - col("vi")).cast("double") / 1e6
+            / (col("j") - col("i")).cast("double")).as("slope"))
+      val wp = Window.orderBy(col("slope"), col("i"), col("j"))
+      val ranked = pairs
+        .withColumn("rk", row_number().over(wp))
+        .withColumn("m", count(lit(1)).over(
+          Window.orderBy(col("slope"), col("i"), col("j"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // integer floor-division for the median ranks (Column./ is double division)
+      val med = ranked
+        .filter(col("rk") === expr("(m + 1) div 2") ||
+          col("rk") === expr("(m + 2) div 2"))
+        .agg(avg(col("slope")).as("slope_med"), max(col("m")).as("n_pairs"))
+      val resid = pts.crossJoin(broadcast(med))
+        .select(col("slope_med"), col("n_pairs"),
+          f9d(col("v").cast("double") / 1e6
+            - col("slope_med") * col("di").cast("double")).as("res"),
+          col("di"))
+      val wr = Window.orderBy(col("res"), col("di"))
+      val rr = resid
+        .withColumn("rk", row_number().over(wr))
+        .withColumn("nd", count(lit(1)).over(
+          Window.orderBy(col("res"), col("di"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      rr.filter(col("rk") === expr("(nd + 1) div 2") ||
+          col("rk") === expr("(nd + 2) div 2"))
+        .agg(max(col("nd")).as("n_days"), max(col("n_pairs")).as("n_pairs"),
+          r6(max(col("slope_med"))).as("slope"),
+          r6(avg(col("res"))).as("intercept"))
+    },
+    oracle = Some(
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+        |      AS DECIMAL(38,0)) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |pts AS (SELECT CAST(date_diff('day', d0.d0, daily.day) AS BIGINT) AS di, v
+        |  FROM daily CROSS JOIN d0),
+        |pairs AS (SELECT l.di AS i, r.di AS j,
+        |    floor((CAST(r.v AS DOUBLE) - CAST(l.v AS DOUBLE)) / 1000000.0
+        |        / (CAST(r.di AS DOUBLE) - CAST(l.di AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS slope
+        |  FROM pts l JOIN pts r ON l.di < r.di),
+        |ranked AS (SELECT slope,
+        |    row_number() OVER (ORDER BY slope, i, j) AS rk,
+        |    COUNT(*) OVER () AS m
+        |  FROM pairs),
+        |med AS (SELECT AVG(slope) AS slope_med, MAX(m) AS n_pairs FROM ranked
+        |  WHERE rk = (m + 1) // 2 OR rk = (m + 2) // 2),
+        |resid AS (SELECT med.slope_med, med.n_pairs, pts.di,
+        |    floor((CAST(pts.v AS DOUBLE) / 1000000.0
+        |        - med.slope_med * CAST(pts.di AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS res
+        |  FROM pts CROSS JOIN med),
+        |rr AS (SELECT slope_med, n_pairs, res,
+        |    row_number() OVER (ORDER BY res, di) AS rk,
+        |    COUNT(*) OVER () AS nd
+        |  FROM resid)
+        |SELECT MAX(nd) AS n_days, MAX(n_pairs) AS n_pairs,
+        |  floor(MAX(slope_med) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |  floor(AVG(res) * 1000000.0 + 0.5) / 1000000.0 AS intercept
+        |FROM rr WHERE rk = (nd + 1) // 2 OR rk = (nd + 2) // 2""".stripMargin))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_ks_test" -> ksTest,
+    "q_mann_whitney" -> mannWhitney,
+    "q_spearman_corr" -> spearmanCorr,
+    "q_theil_sen" -> theilSen)
+}

@@ -1,0 +1,120 @@
+package graft
+
+/** Properties of the nonparametric rank-statistics family
+  * (RankStatsQueries): each statistic is replayed sequentially on the
+  * driver from raw rows using the TEXTBOOK row-level definition (explicit
+  * per-row average ranks, full ECDFs, all pairwise slopes) and compared
+  * within float tolerance — proving the bounded-domain grid formulations
+  * compute the same statistics as the naive global-sort formulations they
+  * replace. The DuckDB oracle hash-gates the exact floored values.
+  */
+class RankStatsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  /** textbook tie-averaged ranks (1-based) of a sequence */
+  private def avgRanks(xs: Array[Long]): Array[Double] = {
+    val sortedIdx = xs.zipWithIndex.sortBy(_._1)
+    val ranks = new Array[Double](xs.length)
+    var i = 0
+    while (i < sortedIdx.length) {
+      var j = i
+      while (j + 1 < sortedIdx.length && sortedIdx(j + 1)._1 == sortedIdx(i)._1) j += 1
+      val avg = (i + j + 2) / 2.0 // mean of 1-based positions i+1..j+1
+      for (k <- i to j) ranks(sortedIdx(k)._2) = avg
+      i = j + 1
+    }
+    ranks
+  }
+
+  test("q_ks_test matches the row-level two-sample ECDF replay") {
+    val row = run("q_ks_test").collect().head
+    val os = graft.ops.Tables.orders(spark, dir)
+      .selectExpr("o_totalprice", "o_orderpriority").collect()
+      .map(r => (math.floor(r.getDouble(0) / 1000.0).toLong,
+        Set("1-URGENT", "2-HIGH")(r.getString(1))))
+    val a = os.filter(_._2).map(_._1).sorted
+    val b = os.filterNot(_._2).map(_._1).sorted
+    assert(row.getAs[Long]("n_a") === a.length.toLong)
+    assert(row.getAs[Long]("n_b") === b.length.toLong)
+    val grid = (a ++ b).distinct.sorted
+    val d = grid.map { v =>
+      val fa = a.count(_ <= v).toDouble / a.length
+      val fb = b.count(_ <= v).toDouble / b.length
+      math.abs(fa - fb)
+    }.max
+    assert(math.abs(row.getAs[Double]("ks_d") - d) < 1e-6)
+    val crit = 1.358 * math.sqrt((a.length + b.length).toDouble / (a.length.toLong * b.length))
+    assert(row.getAs[Boolean]("reject") === (d > crit))
+  }
+
+  test("q_mann_whitney matches the row-level rank-sum replay") {
+    val row = run("q_mann_whitney").collect().head
+    val li = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("l_quantity", "l_linestatus").collect()
+      .map(r => (math.floor(r.getDouble(0) + 0.5).toLong, r.getString(1) == "O"))
+    val pooled = li.map(_._1)
+    val ranks = avgRanks(pooled)
+    val na = li.count(_._2).toLong
+    val nb = li.length - na
+    val rA = li.zip(ranks).filter(_._1._2).map(_._2).sum
+    val u = rA - na * (na + 1) / 2.0
+    assert(row.getAs[java.math.BigDecimal]("u2").doubleValue() === 2.0 * u)
+    val n = (na + nb).toDouble
+    val ties = pooled.groupBy(identity).values
+      .map(g => g.length.toDouble)
+      .map(t => t * t * t - t).sum
+    val varU = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    val z = (u - na * nb / 2.0) / math.sqrt(varU)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-5)
+    assert(row.getAs[Boolean]("sig") === (math.abs(z) > 1.96))
+  }
+
+  test("q_spearman_corr matches Pearson-on-average-ranks per group") {
+    val got = run("q_spearman_corr").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val li = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag", "l_quantity", "l_discount").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) + 0.5).toLong,
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    assert(got.keySet === li.map(_._1).toSet)
+    for ((rf, rows) <- li.groupBy(_._1)) {
+      val rx = avgRanks(rows.map(_._2))
+      val ry = avgRanks(rows.map(_._3))
+      val n = rows.length.toDouble
+      val (mx, my) = (rx.sum / n, ry.sum / n)
+      val num = rx.zip(ry).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val den = math.sqrt(rx.map(x => (x - mx) * (x - mx)).sum *
+        ry.map(y => (y - my) * (y - my)).sum)
+      assert(got(rf)._1 === rows.length.toLong)
+      assert(math.abs(got(rf)._2 - num / den) < 1e-5, s"rho mismatch for $rf")
+    }
+  }
+
+  test("q_theil_sen matches the all-pairs median-slope replay") {
+    val row = run("q_theil_sen").collect().head
+    val daily = graft.ops.Tables.events(spark, dir)
+      .where("event_type = 'purchase'")
+      .selectExpr("CAST(ts AS DATE) AS day",
+        "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq")
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .groupBy(_._1).map { case (d, es) => (d, es.map(_._2).sum) }
+      .toSeq.sortBy(_._1.toEpochDay)
+    val d0 = daily.head._1.toEpochDay
+    val pts = daily.map { case (d, v) => (d.toEpochDay - d0, v / 1e6) }
+    val slopes = (for {
+      i <- pts.indices; j <- (i + 1) until pts.length
+    } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)).sorted
+    def median(xs: Seq[Double]) =
+      if (xs.length % 2 == 1) xs(xs.length / 2)
+      else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0
+    val slope = median(slopes)
+    assert(row.getAs[Long]("n_days") === daily.length.toLong)
+    assert(row.getAs[Long]("n_pairs") === slopes.length.toLong)
+    assert(math.abs(row.getAs[Double]("slope") - slope) < 1e-6)
+    val resid = pts.map { case (d, v) => v - slope * d }.sorted
+    assert(math.abs(row.getAs[Double]("intercept") - median(resid)) < 1e-6)
+  }
+}
