@@ -13,7 +13,7 @@ object SparkEntry {
     CoreQueries.defs ++ PricenowQueries.defs ++ FunctionQueries.defs ++
       ExtensionQueries.defs ++ RelationalExtras.defs ++ AnalyticQueries.defs ++
       WarehouseQueries.defs ++ GraphQueries.defs ++ StatsQueries.defs ++
-      RankStatsQueries.defs ++ LayoutQueries.defs
+      RankStatsQueries.defs ++ LayoutQueries.defs ++ ClassifierQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

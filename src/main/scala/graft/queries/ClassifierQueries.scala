@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Tables, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-model family: multinomial Naive-Bayes classifier training and
+  * scoring (the classifier-based quality/language filtering step of an
+  * LLM data pipeline — the role fastText plays in CCNet/GPT-3-style
+  * corpus curation, reduced to its exactly-replayable count core), plus
+  * PMI collocation mining (the classic corpus-linguistics readout over
+  * the same bigram table the perplexity filter already trains on).
+  *
+  * Numeric discipline: "training" a multinomial NB IS counting — every
+  * sufficient statistic (class-conditional token counts, class totals,
+  * document priors) is an exact integer from one token-keyed
+  * aggregation. Log-weights are ln of integer-valued arguments (the
+  * repo-wide libm-identity pattern: both engines call ln on the SAME
+  * integer-valued double), floor-rounded to 6dp and carried as LONG
+  * micro-nats, so scoring is pure integer arithmetic (tf × w6 sums —
+  * |score6| < 1e10, far inside long) and the argmax is exact on both
+  * engines. No floats anywhere between the ln call and the final /1e6.
+  *
+  * Scale shape: one corpus-sized tokenize+groupBy builds the vocabulary
+  * candidates (map-side combinable); everything downstream of the top-V
+  * cut is vocabulary-bounded (V×L ≤ 1000 rows — broadcast on every
+  * join). Scoring re-touches the corpus once (per-doc tf) and joins it
+  * to the BROADCAST weight table — no shuffle carries text, no window
+  * runs over fact rows (the per-doc argmax partitions by doc_id). The
+  * model chain is memoized per (session, dir) so train + score build it
+  * once (the minhashPairsCache pattern).
+  */
+object ClassifierQueries {
+
+  import ExtensionQueries.dToks
+
+  /** Top-V vocabulary size; small enough to broadcast at any corpus
+    * scale, large enough that sf0.01 docs average many in-vocab hits. */
+  private val V = 200
+
+  private val modelCache =
+    new graft.ops.SessionCache[(String, String), DataFrame]
+
+  /** Class-conditional weight table: (lang, token, c, w6, prior6, nl, vs)
+    * — one row per (class, vocab token), Laplace-smoothed
+    * w6 = ⌊(ln(c+1) − ln(n_l + |V|))·1e6⌉ micro-nats, plus the class
+    * prior p6 = ⌊(ln(d_l) − ln(D))·1e6⌉. Vocabulary-bounded (≤ V·L
+    * rows); checkpointed so both consumers reuse the materialized model.
+    */
+  private def nbWeights(spark: SparkSession, dir: String): DataFrame =
+    modelCache.getOrElseUpdate(spark, (dir, "nb"), {
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      // vocabulary: top-V tokens by total occurrence, ties token-asc —
+      // a strict total order, so limit() is deterministic (takeOrdered)
+      val vocab = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(V).select(col("token"))
+      val cc = toks.join(broadcast(vocab), "token")
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+      val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+      val nl = cc.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+      val vs = vocab.agg(count(lit(1)).as("vs"))
+      val dd = docs.agg(count(lit(1)).as("d"))
+      // full L×V grid: zero-count (class, token) cells still carry the
+      // smoothed weight ln(1/(n_l+V)); both factors are domain-bounded
+      broadcast(langs).crossJoin(broadcast(vocab))
+        .join(cc, Seq("lang", "token"), "left")
+        .join(nl, Seq("lang"), "left")
+        .crossJoin(broadcast(vs)).crossJoin(broadcast(dd))
+        .select(col("lang"), col("token"),
+          coalesce(col("c"), lit(0L)).as("c"),
+          floor((log(coalesce(col("c"), lit(0L)) + lit(1))
+            - log(coalesce(col("nl"), lit(0L)) + col("vs"))) * 1e6 + 0.5)
+            .cast("long").as("w6"),
+          floor((log(col("dl")) - log(col("d"))) * 1e6 + 0.5)
+            .cast("long").as("prior6"))
+        .localCheckpoint(true)
+    })
+
+  /** Shared oracle CTE prefix rebuilding the identical model in DuckDB. */
+  private val nbOracleCtes =
+    s"""toks AS (SELECT doc_id, lang, unnest(${dToks("text")}) AS token
+       |         FROM documents),
+       |vocab AS (SELECT token FROM (
+       |    SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+       |  QUALIFY row_number() OVER (ORDER BY cnt DESC, token ASC) <= $V),
+       |cc AS (SELECT lang, token, COUNT(*) AS c
+       |       FROM toks JOIN vocab USING (token) GROUP BY lang, token),
+       |langs AS (SELECT lang, COUNT(*) AS dl FROM documents GROUP BY lang),
+       |nl AS (SELECT lang, SUM(c) AS nl FROM cc GROUP BY lang),
+       |vs AS (SELECT COUNT(*) AS vs FROM vocab),
+       |dd AS (SELECT COUNT(*) AS d FROM documents),
+       |w AS (SELECT g.lang, g.token, COALESCE(cc.c, 0) AS c,
+       |    CAST(floor((ln(COALESCE(cc.c, 0) + 1)
+       |                - ln(COALESCE(nl.nl, 0) + vs.vs)) * 1000000.0 + 0.5)
+       |         AS BIGINT) AS w6,
+       |    CAST(floor((ln(langs.dl) - ln(dd.d)) * 1000000.0 + 0.5)
+       |         AS BIGINT) AS prior6
+       |  FROM (SELECT l.lang, v.token FROM langs l CROSS JOIN vocab v) g
+       |  LEFT JOIN cc ON g.lang = cc.lang AND g.token = cc.token
+       |  LEFT JOIN nl ON g.lang = nl.lang
+       |  JOIN langs ON g.lang = langs.lang
+       |  CROSS JOIN vs CROSS JOIN dd)""".stripMargin
+
+  /** NB training readout: the full (class × vocab) weight table. */
+  private val nbTrain = QueryDef(
+    fn = (spark, dir) =>
+      nbWeights(spark, dir)
+        .select(col("lang"), col("token"), col("c"),
+          (col("w6").cast("double") / 1e6).as("w"),
+          (col("prior6").cast("double") / 1e6).as("prior"))
+        .orderBy("lang", "token"),
+    oracle = Some(
+      s"""WITH $nbOracleCtes
+         |SELECT lang, token, c,
+         |  CAST(w6 AS DOUBLE) / 1000000.0 AS w,
+         |  CAST(prior6 AS DOUBLE) / 1000000.0 AS prior
+         |FROM w ORDER BY lang, token""".stripMargin))
+
+  /** NB scoring: every document classified against every class —
+    * score6(doc, l) = prior6_l + Σ_t tf_t · w6_{l,t} over the doc's
+    * IN-VOCAB tokens (OOV tokens carry no signal under a selected
+    * vocabulary — the standard closed-vocabulary convention), argmax by
+    * (score desc, lang asc). Self-evaluating: emits the true label and a
+    * correctness flag, so the query doubles as the training-accuracy
+    * gate a production filter is monitored by.
+    */
+  private val nbScore = QueryDef(
+    fn = (spark, dir) => {
+      val w = nbWeights(spark, dir)
+      val docs = Tables.documents(spark, dir)
+      val tf = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      // token → (lang, w6) fanout is L-bounded (≤ #classes per token)
+      val partial = tf.join(broadcast(w.select(col("token"), col("lang"), col("w6"))), "token")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("tf") * col("w6")).as("s6"))
+      val classes = w.select(col("lang"), col("prior6")).distinct()
+      val scored = docs.select(col("doc_id"), col("lang").as("true_lang"))
+        .crossJoin(broadcast(classes))
+        .join(partial, Seq("doc_id", "lang"), "left")
+        .withColumn("score6", coalesce(col("s6"), lit(0L)) + col("prior6"))
+      scored
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score6").desc, col("lang").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("true_lang").as("lang"),
+          col("lang").as("pred"),
+          (col("lang") === col("true_lang")).as("correct"),
+          (col("score6").cast("double") / 1e6).as("score"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH $nbOracleCtes,
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+         |       FROM toks GROUP BY doc_id, token),
+         |partial AS (SELECT tf.doc_id, w.lang, SUM(tf.tf * w.w6) AS s6
+         |            FROM tf JOIN w USING (token) GROUP BY tf.doc_id, w.lang),
+         |classes AS (SELECT DISTINCT lang, prior6 FROM w),
+         |scored AS (SELECT d.doc_id, d.lang AS true_lang, c.lang,
+         |    COALESCE(p.s6, 0) + c.prior6 AS score6
+         |  FROM documents d CROSS JOIN classes c
+         |  LEFT JOIN partial p ON d.doc_id = p.doc_id AND c.lang = p.lang)
+         |SELECT doc_id, true_lang AS lang, lang AS pred,
+         |  lang = true_lang AS correct,
+         |  CAST(score6 AS DOUBLE) / 1000000.0 AS score
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score6 DESC, lang ASC) = 1
+         |ORDER BY doc_id""".stripMargin))
+
+  /** PMI collocation mining: top-50 bigrams by pointwise mutual
+    * information ln(n_xy·N / (n_x•·n_•y)) over the corpus bigram table
+    * (marginals n_x• / n_•y and the total N all derive from the
+    * VOCABULARY²-bounded bigram-count frame, never from fact rows), with
+    * a min-support cut (n_xy ≥ 5) so rare-pair noise can't dominate. The
+    * four ln terms take integer arguments composed in one expression on
+    * both engines (the record-linkage pattern); orderBy+limit is a
+    * distributed takeOrdered under a strict total order (pmi desc,
+    * tok_a, tok_b), never a global sort.
+    */
+  private val tokenPmi = QueryDef(
+    fn = (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(TextAnalysis.tokens(col("text")).as("toks"))
+      val bg = d.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val bc = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      val na = bc.groupBy(col("a")).agg(sum(col("cab")).as("nx"))
+      val nb = bc.groupBy(col("b")).agg(sum(col("cab")).as("ny"))
+      val nn = bc.agg(sum(col("cab")).as("nn"))
+      bc.filter(col("cab") >= 5)
+        .join(na, "a").join(nb, "b").crossJoin(broadcast(nn))
+        .withColumn("pmi",
+          floor((log(col("cab")) + log(col("nn"))
+            - log(col("nx")) - log(col("ny"))) * 1e6 + 0.5) / 1e6)
+        .select(col("a").as("tok_a"), col("b").as("tok_b"),
+          col("cab").as("n_xy"), col("pmi"))
+        .orderBy(col("pmi").desc, col("tok_a").asc, col("tok_b").asc)
+        .limit(50)
+    },
+    oracle = Some(
+      s"""WITH d AS (SELECT ${dToks("text")} AS toks FROM documents),
+         |bg AS (SELECT toks[i] AS a, toks[i+1] AS b
+         |       FROM d, unnest(range(1, len(toks))) t(i)
+         |       WHERE len(toks) >= 2),
+         |bc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+         |na AS (SELECT a, SUM(cab) AS nx FROM bc GROUP BY a),
+         |nb AS (SELECT b, SUM(cab) AS ny FROM bc GROUP BY b),
+         |nn AS (SELECT SUM(cab) AS nn FROM bc)
+         |SELECT a AS tok_a, b AS tok_b, cab AS n_xy,
+         |  floor((ln(cab) + ln(nn.nn) - ln(nx) - ln(ny)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS pmi
+         |FROM bc JOIN na USING (a) JOIN nb USING (b) CROSS JOIN nn
+         |WHERE cab >= 5
+         |ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50""".stripMargin))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_nb_train" -> nbTrain,
+    "q_nb_score" -> nbScore,
+    "q_token_pmi" -> tokenPmi)
+}

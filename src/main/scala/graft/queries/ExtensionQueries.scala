@@ -21,7 +21,7 @@ object ExtensionQueries {
   // ---- DuckDB expression snippets shared across oracles --------------------
 
   /** tokens: lower, split on whitespace, drop empties. */
-  private def dToks(c: String) =
+  private[queries] def dToks(c: String) =
     s"""list_filter(regexp_split_to_array(lower($c), '\\s+'), t -> t <> '')"""
 
   /** distinct sorted token set. */

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+/** Semantic invariants for the corpus-model family (ClassifierQueries):
+  * hand-computed Laplace weights on a literal fixture, end-to-end
+  * classification of signature-token docs, prior-only fallback for empty
+  * docs, and an exact PMI value under min-support pruning. (Value
+  * correctness at data scale is DuckDB-oracle-gated; these pin the
+  * STATISTICS to the textbook definitions.)
+  */
+class ClassifierQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureDir(tables: (String, org.apache.spark.sql.DataFrame)*): String = {
+    val dir = Files.createTempDirectory("graft-clf-fixture").toFile.getAbsolutePath
+    tables.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  test("q_nb_train: Laplace weights and priors match hand computation") {
+    // corpus: lang aa = {"x x y", "x"}, bb = {"z z"}
+    //   vocab = {x, y, z} (all, V small); c(aa,x)=3, c(aa,y)=1, c(bb,z)=2
+    //   n_aa=4, n_bb=2, |V|=3, d_aa=2, d_bb=1, D=3
+    val docs = Seq(
+      (1L, "x x y", "aa"), (2L, "x", "aa"), (3L, "z z", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val dir = fixtureDir("documents" -> docs)
+    val w = SparkEntry.queries("q_nb_train")(spark, dir)
+      .select("lang", "token", "c", "w", "prior")
+      .as[(String, String, Long, Double, Double)].collect()
+      .map { case (l, t, c, wv, p) => (l, t) -> ((c, wv, p)) }.toMap
+    assert(w.size == 6, "full 2x3 class-vocab grid expected")
+    def ln6(x: Double) = math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+    val (cAx, wAx, pA) = w(("aa", "x"))
+    assert(cAx == 3L)
+    assert(math.abs(wAx - ln6(4.0 / 7.0)) < 2e-6, s"w(aa,x)=$wAx")
+    assert(math.abs(pA - ln6(2.0 / 3.0)) < 2e-6, s"prior(aa)=$pA")
+    val (cBx, wBx, pB) = w(("bb", "x"))
+    assert(cBx == 0L, "zero-count cell still present (smoothed)")
+    assert(math.abs(wBx - ln6(1.0 / 5.0)) < 2e-6, s"w(bb,x)=$wBx")
+    assert(math.abs(pB - ln6(1.0 / 3.0)) < 2e-6)
+  }
+
+  test("q_nb_score: signature tokens classify; empty doc falls back to prior") {
+    val docs = Seq(
+      (1L, "x x y", "aa"), (2L, "x y x", "aa"), (3L, "x", "aa"),
+      (4L, "z z", "bb"), (5L, "z z z", "bb"),
+      (6L, "", "bb")) // no tokens: score = prior only -> majority class aa
+      .toDF("doc_id", "text", "lang")
+    val dir = fixtureDir("documents" -> docs)
+    val got = SparkEntry.queries("q_nb_score")(spark, dir)
+      .select("doc_id", "pred", "correct")
+      .as[(Long, String, Boolean)].collect()
+      .map { case (d, p, c) => d -> ((p, c)) }.toMap
+    assert(got.size == 6)
+    Seq(1L, 2L, 3L).foreach(d => assert(got(d) == (("aa", true)), s"doc $d"))
+    Seq(4L, 5L).foreach(d => assert(got(d) == (("bb", true)), s"doc $d"))
+    assert(got(6L) == (("aa", false)),
+      "empty doc must take the majority prior, flagged incorrect")
+  }
+
+  test("q_token_pmi: min-support prunes singletons; pmi = ln(n_xy*N/(nx*ny)) exactly") {
+    // each doc contributes bigrams (f_ia,new),(new,york),(york,f_ib):
+    // only (new,york) reaches support 5; N=18, nx(new)=6, ny(york)=6
+    val docs = (1 to 6).map(i => (i.toLong, s"f${i}a new york f${i}b", "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = fixtureDir("documents" -> docs)
+    val rows = SparkEntry.queries("q_token_pmi")(spark, dir)
+      .select("tok_a", "tok_b", "n_xy", "pmi")
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.length == 1, s"support cut should leave one pair: ${rows.toSeq}")
+    val (a, b, n, pmi) = rows.head
+    assert((a, b, n) == (("new", "york", 6L)))
+    val expect = math.floor(math.log(6.0 * 18 / (6 * 6)) * 1e6 + 0.5) / 1e6
+    assert(math.abs(pmi - expect) < 1e-9, s"pmi=$pmi expect=$expect")
+  }
+}
