@@ -13,7 +13,8 @@ object SparkEntry {
     CoreQueries.defs ++ PricenowQueries.defs ++ FunctionQueries.defs ++
       ExtensionQueries.defs ++ RelationalExtras.defs ++ AnalyticQueries.defs ++
       WarehouseQueries.defs ++ GraphQueries.defs ++ StatsQueries.defs ++
-      RankStatsQueries.defs ++ LayoutQueries.defs ++ ClassifierQueries.defs
+      RankStatsQueries.defs ++ LayoutQueries.defs ++ ClassifierQueries.defs ++
+      SpatialQueries.defs ++ GovernanceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

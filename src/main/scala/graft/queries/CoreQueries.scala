@@ -508,8 +508,63 @@ object CoreQueries {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin))
 
+  /** Backward as-of join with a staleness tolerance: a match older than
+    * `tol` is DISCARDED (nulled), not attached — the "don't join a
+    * quote from last month onto today's trade" semantics (kdb's `wj`
+    * window, Pandas merge_asof(tolerance=...)). Because the backward
+    * as-of match is the LATEST right row ≤ t, it is also the closest,
+    * so tolerance is a post-filter on the matched age — no second join,
+    * the single-shuffle union+window plan is unchanged.
+    *
+    * All age arithmetic runs at MICROsecond resolution on both engines
+    * (Spark from the exact int64 nanos, DuckDB from its micro
+    * timestamps, both via floor-truncation of positive epochs), so the
+    * 2-day boundary compare is integer-exact.
+    */
+  private val asofTolerance = QueryDef(
+    fn = (spark, dir) => {
+      val tolUs = 172800000000L // 2 days
+      val ev = Tables.events(spark, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("ts_us").as("r_us"),
+          col("event_id"), col("value"))
+      graft.ops.AsOfJoin.backward(
+          clicks, purchases, keyCols = Seq("user_id"),
+          leftTime = "ts_us", rightTime = "ts_us",
+          valueCols = Seq("value", "event_id", "r_us"),
+          rightTieBreak = Seq("event_id"))
+        .withColumn("age_us", col("ts_us") - col("asof_r_us"))
+        .withColumn("fresh",
+          col("asof_r_us").isNotNull && col("age_us") <= tolUs)
+        .select(col("event_id"), col("user_id"),
+          when(col("fresh"), col("asof_value")).as("asof_value"),
+          when(col("fresh"), col("asof_event_id")).as("asof_event_id"),
+          when(col("fresh"), col("age_us")).as("age_us"))
+        .orderBy("event_id")
+    },
+    oracle = Some(
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) AS l_us FROM events
+        |  WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS r_us, event_id, value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                             ORDER BY event_id DESC) = 1)
+        |SELECT c.event_id, c.user_id,
+        |  CASE WHEN c.l_us - p.r_us <= 172800000000 THEN p.value END AS asof_value,
+        |  CASE WHEN c.l_us - p.r_us <= 172800000000 THEN p.event_id END AS asof_event_id,
+        |  CASE WHEN c.l_us - p.r_us <= 172800000000 THEN c.l_us - p.r_us END AS age_us
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_asof_join" -> asofJoin,
+    "q_asof_tolerance" -> asofTolerance,
     "f1_locf_events" -> locfEvents,
     "q_interpolate_linear" -> interpEvents,
     "q1_agg" -> q1Agg,

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Dedup, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data-governance family: re-identification risk profiling (k-anonymity
+  * / l-diversity over quasi-identifier equivalence classes) and entity
+  * resolution taken to its end state (deterministic match rule →
+  * connected components → canonical cluster assignment) — the two
+  * readouts a privacy/ MDM review asks of a customer table before it
+  * ships downstream.
+  */
+object GovernanceQueries {
+
+  /** k-anonymity / l-diversity report: equivalence classes of the
+    * quasi-identifier (market segment, $1000 account-balance bucket),
+    * each with its size k, the number of distinct sensitive values
+    * (nation) l, and a k<5 risk flag — Sweeney's k-anonymity plus the
+    * Machanavajjhala et al. l-diversity refinement, as one
+    * partial-aggregatable groupBy over the table (distinct-count is the
+    * only second shuffle). Output is QI-domain-sized, never row-sized.
+    * Balance buckets floor a DOUBLE division identically on both
+    * engines; balances are 2-decimal cents, never on a .000… boundary
+    * where libm could disagree.
+    */
+  private val kAnonymity = QueryDef(
+    fn = (spark, dir) =>
+      Tables.customer(spark, dir)
+        .select(col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"),
+          col("c_nationkey"))
+        .groupBy(col("segment"), col("bal_bucket"))
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("c_nationkey")).as("l"))
+        .withColumn("risky", col("k") < 5)
+        .orderBy("segment", "bal_bucket"),
+    oracle = Some(
+      """SELECT c_mktsegment AS segment,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |  COUNT(*) AS k,
+        |  COUNT(DISTINCT c_nationkey) AS l,
+        |  COUNT(*) < 5 AS risky
+        |FROM customer GROUP BY 1, 2 ORDER BY segment, bal_bucket""".stripMargin))
+
+  /** Entity-resolution clusters: the record-linkage fixture (clean
+    * register vs its deterministically-dirtied copy — the q_record_linkage
+    * / q_cdc_diff derivation) matched by a deterministic rule — same
+    * name-suffix block AND ≥3 of 4 fields agreeing — then closed into
+    * clusters with [[Dedup.connectedComponents]] (min-label), each record
+    * emitting its cluster id, the cluster size, and whether it is the
+    * canonical (minimum-id) survivor. This is the step AFTER pairwise
+    * linkage that production MDM needs: pairs alone don't dedupe — the
+    * transitive closure does.
+    *
+    * Scale shape: candidates come from the blocking equi-join (never
+    * A×B); components iterate on the pair graph (star-contracted,
+    * domain-sized rounds); the size/canonical join is cluster-keyed. The
+    * oracle replays the closure as a recursive CTE over the identical
+    * pair set (the q_dedup_components pattern).
+    */
+  private val erClusters = QueryDef(
+    fn = (spark, dir) => {
+      val cust = Tables.customer(spark, dir)
+      val a = cust.select(
+        col("c_custkey").as("id_a"),
+        col("c_name").as("name_a"),
+        col("c_nationkey").as("nat_a"),
+        col("c_mktsegment").as("seg_a"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_a"),
+        substring(col("c_name"), 16, 3).as("blk"))
+      val b = cust.select(
+        (col("c_custkey") + 1000000L).as("id_b"),
+        when(col("c_custkey") % 11 === 0,
+          concat(substring(col("c_name"), 1, 17), lit("x")))
+          .otherwise(col("c_name")).as("name_b"),
+        when(col("c_custkey") % 5 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("nat_b"),
+        when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg_b"),
+        (floor(col("c_acctbal") * 100 + 0.5).cast("long")
+          + when(col("c_custkey") % 3 === 0, 100L).otherwise(0L)).as("bal_b"),
+        substring(col("c_name"), 16, 3).as("blk"))
+      def agree(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
+      val pairs = a.join(b, "blk")
+        .withColumn("n_agree",
+          agree(col("name_a") === col("name_b"))
+            + agree(col("nat_a") === col("nat_b"))
+            + agree(col("seg_a") === col("seg_b"))
+            + agree(col("bal_a") === col("bal_b")))
+        .filter(col("n_agree") >= 3)
+        .select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val records = a.select(col("id_a").as("id"))
+        .union(b.select(col("id_b").as("id")))
+      val labeled = records.join(comps, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+      val sizes = labeled.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "cluster")
+        .select(col("id"), col("cluster"), col("cluster_size"),
+          (col("id") === col("cluster")).as("canonical"))
+        .orderBy("id")
+    },
+    oracle = Some(
+      """WITH RECURSIVE a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+        |        c_nationkey AS nat_a, c_mktsegment AS seg_a,
+        |        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_a,
+        |        substr(c_name, 16, 3) AS blk FROM customer),
+        |b AS (SELECT c_custkey + 1000000 AS id_b,
+        |        CASE WHEN c_custkey % 11 = 0
+        |             THEN substr(c_name, 1, 17) || 'x' ELSE c_name END AS name_b,
+        |        CASE WHEN c_custkey % 5 = 0
+        |             THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS nat_b,
+        |        CASE WHEN c_custkey % 7 = 0
+        |             THEN 'UNKNOWN' ELSE c_mktsegment END AS seg_b,
+        |        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |          + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END AS bal_b,
+        |        substr(c_name, 16, 3) AS blk FROM customer),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM a JOIN b USING (blk)
+        |  WHERE (CASE WHEN name_a = name_b THEN 1 ELSE 0 END
+        |       + CASE WHEN nat_a = nat_b THEN 1 ELSE 0 END
+        |       + CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END
+        |       + CASE WHEN bal_a = bal_b THEN 1 ELSE 0 END) >= 3),
+        |edges AS (
+        |  SELECT id_a AS x, id_b AS y FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT x, x FROM edges
+        |  UNION
+        |  SELECT e.x, reach.r FROM edges e JOIN reach ON reach.id = e.y),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |records AS (SELECT id_a AS id FROM a UNION ALL SELECT id_b FROM b),
+        |labeled AS (SELECT rec.id, COALESCE(c.comp, rec.id) AS cluster
+        |            FROM records rec LEFT JOIN comp c ON rec.id = c.id),
+        |sizes AS (SELECT cluster, COUNT(*) AS cluster_size
+        |          FROM labeled GROUP BY cluster)
+        |SELECT l.id, l.cluster, s.cluster_size,
+        |  l.id = l.cluster AS canonical
+        |FROM labeled l JOIN sizes s USING (cluster)
+        |ORDER BY id""".stripMargin))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_k_anonymity" -> kAnonymity,
+    "q_er_clusters" -> erClusters)
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.Tables
+import org.apache.spark.sql.functions._
+
+/** Spatial family: distance joins on a 2-D plane via fixed-grid
+  * bucketing — the binned-range-join idea (ops/RangeJoin.scala) lifted to
+  * two dimensions, and the standard scale recipe for "all pairs within
+  * radius r" (geohash/S2-cell joins in production systems): map each
+  * point to its ⌊x/r⌋×⌊y/r⌋ grid cell, replicate ONE side into its 3×3
+  * cell neighborhood, equi-join on the packed cell key, and apply the
+  * exact distance predicate as a residual filter. Candidates are
+  * neighborhood-local (O(n·density) instead of O(n²)); the join is a
+  * plain shuffled/broadcast hash join Catalyst can plan — never a
+  * cartesian product.
+  *
+  * Coordinates are derived deterministically from the customer key via
+  * the engine's md5-prefix hash (the harness has no geo columns; a
+  * linear-congruential derivation was tried first and produced a lattice
+  * whose minimum pair distance exceeds any useful radius — hash scatter
+  * is uniform), so both engines see identical BIGINT points and the
+  * distance test — squared euclidean, pure integer — is exact; no
+  * haversine floats anywhere.
+  */
+object SpatialQueries {
+
+  import ExtensionQueries.dHash32
+
+  /** grid span 0..99999 in both axes; radius and cell size 1000. */
+  private val R = 1000L
+  private val R2 = R * R
+
+  /** All point pairs within distance R, via 3×3 grid-cell candidates.
+    *
+    * Packed cell key: cx·1000 + cy is injective for cy ∈ [−1, 100]
+    * (|cy₁−cy₂| ≤ 101 < 1000), so the off-grid neighbor cells of
+    * boundary points can't collide with real cells. Each unordered
+    * geometric pair is matched twice (a-in-own-cell × b-replica and
+    * vice versa); the id_a < id_b filter keeps exactly one — no
+    * distinct needed. Oracle is the brute-force O(n²) self-join: green
+    * means the grid pruning dropped nothing.
+    */
+  private val spatialJoin = QueryDef(
+    fn = (spark, dir) => {
+      val pts = Tables.customer(spark, dir).select(
+        col("c_custkey").as("id"),
+        graft.ops.TextAnalysis.hashBucket(
+          concat(lit("x"), col("c_custkey").cast("string")), 100000).as("x"),
+        graft.ops.TextAnalysis.hashBucket(
+          concat(lit("y"), col("c_custkey").cast("string")), 100000).as("y"))
+      val left = pts.select(col("id").as("id_a"),
+        col("x").as("xa"), col("y").as("ya"),
+        (expr(s"x div $R") * 1000L + expr(s"y div $R")).as("ck"))
+      val right = pts
+        .select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+          explode(expr(
+            "transform(sequence(0, 8), i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy))"))
+            .as("n"))
+        .select(col("id_b"), col("xb"), col("yb"),
+          ((expr(s"xb div $R") + col("n.dx")) * 1000L
+            + (expr(s"yb div $R") + col("n.dy"))).as("ck"))
+      left.join(right, "ck")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("d2",
+          (col("xa") - col("xb")) * (col("xa") - col("xb"))
+            + (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .filter(col("d2") <= R2)
+        .select(col("id_a"), col("id_b"), col("d2"))
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(
+      s"""WITH p AS (SELECT c_custkey AS id,
+         |    ${dHash32("'x' || CAST(c_custkey AS VARCHAR)")} % 100000 AS x,
+         |    ${dHash32("'y' || CAST(c_custkey AS VARCHAR)")} % 100000 AS y
+         |  FROM customer)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+         |FROM p a JOIN p b ON a.id < b.id
+         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= $R2
+         |ORDER BY id_a, id_b""".stripMargin))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_spatial_join" -> spatialJoin)
+}

@@ -328,4 +328,24 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_vocab_coverage")
     assert(p.contains("BroadcastHashJoin"), "vocabulary join must broadcast")
   }
+
+  test("spatial join: grid-cell candidates are an equi-join, never all-pairs") {
+    val p = plan("q_spatial_join")
+    assert(!p.contains("CartesianProduct"), "spatial join went quadratic")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "spatial join nested-loops")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "cell-key join missing")
+  }
+
+  test("NB scoring: the weight table broadcasts onto the tf stream") {
+    val p = plan("q_nb_score")
+    assert(p.contains("BroadcastHashJoin"), "weight join must broadcast")
+    assert(!p.contains("CartesianProduct"), "nb_score grew a cartesian")
+  }
+
+  test("ER clusters: blocking join hashes; no nested loop anywhere") {
+    val p = plan("q_er_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "entity-resolution candidates must come from the blocking equi-join")
+  }
 }
