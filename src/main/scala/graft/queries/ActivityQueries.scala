@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Tables, TextAnalysis}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Activity-analytics family: the product-usage readouts every event
+  * warehouse serves daily — gaps-and-islands streak detection, DAU/MAU
+  * stickiness, and a rolling median over the daily KPI grid.
+  *
+  * The shared scale stance: every window here runs over a DOMAIN-sized
+  * frame, never over fact rows. Events are first collapsed to distinct
+  * (key, day) pairs (one partial-aggregatable shuffle); the
+  * islands/rolling windows then partition by user or run over the
+  * calendar grid (≤ a few thousand rows at any corpus size). Nothing
+  * row-sized ever reaches an unpartitioned window.
+  */
+object ActivityQueries {
+
+  private def r6(c: Column): Column = TextAnalysis.round6(c)
+
+  // --- gaps and islands ------------------------------------------------------
+
+  /** Activity streaks (gaps-and-islands): for each user, maximal runs of
+    * CONSECUTIVE active days, reported as (user, streak start, streak end,
+    * length) for streaks of length ≥ 2, plus each user's longest-streak
+    * rank order. The classic island key: day − row_number() is constant
+    * within a consecutive run (both engines compute it as exact date
+    * arithmetic — no floats anywhere).
+    *
+    * Scale shape: events collapse to distinct (user_id, day) FIRST (one
+    * map-side-combinable shuffle; text/props never move), so the
+    * row_number window partitions by user over at most
+    * |calendar| ≈ hundreds of rows per user regardless of event volume —
+    * per-partition work is calendar-bounded, and the island groupBy is a
+    * second key-local aggregation on the same partitioning (no extra
+    * exchange: (user_id, grp) is a superset of the window's hash key).
+    */
+  private val gapsIslands = QueryDef(
+    fn = (spark, dir) => {
+      val du = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      du.withColumn("grp", date_sub(col("d"), row_number().over(w)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("d")).as("streak_start"),
+          max(col("d")).as("streak_end"),
+          count(lit(1)).as("len"))
+        .filter(col("len") >= 2)
+        .select(col("user_id"), col("streak_start"), col("streak_end"),
+          col("len"))
+        .orderBy("user_id", "streak_start")
+    },
+    oracle = Some(
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |r AS (SELECT user_id, d,
+        |        d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |                 AS INTEGER) AS grp
+        |      FROM du),
+        |i AS (SELECT user_id, grp, min(d) AS streak_start, max(d) AS streak_end,
+        |        COUNT(*) AS len
+        |      FROM r GROUP BY user_id, grp)
+        |SELECT user_id, streak_start, streak_end, len
+        |FROM i WHERE len >= 2 ORDER BY user_id, streak_start""".stripMargin))
+
+  // --- DAU / MAU stickiness --------------------------------------------------
+
+  /** Monthly stickiness: per calendar month — MAU (distinct users in the
+    * month), the number of active days, summed DAU over those days, the
+    * average DAU (6dp), and the DAU/MAU stickiness ratio (6dp). The
+    * denominator is ACTIVE days in the month (the observable quantity on
+    * a sparse fixture), declared in the column name `n_days`.
+    *
+    * Scale shape: one distinct (user, day) projection feeds both sides;
+    * DAU is a day-keyed count over it, MAU a month-keyed distinct — the
+    * month-level join is calendar-sized. countDistinct at 100 TB is the
+    * exact form (the approx_count_distinct twin is q_approx_distinct's
+    * story); the shuffle carries (user, month) pairs, already collapsed.
+    */
+  private val dauMau = QueryDef(
+    fn = (spark, dir) => {
+      val du = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .withColumn("month", date_format(col("d"), "yyyy-MM"))
+      val dau = du.groupBy(col("month"), col("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val daily = dau.groupBy(col("month"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+      val mau = du.groupBy(col("month"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      daily.join(mau, "month")
+        .select(col("month"), col("n_days"), col("dau_sum"), col("mau"),
+          r6(col("dau_sum").cast("double") / col("n_days")).as("avg_dau"),
+          r6(col("dau_sum").cast("double")
+            / (col("n_days") * col("mau"))).as("stickiness"))
+        .orderBy("month")
+    },
+    oracle = Some(
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |dm AS (SELECT user_id, d, strftime(d, '%Y-%m') AS month FROM du),
+        |dau AS (SELECT month, d, COUNT(DISTINCT user_id) AS dau
+        |        FROM dm GROUP BY month, d),
+        |daily AS (SELECT month, COUNT(*) AS n_days, SUM(dau) AS dau_sum
+        |          FROM dau GROUP BY month),
+        |mau AS (SELECT month, COUNT(DISTINCT user_id) AS mau FROM dm GROUP BY month)
+        |SELECT month, n_days, dau_sum, mau,
+        |  floor(CAST(dau_sum AS DOUBLE) / n_days * 1000000.0 + 0.5) / 1000000.0 AS avg_dau,
+        |  floor(CAST(dau_sum AS DOUBLE) / (n_days * mau) * 1000000.0 + 0.5) / 1000000.0
+        |    AS stickiness
+        |FROM daily JOIN mau USING (month) ORDER BY month""".stripMargin))
+
+  // --- rolling median over the daily KPI grid ---------------------------------
+
+  /** 7-day rolling median of the daily event-value total, per event type.
+    * COUNT-style aggregates compose over moving frames; MEDIAN does not
+    * (no mergeable state), so the rewrite: pre-aggregate to the daily
+    * grid (one fact-sized, map-side-combinable shuffle), then sort the
+    * ≤7-element frame EXPLICITLY — `collect_list` over the frame,
+    * `array_sort`, and the middle element(s) by index, averaging the two
+    * middles on even frames. Both engines run the identical
+    * small-array sort (DuckDB: `list(...) OVER w` + `list_sort`), so the
+    * median definition is pinned by construction rather than delegated
+    * to two engines' (potentially different) windowed-median built-ins.
+    *
+    * Scale shape: the only window runs on the (event_type × day) grid —
+    * calendar-domain-sized, thousands of rows at ANY corpus scale — and
+    * the per-row work is a 7-element sort. Sums are exact DECIMAL(12,2)
+    * so the parity/average arithmetic is float-free until the final 6dp.
+    */
+  private val rollingMedian = QueryDef(
+    fn = (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("value").cast("decimal(12,2)").as("v"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("v")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("arr", array_sort(collect_list(col("v")).over(w)))
+        .withColumn("n", size(col("arr")))
+        .withColumn("med",
+          when(col("n") % 2 === 1,
+            element_at(col("arr"),
+              ((col("n") + 1) / 2).cast("int")).cast("double"))
+          .otherwise(
+            (element_at(col("arr"), (col("n") / 2).cast("int"))
+              + element_at(col("arr"), (col("n") / 2).cast("int") + 1))
+              .cast("double") / 2.0))
+        .select(col("event_type"), col("day"), col("v"),
+          col("n").cast("long").as("n_in_frame"), r6(col("med")).as("med7"))
+        .orderBy("event_type", "day")
+    },
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         SUM(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events GROUP BY event_type, day),
+        |r AS (SELECT event_type, day, v,
+        |        list_sort(list(v) OVER w) AS arr
+        |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |x AS (SELECT event_type, day, v, len(arr) AS n,
+        |        CASE WHEN len(arr) % 2 = 1
+        |          THEN CAST(arr[CAST((len(arr) + 1) / 2 AS INTEGER)] AS DOUBLE)
+        |          ELSE CAST(arr[CAST(len(arr) / 2 AS INTEGER)]
+        |                    + arr[CAST(len(arr) / 2 AS INTEGER) + 1] AS DOUBLE) / 2.0
+        |        END AS med
+        |      FROM r)
+        |SELECT event_type, day, v, CAST(n AS BIGINT) AS n_in_frame,
+        |  floor(med * 1000000.0 + 0.5) / 1000000.0 AS med7
+        |FROM x ORDER BY event_type, day""".stripMargin))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_gaps_islands" -> gapsIslands,
+    "q_dau_mau" -> dauMau,
+    "q_rolling_median" -> rollingMedian)
+}

@@ -141,7 +141,146 @@ object GovernanceQueries {
         |FROM labeled l JOIN sizes s USING (cluster)
         |ORDER BY id""".stripMargin))
 
+  /** Referential-integrity audit over every FK edge of the star schema:
+    * per edge — child row count, orphan count (children whose FK value
+    * has no parent), and distinct orphan key count. The audit a
+    * warehouse runs before trusting a load; here all seven edges in one
+    * unioned report.
+    *
+    * Scale shape: each edge is a LEFT ANTI join from the child to the
+    * parent's key projection — parents (region/nation/supplier/part/
+    * customer) broadcast; the orders edge shuffles only (l_orderkey)
+    * key columns, never payloads. Counts are partial-aggregatable; the
+    * report is edges-sized (7 rows). The anti join, not EXCEPT, so each
+    * orphan ROW is counted (row-rate, not key-rate) and the distinct-key
+    * view rides the same frame.
+    */
+  private val fkOrphans = QueryDef(
+    fn = (spark, dir) => {
+      import org.apache.spark.sql.DataFrame
+      def audit(name: String, child: DataFrame, fk: String,
+          parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+        val keys = parent.select(col(pk)).distinct()
+        val p = if (bcast) broadcast(keys) else keys
+        val orphans = child.select(col(fk))
+          .join(p, child(fk) === keys(pk), "left_anti")
+        val oc = orphans.agg(
+          count(lit(1)).as("n_orphan_rows"),
+          countDistinct(col(fk)).as("n_orphan_keys"))
+        val cc = child.agg(count(lit(1)).as("n_child_rows"))
+        cc.crossJoin(oc).select(lit(name).as("edge"), col("n_child_rows"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+      }
+      val li = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val s = Tables.supplier(spark, dir)
+      val p = Tables.part(spark, dir)
+      val n = Tables.nation(spark, dir)
+      val r = Tables.region(spark, dir)
+      Seq(
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey", bcast = false),
+        audit("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey", bcast = true),
+        audit("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey", bcast = true),
+        audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey", bcast = true),
+        audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey", bcast = true),
+        audit("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey", bcast = true),
+        audit("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey", bcast = true))
+        .reduce(_ unionByName _)
+        .orderBy("edge")
+    },
+    oracle = Some(
+      """WITH a AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS edge,
+        |    (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+        |    COUNT(*) AS n_orphan_rows, COUNT(DISTINCT l_orderkey) AS n_orphan_keys
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part', (SELECT COUNT(*) FROM lineitem),
+        |    COUNT(*), COUNT(DISTINCT l_partkey)
+        |  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier', (SELECT COUNT(*) FROM lineitem),
+        |    COUNT(*), COUNT(DISTINCT l_suppkey)
+        |  FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer', (SELECT COUNT(*) FROM orders),
+        |    COUNT(*), COUNT(DISTINCT o_custkey)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey->nation', (SELECT COUNT(*) FROM customer),
+        |    COUNT(*), COUNT(DISTINCT c_nationkey)
+        |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL
+        |  SELECT 'supplier.s_nationkey->nation', (SELECT COUNT(*) FROM supplier),
+        |    COUNT(*), COUNT(DISTINCT s_nationkey)
+        |  FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region', (SELECT COUNT(*) FROM nation),
+        |    COUNT(*), COUNT(DISTINCT n_regionkey)
+        |  FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+        |SELECT edge, n_child_rows, n_orphan_rows, n_orphan_keys
+        |FROM a ORDER BY edge""".stripMargin))
+
+  /** PII-risk scan over the corpus: per source — documents containing
+    * email-like tokens, long digit runs (phone/account-number shaped),
+    * and IPv4-shaped literals, with total hit counts and the affected-doc
+    * rate (6dp). The pre-release privacy readout of a training-data
+    * pipeline (the redaction op q_text_redact is the fix; this is the
+    * audit that decides where to apply it).
+    *
+    * Patterns are kept in the regex subset Java and RE2/DuckDB agree on
+    * (no backrefs, no lookaround, explicit character classes). Counting
+    * uses regexp_extract_all lengths — one corpus scan, all three
+    * patterns in the same projection; the aggregate is source-keyed and
+    * partial-aggregatable. Text never shuffles: only the per-doc hit
+    * counts do.
+    */
+  private val piiScan = QueryDef(
+    fn = (spark, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val digits = "[0-9]{7,}"
+      val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val d = Tables.documents(spark, dir)
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).as("ne"),
+          size(regexp_extract_all(col("text"), lit(digits), lit(0))).as("nd"),
+          size(regexp_extract_all(col("text"), lit(ipv4), lit(0))).as("ni"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ne") > 0, 1L).otherwise(0L)).as("docs_email"),
+          sum(when(col("nd") > 0, 1L).otherwise(0L)).as("docs_digits"),
+          sum(when(col("ni") > 0, 1L).otherwise(0L)).as("docs_ipv4"),
+          sum(when(col("ne") + col("nd") + col("ni") > 0, 1L).otherwise(0L))
+            .as("docs_any"),
+          sum(col("ne")).as("hits_email"),
+          sum(col("nd")).as("hits_digits"),
+          sum(col("ni")).as("hits_ipv4"))
+        .withColumn("affected_rate", graft.ops.TextAnalysis.round6(
+          col("docs_any").cast("double") / col("n_docs")))
+        .orderBy("source")
+    },
+    oracle = Some(
+      """WITH d AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(text, '[0-9]{7,}')) AS nd,
+        |    len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS ni
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS docs_email,
+        |  SUM(CASE WHEN nd > 0 THEN 1 ELSE 0 END) AS docs_digits,
+        |  SUM(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS docs_ipv4,
+        |  SUM(CASE WHEN ne + nd + ni > 0 THEN 1 ELSE 0 END) AS docs_any,
+        |  SUM(ne) AS hits_email, SUM(nd) AS hits_digits, SUM(ni) AS hits_ipv4,
+        |  floor(CAST(SUM(CASE WHEN ne + nd + ni > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS affected_rate
+        |FROM d GROUP BY source ORDER BY source""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_k_anonymity" -> kAnonymity,
-    "q_er_clusters" -> erClusters)
+    "q_er_clusters" -> erClusters,
+    "q_fk_orphans" -> fkOrphans,
+    "q_pii_scan" -> piiScan)
 }
