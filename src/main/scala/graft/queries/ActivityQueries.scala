@@ -25,8 +25,8 @@ object ActivityQueries {
 
   /** Activity streaks (gaps-and-islands): for each user, maximal runs of
     * CONSECUTIVE active days, reported as (user, streak start, streak end,
-    * length) for streaks of length ≥ 2, plus each user's longest-streak
-    * rank order. The classic island key: day − row_number() is constant
+    * length) for streaks of length ≥ 2. The classic island key: day −
+    * row_number() is constant
     * within a consecutive run (both engines compute it as exact date
     * arithmetic — no floats anywhere).
     *
@@ -105,7 +105,7 @@ object ActivityQueries {
         |daily AS (SELECT month, COUNT(*) AS n_days, SUM(dau) AS dau_sum
         |          FROM dau GROUP BY month),
         |mau AS (SELECT month, COUNT(DISTINCT user_id) AS mau FROM dm GROUP BY month)
-        |SELECT month, n_days, dau_sum, mau,
+        |SELECT month, n_days, CAST(dau_sum AS BIGINT) AS dau_sum, mau,
         |  floor(CAST(dau_sum AS DOUBLE) / n_days * 1000000.0 + 0.5) / 1000000.0 AS avg_dau,
         |  floor(CAST(dau_sum AS DOUBLE) / (n_days * mau) * 1000000.0 + 0.5) / 1000000.0
         |    AS stickiness
@@ -131,7 +131,13 @@ object ActivityQueries {
     */
   private val rollingMedian = QueryDef(
     fn = (spark, dir) => {
+      // NULL `value` rows are dropped up front on BOTH sides: Spark's
+      // collect_list drops NULLs while DuckDB's list() keeps them, so a
+      // NULL daily sum would silently shift the frame size / median index
+      // between engine and oracle. Filtering first pins identical
+      // semantics instead of leaning on the fixture's non-null luck.
       val daily = Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
         .select(col("event_type"), to_date(col("ts")).as("day"),
           col("value").cast("decimal(12,2)").as("v"))
         .groupBy(col("event_type"), col("day"))
@@ -157,7 +163,7 @@ object ActivityQueries {
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |         SUM(CAST(value AS DECIMAL(12,2))) AS v
-        |  FROM events GROUP BY event_type, day),
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type, day),
         |r AS (SELECT event_type, day, v,
         |        list_sort(list(v) OVER w) AS arr
         |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
@@ -169,7 +175,8 @@ object ActivityQueries {
         |                    + arr[CAST(len(arr) / 2 AS INTEGER) + 1] AS DOUBLE) / 2.0
         |        END AS med
         |      FROM r)
-        |SELECT event_type, day, v, CAST(n AS BIGINT) AS n_in_frame,
+        |SELECT event_type, day, CAST(v AS DECIMAL(22,2)) AS v,
+        |  CAST(n AS BIGINT) AS n_in_frame,
         |  floor(med * 1000000.0 + 0.5) / 1000000.0 AS med7
         |FROM x ORDER BY event_type, day""".stripMargin))
 

@@ -296,7 +296,8 @@ object CoreQueries {
         |         row_number() OVER (PARTITION BY p_brand
         |                            ORDER BY rev_dec DESC, p_partkey ASC) AS rn
         |  FROM rev)
-        |SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, rn
+        |SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rn AS INTEGER) AS rn
         |FROM ranked WHERE rn <= 3
         |ORDER BY p_brand, rn""".stripMargin))
 
@@ -330,9 +331,9 @@ object CoreQueries {
         |  CAST(lag(CAST(l_extendedprice AS DECIMAL(12,4)), 1) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) AS prev_price,
-        |  row_number() OVER (
+        |  CAST(row_number() OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INTEGER) AS rn
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-01-31'
         |ORDER BY l_suppkey, rn""".stripMargin))

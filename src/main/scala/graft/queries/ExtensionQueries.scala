@@ -99,7 +99,7 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_tokens"), col("bin"))
         .orderBy("doc_id"),
     oracle = Some(
-      s"""WITH t AS (SELECT doc_id, CAST(len(${dToks("text")}) AS BIGINT) AS n_tokens
+      s"""WITH t AS (SELECT doc_id, CAST(len(${dToks("text")}) AS INTEGER) AS n_tokens
          |           FROM documents)
          |SELECT doc_id, n_tokens,
          |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -240,7 +240,9 @@ object ExtensionQueries {
          |    CASE WHEN n_docs > 0 THEN CAST(tp AS DOUBLE) / CAST(n_docs AS DOUBLE)
          |         ELSE 0.0 END AS r
          |  FROM t)
-         |SELECT lang, n_docs, tp, n_predicted,
+         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(tp AS BIGINT) AS tp,
+         |  CAST(n_predicted AS BIGINT) AS n_predicted,
          |  floor(p * 1000000.0 + 0.5) / 1000000.0 AS precision,
          |  floor(r * 1000000.0 + 0.5) / 1000000.0 AS recall,
          |  floor((CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END)
@@ -292,8 +294,8 @@ object ExtensionQueries {
          |    ORDER BY freq DESC, token LIMIT 500)),
          |j AS (SELECT c.source, c.token, c.n, v.token AS vtok
          |      FROM c LEFT JOIN v ON c.token = v.token)
-         |SELECT source, SUM(n) AS n_tokens,
-         |  SUM(CASE WHEN vtok IS NOT NULL THEN n ELSE 0 END) AS n_covered,
+         |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN vtok IS NOT NULL THEN n ELSE 0 END) AS BIGINT) AS n_covered,
          |  COUNT(DISTINCT token) AS n_types,
          |  COUNT(DISTINCT CASE WHEN vtok IS NULL THEN token END) AS oov_types,
          |  floor((1.0 - CAST(SUM(CASE WHEN vtok IS NOT NULL THEN n ELSE 0 END) AS DOUBLE)
@@ -1579,7 +1581,7 @@ object ExtensionQueries {
          |t AS (SELECT label, COUNT(*) AS n_points FROM c GROUP BY label)
          |SELECT t.label, t.n_points,
          |  COALESCE(s.n_screened, 0) AS n_screened,
-         |  COALESCE(s.n_suspect, 0) AS n_suspect,
+         |  CAST(COALESCE(s.n_suspect, 0) AS BIGINT) AS n_suspect,
          |  floor(CAST(COALESCE(s.n_suspect, 0) AS DOUBLE)
          |    / CAST(COALESCE(s.n_screened, 1) AS DOUBLE) * 1000000.0 + 0.5)
          |    / 1000000.0 AS suspect_rate
@@ -3678,7 +3680,7 @@ object ExtensionQueries {
          |r AS (SELECT comp, token, tf, score,
          |    row_number() OVER (PARTITION BY comp ORDER BY score DESC, token) AS rank
          |  FROM sc)
-         |SELECT comp, rank, token, tf,
+         |SELECT comp, CAST(rank AS INTEGER) AS rank, token, tf,
          |  floor(CAST(score AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS score
          |FROM r WHERE rank <= 3 ORDER BY comp, rank""".stripMargin))
 
@@ -3723,7 +3725,7 @@ object ExtensionQueries {
          |    SUM(CAST(n AS HUGEINT) * (n - 1)) AS rep,
          |    SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax
          |  FROM c GROUP BY source)
-         |SELECT source, n_tokens, n_types,
+         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
          |  floor(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
          |    * 1000000.0 + 0.5) / 1000000.0 AS type_token_ratio,
          |  floor(CAST(rep AS DOUBLE)
@@ -3775,7 +3777,7 @@ object ExtensionQueries {
          |        COALESCE(agx.agree, 0) AS agree
          |      FROM jac LEFT JOIN agx USING (id_a, id_b)
          |      WHERE jac.jaccard >= 0.5)
-         |SELECT agree, COUNT(*) AS n_pairs,
+         |SELECT CAST(agree AS INTEGER) AS agree, COUNT(*) AS n_pairs,
          |  floor(CAST(SUM(CAST(jaccard AS DECIMAL(12,6))) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_jaccard,
          |  MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
@@ -3818,9 +3820,9 @@ object ExtensionQueries {
          |        COALESCE(c.comp, doc_id) <> doc_id AS dupe
          |      FROM documents LEFT JOIN comp c ON documents.doc_id = c.id)
          |SELECT source, COUNT(*) AS n_docs,
-         |  SUM(CASE WHEN dupe THEN 1 ELSE 0 END) AS n_dupes,
-         |  SUM(n_chars) AS bytes_total,
-         |  SUM(CASE WHEN dupe THEN n_chars ELSE 0 END) AS bytes_dupe,
+         |  CAST(SUM(CASE WHEN dupe THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+         |  CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+         |  CAST(SUM(CASE WHEN dupe THEN n_chars ELSE 0 END) AS BIGINT) AS bytes_dupe,
          |  floor(CAST(SUM(CASE WHEN dupe THEN n_chars ELSE 0 END) AS DOUBLE)
          |    / CAST(SUM(n_chars) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS savings_pct
          |FROM d GROUP BY source ORDER BY source""".stripMargin))
@@ -3867,8 +3869,8 @@ object ExtensionQueries {
          |           SUM(sz) AS n_docs_in FROM sizes GROUP BY sz),
          |tot AS (SELECT (SELECT COUNT(*) FROM documents)
          |          - (SELECT COUNT(*) FROM comp) AS singles)
-         |SELECT cluster_size, SUM(n_clusters) AS n_clusters,
-         |  SUM(n_docs_in) AS n_docs_in
+         |SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(n_docs_in) AS BIGINT) AS n_docs_in
          |FROM (
          |  SELECT * FROM hist
          |  UNION ALL

@@ -154,6 +154,13 @@ object GovernanceQueries {
     * report is edges-sized (7 rows). The anti join, not EXCEPT, so each
     * orphan ROW is counted (row-rate, not key-rate) and the distinct-key
     * view rides the same frame.
+    *
+    * NULL semantics, pinned explicitly (an RI audit exists for dirty
+    * data): an "orphan" is a NON-NULL FK value with no parent — NULL-FK
+    * child rows are excluded on both sides (`fk IS NOT NULL` before the
+    * anti join; the oracle uses NOT EXISTS, which matches anti-join NULL
+    * behavior, not NOT IN, which would return zero rows for a whole edge
+    * the moment any parent key is NULL).
     */
   private val fkOrphans = QueryDef(
     fn = (spark, dir) => {
@@ -162,7 +169,7 @@ object GovernanceQueries {
           parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
         val keys = parent.select(col(pk)).distinct()
         val p = if (bcast) broadcast(keys) else keys
-        val orphans = child.select(col(fk))
+        val orphans = child.select(col(fk)).filter(col(fk).isNotNull)
           .join(p, child(fk) === keys(pk), "left_anti")
         val oc = orphans.agg(
           count(lit(1)).as("n_orphan_rows"),
@@ -194,31 +201,38 @@ object GovernanceQueries {
         |  SELECT 'lineitem.l_orderkey->orders' AS edge,
         |    (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
         |    COUNT(*) AS n_orphan_rows, COUNT(DISTINCT l_orderkey) AS n_orphan_keys
-        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
         |  UNION ALL
         |  SELECT 'lineitem.l_partkey->part', (SELECT COUNT(*) FROM lineitem),
         |    COUNT(*), COUNT(DISTINCT l_partkey)
-        |  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  FROM lineitem WHERE l_partkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
         |  UNION ALL
         |  SELECT 'lineitem.l_suppkey->supplier', (SELECT COUNT(*) FROM lineitem),
         |    COUNT(*), COUNT(DISTINCT l_suppkey)
-        |  FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
         |  UNION ALL
         |  SELECT 'orders.o_custkey->customer', (SELECT COUNT(*) FROM orders),
         |    COUNT(*), COUNT(DISTINCT o_custkey)
-        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
         |  UNION ALL
         |  SELECT 'customer.c_nationkey->nation', (SELECT COUNT(*) FROM customer),
         |    COUNT(*), COUNT(DISTINCT c_nationkey)
-        |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  FROM customer WHERE c_nationkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
         |  UNION ALL
         |  SELECT 'supplier.s_nationkey->nation', (SELECT COUNT(*) FROM supplier),
         |    COUNT(*), COUNT(DISTINCT s_nationkey)
-        |  FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  FROM supplier WHERE s_nationkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
         |  UNION ALL
         |  SELECT 'nation.n_regionkey->region', (SELECT COUNT(*) FROM nation),
         |    COUNT(*), COUNT(DISTINCT n_regionkey)
-        |  FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+        |  FROM nation WHERE n_regionkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey))
         |SELECT edge, n_child_rows, n_orphan_rows, n_orphan_keys
         |FROM a ORDER BY edge""".stripMargin))
 
@@ -241,7 +255,11 @@ object GovernanceQueries {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val digits = "[0-9]{7,}"
       val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      // NULL text is excluded up front on BOTH sides: Spark's legacy
+      // size(regexp_extract_all(NULL)) yields -1 where DuckDB's len
+      // yields NULL, so a NULL document would silently skew hit sums.
       val d = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
         .select(col("source"),
           size(regexp_extract_all(col("text"), lit(email), lit(0))).as("ne"),
           size(regexp_extract_all(col("text"), lit(digits), lit(0))).as("nd"),
@@ -267,13 +285,15 @@ object GovernanceQueries {
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
         |    len(regexp_extract_all(text, '[0-9]{7,}')) AS nd,
         |    len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS ni
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT source, COUNT(*) AS n_docs,
-        |  SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS docs_email,
-        |  SUM(CASE WHEN nd > 0 THEN 1 ELSE 0 END) AS docs_digits,
-        |  SUM(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS docs_ipv4,
-        |  SUM(CASE WHEN ne + nd + ni > 0 THEN 1 ELSE 0 END) AS docs_any,
-        |  SUM(ne) AS hits_email, SUM(nd) AS hits_digits, SUM(ni) AS hits_ipv4,
+        |  CAST(SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+        |  CAST(SUM(CASE WHEN nd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_digits,
+        |  CAST(SUM(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ipv4,
+        |  CAST(SUM(CASE WHEN ne + nd + ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_any,
+        |  CAST(SUM(ne) AS BIGINT) AS hits_email,
+        |  CAST(SUM(nd) AS BIGINT) AS hits_digits,
+        |  CAST(SUM(ni) AS BIGINT) AS hits_ipv4,
         |  floor(CAST(SUM(CASE WHEN ne + nd + ni > 0 THEN 1 ELSE 0 END) AS DOUBLE)
         |        / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS affected_rate
         |FROM d GROUP BY source ORDER BY source""".stripMargin))

@@ -91,8 +91,11 @@ object LayoutQueries {
          |UNION ALL
          |${rep("date_partitioned",
             "CAST(year(sd) * 12 + month(sd) AS BIGINT)")})
-         |SELECT layout, files_total, files_scanned, rows_total, rows_scanned,
-         |  rows_matching,
+         |SELECT layout, files_total,
+         |  CAST(files_scanned AS BIGINT) AS files_scanned,
+         |  CAST(rows_total AS BIGINT) AS rows_total,
+         |  CAST(rows_scanned AS BIGINT) AS rows_scanned,
+         |  CAST(rows_matching AS BIGINT) AS rows_matching,
          |  floor(CAST(rows_scanned AS DOUBLE) / CAST(rows_matching AS DOUBLE)
          |    * 1000000.0 + 0.5) / 1000000.0 AS scan_amplification,
          |  floor((1.0 - CAST(files_scanned AS DOUBLE)
@@ -152,8 +155,10 @@ object LayoutQueries {
         |    SUM(bytes) AS total_chars, MAX(bytes) AS max_bin_chars,
         |    SUM(CASE WHEN bytes > 2048 THEN 1 ELSE 0 END) AS overfull_bins
         |  FROM pb GROUP BY 1)
-        |SELECT source, n_docs, n_bins, total_chars, max_bin_chars,
-        |  overfull_bins,
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_bins,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  CAST(max_bin_chars AS BIGINT) AS max_bin_chars,
+        |  CAST(overfull_bins AS BIGINT) AS overfull_bins,
         |  floor(CAST(total_chars AS DOUBLE) / CAST(n_bins * 2048 AS DOUBLE)
         |    * 1000000.0 + 0.5) / 1000000.0 AS avg_fill
         |FROM s ORDER BY source""".stripMargin))
@@ -202,8 +207,8 @@ object LayoutQueries {
         ("p_name", "p_brand"))
       deps.map { case (lhs, rhs) =>
         s"""SELECT '$lhs->$rhs' AS dep, COUNT(*) AS n_keys,
-           |    SUM(CASE WHEN dr > 1 THEN 1 ELSE 0 END) AS viol_keys,
-           |    SUM(kr - mc) AS viol_rows,
+           |    CAST(SUM(CASE WHEN dr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS viol_keys,
+           |    CAST(SUM(kr - mc) AS BIGINT) AS viol_rows,
            |    SUM(CASE WHEN dr > 1 THEN 1 ELSE 0 END) = 0 AS holds
            |  FROM (SELECT l, SUM(c) AS kr, MAX(c) AS mc, COUNT(*) AS dr
            |    FROM (SELECT CAST($lhs AS VARCHAR) AS l,

@@ -94,7 +94,8 @@ object RankStatsQueries {
         |      - CAST(cumb AS DECIMAL(38,0)) * na) AS dn
         |  FROM c),
         |s AS (SELECT MAX(na) AS n_a, MAX(nb) AS n_b, MAX(dn) AS d_num FROM d)
-        |SELECT n_a, n_b, d_num,
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(d_num AS DECIMAL(38,0)) AS d_num,
         |  floor(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
         |    * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
         |  floor(1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
@@ -165,7 +166,7 @@ object RankStatsQueries {
         |    SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS ties
         |  FROM c)
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-        |  r2a - n_a * (n_a + 1) AS u2,
+        |  CAST(r2a - n_a * (n_a + 1) AS DECIMAL(38,0)) AS u2,
         |  floor((CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
         |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
         |    / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0

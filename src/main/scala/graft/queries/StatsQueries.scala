@@ -138,12 +138,13 @@ object StatsQueries {
         |    (ra - rb) / sqrt(p * (1.0 - p) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z,
         |    (ma - mb) / sqrt(va / CAST(np_a AS DOUBLE) + vb / CAST(np_b AS DOUBLE)) AS t
         |  FROM f)
-        |SELECT n_a, n_b, conv_a, conv_b,
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
         |  floor(ra * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
         |  floor(rb * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
         |  floor(z * 1000000.0 + 0.5) / 1000000.0 AS z_conv,
         |  abs(z) > 1.96 AS sig_conv,
-        |  np_a, np_b,
+        |  CAST(np_a AS BIGINT) AS np_a, CAST(np_b AS BIGINT) AS np_b,
         |  floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
         |  floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
         |  floor(t * 1000000.0 + 0.5) / 1000000.0 AS t_welch,
@@ -307,7 +308,8 @@ object StatsQueries {
         |k AS (SELECT t, d, c, n_risk,
         |    SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM s)
-        |SELECT t AS t_day, n_risk, d AS d_events, c AS c_censored,
+        |SELECT CAST(t AS INTEGER) AS t_day, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d_events, CAST(c AS BIGINT) AS c_censored,
         |  floor(exp(CAST(cum AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS km_survival
         |FROM k WHERE d > 0 ORDER BY t_day""".stripMargin))
 
@@ -359,7 +361,8 @@ object StatsQueries {
     },
     oracle = Some {
       def side(k: String) =
-        s"""SELECT '$k' AS key_col, n_keys, n_rows,
+        s"""SELECT '$k' AS key_col, CAST(n_keys AS BIGINT) AS n_keys,
+           |  CAST(n_rows AS BIGINT) AS n_rows,
            |  floor((2.0 * CAST(s_ic AS DOUBLE)
            |      / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
            |      - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE))
@@ -476,7 +479,8 @@ object StatsQueries {
         |  FROM t),
         |s AS (SELECT event_type, MAX(tr) AS n_ref, MAX(tc) AS n_cur,
         |    SUM(term) AS psi_d FROM tm GROUP BY 1)
-        |SELECT event_type, n_ref, n_cur,
+        |SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
         |  floor(CAST(psi_d AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS psi,
         |  floor(CAST(psi_d AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 > 0.1 AS drift_flag
         |FROM s ORDER BY event_type""".stripMargin))
@@ -558,7 +562,8 @@ object StatsQueries {
         |    CAST(SUM(mi_term) AS DOUBLE) AS mi_raw,
         |    CAST(SUM(chi_term) AS DOUBLE) AS chi_raw
         |  FROM tt GROUP BY 1, 2, 3)
-        |SELECT n, CAST(r AS BIGINT) AS r_levels, CAST(c AS BIGINT) AS c_levels,
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(r AS BIGINT) AS r_levels, CAST(c AS BIGINT) AS c_levels,
         |  floor(mi_raw * 1000000.0 + 0.5) / 1000000.0 AS mi,
         |  floor(chi_raw * 1000000.0 + 0.5) / 1000000.0 AS chi2,
         |  floor(sqrt(chi_raw / CAST(n * least(r - 1, c - 1) AS DOUBLE))
@@ -890,7 +895,8 @@ object StatsQueries {
         |  FROM seg GROUP BY 1),
         |ex AS (SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct_exact
         |       FROM lineitem GROUP BY 1)
-        |SELECT bm.l_returnflag, bm.n_segments, bm.n_distinct_bitmap,
+        |SELECT bm.l_returnflag, bm.n_segments,
+        |  CAST(bm.n_distinct_bitmap AS BIGINT) AS n_distinct_bitmap,
         |  ex.n_distinct_exact,
         |  bm.n_distinct_bitmap = ex.n_distinct_exact AS match_exact
         |FROM bm JOIN ex USING (l_returnflag)
@@ -1015,7 +1021,7 @@ object StatsQueries {
         |      * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
         |      / ((p1 - p2) * (p1 - p2))) AS BIGINT) AS n_req
         |  FROM f)
-        |SELECT n_a, n_b,
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  floor(p1 * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
         |  floor(p2 * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
         |  floor(abs(p1 - p2) * 1000000.0 + 0.5) / 1000000.0 AS observed_diff,
@@ -1165,7 +1171,7 @@ object StatsQueries {
         |g AS (SELECT event_type, dow, COUNT(*) AS n_days, SUM(s) AS sd,
         |    MAX(tot) AS tot, MAX(nd) AS nd
         |  FROM t GROUP BY 1, 2)
-        |SELECT event_type, dow, n_days,
+        |SELECT event_type, CAST(dow AS INTEGER) AS dow, n_days,
         |  floor(CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE) / 1000000.0
         |    * 1000000.0 + 0.5) / 1000000.0 AS avg_total,
         |  floor((CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE))

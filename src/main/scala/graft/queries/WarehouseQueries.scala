@@ -2091,8 +2091,8 @@ object WarehouseQueries {
          |     + (SELECT eff FROM re2 WHERE channel = 'signup')
          |     + (SELECT eff FROM re2 WHERE channel = 'view') AS s)
          |SELECT r.channel,
-         |  CASE r.channel WHEN 'click' THEN tm.v_click WHEN 'error' THEN tm.v_error
-         |    WHEN 'signup' THEN tm.v_signup ELSE tm.v_view END AS n_visits,
+         |  CAST(CASE r.channel WHEN 'click' THEN tm.v_click WHEN 'error' THEN tm.v_error
+         |    WHEN 'signup' THEN tm.v_signup ELSE tm.v_view END AS BIGINT) AS n_visits,
          |  floor(r.base * 1000000.0 + 0.5) / 1000000.0 AS base_conv,
          |  floor(r.eff * 1000000.0 + 0.5) / 1000000.0 AS removal_effect,
          |  floor(r.eff / tot.s * 1000000.0 + 0.5) / 1000000.0 AS attribution

@@ -96,4 +96,33 @@ class GovernanceSpatialSpec extends SparkSpec {
     assert(got(3L) == ((None, None)), "4-day-old match must be discarded")
     assert(got(4L) == ((None, None)), "unmatched left row stays null")
   }
+
+  test("q_fk_orphans: seeded orphan counted per row; NULL FK excluded") {
+    // two orders rows point at a missing customer key 99 (row-rate 2,
+    // key-rate 1); one orders row has a NULL FK and must NOT count as an
+    // orphan (the pinned anti-join/NOT EXISTS semantics)
+    val region = Seq(0L).toDF("r_regionkey")
+    val nation = Seq((0L, 0L)).toDF("n_nationkey", "n_regionkey")
+    val customer = Seq((1L, 0L)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((1L, 0L)).toDF("s_suppkey", "s_nationkey")
+    val part = Seq(1L).toDF("p_partkey")
+    val orders = Seq(
+      (10L, java.lang.Long.valueOf(1L)),
+      (11L, java.lang.Long.valueOf(99L)),
+      (12L, java.lang.Long.valueOf(99L)),
+      (13L, null.asInstanceOf[java.lang.Long]))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1L, 1L)).toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val dir = fixtureDir("region" -> region, "nation" -> nation,
+      "customer" -> customer, "supplier" -> supplier, "part" -> part,
+      "orders" -> orders, "lineitem" -> lineitem)
+    val got = SparkEntry.queries("q_fk_orphans")(spark, dir)
+      .select("edge", "n_child_rows", "n_orphan_rows", "n_orphan_keys")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("orders.o_custkey->customer") == ((4L, 2L, 1L)),
+      "2 orphan ROWS over 1 orphan KEY; the NULL-FK row is excluded")
+    assert(got("lineitem.l_orderkey->orders") == ((1L, 0L, 0L)))
+    assert(got("nation.n_regionkey->region") == ((1L, 0L, 0L)))
+  }
 }

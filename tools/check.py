@@ -25,7 +25,8 @@ def rows_of(rel):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     data = rel.fetchall()
     out = [tuple(norm(r[i]) for i in order) for r in data]
-    return sorted(cols), sorted(out, key=repr)
+    types = [str(rel.types[i]) for i in order]
+    return sorted(cols), sorted(out, key=repr), types
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -42,15 +43,24 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            scols, srows = rows_of(con.sql(
+            scols, srows, stypes = rows_of(con.sql(
                 f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"))
-            ocols, orows = rows_of(con.sql(sql))
+            ocols, orows, otypes = rows_of(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: {str(e)[:300]}")
             n_fail += 1
             continue
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            n_fail += 1
+        elif stypes != otypes:
+            # The driver's hash is TYPE-sensitive (HUGEINT vs BIGINT,
+            # decimal width) even when values are equal — the round-1
+            # "int128 lesson". Fail locally on any type drift so the
+            # local gate can never pass what the driver rejects.
+            diffs = [f"{c}: spark={s} oracle={o}"
+                     for c, s, o in zip(scols, stypes, otypes) if s != o]
+            print(f"FAIL {name}: TYPE mismatch: {'; '.join(diffs)}")
             n_fail += 1
         elif len(srows) != len(orows):
             print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
