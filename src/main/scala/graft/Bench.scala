@@ -37,6 +37,23 @@ object Bench {
         graft.ops.Dedup.tokenHashes(graft.ops.TextAnalysis.tokens(col("text"))))).count()
       Seq((Seq(0.1f, 0.2f), Seq(0.2f, 0.1f))).toDF("a", "b")
         .select(graft.ops.Similarity.cosine(col("a"), col("b"))).count()
+      // ANN-family codegen warmup at PRODUCTION shape (10 cells × 64 dims,
+      // 16 LSH tables): the literal-centroid argmax and the amplified LSH
+      // bucket family each compile a large generated class whose source
+      // depends on those counts — warming at toy shape (2×2) compiles a
+      // DIFFERENT class and the first real query still pays ~2 s of
+      // codegen. 20 in-memory rows, nothing scales with the bench SF.
+      val rnd = new scala.util.Random(7)
+      val toyEmb = (0L until 20L).map(i =>
+          (i, Seq.fill(64)(rnd.nextFloat() - 0.5f), i % 10))
+        .toDF("vec_id", "embedding", "label")
+      val toyCents = graft.ops.Similarity.centroids(toyEmb, "label", "embedding")
+      graft.ops.Similarity.kmeansAssign(toyEmb, toyCents,
+        "vec_id", "embedding", "label").count()
+      graft.ops.Similarity.bruteForceTopK(toyEmb,
+        toyEmb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5).count()
+      graft.ops.Similarity.lshTopKSelf(toyEmb, col("vec_id") < 8,
+        "vec_id", "embedding", k = 5, nBits = 4, tables = 16).count()
     } catch { case _: Throwable => () }
     // Medians over repeated passes: single-pass numbers proved unusable for
     // round-over-round comparison (one round's driver bench ran uniformly

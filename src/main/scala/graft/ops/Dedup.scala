@@ -133,6 +133,13 @@ object Dedup {
         bandedAll.withColumn("__bn", count(lit(1)).over(w))
           .filter(col("__bn") <= m).drop("__bn")
     }
+    // the candidate set is referenced THREE times below (verify input +
+    // both candIds branches); without a materialization barrier each
+    // reference re-executes the banded self-join (ReuseExchange does not
+    // reliably collapse them under AQE re-planning — measured 30.6 s vs
+    // 14 s for the full operator at sf0.1). Candidates are ≪ corpus by
+    // LSH construction (two longs per row), so the checkpoint is cheap at
+    // any scale — the same discipline as the chain-level pair checkpoint.
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -140,15 +147,21 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+      .localCheckpoint(true)
     // tokenize only candidate docs: join the raw text to the candidate id
     // set FIRST, then tokenize — the optimizer cannot hoist an expression
     // below a join on its own, so the order is explicit here
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id")))
       .distinct()
+    // candToks feeds BOTH join sides (a and b) — without a barrier each
+    // side re-runs the corpus⋈candIds join and re-tokenizes the candidate
+    // docs. This is candidate-doc-sized (not corpus-sized) state, so the
+    // checkpoint stays inside the "never pin O(corpus)" discipline above.
     val candToks = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(candIds, "id")
       .select(col("id"), TextAnalysis.tokenSet(col("__text")).as("toks"))
+      .localCheckpoint(true)
     val a = candToks.select(col("id").as("id_a"), col("toks").as("toks_a"))
     val b = candToks.select(col("id").as("id_b"), col("toks").as("toks_b"))
     candidates.join(a, "id_a").join(b, "id_b")
