@@ -14,7 +14,8 @@ object SparkEntry {
       ExtensionQueries.defs ++ RelationalExtras.defs ++ AnalyticQueries.defs ++
       WarehouseQueries.defs ++ GraphQueries.defs ++ StatsQueries.defs ++
       RankStatsQueries.defs ++ LayoutQueries.defs ++ ClassifierQueries.defs ++
-      SpatialQueries.defs ++ GovernanceQueries.defs ++ ActivityQueries.defs
+      SpatialQueries.defs ++ GovernanceQueries.defs ++ ActivityQueries.defs ++
+      SamplingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -182,6 +182,26 @@ object TextAnalysis {
     round6(score)
   }
 
+  /** Flesch reading-ease score (Flesch 1948; the classic readability
+    * screen a curation pipeline runs next to [[qualityScore]]):
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * sentences counted as `[.!?]+` runs and syllables approximated by
+    * vowel-group runs `[aeiouy]+` (the standard regex-only proxy — both
+    * engines run the identical pattern, so the approximation is pinned,
+    * not estimated). Zero-denominator guards: sentence/syllable counts
+    * clamp to 1 (a fragment with no terminator is one sentence); empty
+    * documents score 0. Fixed-order double composition, 6dp floored —
+    * scan-stage, no shuffle, stays inside whole-stage codegen.
+    */
+  def fleschScore(text: Column): Column = {
+    val w = size(tokens(text)).cast("double")
+    val s = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("double")
+    val y = greatest(regexp_count(lower(text), lit("[aeiouy]+")), lit(1)).cast("double")
+    round6(when(w > 0,
+      lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w))
+      .otherwise(lit(0.0)))
+  }
+
   /** Gopher-style n-gram repetition signals (Rae et al. 2021 §A1.1 use
     * them as removal rules for training corpora): per document,
     *  - `top_frac`: fraction of n-gram slots taken by the single most

@@ -305,7 +305,7 @@ object ExtensionQueries {
   /** The [[TextAnalysis.qualityScore]] DuckDB twin as a two-CTE fragment
     * (`qm`, `qual(doc_id, quality)`), filterable — shared by
     * q_text_quality and the best-of-cluster survivor policy. */
-  private def dQualityCte(where: String): String = {
+  private[queries] def dQualityCte(where: String): String = {
     val en = TextAnalysis.StopwordLists.toMap.apply("en")
       .map(w => s"'$w'").mkString("[", ", ", "]")
     s"""qm AS (SELECT doc_id,
