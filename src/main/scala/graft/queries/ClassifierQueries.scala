@@ -225,8 +225,85 @@ object ClassifierQueries {
          |WHERE cab >= 5
          |ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50""".stripMargin))
 
+  /** NB calibration curve (reliability diagram): documents bucketed by
+    * the classifier's decision MARGIN — best minus second-best class
+    * score, an exact micro-nat integer, floored to whole nats and capped
+    * at 5+ — with per-bucket document counts and accuracy. The readout
+    * that turns a classifier into a FILTER: a production curation
+    * pipeline keeps only documents above the margin where measured
+    * accuracy clears its precision bar, and this table is where that
+    * threshold is read off. Monotone-rising accuracy = usable
+    * confidence; a flat curve = the margin carries no signal.
+    *
+    * Exactness: the margin is a difference of the integer score6 sums
+    * (no softmax — the monotone margin needs no normalization), so
+    * buckets are exact on both engines; accuracy is the one double
+    * ratio, 6dp floored. Scale shape: rides the memoized broadcast
+    * weight table and the same per-doc tf aggregation as q_nb_score; the
+    * only windows partition by doc_id over L ≤ 5 rows; the report is
+    * bucket-domain-sized.
+    */
+  private val nbCalibration = QueryDef(
+    fn = (spark, dir) => {
+      val w = nbWeights(spark, dir)
+      val docs = Tables.documents(spark, dir)
+      val tf = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val partial = tf.join(broadcast(w.select(col("token"), col("lang"), col("w6"))), "token")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("tf") * col("w6")).as("s6"))
+      val classes = w.select(col("lang"), col("prior6")).distinct()
+      val scored = docs.select(col("doc_id"), col("lang").as("true_lang"))
+        .crossJoin(broadcast(classes))
+        .join(partial, Seq("doc_id", "lang"), "left")
+        .withColumn("score6", coalesce(col("s6"), lit(0L)) + col("prior6"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score6").desc, col("lang").asc)))
+        .filter(col("rn") <= 2)
+      val perDoc = scored.groupBy(col("doc_id"))
+        .agg(
+          max(when(col("rn") === 1, col("score6"))).as("s1"),
+          max(when(col("rn") === 2, col("score6"))).as("s2"),
+          max(when(col("rn") === 1 && col("lang") === col("true_lang"), 1L)
+            .otherwise(0L)).as("ok"))
+        .withColumn("bucket",
+          least(expr("(s1 - s2) div 1000000"), lit(5L)))
+      perDoc.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ok")).as("n_correct"))
+        .withColumn("accuracy", TextAnalysis.round6(
+          col("n_correct").cast("double") / col("n_docs").cast("double")))
+        .orderBy("bucket")
+    },
+    oracle = Some(
+      s"""WITH $nbOracleCtes,
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+         |       FROM toks GROUP BY doc_id, token),
+         |partial AS (SELECT tf.doc_id, w.lang, SUM(tf.tf * w.w6) AS s6
+         |            FROM tf JOIN w USING (token) GROUP BY tf.doc_id, w.lang),
+         |classes AS (SELECT DISTINCT lang, prior6 FROM w),
+         |scored AS (SELECT d.doc_id, d.lang AS true_lang, c.lang,
+         |    COALESCE(p.s6, 0) + c.prior6 AS score6,
+         |    row_number() OVER (PARTITION BY d.doc_id
+         |      ORDER BY COALESCE(p.s6, 0) + c.prior6 DESC, c.lang ASC) AS rn
+         |  FROM documents d CROSS JOIN classes c
+         |  LEFT JOIN partial p ON d.doc_id = p.doc_id AND c.lang = p.lang),
+         |pd AS (SELECT doc_id,
+         |    MAX(CASE WHEN rn = 1 THEN score6 END) AS s1,
+         |    MAX(CASE WHEN rn = 2 THEN score6 END) AS s2,
+         |    MAX(CASE WHEN rn = 1 AND lang = true_lang THEN 1 ELSE 0 END) AS ok
+         |  FROM scored WHERE rn <= 2 GROUP BY doc_id),
+         |b AS (SELECT LEAST((s1 - s2) // 1000000, 5) AS bucket, ok FROM pd)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(ok) AS BIGINT) AS n_correct,
+         |  floor(CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS accuracy
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_nb_train" -> nbTrain,
     "q_nb_score" -> nbScore,
+    "q_nb_calibration" -> nbCalibration,
     "q_token_pmi" -> tokenPmi)
 }

@@ -77,4 +77,27 @@ class ClassifierQueriesSpec extends SparkSpec {
     val expect = math.floor(math.log(6.0 * 18 / (6 * 6)) * 1e6 + 0.5) / 1e6
     assert(math.abs(pmi - expect) < 1e-9, s"pmi=$pmi expect=$expect")
   }
+
+  test("q_nb_calibration: margin buckets partition the corpus; accuracy is exact") {
+    // strongly-separated docs (many signature tokens -> big margin) and a
+    // prior-only empty doc (margin = prior gap, lands in a low bucket)
+    val docs = Seq(
+      (1L, "x x x x x x x x", "aa"), (2L, "x x x x x x", "aa"),
+      (3L, "x x x x", "aa"), (4L, "z z z z z z z z", "bb"),
+      (5L, "", "bb")) // prior-only: aa majority (3/5) wins -> incorrect
+      .toDF("doc_id", "text", "lang")
+    val dir = fixtureDir("documents" -> docs)
+    val rows = SparkEntry.queries("q_nb_calibration")(spark, dir)
+      .select("bucket", "n_docs", "n_correct")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum == 5L, "buckets must partition all docs")
+    val low = rows.filter(_._1 <= 1).map(r => (r._2, r._3))
+    assert(low.map(_._1).sum >= 1L, "the prior-only doc must land in a low bucket")
+    // every miss (exactly one: the empty doc) sits in a low-margin bucket;
+    // all high-margin buckets are perfectly accurate
+    rows.filter(_._1 >= 2).foreach { case (b, n, ok) =>
+      assert(n == ok, s"bucket $b must be fully correct, got $ok/$n")
+    }
+    assert(rows.map(r => r._2 - r._3).sum == 1L, "exactly one miss corpus-wide")
+  }
 }

@@ -348,4 +348,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "entity-resolution candidates must come from the blocking equi-join")
   }
+
+  test("Neyman allocation: one stratum combine; windows ride the domain frame") {
+    val p = plan("q_neyman_allocation")
+    // the corpus-sized stage is the groupBy(source) — partial + final
+    assert(p.contains("HashAggregate"), "stratum moments must hash-aggregate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no join belongs in this plan at all")
+    // exactly one exchange reads the fact scan side; the windows add
+    // single-partition exchanges over the stratum DOMAIN only
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 1, s"corpus must be scanned once, saw $scans")
+  }
+
+  test("token-budget fill: corpus combines to the quality grid before any window") {
+    val p = plan("q_token_budget_fill")
+    assert(p.contains("HashAggregate"), "quality-level rollup must hash-aggregate")
+    assert(!p.contains("CartesianProduct"),
+      "threshold search must not join the corpus against itself")
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 1, s"corpus must be scanned once, saw $scans")
+  }
+
+  test("readability: scan-stage scoring, a single source-domain aggregate") {
+    val p = plan("q_readability")
+    assert(!p.contains("Join"), "per-doc scoring must not join")
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 1, s"corpus must be scanned once, saw $scans")
+  }
 }
