@@ -116,6 +116,39 @@ object StreamingOps {
           .otherwise(expr("(63 * 4294967296) div (element_at(kmv, 64) + 1)"))
           .as("est_distinct"))
 
+  /** Streaming windowed quantiles via the DDSketch log-bucket state
+    * ([[graft.functions.DdSketchAgg]]) — the quantile twin of
+    * [[windowedDistinctKmv]]: per (tumbling window, key), p50/p95
+    * estimates each guaranteed within α = 5% relative error of the true
+    * windowed rank value, from O(#buckets) ≈ 50 longs of state per
+    * window regardless of event volume (an exact windowed percentile
+    * would hold every row). Bucketing runs scan-stage with the batch
+    * twin's 9dp-round-before-floor libm discipline; the aggregator's
+    * buffer merges across micro-batches through streaming state exactly
+    * as partial combine merges it in batch — the spec pins streaming ==
+    * batch on identical rows. Non-positive values are out of the
+    * sketch's domain and are dropped (the batch twin's `v > 0` guard).
+    */
+  def windowedQuantileDd(
+      events: DataFrame, tsCol: String, typeCol: String, valCol: String,
+      windowLen: String = "10 minutes", watermark: String = "5 minutes"): DataFrame = {
+    val lnG = math.log(1.05 / 0.95)
+    events
+      .withWatermark(tsCol, watermark)
+      .filter(col(valCol) > 0)
+      .select(col(tsCol), col(typeCol),
+        floor(floor((log(col(valCol).cast("double")) / lnG) * 1e9 + 0.5) / 1e9)
+          .cast("int").as("b"))
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(graft.functions.DdSketchAgg.dd5(col("b")).as("est"),
+        count(lit(1)).as("n_rows"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(typeCol), col("n_rows"),
+        element_at(col("est"), 1).as("p50_est"),
+        element_at(col("est"), 2).as("p95_est"))
+  }
+
   case class DailyTotal(etype: String, day: java.sql.Date, total: Double)
   case class EwmaState(e: Double, n: Long)
 

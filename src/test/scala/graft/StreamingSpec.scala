@@ -518,6 +518,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedQuantileDd: 5% relative-error quantiles, state merges across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingOps.windowedQuantileDd(
+        in.toDF().toDF("ts", "event_type", "value"), "ts", "event_type", "value")
+      .writeStream.format("memory").queryName("ddwin")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // values 1..100 in one window, split across two micro-batches so the
+      // bucket map must merge through streaming state; true p50 = 50
+      // (rank 50 of 100), true p95 = 95
+      val rows = (1 to 100).map(i =>
+        (ts(f"2024-01-01 00:0${i % 10}:00"), "click", i.toDouble))
+      in.addData(rows.take(60): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(60): _*)
+      q.processAllAvailable()
+      val got = spark.table("ddwin")
+        .select("n_rows", "p50_est", "p95_est")
+        .as[(Long, Double, Double)].collect().maxBy(_._1)
+      assert(got._1 == 100L)
+      assert(math.abs(got._2 - 50.0) / 50.0 <= 0.05,
+        s"p50 estimate ${got._2} outside the 5% contract around 50")
+      assert(math.abs(got._3 - 95.0) / 95.0 <= 0.05,
+        s"p95 estimate ${got._3} outside the 5% contract around 95")
+      // streaming state merged across batches == one-shot batch aggregation
+      val batch = StreamingOps.windowedQuantileDd(
+          rows.toDF("ts", "event_type", "value"), "ts", "event_type", "value")
+        .select("n_rows", "p50_est", "p95_est")
+        .as[(Long, Double, Double)].collect().head
+      assert(batch == got, "streaming result must equal the batch twin")
+    } finally q.stop()
+  }
+
   test("ewmaAnomalyStream: state carries the smoother across batches; spikes flag 50% jumps") {
     implicit val sc = spark.sqlContext
     import graft.streaming.StreamingOps.DailyTotal
