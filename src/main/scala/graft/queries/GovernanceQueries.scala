@@ -298,9 +298,58 @@ object GovernanceQueries {
         |        / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS affected_rate
         |FROM d GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Differentially-private release of the per-segment customer counts:
+    * true count + Laplace(1/ε) noise at ε = 1 via the inverse-CDF
+    * X = −sgn(u−½)·ln(1−2|u−½|), with u drawn DETERMINISTICALLY from the
+    * engine's md5-fold hash of the segment name — the replayable form
+    * that lets the DuckDB twin hash-gate the entire mechanism (a
+    * production release swaps the hash for a CSPRNG; everything else —
+    * sensitivity-1 counting query, scale b = 1/ε, the post-processing —
+    * is exactly this plan). The ln term is 9dp-floored (house
+    * transcendental discipline); the released count is the 6dp-rounded
+    * noisy value, never the true one — `n_true` rides along here only
+    * because this is the calibration/audit view.
+    *
+    * Scale shape: one partial-aggregatable groupBy; noise is scan-stage
+    * arithmetic on the segment-domain frame.
+    */
+  private val dpCounts = QueryDef(
+    fn = (spark, dir) => {
+      val u = (graft.ops.TextAnalysis.tokenHash32(col("segment"))
+        .cast("double") / 4294967296.0)
+      val lnTerm = floor(log(lit(1.0) - lit(2.0) * abs(u - 0.5)) * 1e9 + 0.5) / 1e9
+      val noise = -signum(u - 0.5) * lnTerm
+      Tables.customer(spark, dir)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("noise", graft.ops.TextAnalysis.round6(noise))
+        .withColumn("n_noisy", graft.ops.TextAnalysis.round6(
+          col("n_true") + col("noise")))
+        .withColumn("epsilon", lit(1.0))
+        .orderBy("segment")
+    },
+    oracle = Some {
+      val h = ExtensionQueries.dHash32("segment")
+      """WITH g AS (SELECT c_mktsegment AS segment, COUNT(*) AS n_true
+        |           FROM customer GROUP BY 1),
+        |n AS (SELECT segment, n_true,
+        |    CAST(HVAR AS DOUBLE) / 4294967296.0 AS u FROM g),
+        |x AS (SELECT segment, n_true,
+        |    -sign(u - 0.5) * (floor(ln(1.0 - 2.0 * abs(u - 0.5))
+        |      * 1000000000.0 + 0.5) / 1000000000.0) AS noise
+        |  FROM n)
+        |SELECT segment, n_true,
+        |  floor(noise * 1000000.0 + 0.5) / 1000000.0 AS noise,
+        |  floor((n_true + floor(noise * 1000000.0 + 0.5) / 1000000.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS n_noisy,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM x ORDER BY segment""".stripMargin.replace("HVAR", h)
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_k_anonymity" -> kAnonymity,
     "q_er_clusters" -> erClusters,
     "q_fk_orphans" -> fkOrphans,
+    "q_dp_counts" -> dpCounts,
     "q_pii_scan" -> piiScan)
 }

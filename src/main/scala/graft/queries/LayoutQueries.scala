@@ -218,8 +218,84 @@ object LayoutQueries {
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY dep")
     })
 
+  /** Dictionary-encoding advisor over the part dimension's string
+    * columns: per column — row/distinct counts, the top-1 value share,
+    * raw byte cost (Σ value lengths), the dictionary cost (Σ DISTINCT
+    * value lengths + ⌈rows·code_bits/8⌉ for fixed-width codes,
+    * code_bits = ⌈log₂ distinct⌉), the savings ratio, and the
+    * dict-wins verdict — the per-column decision a columnar writer makes
+    * before a 100 TB rewrite bakes an encoding in (the fd-profile's
+    * sibling: THAT says which dependencies make encodings safe, this
+    * says which ones pay).
+    *
+    * Exactness: everything is exact integer arithmetic except
+    * ⌈log₂ n⌉, whose ln-ratio is 9dp-rounded before the ceil (the house
+    * transcendental discipline — a power-of-two boundary cannot flip on
+    * libm noise). Scale shape: per column, ONE value-domain
+    * aggregation (partial-aggregatable; the shuffle carries distinct
+    * values, not rows) then a single-row reduction; the report is
+    * columns-sized.
+    */
+  private val dictEncoding = QueryDef(
+    fn = (spark, dir) => {
+      val part = Tables.part(spark, dir)
+      def report(c: String) = part
+        .select(col(c).cast("string").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_distinct"),
+          max(col("n")).as("top1"),
+          sum(length(col("v")).cast("long") * col("n")).as("raw_chars"),
+          sum(length(col("v")).cast("long")).as("dict_chars"))
+        .withColumn("code_bits",
+          greatest(ceil(floor((log(col("n_distinct").cast("double"))
+            / math.log(2.0)) * 1e9 + 0.5) / 1e9).cast("long"), lit(1L)))
+        .withColumn("dict_bytes",
+          col("dict_chars")
+            + ceil(col("n_rows").cast("double") * col("code_bits") / 8.0)
+              .cast("long"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_distinct"),
+          r6(col("top1").cast("double") / col("n_rows").cast("double"))
+            .as("top1_share"),
+          col("raw_chars"), col("code_bits"), col("dict_bytes"),
+          r6(lit(1.0) - col("dict_bytes").cast("double")
+            / col("raw_chars").cast("double")).as("savings"),
+          (col("dict_bytes") < col("raw_chars")).as("dict_wins"))
+      Seq("p_brand", "p_name", "p_type").map(report).reduce(_ unionAll _)
+        .orderBy("column_name")
+    },
+    oracle = Some {
+      def rep(c: String) =
+        s"""SELECT '$c' AS column_name, CAST(n_rows AS BIGINT) AS n_rows,
+           |  n_distinct,
+           |  floor(CAST(top1 AS DOUBLE) / CAST(n_rows AS DOUBLE)
+           |    * 1000000.0 + 0.5) / 1000000.0 AS top1_share,
+           |  CAST(raw_chars AS BIGINT) AS raw_chars,
+           |  code_bits,
+           |  CAST(dict_chars + CAST(ceil(CAST(n_rows AS DOUBLE) * code_bits / 8.0)
+           |    AS BIGINT) AS BIGINT) AS dict_bytes,
+           |  floor((1.0 - CAST(dict_chars + CAST(ceil(CAST(n_rows AS DOUBLE)
+           |        * code_bits / 8.0) AS BIGINT) AS DOUBLE)
+           |      / CAST(raw_chars AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+           |    AS savings,
+           |  dict_chars + CAST(ceil(CAST(n_rows AS DOUBLE) * code_bits / 8.0)
+           |    AS BIGINT) < raw_chars AS dict_wins
+           |FROM (
+           |  SELECT SUM(n) AS n_rows, COUNT(*) AS n_distinct, MAX(n) AS top1,
+           |    SUM(CAST(len(v) AS BIGINT) * n) AS raw_chars,
+           |    SUM(CAST(len(v) AS BIGINT)) AS dict_chars,
+           |    GREATEST(CAST(ceil(floor(ln(COUNT(*)) / ln(2)
+           |      * 1000000000.0 + 0.5) / 1000000000.0) AS BIGINT), 1) AS code_bits
+           |  FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS n
+           |        FROM part WHERE $c IS NOT NULL GROUP BY 1))""".stripMargin
+      Seq("p_brand", "p_name", "p_type").map(rep)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) u ORDER BY column_name")
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_zone_map_prune" -> zoneMapPrune,
     "q_compaction_plan" -> compactionPlan,
+    "q_dict_encoding" -> dictEncoding,
     "q_fd_profile" -> fdProfile)
 }

@@ -125,4 +125,27 @@ class GovernanceSpatialSpec extends SparkSpec {
     assert(got("lineitem.l_orderkey->orders") == ((1L, 0L, 0L)))
     assert(got("nation.n_regionkey->region") == ((1L, 0L, 0L)))
   }
+
+  test("q_dp_counts: noise is the deterministic Laplace inverse-CDF; release = true + noise") {
+    val cust = Seq(
+      (1L, 0, 100.0, "AUTO"), (2L, 1, 200.0, "AUTO"), (3L, 2, 300.0, "AUTO"),
+      (4L, 0, 100.0, "STEEL"))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val dir = fixtureDir("customer" -> cust)
+    val got = SparkEntry.queries("q_dp_counts")(spark, dir)
+      .select("segment", "n_true", "noise", "n_noisy")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("AUTO")._1 == 3L && got("STEEL")._1 == 1L)
+    got.foreach { case (seg, (t, noise, noisy)) =>
+      // release = true + noise at 6dp, and Laplace(b=1) noise is small
+      assert(math.abs(noisy - (t + noise)) < 1e-6, s"$seg release arithmetic")
+      assert(math.abs(noise) < 25.0, s"$seg noise unreasonably large: $noise")
+    }
+    // deterministic: the same segment re-draws the identical noise
+    val again = SparkEntry.queries("q_dp_counts")(spark, dir)
+      .select("segment", "noise").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (seg, (_, noise, _)) => assert(again(seg) == noise) }
+  }
 }

@@ -100,4 +100,35 @@ class LayoutQueriesSpec extends SparkSpec {
     // p_partkey is the PK: its dependency must hold exactly
     assert(got("p_partkey->p_name")._4)
   }
+
+  test("q_dict_encoding matches the driver cost replay; low-cardinality column wins") {
+    val got = run("q_dict_encoding").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("p_brand", "p_name", "p_type"))
+    val part = graft.ops.Tables.part(spark, dir)
+      .selectExpr("p_brand", "p_name", "p_type").collect()
+    for ((c, i) <- Seq(("p_brand", 0), ("p_name", 1), ("p_type", 2))) {
+      val vs = part.map(_.getString(i)).filter(_ != null)
+      val counts = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nd = counts.size.toLong
+      val bits = math.max(1L,
+        math.ceil(math.floor(math.log(nd.toDouble) / math.log(2.0) * 1e9 + 0.5) / 1e9).toLong)
+      // keysIterator: a Set's .map would collapse equal LENGTHS
+      val dictBytes = counts.keysIterator.map(_.length.toLong).sum +
+        math.ceil(vs.length.toDouble * bits / 8.0).toLong
+      val r = got(c)
+      assert(r.getAs[Long]("n_rows") === vs.length.toLong)
+      assert(r.getAs[Long]("n_distinct") === nd)
+      assert(r.getAs[Long]("code_bits") === bits)
+      assert(r.getAs[Long]("dict_bytes") === dictBytes)
+      assert(r.getAs[Long]("raw_chars") === vs.map(_.length.toLong).sum)
+      assert(r.getAs[Boolean]("dict_wins") ===
+        (dictBytes < vs.map(_.length.toLong).sum))
+    }
+    // the advisory point: the 25-value p_brand column always compresses
+    assert(got("p_brand").getAs[Boolean]("dict_wins"))
+    // p_brand saves a larger fraction than the near-unique name column
+    assert(got("p_brand").getAs[Double]("savings") >
+      got("p_name").getAs[Double]("savings"))
+  }
 }
