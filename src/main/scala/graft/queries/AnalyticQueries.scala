@@ -354,6 +354,127 @@ object AnalyticQueries {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
 
+  /** TPC-H Q8-shaped national market share through the SQL front-end: the
+    * full 6-table star (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region on
+    * the demand side, lineitem ⋈ supplier ⋈ nation on the supply side) —
+    * the deepest join tree in the suite, and the optimizer showcase: every
+    * dimension broadcasts, the two fact-side joins stay hash joins, and
+    * the region/nation filters reach the dim scans. Revenue is the exact
+    * DECIMAL(12,4) price×(1−disc) sum per (year, supplier-nation flag);
+    * the share division is the one double, 6dp floored. Both engines run
+    * the IDENTICAL aggregation tree (conditional sums in one pass — no
+    * join of two aggregates).
+    */
+  private val marketShare = QueryDef(
+    fn = (spark, dir) => {
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_q8")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_q8")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q8")
+      Tables.supplier(spark, dir).createOrReplaceTempView("supplier_q8")
+      Tables.nation(spark, dir).createOrReplaceTempView("nation_q8")
+      Tables.region(spark, dir).createOrReplaceTempView("region_q8")
+      spark.sql(
+        """SELECT o_year,
+          |  CAST(SUM(CASE WHEN target THEN vol ELSE CAST(0 AS DECIMAL(12,4)) END)
+          |    AS DOUBLE) AS nation_rev,
+          |  CAST(SUM(vol) AS DOUBLE) AS total_rev,
+          |  floor(CAST(SUM(CASE WHEN target THEN vol
+          |                      ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+          |    / CAST(SUM(vol) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mkt_share
+          |FROM (
+          |  SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+          |    CAST(l_extendedprice AS DECIMAL(12,4))
+          |      * (1 - CAST(l_discount AS DECIMAL(12,4))) AS vol,
+          |    sn.n_name = 'NATION_2' AS target
+          |  FROM lineitem_q8
+          |  JOIN orders_q8 ON l_orderkey = o_orderkey
+          |  JOIN customer_q8 ON o_custkey = c_custkey
+          |  JOIN nation_q8 cn ON c_nationkey = cn.n_nationkey
+          |  JOIN region_q8 ON cn.n_regionkey = r_regionkey
+          |  JOIN supplier_q8 ON l_suppkey = s_suppkey
+          |  JOIN nation_q8 sn ON s_nationkey = sn.n_nationkey
+          |  WHERE r_name = 'ASIA') x
+          |GROUP BY o_year ORDER BY o_year""".stripMargin)
+    },
+    oracle = Some(
+      """SELECT o_year,
+        |  CAST(SUM(CASE WHEN target THEN vol ELSE CAST(0 AS DECIMAL(12,4)) END)
+        |    AS DOUBLE) AS nation_rev,
+        |  CAST(SUM(vol) AS DOUBLE) AS total_rev,
+        |  floor(CAST(SUM(CASE WHEN target THEN vol
+        |                      ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,4))) AS vol,
+        |    sn.n_name = 'NATION_2' AS target
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'ASIA') x
+        |GROUP BY o_year ORDER BY o_year""".stripMargin))
+
+  /** TPC-H Q21-shaped sole-late-supplier report: suppliers whose line
+    * item shipped late (> 60 days after the order date) on a finished
+    * multi-supplier order where EVERY OTHER supplier shipped on time —
+    * the double-correlated EXISTS / NOT EXISTS shape, the hardest
+    * decorrelation pattern in the TPC-H suite (both subqueries reference
+    * the outer line item's order key AND the outer order's date). Spark
+    * plans both as existence joins on l_orderkey — no per-row re-scan;
+    * the plan-audit spec pins it.
+    */
+  private val soleLateSupplier = QueryDef(
+    fn = (spark, dir) => {
+      Tables.supplier(spark, dir).createOrReplaceTempView("supplier_q21")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_q21")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q21")
+      spark.sql(
+        """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_waiting
+          |FROM supplier_q21
+          |JOIN lineitem_q21 l1 ON s_suppkey = l1.l_suppkey
+          |JOIN orders_q21 ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F'
+          |  AND datediff(CAST(l1.l_shipdate AS DATE),
+          |               CAST(o_orderdate AS DATE)) > 60
+          |  AND EXISTS (
+          |    SELECT 1 FROM lineitem_q21 l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM lineitem_q21 l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND datediff(CAST(l3.l_shipdate AS DATE),
+          |                   CAST(o_orderdate AS DATE)) > 60)
+          |GROUP BY s_name
+          |ORDER BY n_waiting DESC, s_name LIMIT 10""".stripMargin)
+    },
+    oracle = Some(
+      """SELECT s_name, COUNT(*) AS n_waiting
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND datediff('day', CAST(o_orderdate AS DATE),
+        |               CAST(l1.l_shipdate AS DATE)) > 60
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND datediff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(l3.l_shipdate AS DATE)) > 60)
+        |GROUP BY s_name
+        |ORDER BY n_waiting DESC, s_name LIMIT 10""".stripMargin))
+
   /** Recursive CTE (Spark 4.1 WITH RECURSIVE): a complete month spine
     * generated by recursion, left-joined to per-month order counts so
     * empty months survive with 0 — the gap-free time dimension every
@@ -918,6 +1039,8 @@ object AnalyticQueries {
     "q_ship_priority" -> shipPriority,
     "q_recursive_cte" -> recursiveCte,
     "q_lateral_topk" -> lateralTopk,
+    "q_market_share" -> marketShare,
+    "q_sole_late_supplier" -> soleLateSupplier,
     "q_full_outer" -> fullOuter,
     "q_unpivot" -> unpivotQ,
     "q_posexplode" -> posExplode,

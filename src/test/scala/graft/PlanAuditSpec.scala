@@ -376,4 +376,21 @@ class PlanAuditSpec extends SparkSpec {
     val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
     assert(scans == 1, s"corpus must be scanned once, saw $scans")
   }
+
+  test("Q8 market share: 6-table star — every dimension broadcasts, region filter pushes") {
+    val p = plan("q_market_share")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "dimensions must broadcast")
+    assert(p.contains("PushedFilters: [Is"), "the r_name filter must reach a scan")
+  }
+
+  test("Q21 sole-late-supplier: both correlated EXISTS decorrelate to existence joins") {
+    val p = plan("q_sole_late_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "EXISTS/NOT EXISTS must become joins, not per-row re-scans")
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"),
+      "the EXISTS must plan as a semi/existence join")
+    assert(p.contains("LeftAnti") || p.contains("ExistenceJoin"),
+      "the NOT EXISTS must plan as an anti/existence join")
+  }
 }
