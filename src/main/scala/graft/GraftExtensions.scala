@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSigExpr, SimHash32Expr, TokenHash32Expr}
+import graft.functions.{CosineSimilarity, JaroWinklerExpr, MinHashSigExpr, SimHash32Expr, TokenHash32Expr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -38,6 +38,9 @@ object GraftExtensions {
     (FunctionIdentifier("token_hash32"),
       new ExpressionInfo(classOf[TokenHash32Expr].getName, null, "token_hash32"),
       (args: Seq[Expression]) => TokenHash32Expr(args.head)),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, null, "jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinklerExpr(args(0), args(1))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, null, "minhash_sig"),
       (args: Seq[Expression]) => {

@@ -346,10 +346,47 @@ object GovernanceQueries {
         |FROM x ORDER BY segment""".stripMargin.replace("HVAR", h)
     })
 
+  /** Jaro-Winkler fuzzy name matching — the record-linkage comparator
+    * ([[graft.functions.JaroWinklerExpr]], the US Census matcher Spark
+    * lacks natively) over block-bounded customer-name pairs: candidates
+    * come from the same name-suffix blocking equi-join as q_er_clusters
+    * (never A×B), each pair scored by the fused codegen expression,
+    * kept at similarity ≥ 0.95. The oracle scores the identical pair
+    * set with DuckDB's built-in `jaro_winkler_similarity` — the Spark
+    * expression is verified BIT-IDENTICAL to it (see the expression
+    * scaladoc), so the 6dp floor cannot straddle a boundary.
+    */
+  private val nameSimilarity = QueryDef(
+    fn = (spark, dir) => {
+      val cust = Tables.customer(spark, dir)
+      val a = cust.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+        substring(col("c_name"), 16, 3).as("blk"))
+      val b = cust.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
+        substring(col("c_name"), 16, 3).as("blk"))
+      a.join(b, "blk")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", graft.functions.JaroWinklerExpr.jaroWinkler(
+          col("name_a"), col("name_b")))
+        .filter(col("sim") >= 0.95)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("sim") * 1e6 + 0.5) / 1e6).as("sim"))
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name,
+        |           substr(c_name, 16, 3) AS blk FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  floor(jaro_winkler_similarity(a.name, b.name) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS sim
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_k_anonymity" -> kAnonymity,
     "q_er_clusters" -> erClusters,
     "q_fk_orphans" -> fkOrphans,
     "q_dp_counts" -> dpCounts,
+    "q_name_similarity" -> nameSimilarity,
     "q_pii_scan" -> piiScan)
 }

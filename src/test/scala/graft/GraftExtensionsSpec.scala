@@ -66,4 +66,37 @@ class GraftExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("jaro_winkler: textbook values, SQL surface, NULL propagation") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT jaro_winkler('MARTHA', 'MARHTA') AS a,
+        |       jaro_winkler('DWAYNE', 'DUANE') AS b,
+        |       jaro_winkler('DIXON', 'DICKSONX') AS c,
+        |       jaro_winkler('abc', 'abc') AS d,
+        |       jaro_winkler('abc', 'xyz') AS e,
+        |       jaro_winkler(CAST(NULL AS STRING), 'x') AS f""".stripMargin)
+      .collect().head
+    assert(math.abs(got.getDouble(0) - 0.9611111111111111) < 1e-15)
+    // 0.84 up to the same last-ulp composition DuckDB's builtin produces —
+    // the == below pins bit-identity with the oracle engine's value
+    assert(got.getDouble(1) == 0.8400000000000001)
+    assert(math.abs(got.getDouble(2) - 0.8133333333333332) < 1e-15)
+    assert(got.getDouble(3) == 1.0 && got.getDouble(4) == 0.0)
+    assert(got.isNullAt(5), "NULL input must propagate")
+    // codegen and interpreted paths agree on a real column pair
+    val df = Seq(("JELLYFISH", "SMELLYFISH"), ("CRANE", "CRATE"))
+      .toDF("a", "b")
+      .select(graft.functions.JaroWinklerExpr.jaroWinkler(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("s"))
+    val fromCodegen = df.collect().map(_.getDouble(0)).toSeq
+    val interp = Seq(("JELLYFISH", "SMELLYFISH"), ("CRANE", "CRATE")).map {
+      case (a, b) => graft.functions.JaroWinklerExpr.jw(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    }
+    assert(fromCodegen == interp)
+  }
 }
