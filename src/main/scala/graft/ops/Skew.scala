@@ -18,6 +18,31 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Skew {
 
+  /** Salted equi-join for hot join keys — the MANUAL mitigation for the
+    * cases AQE's OptimizeSkewedJoin cannot touch (AQE splits oversized
+    * shuffle partitions of sort-merge joins at runtime, but a hot key
+    * inside streaming state, a bucketed-table join that skipped the
+    * exchange, or a key so hot one partition exceeds the split floor
+    * still pins a task): the fact side draws a deterministic salt in
+    * [0, salts), the dim side is replicated `salts`× via a literal-range
+    * explode, and the join runs on (key, salt) — every hot key now
+    * spreads over `salts` reducers. Exactness: each fact row meets each
+    * dim row exactly once (its own salt replica), so the result multiset
+    * equals the plain join's — the oracle IS the plain join. Cost: dim
+    * rows shuffle `salts`× (choose salts ≪ fact-rows-per-hot-key; the
+    * dim side is the small one by construction).
+    */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, keyCols: Seq[String],
+      saltSource: Column, salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val f = fact.withColumn("__salt",
+      pmod(crc32(saltSource.cast("string")), lit(salts)).cast("int"))
+    val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", col("__salt").cast("int"))
+    f.join(d, keyCols :+ "__salt").drop("__salt")
+  }
+
   /** Decimal-exact salted sum/count per key. `saltSource` must be a
     * row-level column (unique-ish values spread the hot key uniformly). */
   def saltedSumCount(

@@ -382,11 +382,75 @@ object GovernanceQueries {
         |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Right-to-be-forgotten deletion cascade: given a forget set of
+    * customers (here the deterministic c_custkey % 97 = 0 sample), the
+    * rows every downstream table must delete to honor it — customers
+    * themselves, their orders, and those orders' line items — with
+    * per-table row counts and the share of the table touched. The
+    * pre-deletion impact audit a GDPR/CCPA erasure job runs first
+    * (and the same join tree the deletion then executes).
+    *
+    * Scale shape: the forget set is a key-only projection (broadcast);
+    * orders filter by one semi join; lineitem by a semi join on the
+    * order keys (key columns only shuffle — payloads never move until
+    * the real delete). Counts are partial-aggregatable; the report is
+    * 3 rows.
+    */
+  private val forgetCascade = QueryDef(
+    fn = (spark, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val forget = Tables.customer(spark, dir)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"))
+      val orders = Tables.orders(spark, dir)
+        .join(broadcast(forget), col("o_custkey") === col("c_custkey"), "left_semi")
+      val li = Tables.lineitem(spark, dir)
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      def report(name: String, toDelete: DataFrame, total: DataFrame) = {
+        val d = toDelete.agg(count(lit(1)).as("n_delete"))
+        val t = total.agg(count(lit(1)).as("n_total"))
+        d.crossJoin(t).select(lit(name).as("table_name"),
+          col("n_delete"), col("n_total"),
+          graft.ops.TextAnalysis.round6(col("n_delete").cast("double")
+            / col("n_total").cast("double")).as("share"))
+      }
+      report("customer", forget, Tables.customer(spark, dir))
+        .unionAll(report("orders", orders, Tables.orders(spark, dir)))
+        .unionAll(report("lineitem", li, Tables.lineitem(spark, dir)))
+        .orderBy("table_name")
+    },
+    oracle = Some(
+      """WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |o AS (SELECT o_orderkey FROM orders
+        |      WHERE o_custkey IN (SELECT c_custkey FROM f)),
+        |l AS (SELECT 1 AS x FROM lineitem
+        |      WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+        |SELECT * FROM (
+        |  SELECT 'customer' AS table_name,
+        |    (SELECT COUNT(*) FROM f) AS n_delete,
+        |    (SELECT COUNT(*) FROM customer) AS n_total,
+        |    floor(CAST((SELECT COUNT(*) FROM f) AS DOUBLE)
+        |      / (SELECT COUNT(*) FROM customer) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS share
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    (SELECT COUNT(*) FROM o), (SELECT COUNT(*) FROM orders),
+        |    floor(CAST((SELECT COUNT(*) FROM o) AS DOUBLE)
+        |      / (SELECT COUNT(*) FROM orders) * 1000000.0 + 0.5) / 1000000.0
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    (SELECT COUNT(*) FROM l), (SELECT COUNT(*) FROM lineitem),
+        |    floor(CAST((SELECT COUNT(*) FROM l) AS DOUBLE)
+        |      / (SELECT COUNT(*) FROM lineitem) * 1000000.0 + 0.5) / 1000000.0
+        |) ORDER BY table_name""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_k_anonymity" -> kAnonymity,
     "q_er_clusters" -> erClusters,
     "q_fk_orphans" -> fkOrphans,
     "q_dp_counts" -> dpCounts,
     "q_name_similarity" -> nameSimilarity,
+    "q_forget_cascade" -> forgetCascade,
     "q_pii_scan" -> piiScan)
 }

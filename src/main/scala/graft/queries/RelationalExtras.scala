@@ -173,6 +173,38 @@ object RelationalExtras {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
+  /** Salted equi-join ([[graft.ops.Skew.saltedJoin]]) on the hottest key
+    * in the schema — l_returnflag has THREE values, so a plain
+    * shuffle join would pin three reducers no matter the cluster size;
+    * the salt spreads each over 16. The aggregated readout (per-flag
+    * row counts and revenue through the join) is byte-identical to the
+    * plain join, and the oracle IS the plain join — the correctness
+    * proof that salting changed the physical distribution only.
+    */
+  private val saltedJoin = QueryDef(
+    fn = (spark, dir) => {
+      val dim = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("flag")).distinct()
+        .withColumn("flag_tag", concat(lit("tag_"), col("flag")))
+      graft.ops.Skew.saltedJoin(
+          Tables.lineitem(spark, dir).withColumnRenamed("l_returnflag", "flag"),
+          dim, keyCols = Seq("flag"),
+          saltSource = col("l_orderkey"), salts = 16)
+        .groupBy(col("flag"), col("flag_tag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(12, 4)))
+            .cast("double").as("revenue"))
+        .orderBy("flag")
+    },
+    oracle = Some(
+      """WITH dim AS (SELECT DISTINCT l_returnflag AS flag,
+        |               'tag_' || l_returnflag AS flag_tag FROM lineitem)
+        |SELECT l.l_returnflag AS flag, d.flag_tag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+        |GROUP BY 1, 2 ORDER BY flag""".stripMargin))
+
   /** Pivot = conditional aggregation; the oracle spells out the FILTER
     * columns, which is also exactly how Catalyst lowers pivot. */
   private val pivotQ = QueryDef(
@@ -457,6 +489,7 @@ object RelationalExtras {
     "q_pivot" -> pivotQ,
     "q_array_agg" -> arrayAgg,
     "q_salted_agg" -> saltedAgg,
+    "q_salted_join" -> saltedJoin,
     "q_subquery_scalar" -> subqueryScalar,
     "q_corr_agg_subquery" -> corrAgg,
     "q_corr_agg_fused" -> corrAggFused,
