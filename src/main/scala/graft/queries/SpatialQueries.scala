@@ -80,6 +80,78 @@ object SpatialQueries {
          |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= $R2
          |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Bounded-radius k-nearest-neighbors: for each supplier point, the
+    * k=3 nearest customer points within distance R_K, ordered by squared
+    * distance (ties by customer id). Bounding the search radius is what
+    * makes grid kNN EXACT at scale: with cell size = R_K, every point
+    * within R_K of a query lies in its 3×3 cell neighborhood, so the
+    * candidate set provably contains all admissible neighbors — an
+    * unbounded kNN would need expanding-ring probes whose cost is
+    * unbounded on sparse regions (production systems bound the radius for
+    * the same reason). Suppliers with no customer within R_K are absent
+    * by definition.
+    *
+    * Scale shape: candidates are neighborhood-local (O(n·density)); the
+    * per-query top-k is a row_number window partitioned by supplier over
+    * those ≤~9·density candidates. The oracle is the brute-force O(n·m)
+    * join — green means the grid probe dropped nothing.
+    */
+  private val spatialKnn = QueryDef(
+    fn = (spark, dir) => {
+      val rk = 2000L
+      val rk2 = rk * rk
+      val cust = Tables.customer(spark, dir).select(
+        col("c_custkey").as("cid"),
+        graft.ops.TextAnalysis.hashBucket(
+          concat(lit("x"), col("c_custkey").cast("string")), 100000).as("xc"),
+        graft.ops.TextAnalysis.hashBucket(
+          concat(lit("y"), col("c_custkey").cast("string")), 100000).as("yc"))
+      val supp = Tables.supplier(spark, dir).select(
+        col("s_suppkey").as("sid"),
+        graft.ops.TextAnalysis.hashBucket(
+          concat(lit("x"), lit("s"), col("s_suppkey").cast("string")), 100000).as("xs"),
+        graft.ops.TextAnalysis.hashBucket(
+          concat(lit("y"), lit("s"), col("s_suppkey").cast("string")), 100000).as("ys"))
+      val custCells = cust.select(col("cid"), col("xc"), col("yc"),
+        (expr(s"xc div $rk") * 1000L + expr(s"yc div $rk")).as("ck"))
+      val suppProbes = supp
+        .select(col("sid"), col("xs"), col("ys"),
+          explode(expr(
+            "transform(sequence(0, 8), i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy))"))
+            .as("n"))
+        .select(col("sid"), col("xs"), col("ys"),
+          ((expr(s"xs div $rk") + col("n.dx")) * 1000L
+            + (expr(s"ys div $rk") + col("n.dy"))).as("ck"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sid")).orderBy(col("d2").asc, col("cid").asc)
+      suppProbes.join(custCells, "ck")
+        .withColumn("d2",
+          (col("xs") - col("xc")) * (col("xs") - col("xc"))
+            + (col("ys") - col("yc")) * (col("ys") - col("yc")))
+        .filter(col("d2") <= rk2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("sid"), col("cid"), col("d2"), col("rn"))
+        .orderBy("sid", "rn")
+    },
+    oracle = Some(
+      s"""WITH c AS (SELECT c_custkey AS cid,
+         |    ${dHash32("'x' || CAST(c_custkey AS VARCHAR)")} % 100000 AS xc,
+         |    ${dHash32("'y' || CAST(c_custkey AS VARCHAR)")} % 100000 AS yc
+         |  FROM customer),
+         |s AS (SELECT s_suppkey AS sid,
+         |    ${dHash32("'xs' || CAST(s_suppkey AS VARCHAR)")} % 100000 AS xs,
+         |    ${dHash32("'ys' || CAST(s_suppkey AS VARCHAR)")} % 100000 AS ys
+         |  FROM supplier),
+         |d AS (SELECT sid, cid,
+         |    (xs - xc) * (xs - xc) + (ys - yc) * (ys - yc) AS d2
+         |  FROM s CROSS JOIN c
+         |  WHERE (xs - xc) * (xs - xc) + (ys - yc) * (ys - yc) <= ${2000L * 2000L}),
+         |r AS (SELECT sid, cid, d2, CAST(row_number() OVER (
+         |    PARTITION BY sid ORDER BY d2 ASC, cid ASC) AS INTEGER) AS rn FROM d)
+         |SELECT sid, cid, d2, rn FROM r WHERE rn <= 3 ORDER BY sid, rn""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
-    "q_spatial_join" -> spatialJoin)
+    "q_spatial_join" -> spatialJoin,
+    "q_spatial_knn" -> spatialKnn)
 }
