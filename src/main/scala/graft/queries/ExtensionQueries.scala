@@ -486,22 +486,44 @@ object ExtensionQueries {
 
   /** TF-IDF top terms per document: tf from the token multiset, idf =
     * ln(N / df) over distinct-doc term frequencies, top-3 terms per doc by
-    * the floor-rounded score (ties by token asc). Two aggregations — one on
-    * (doc, token), one on token — both shuffle-friendly. N is a one-row
-    * aggregate cross-joined into the plan (the oracle's `CROSS JOIN n`
-    * shape) so the whole query stays a single lazy plan — no driver-side
-    * count() pre-scan, which at 100 TB would be a full extra pass per
-    * query construction. ln() via the floor form so libm last-ulp noise
-    * can't split the engines.
+    * the floor-rounded score (ties by token asc). Per-doc tf is computed
+    * INSIDE the scan stage (sort_array + run-length over boundary
+    * positions, O(n log n) per doc) instead of an explode + (doc, token)
+    * groupBy: a doc's tokens are already colocated in its row, so
+    * pre-shuffling the raw token stream only to count within (doc, token)
+    * moves the full corpus token volume through a shuffle for work that
+    * needs no data movement at all. Only the distinct (doc, token) pairs
+    * ever shuffle — once by token for the IDF join, once by doc for the
+    * top-k window. At 100 TB this removes a corpus-volume shuffle; at
+    * sf0.1 wall time is unchanged (~0.95 s isolated median) because the
+    * query is stage-round-latency-bound on 5k docs — explicit-broadcast
+    * IDF and doc_id-prepartition variants (shuffle-free window) all
+    * measured 0.9–1.0 s, so the remaining cost is scheduling rounds,
+    * not the plan. N is a one-row aggregate cross-joined into
+    * the plan (the oracle's `CROSS JOIN n` shape) so the whole query
+    * stays a single lazy plan — no driver-side count() pre-scan. ln()
+    * via the floor form so libm last-ulp noise can't split the engines.
+    * The boundary CASE is lazy, so `st[i-1]` never evaluates at i = 0
+    * (ANSI-safe).
     */
   private val tfidf = QueryDef(
     fn = (spark, dir) => {
       val docs = Tables.documents(spark, dir)
       // 1-row scalar, stays lazy; Spark broadcasts the single row
       val n = docs.agg(count(lit(1)).cast("double").as("__n"))
-      val tokens = docs.select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
-      val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val tf = docs
+        .select(col("doc_id"),
+          sort_array(TextAnalysis.tokens(col("text"))).as("st"))
+        .filter(size(col("st")) > 0)
+        .select(col("doc_id"), col("st"), expr(
+          """filter(sequence(0, size(st) - 1),
+            |  i -> CASE WHEN i = 0 THEN true ELSE st[i] <> st[i-1] END)"""
+            .stripMargin).as("bs"))
+        .select(col("doc_id"), explode(expr(
+          """zip_with(bs, concat(slice(bs, 2, size(bs)), array(size(st))),
+            |  (b, nb) -> struct(st[b] AS token, CAST(nb - b AS BIGINT) AS tf))"""
+            .stripMargin)).as("e"))
+        .select(col("doc_id"), col("e.token").as("token"), col("e.tf").as("tf"))
       val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val scored = tf.join(df_, "token").crossJoin(broadcast(n))
         .withColumn("tfidf",
