@@ -15,7 +15,8 @@ object SparkEntry {
       WarehouseQueries.defs ++ GraphQueries.defs ++ StatsQueries.defs ++
       RankStatsQueries.defs ++ LayoutQueries.defs ++ ClassifierQueries.defs ++
       SpatialQueries.defs ++ GovernanceQueries.defs ++ ActivityQueries.defs ++
-      SamplingQueries.defs ++ ExperimentQueries.defs ++ Experiment2Queries.defs
+      SamplingQueries.defs ++ ExperimentQueries.defs ++ Experiment2Queries.defs ++
+      RetrievalEvalQueries.defs ++ Experiment3Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

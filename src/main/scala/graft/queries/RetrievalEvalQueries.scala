@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Tables, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Retrieval-quality evaluation: nDCG@10 and MRR@10 over the engine's own
+  * BM25 ranking — the measurement half of the retrieval stack
+  * (q_bm25_topk ranks, q_hybrid_rrf fuses; these two grade). Each of the
+  * three query terms is evaluated as its own retrieval query against
+  * hash-derived graded relevance judgments (grades 0–3 from the
+  * md5-prefix hash of term|doc — deterministic, engine-portable, and
+  * uncorrelated with the BM25 score by construction, so the metric
+  * genuinely varies).
+  *
+  * Scale shape: scoring explodes ONLY query-vocabulary tokens out of the
+  * scan (the q_bm25_topk trick), so the shuffled stream is query-sized,
+  * not corpus-sized; ranking windows are per-term and map-side-limited by
+  * WindowGroupLimit at rank ≤ 10; the ideal-ranking frame for nDCG is
+  * docs × |queries| with the 3-row query list broadcast — linear in the
+  * corpus, never quadratic. Judgments in production are a capped labeled
+  * set per query; here every doc carries a judgment, which only makes the
+  * ideal window bigger, not differently shaped.
+  *
+  * Numeric discipline: per-position DCG terms (2^rel − 1)/log2(pos+1) are
+  * composed identically on both engines (ln quotient, integer-derived
+  * arguments), floored to 9dp DECIMAL(28,9), summed exactly; final
+  * ratios emitted as 6dp-floored doubles.
+  */
+object RetrievalEvalQueries {
+
+  private def r6(c: Column): Column = TextAnalysis.round6(c)
+  private val d289 = DecimalType(28, 9)
+  private def f9(c: Column): Column = (floor(c * 1e9 + 0.5) / 1e9).cast(d289)
+
+  private val terms = Seq("spark", "window", "merge")
+
+  /** Per-(term, doc) BM25 score — the q_bm25_topk formula with the term
+    * kept as a key — plus the retrieved rank rn per term. */
+  private def retrieved(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .localCheckpoint(false)
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(size(col("toks"))).cast("double")
+        / count(lit(1)).cast("double")).as("avgdl"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(dfq, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        r6(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .cast(DecimalType(18, 6)).as("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("s").desc, col("doc_id"))))
+  }
+
+  /** graded relevance 0–3 from the md5-prefix hash of term|doc. */
+  private def rel(term: Column, docId: Column): Column =
+    TextAnalysis.hashBucket(concat(term, lit("|"), docId.cast("string")), 4)
+
+  /** The identical-on-both-engines DCG position discount term. */
+  private def dcgTerm(relC: Column, pos: Column): Column =
+    f9((pow(lit(2.0), relC.cast("double")) - 1.0)
+      / (log(pos.cast("double") + 1.0) / log(lit(2.0))))
+
+  private val oTerms = "(VALUES ('spark'), ('window'), ('merge')) AS q(term)"
+  private def oRel(term: String, doc: String) =
+    ExtensionQueries.dHash32(s"$term || '|' || CAST($doc AS VARCHAR)") + " % 4"
+  private def oDcgTerm(relC: String, pos: String) =
+    s"""CAST(floor((pow(2.0, CAST($relC AS DOUBLE)) - 1.0)
+       |      / (ln(CAST($pos AS DOUBLE) + 1.0) / ln(2.0))
+       |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9))""".stripMargin
+  private def oRetrieved = {
+    val dToks = ExtensionQueries.dToks("text")
+    s"""docs AS (SELECT doc_id, $dToks AS toks FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM docs),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+       |tf AS (SELECT doc_id, token AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |       FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
+       |       WHERE token IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT tf.term, tf.doc_id,
+       |    CAST(floor(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+       |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS s
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |retrieved AS (SELECT term, doc_id, s, row_number() OVER
+       |    (PARTITION BY term ORDER BY s DESC, doc_id) AS rn FROM scored)"""
+      .stripMargin
+  }
+
+  /** nDCG@10 per query term: realized DCG over the BM25 top-10 vs the
+    * ideal DCG over the globally best-graded 10 docs (rel desc, doc_id
+    * tie-break — the deterministic ideal; "first-scanned wins" ideals are
+    * not reproducible). */
+  private val ndcg = QueryDef(
+    fn = (spark, dir) => {
+      val ret = retrieved(spark, dir).filter(col("rn") <= 10)
+        .select(col("term"), col("doc_id"), col("rn"))
+        .withColumn("rel", rel(col("term"), col("doc_id")))
+      val dcg = ret.groupBy("term")
+        .agg(sum(dcgTerm(col("rel"), col("rn"))).cast(DecimalType(38, 9)).as("dcg"))
+      val termsDf = spark.range(1)
+        .select(explode(array(terms.map(lit): _*)).as("term"))
+      val ideal = Tables.documents(spark, dir).select(col("doc_id"))
+        .crossJoin(broadcast(termsDf))
+        .withColumn("rel", rel(col("term"), col("doc_id")))
+        .withColumn("irn", row_number().over(
+          Window.partitionBy(col("term"))
+            .orderBy(col("rel").desc, col("doc_id"))))
+        .filter(col("irn") <= 10)
+      val idcg = ideal.groupBy("term")
+        .agg(sum(dcgTerm(col("rel"), col("irn"))).cast(DecimalType(38, 9)).as("idcg"))
+      dcg.join(idcg, "term")
+        .select(col("term"), col("dcg"), col("idcg"),
+          when(col("idcg") === 0, 0.0)
+            .otherwise(r6(col("dcg").cast("double") / col("idcg").cast("double")))
+            .as("ndcg"))
+        .orderBy("term")
+    },
+    oracle = Some(
+      s"""WITH $oRetrieved,
+         |graded AS (SELECT term, doc_id, rn, ${oRel("term", "doc_id")} AS rel
+         |  FROM retrieved WHERE rn <= 10),
+         |dcg AS (SELECT term,
+         |    CAST(SUM(${oDcgTerm("rel", "rn")}) AS DECIMAL(38,9)) AS dcg
+         |  FROM graded GROUP BY term),
+         |ideal AS (SELECT term, doc_id, rel, row_number() OVER
+         |    (PARTITION BY term ORDER BY rel DESC, doc_id) AS irn
+         |  FROM (SELECT q.term, d.doc_id,
+         |          ${oRel("q.term", "d.doc_id")} AS rel
+         |        FROM documents d CROSS JOIN $oTerms)),
+         |idcg AS (SELECT term,
+         |    CAST(SUM(${oDcgTerm("rel", "irn")}) AS DECIMAL(38,9)) AS idcg
+         |  FROM ideal WHERE irn <= 10 GROUP BY term)
+         |SELECT term, dcg.dcg, idcg.idcg,
+         |  CASE WHEN idcg.idcg = 0 THEN 0.0
+         |       ELSE floor(CAST(dcg.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE)
+         |            * 1000000.0 + 0.5) / 1000000.0 END AS ndcg
+         |FROM dcg JOIN idcg USING (term) ORDER BY term""".stripMargin))
+
+  /** MRR@10 per query term: reciprocal of the first rank whose judgment
+    * is relevant (grade ≥ 2) in the BM25 top-10; 0 when no relevant doc
+    * is retrieved. first_rel_pos = 0 encodes "none" (an INTEGER, not a
+    * NULL, so the miss case is hash-pinned too). */
+  private val mrr = QueryDef(
+    fn = (spark, dir) => {
+      val ret = retrieved(spark, dir).filter(col("rn") <= 10)
+        .select(col("term"), col("doc_id"), col("rn"))
+        .withColumn("rel", rel(col("term"), col("doc_id")))
+      ret.groupBy("term")
+        .agg(coalesce(min(when(col("rel") >= 2, col("rn"))), lit(0))
+          .cast("int").as("first_rel_pos"))
+        .select(col("term"), col("first_rel_pos"),
+          when(col("first_rel_pos") === 0, 0.0)
+            .otherwise(r6(lit(1.0) / col("first_rel_pos").cast("double")))
+            .as("rr"))
+        .orderBy("term")
+    },
+    oracle = Some(
+      s"""WITH $oRetrieved,
+         |graded AS (SELECT term, doc_id, rn, ${oRel("term", "doc_id")} AS rel
+         |  FROM retrieved WHERE rn <= 10),
+         |firstrel AS (SELECT term,
+         |    CAST(COALESCE(MIN(CASE WHEN rel >= 2 THEN rn END), 0) AS INTEGER)
+         |      AS first_rel_pos
+         |  FROM graded GROUP BY term)
+         |SELECT term, first_rel_pos,
+         |  CASE WHEN first_rel_pos = 0 THEN 0.0
+         |       ELSE floor(1.0 / CAST(first_rel_pos AS DOUBLE)
+         |            * 1000000.0 + 0.5) / 1000000.0 END AS rr
+         |FROM firstrel ORDER BY term""".stripMargin))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_ndcg" -> ndcg,
+    "q_mrr" -> mrr)
+}

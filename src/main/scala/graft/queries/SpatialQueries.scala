@@ -151,7 +151,128 @@ object SpatialQueries {
          |    PARTITION BY sid ORDER BY d2 ASC, cid ASC) AS INTEGER) AS rn FROM d)
          |SELECT sid, cid, d2, rn FROM r WHERE rn <= 3 ORDER BY sid, rn""".stripMargin))
 
+  /** Grid-based DBSCAN: density clustering with eps = 400, minPts = 4
+    * (neighborhood count includes the point itself, per the original
+    * definition). Points are blob-structured on purpose — a 20×20 lattice
+    * of 1000-wide blobs spaced 3000 apart (blob index from the customer
+    * key, intra-blob scatter from the md5-prefix hash) — so real clusters
+    * exist at every SF and no cluster can outgrow its blob: inter-blob
+    * gaps (≥2001) exceed eps, which caps component size and keeps the
+    * oracle's transitive closure polynomially bounded.
+    *
+    * Phases, each the scale-right shape:
+    *  1. neighborhood counts via the family's 3×3 cell-probe join
+    *     (candidates are O(n·density), never n²); the candidate pair set
+    *     is lazily checkpointed once and feeds all three consumers below
+    *     (the Dedup-chain materialization-barrier discipline).
+    *  2. core points: n_eps ≥ minPts — a filter on the count frame.
+    *  3. clusters: [[Dedup.connectedComponents]] (star contraction +
+    *     min-label rounds) over core-core pairs only.
+    *  4. border points: non-core with a core neighbor adopt the MINIMUM
+    *     neighboring core cluster (a deterministic tie-break; vanilla
+    *     DBSCAN's "first reached wins" is scan-order-dependent and not
+    *     reproducible on any parallel engine).
+    * The oracle replays everything brute-force — O(n²) pairs and a
+    * recursive-CTE closure — so green means the grid probe dropped no
+    * neighbor and the contracted components match the naive fixpoint.
+    */
+  private val dbscan = QueryDef(
+    fn = (spark, dir) => {
+      val eps = 400L
+      val eps2 = eps * eps
+      val minPts = 4L
+      val pts = Tables.customer(spark, dir).select(
+        col("c_custkey").as("id"),
+        ((col("c_custkey") % 20) * 3000L
+          + graft.ops.TextAnalysis.hashBucket(
+            concat(lit("x"), col("c_custkey").cast("string")), 1000)).as("x"),
+        ((expr("c_custkey div 20") % 20) * 3000L
+          + graft.ops.TextAnalysis.hashBucket(
+            concat(lit("y"), col("c_custkey").cast("string")), 1000)).as("y"))
+      val build = pts.select(col("id").as("id_b"),
+        col("x").as("xb"), col("y").as("yb"),
+        (expr(s"x div $eps") * 1000L + expr(s"y div $eps")).as("ck"))
+      val probe = pts
+        .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+          explode(expr(
+            "transform(sequence(0, 8), i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy))"))
+            .as("n"))
+        .select(col("id_a"), col("xa"), col("ya"),
+          ((expr(s"xa div $eps") + col("n.dx")) * 1000L
+            + (expr(s"ya div $eps") + col("n.dy"))).as("ck"))
+      // every ORDERED pair within eps exactly once (incl. the self pair:
+      // a point is its own eps-neighbor, which is what makes n_eps ≥ 1)
+      val pairs = probe.join(build, "ck")
+        .withColumn("d2",
+          (col("xa") - col("xb")) * (col("xa") - col("xb"))
+            + (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .filter(col("d2") <= eps2)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(false)
+      val neps = pairs.groupBy(col("id_a").as("id"))
+        .agg(count(lit(1)).as("n_eps"))
+      val coreIds = neps.filter(col("n_eps") >= minPts).select(col("id"))
+      val coreEdges = pairs
+        .filter(col("id_a") =!= col("id_b"))
+        .join(coreIds.select(col("id").as("id_a")), "id_a")
+        .join(coreIds.select(col("id").as("id_b")), "id_b")
+      val comps = graft.ops.Dedup.connectedComponents(coreEdges, "id_a", "id_b")
+      val corelab = coreIds.join(comps, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+      val borderlab = pairs.filter(col("id_a") =!= col("id_b"))
+        .join(corelab.select(col("id").as("id_b"), col("cluster")), "id_b")
+        .join(coreIds.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+        .groupBy(col("id_a").as("id")).agg(min(col("cluster")).as("cluster"))
+      neps
+        .join(corelab.select(col("id"), col("cluster").as("core_cluster")),
+          Seq("id"), "left")
+        .join(borderlab.select(col("id"), col("cluster").as("border_cluster")),
+          Seq("id"), "left")
+        .select(col("id"), col("n_eps"),
+          when(col("core_cluster").isNotNull, "core")
+            .when(col("border_cluster").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("core_cluster"), col("border_cluster")).as("cluster"))
+        .orderBy("id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE p AS (SELECT c_custkey AS id,
+         |    (c_custkey % 20) * 3000
+         |      + ${dHash32("'x' || CAST(c_custkey AS VARCHAR)")} % 1000 AS x,
+         |    ((c_custkey // 20) % 20) * 3000
+         |      + ${dHash32("'y' || CAST(c_custkey AS VARCHAR)")} % 1000 AS y
+         |  FROM customer),
+         |nb AS (SELECT a.id, COUNT(*) AS n_eps FROM p a JOIN p b
+         |  ON (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 160000
+         |  GROUP BY a.id),
+         |core AS (SELECT id FROM nb WHERE n_eps >= 4),
+         |ce AS (SELECT a.id AS x, b.id AS y FROM p a JOIN p b
+         |  ON a.id <> b.id
+         |  AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 160000
+         |  WHERE a.id IN (SELECT id FROM core)
+         |    AND b.id IN (SELECT id FROM core)),
+         |reach(id, r) AS (SELECT x, x FROM ce
+         |  UNION SELECT e.x, reach.r FROM ce e JOIN reach ON reach.id = e.y),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |corelab AS (SELECT c.id, COALESCE(cm.comp, c.id) AS cluster
+         |  FROM core c LEFT JOIN comp cm ON c.id = cm.id),
+         |borderlab AS (SELECT a.id, MIN(cl.cluster) AS cluster
+         |  FROM p a JOIN p b ON a.id <> b.id
+         |    AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 160000
+         |  JOIN corelab cl ON cl.id = b.id
+         |  WHERE a.id NOT IN (SELECT id FROM core)
+         |  GROUP BY a.id)
+         |SELECT nb.id, nb.n_eps,
+         |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+         |       WHEN bl.id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  COALESCE(cl.cluster, bl.cluster) AS cluster
+         |FROM nb LEFT JOIN corelab cl ON nb.id = cl.id
+         |LEFT JOIN borderlab bl ON nb.id = bl.id
+         |ORDER BY nb.id""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_spatial_join" -> spatialJoin,
-    "q_spatial_knn" -> spatialKnn)
+    "q_spatial_knn" -> spatialKnn,
+    "q_dbscan" -> dbscan)
 }
