@@ -98,6 +98,12 @@ object Bench {
     val totalsJson = totals.map(t => (math.rint(t * 1000) / 1000).toString)
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeats,"pass_totals":$totalsJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The driver archives only the LAST 2000 bytes of bench output, and the
+    // line above puts the total in front of a ~15 KB per-query map — so the
+    // totals of rounds 10/11 were unrecoverable from BENCH_rN.json. Repeat
+    // the headline numbers in a compact trailer line that always survives
+    // the tail capture.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeats,"pass_totals":$totalsJson,"n_queries":${names.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,20 +27,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Arity guard: a clear analysis-time error naming the function beats
+    * the IndexOutOfBoundsException that raw args(i) indexing throws. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument${if (n == 1) "" else "s"}, " +
+          s"got ${args.length}")
+      build(args)
+    }
+
   /** (identifier, info, builder) triples shared by both install paths. */
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_similarity"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+      arity("cosine_similarity", 2)(args => CosineSimilarity(args(0), args(1)))),
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32Expr].getName, null, "simhash32"),
-      (args: Seq[Expression]) => SimHash32Expr(args.head)),
+      arity("simhash32", 1)(args => SimHash32Expr(args.head))),
     (FunctionIdentifier("token_hash32"),
       new ExpressionInfo(classOf[TokenHash32Expr].getName, null, "token_hash32"),
-      (args: Seq[Expression]) => TokenHash32Expr(args.head)),
+      arity("token_hash32", 1)(args => TokenHash32Expr(args.head))),
     (FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, null, "jaro_winkler"),
-      (args: Seq[Expression]) => JaroWinklerExpr(args(0), args(1))),
+      arity("jaro_winkler", 2)(args => JaroWinklerExpr(args(0), args(1)))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, null, "minhash_sig"),
       (args: Seq[Expression]) => {

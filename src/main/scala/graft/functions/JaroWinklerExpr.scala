@@ -63,7 +63,10 @@ object JaroWinklerExpr {
     val lb = b.length
     if (la == 0 && lb == 0) return 1.0
     if (la == 0 || lb == 0) return 0.0
-    val window = math.max(la, lb) / 2 - 1
+    // clamp: max(la,lb)/2 - 1 is -1 when both strings are single chars,
+    // which would skip the match loop and score 'a' vs 'a' as 0.0; with
+    // window 0 the 1x1 pair compares directly (DuckDB/rapidfuzz parity)
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
     val ma = new Array[Boolean](la)
     val mb = new Array[Boolean](lb)
     var m = 0

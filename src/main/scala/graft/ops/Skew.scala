@@ -36,8 +36,11 @@ object Skew {
       fact: DataFrame, dim: DataFrame, keyCols: Seq[String],
       saltSource: Column, salts: Int = 16): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // coalesce: crc32(NULL) is NULL, and a NULL salt would silently drop
+    // fact rows from the inner (key, salt) join that the plain join keeps
     val f = fact.withColumn("__salt",
-      pmod(crc32(saltSource.cast("string")), lit(salts)).cast("int"))
+      pmod(crc32(coalesce(saltSource.cast("string"), lit(""))), lit(salts))
+        .cast("int"))
     val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("__salt", col("__salt").cast("int"))
     f.join(d, keyCols :+ "__salt").drop("__salt")
@@ -50,7 +53,8 @@ object Skew {
       saltSource: Column, salts: Int = 16): DataFrame = {
     val dec = col(valueCol).cast(DecimalType(12, 4))
     val partial = df
-      .withColumn("__salt", pmod(crc32(saltSource.cast("string")), lit(salts)))
+      .withColumn("__salt",
+        pmod(crc32(coalesce(saltSource.cast("string"), lit(""))), lit(salts)))
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(dec).as("__psum"), count(lit(1)).as("__pcnt"))
     partial

@@ -127,7 +127,13 @@ object ActivityQueries {
     * Scale shape: the only window runs on the (event_type × day) grid —
     * calendar-domain-sized, thousands of rows at ANY corpus scale — and
     * the per-row work is a 7-element sort. Sums are exact DECIMAL(12,2)
-    * so the parity/average arithmetic is float-free until the final 6dp.
+    * and the median stays DECIMAL end-to-end: the midpoint of two
+    * DECIMAL(22,2) values is exactly representable at scale 3
+    * ((a+b)·0.5 — multiplication by the 1-digit literal, never a
+    * division), so `med7` is emitted as DECIMAL(18,6) with no double
+    * anywhere in its lineage (round-11 driver-red root cause: a
+    * decimal→double→floor composition whose last ulp differed between
+    * DuckDB builds).
     */
   private val rollingMedian = QueryDef(
     fn = (spark, dir) => {
@@ -150,13 +156,13 @@ object ActivityQueries {
         .withColumn("med",
           when(col("n") % 2 === 1,
             element_at(col("arr"),
-              ((col("n") + 1) / 2).cast("int")).cast("double"))
+              ((col("n") + 1) / 2).cast("int")).cast("decimal(18,6)"))
           .otherwise(
-            (element_at(col("arr"), (col("n") / 2).cast("int"))
+            ((element_at(col("arr"), (col("n") / 2).cast("int"))
               + element_at(col("arr"), (col("n") / 2).cast("int") + 1))
-              .cast("double") / 2.0))
+              * lit(BigDecimal("0.5"))).cast("decimal(18,6)")))
         .select(col("event_type"), col("day"), col("v"),
-          col("n").cast("long").as("n_in_frame"), r6(col("med")).as("med7"))
+          col("n").cast("long").as("n_in_frame"), col("med").as("med7"))
         .orderBy("event_type", "day")
     },
     oracle = Some(
@@ -170,14 +176,16 @@ object ActivityQueries {
         |                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
         |x AS (SELECT event_type, day, v, len(arr) AS n,
         |        CASE WHEN len(arr) % 2 = 1
-        |          THEN CAST(arr[CAST((len(arr) + 1) / 2 AS INTEGER)] AS DOUBLE)
-        |          ELSE CAST(arr[CAST(len(arr) / 2 AS INTEGER)]
-        |                    + arr[CAST(len(arr) / 2 AS INTEGER) + 1] AS DOUBLE) / 2.0
+        |          THEN CAST(arr[CAST((len(arr) + 1) / 2 AS INTEGER)]
+        |               AS DECIMAL(18,6))
+        |          ELSE CAST((CAST(arr[CAST(len(arr) / 2 AS INTEGER)]
+        |                       AS DECIMAL(23,2))
+        |                     + arr[CAST(len(arr) / 2 AS INTEGER) + 1])
+        |                    * CAST(0.5 AS DECIMAL(1,1)) AS DECIMAL(18,6))
         |        END AS med
         |      FROM r)
         |SELECT event_type, day, CAST(v AS DECIMAL(22,2)) AS v,
-        |  CAST(n AS BIGINT) AS n_in_frame,
-        |  floor(med * 1000000.0 + 0.5) / 1000000.0 AS med7
+        |  CAST(n AS BIGINT) AS n_in_frame, med AS med7
         |FROM x ORDER BY event_type, day""".stripMargin))
 
   val defs: Map[String, QueryDef] = Map(

@@ -41,9 +41,16 @@ object RankStatsQueries {
     * continuous one), so the ECDF grid is bounded (~500 bins) regardless
     * of row count. D = max over the grid of |F_a − F_b| computed in the
     * cross-multiplied integer form |cum_a·n_b − cum_b·n_a| (exact in
-    * DECIMAL(38,0); cum·n overflows long at warehouse scale), divided
-    * once at the end. Rejection at alpha = 0.05 uses the large-sample
-    * critical value c(alpha)·sqrt((n_a+n_b)/(n_a·n_b)), c = 1.358.
+    * DECIMAL(38,0); cum·n overflows long at warehouse scale). Rejection
+    * at alpha = 0.05 against c(alpha)·sqrt((n_a+n_b)/(n_a·n_b)),
+    * c = 1.358, is decided by squaring both sides: D > crit ⟺
+    * d_num²·10⁶ > 1843764·(n_a+n_b)·n_a·n_b — pure integer arithmetic.
+    * ALL emitted statistics are integer/DECIMAL (ks_d_e6 = ⌊D·10⁶⌋ via
+    * integral division, ks_crit2_e12 = ⌊crit²·10¹²⌋): no double exists
+    * anywhere in the plan, so no engine-build-sensitive rounding can
+    * flip a digit (round-11 driver-red root cause). Exact while
+    * d_num²·10⁶ fits DECIMAL(38,0), i.e. n_a·n_b ≤ ~3·10¹⁵ (~10⁸ rows
+    * worst-case; far more for any real D ≪ 1).
     *
     * Scale shape: one partial-aggregatable groupBy(bin) over orders, then
     * running sums on the ≤500-row grid (the only unpartitioned window),
@@ -70,11 +77,19 @@ object RankStatsQueries {
           - col("cumb").cast(d380) * col("na")))
       val s = c.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
         max(col("dn")).as("d_num"))
-      val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
-      val d = col("d_num").cast("double") / (na * nb)
-      val crit = lit(1.358) * sqrt((na + nb) / (na * nb))
+      val na = col("n_a").cast(d380)
+      val nb = col("n_b").cast(d380)
       s.select(col("n_a"), col("n_b"), col("d_num"),
-        r6(d).as("ks_d"), r6(crit).as("ks_crit"), (d > crit).as("reject"))
+        expr("(d_num * CAST(1000000 AS DECIMAL(38,0)))" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))")
+          .as("ks_d_e6"),
+        expr("(CAST(1843764 AS DECIMAL(38,0))" +
+          " * (CAST(n_a AS DECIMAL(38,0)) + CAST(n_b AS DECIMAL(38,0)))" +
+          " * CAST(1000000 AS DECIMAL(38,0)))" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))")
+          .as("ks_crit2_e12"),
+        (col("d_num") * col("d_num") * lit(1000000L) >
+          lit(1843764L).cast(d380) * (na + nb) * na * nb).as("reject"))
     },
     oracle = Some(
       """WITH b AS (SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
@@ -96,14 +111,17 @@ object RankStatsQueries {
         |s AS (SELECT MAX(na) AS n_a, MAX(nb) AS n_b, MAX(dn) AS d_num FROM d)
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CAST(d_num AS DECIMAL(38,0)) AS d_num,
-        |  floor(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-        |    * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
-        |  floor(1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
-        |    * 1000000.0 + 0.5) / 1000000.0 AS ks_crit,
-        |  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-        |    > 1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS reject
+        |  CAST((CAST(d_num AS HUGEINT) * 1000000)
+        |    // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)) AS BIGINT)
+        |    AS ks_d_e6,
+        |  CAST((CAST(1843764 AS HUGEINT)
+        |      * (CAST(n_a AS HUGEINT) + CAST(n_b AS HUGEINT)) * 1000000)
+        |    // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)) AS BIGINT)
+        |    AS ks_crit2_e12,
+        |  CAST(d_num AS HUGEINT) * CAST(d_num AS HUGEINT) * 1000000
+        |    > CAST(1843764 AS HUGEINT) * (CAST(n_a AS HUGEINT)
+        |        + CAST(n_b AS HUGEINT))
+        |      * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS reject
         |FROM s""".stripMargin))
 
   // --- Mann-Whitney U ------------------------------------------------------
@@ -118,6 +136,17 @@ object RankStatsQueries {
     * z = (U − n_a·n_b/2) / sqrt(n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1))))
     * all derive from DECIMAL(38,0) sufficient statistics (t³ overflows
     * long at warehouse scale).
+    *
+    * Numeric discipline: z itself needs a sqrt, so the SQUARE is emitted
+    * instead — z2_e4 = sign(num)·⌊z²·10⁴⌋ with
+    * z² = num²·3·n·(n−1) / (n_a·n_b·M), M = n(n−1)(n+1) − Σ(t³−t),
+    * num = u2 − n_a·n_b — pure DECIMAL(38,0) integral arithmetic, and
+    * significance at α=0.05 by the cross-multiplied integer comparison
+    * num²·3n(n−1)·10⁴ > 38416·n_a·n_b·M (1.96² = 3.8416). No double
+    * exists anywhere in the plan (round-11 driver-red root cause: a
+    * floored double through sqrt whose last ulp differed between DuckDB
+    * builds). Exact while num²·3·10⁴·n² fits DECIMAL(38,0) — always for
+    * balanced real data (num ~ √varU), worst-case to n ≈ 10⁷ rows.
     *
     * Scale shape: one groupBy(quantity) over lineitem; every window runs
     * on the ≤50-row grid. Emitted u2 = 2·U_a stays exact DECIMAL.
@@ -140,14 +169,22 @@ object RankStatsQueries {
         sum(col("cb")).cast(d380).as("n_b"),
         sum(col("ca").cast(d380) * col("r2")).as("r2a"),
         sum(col("t").cast(d380) * col("t") * col("t") - col("t")).as("ties"))
-      val u2 = col("r2a") - col("n_a") * (col("n_a") + 1)
-      val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
-      val n = na + nb
-      val varU = na * nb / 12.0 *
-        ((n + 1.0) - col("ties").cast("double") / (n * (n - 1.0)))
-      val z = (u2.cast("double") - na * nb) / (lit(2.0) * sqrt(varU))
-      s.select(col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
-        u2.as("u2"), r6(z).as("z"), (abs(z) > 1.96).as("sig"))
+      // num, T, A2 are exact DECIMAL(38,0); z2_e4 and sig never touch a
+      // double (see the numeric-discipline note above)
+      s.withColumn("u2", col("r2a") - col("n_a") * (col("n_a") + 1))
+        .withColumn("num", col("u2") - col("n_a") * col("n_b"))
+        .withColumn("n", col("n_a") + col("n_b"))
+        .withColumn("m",
+          col("n") * (col("n") - 1) * (col("n") + 1) - col("ties"))
+        .withColumn("t_num",
+          col("num") * col("num") * lit(30000L) * col("n") * (col("n") - 1))
+        .withColumn("a2", col("n_a") * col("n_b") * col("m"))
+        .select(col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          col("u2"),
+          (when(col("num") < 0, -1L).otherwise(1L)
+            * expr("t_num div a2")).as("z2_e4"),
+          (col("t_num") > lit(38416L).cast(d380) * col("a2")).as("sig"))
     },
     oracle = Some(
       """WITH b AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
@@ -164,26 +201,23 @@ object RankStatsQueries {
         |    CAST(SUM(cb) AS DECIMAL(38,0)) AS n_b,
         |    SUM(CAST(ca AS DECIMAL(38,0)) * (2 * p + t + 1)) AS r2a,
         |    SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS ties
-        |  FROM c)
+        |  FROM c),
+        |x AS (SELECT
+        |    CAST(n_a AS HUGEINT) AS n_a, CAST(n_b AS HUGEINT) AS n_b,
+        |    CAST(r2a - n_a * (n_a + 1) AS HUGEINT) AS u2,
+        |    CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS HUGEINT) AS num,
+        |    CAST(n_a + n_b AS HUGEINT) AS n, CAST(ties AS HUGEINT) AS ties
+        |  FROM s),
+        |y AS (SELECT n_a, n_b, u2, num,
+        |    num * num * 30000 * n * (n - 1) AS t_num,
+        |    n_a * n_b * (n * (n - 1) * (n + 1) - ties) AS a2
+        |  FROM x)
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-        |  CAST(r2a - n_a * (n_a + 1) AS DECIMAL(38,0)) AS u2,
-        |  floor((CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
-        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-        |    / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
-        |      * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
-        |        - CAST(ties AS DOUBLE)
-        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-        |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
-        |    * 1000000.0 + 0.5) / 1000000.0 AS z,
-        |  abs((CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
-        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-        |    / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
-        |      * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
-        |        - CAST(ties AS DOUBLE)
-        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-        |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))) > 1.96
-        |    AS sig
-        |FROM s""".stripMargin))
+        |  CAST(u2 AS DECIMAL(38,0)) AS u2,
+        |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * (t_num // a2)
+        |    AS BIGINT) AS z2_e4,
+        |  t_num > 38416 * a2 AS sig
+        |FROM y""".stripMargin))
 
   // --- Spearman rank correlation -------------------------------------------
 

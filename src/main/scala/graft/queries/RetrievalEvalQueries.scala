@@ -25,10 +25,13 @@ import org.apache.spark.sql.types.DecimalType
   * set per query; here every doc carries a judgment, which only makes the
   * ideal window bigger, not differently shaped.
   *
-  * Numeric discipline: per-position DCG terms (2^rel − 1)/log2(pos+1) are
-  * composed identically on both engines (ln quotient, integer-derived
-  * arguments), floored to 9dp DECIMAL(28,9), summed exactly; final
-  * ratios emitted as 6dp-floored doubles.
+  * Numeric discipline: the DCG term (2^rel − 1)/log2(pos+1) has a
+  * 40-value domain (rel ∈ 0..3 × pos ∈ 1..10), so it is a LITERAL
+  * lookup table of pre-rounded 9dp integer nano-units — neither engine
+  * evaluates a transcendental (round-11 driver-red root cause: libm
+  * `pow`/`ln` are not correctly rounded, so a 1-ulp build difference
+  * flipped a floored digit). DCG sums and the final nDCG ratio
+  * (integer cross-multiplication, `div`) are exact 64-bit arithmetic.
   */
 object RetrievalEvalQueries {
 
@@ -69,18 +72,29 @@ object RetrievalEvalQueries {
   private def rel(term: Column, docId: Column): Column =
     TextAnalysis.hashBucket(concat(term, lit("|"), docId.cast("string")), 4)
 
-  /** The identical-on-both-engines DCG position discount term. */
-  private def dcgTerm(relC: Column, pos: Column): Column =
-    f9((pow(lit(2.0), relC.cast("double")) - 1.0)
-      / (log(pos.cast("double") + 1.0) / log(lit(2.0))))
+  /** Pre-rounded floor((2^rel − 1)/log2(pos+1) · 1e9 + 0.5) in nano-units,
+    * row-major by rel ∈ 0..3 then pos ∈ 1..10 (index = rel·10 + pos,
+    * 1-based) — the single literal table both engines read, so no
+    * transcendental is ever evaluated at query time. */
+  private val dcgNanoTable: Seq[Long] = Seq(
+    0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+    1000000000L, 630929754L, 500000000L, 430676558L, 386852807L,
+    356207187L, 333333333L, 315464877L, 301029996L, 289064826L,
+    3000000000L, 1892789261L, 1500000000L, 1292029674L, 1160558422L,
+    1068621561L, 1000000000L, 946394630L, 903089987L, 867194479L,
+    7000000000L, 4416508275L, 3500000000L, 3014735907L, 2707969651L,
+    2493450310L, 2333333333L, 2208254138L, 2107209970L, 2023453784L)
+
+  /** The DCG term in integer nano-units: a literal-array lookup. */
+  private def dcgNano(relC: Column, pos: Column): Column =
+    element_at(array(dcgNanoTable.map(lit): _*),
+      (relC * 10 + pos).cast("int"))
 
   private val oTerms = "(VALUES ('spark'), ('window'), ('merge')) AS q(term)"
   private def oRel(term: String, doc: String) =
     ExtensionQueries.dHash32(s"$term || '|' || CAST($doc AS VARCHAR)") + " % 4"
-  private def oDcgTerm(relC: String, pos: String) =
-    s"""CAST(floor((pow(2.0, CAST($relC AS DOUBLE)) - 1.0)
-       |      / (ln(CAST($pos AS DOUBLE) + 1.0) / ln(2.0))
-       |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9))""".stripMargin
+  private def oDcgNano(relC: String, pos: String) =
+    s"([${dcgNanoTable.mkString(", ")}])[CAST(($relC) * 10 + ($pos) AS INTEGER)]"
   private def oRetrieved = {
     val dToks = ExtensionQueries.dToks("text")
     s"""docs AS (SELECT doc_id, $dToks AS toks FROM documents),
@@ -106,14 +120,16 @@ object RetrievalEvalQueries {
   /** nDCG@10 per query term: realized DCG over the BM25 top-10 vs the
     * ideal DCG over the globally best-graded 10 docs (rel desc, doc_id
     * tie-break — the deterministic ideal; "first-scanned wins" ideals are
-    * not reproducible). */
+    * not reproducible). DCG sums are exact nano-unit longs (≤ 10 terms ×
+    * 7e9 = 7e10 ≪ 2^63); the ratio is floored 6dp integer division
+    * (dcg·1e6 ≤ 7e16, still long-exact). */
   private val ndcg = QueryDef(
     fn = (spark, dir) => {
       val ret = retrieved(spark, dir).filter(col("rn") <= 10)
         .select(col("term"), col("doc_id"), col("rn"))
         .withColumn("rel", rel(col("term"), col("doc_id")))
       val dcg = ret.groupBy("term")
-        .agg(sum(dcgTerm(col("rel"), col("rn"))).cast(DecimalType(38, 9)).as("dcg"))
+        .agg(sum(dcgNano(col("rel"), col("rn"))).as("dcg_nano"))
       val termsDf = spark.range(1)
         .select(explode(array(terms.map(lit): _*)).as("term"))
       val ideal = Tables.documents(spark, dir).select(col("doc_id"))
@@ -124,12 +140,12 @@ object RetrievalEvalQueries {
             .orderBy(col("rel").desc, col("doc_id"))))
         .filter(col("irn") <= 10)
       val idcg = ideal.groupBy("term")
-        .agg(sum(dcgTerm(col("rel"), col("irn"))).cast(DecimalType(38, 9)).as("idcg"))
+        .agg(sum(dcgNano(col("rel"), col("irn"))).as("idcg_nano"))
       dcg.join(idcg, "term")
-        .select(col("term"), col("dcg"), col("idcg"),
-          when(col("idcg") === 0, 0.0)
-            .otherwise(r6(col("dcg").cast("double") / col("idcg").cast("double")))
-            .as("ndcg"))
+        .select(col("term"), col("dcg_nano"), col("idcg_nano"),
+          when(col("idcg_nano") === 0, lit(0L))
+            .otherwise(expr("(dcg_nano * CAST(1000000 AS BIGINT)) div idcg_nano"))
+            .as("ndcg_e6"))
         .orderBy("term")
     },
     oracle = Some(
@@ -137,7 +153,7 @@ object RetrievalEvalQueries {
          |graded AS (SELECT term, doc_id, rn, ${oRel("term", "doc_id")} AS rel
          |  FROM retrieved WHERE rn <= 10),
          |dcg AS (SELECT term,
-         |    CAST(SUM(${oDcgTerm("rel", "rn")}) AS DECIMAL(38,9)) AS dcg
+         |    CAST(SUM(${oDcgNano("rel", "rn")}) AS BIGINT) AS dcg_nano
          |  FROM graded GROUP BY term),
          |ideal AS (SELECT term, doc_id, rel, row_number() OVER
          |    (PARTITION BY term ORDER BY rel DESC, doc_id) AS irn
@@ -145,18 +161,20 @@ object RetrievalEvalQueries {
          |          ${oRel("q.term", "d.doc_id")} AS rel
          |        FROM documents d CROSS JOIN $oTerms)),
          |idcg AS (SELECT term,
-         |    CAST(SUM(${oDcgTerm("rel", "irn")}) AS DECIMAL(38,9)) AS idcg
+         |    CAST(SUM(${oDcgNano("rel", "irn")}) AS BIGINT) AS idcg_nano
          |  FROM ideal WHERE irn <= 10 GROUP BY term)
-         |SELECT term, dcg.dcg, idcg.idcg,
-         |  CASE WHEN idcg.idcg = 0 THEN 0.0
-         |       ELSE floor(CAST(dcg.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE)
-         |            * 1000000.0 + 0.5) / 1000000.0 END AS ndcg
+         |SELECT term, dcg.dcg_nano, idcg.idcg_nano,
+         |  CAST(CASE WHEN idcg.idcg_nano = 0 THEN 0
+         |       ELSE (dcg.dcg_nano * 1000000) // idcg.idcg_nano END AS BIGINT)
+         |    AS ndcg_e6
          |FROM dcg JOIN idcg USING (term) ORDER BY term""".stripMargin))
 
   /** MRR@10 per query term: reciprocal of the first rank whose judgment
     * is relevant (grade ≥ 2) in the BM25 top-10; 0 when no relevant doc
     * is retrieved. first_rel_pos = 0 encodes "none" (an INTEGER, not a
-    * NULL, so the miss case is hash-pinned too). */
+    * NULL, so the miss case is hash-pinned too). The reciprocal has an
+    * 11-value domain (pos ∈ 0..10), so rr_e6 = ⌊10⁶/pos⌋ is pure integer
+    * division — no double in the final schema (round-12 discipline). */
   private val mrr = QueryDef(
     fn = (spark, dir) => {
       val ret = retrieved(spark, dir).filter(col("rn") <= 10)
@@ -166,9 +184,9 @@ object RetrievalEvalQueries {
         .agg(coalesce(min(when(col("rel") >= 2, col("rn"))), lit(0))
           .cast("int").as("first_rel_pos"))
         .select(col("term"), col("first_rel_pos"),
-          when(col("first_rel_pos") === 0, 0.0)
-            .otherwise(r6(lit(1.0) / col("first_rel_pos").cast("double")))
-            .as("rr"))
+          when(col("first_rel_pos") === 0, lit(0L))
+            .otherwise(expr("CAST(1000000 AS BIGINT) div first_rel_pos"))
+            .as("rr_e6"))
         .orderBy("term")
     },
     oracle = Some(
@@ -180,9 +198,8 @@ object RetrievalEvalQueries {
          |      AS first_rel_pos
          |  FROM graded GROUP BY term)
          |SELECT term, first_rel_pos,
-         |  CASE WHEN first_rel_pos = 0 THEN 0.0
-         |       ELSE floor(1.0 / CAST(first_rel_pos AS DOUBLE)
-         |            * 1000000.0 + 0.5) / 1000000.0 END AS rr
+         |  CAST(CASE WHEN first_rel_pos = 0 THEN 0
+         |       ELSE 1000000 // first_rel_pos END AS BIGINT) AS rr_e6
          |FROM firstrel ORDER BY term""".stripMargin))
 
   val defs: Map[String, QueryDef] = Map(

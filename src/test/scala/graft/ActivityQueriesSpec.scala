@@ -72,7 +72,10 @@ class ActivityQueriesSpec extends SparkSpec {
     val all = SparkEntry.queries("q_rolling_median")(spark, eventsDir(rows))
     assert(all.filter(org.apache.spark.sql.functions.col("event_type") === "b").count() == 0)
     val got = all
-      .select("day", "n_in_frame", "med7")
+      .select(org.apache.spark.sql.functions.col("day"),
+        org.apache.spark.sql.functions.col("n_in_frame"),
+        // med7 is DECIMAL(18,6) since round 12 (no-double discipline)
+        org.apache.spark.sql.functions.col("med7").cast("double"))
       .as[(java.sql.Date, Long, Double)].collect().toList
     assert(got == List(
       (java.sql.Date.valueOf("2024-01-01"), 1L, 10.0),  // odd frame of 1

@@ -76,7 +76,9 @@ class GraftExtensionsSpec extends SparkSpec {
         |       jaro_winkler('DIXON', 'DICKSONX') AS c,
         |       jaro_winkler('abc', 'abc') AS d,
         |       jaro_winkler('abc', 'xyz') AS e,
-        |       jaro_winkler(CAST(NULL AS STRING), 'x') AS f""".stripMargin)
+        |       jaro_winkler(CAST(NULL AS STRING), 'x') AS f,
+        |       jaro_winkler('a', 'a') AS g,
+        |       jaro_winkler('a', 'b') AS h""".stripMargin)
       .collect().head
     assert(math.abs(got.getDouble(0) - 0.9611111111111111) < 1e-15)
     // 0.84 up to the same last-ulp composition DuckDB's builtin produces —
@@ -85,6 +87,11 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(2) - 0.8133333333333332) < 1e-15)
     assert(got.getDouble(3) == 1.0 && got.getDouble(4) == 0.0)
     assert(got.isNullAt(5), "NULL input must propagate")
+    // single-char pair: the unclamped window max(1,1)/2 - 1 = -1 used to
+    // skip the match loop and score identical 1-char strings 0.0; DuckDB's
+    // jaro_winkler_similarity('a','a') is 1.0
+    assert(got.getDouble(6) == 1.0, "jaro_winkler('a','a') must be 1.0")
+    assert(got.getDouble(7) == 0.0)
     // codegen and interpreted paths agree on a real column pair
     val df = Seq(("JELLYFISH", "SMELLYFISH"), ("CRANE", "CRATE"))
       .toDF("a", "b")
@@ -98,5 +105,20 @@ class GraftExtensionsSpec extends SparkSpec {
         org.apache.spark.unsafe.types.UTF8String.fromString(b))
     }
     assert(fromCodegen == interp)
+  }
+
+  test("registered functions reject wrong arity with a named error, not IndexOutOfBounds") {
+    GraftExtensions.register(spark)
+    for (bad <- Seq("jaro_winkler('x')", "cosine_similarity(array(1.0))",
+                    "simhash32(1, 2)", "token_hash32()")) {
+      val e = intercept[Exception] { spark.sql(s"SELECT $bad").collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      val msgs = chain(e).map(t => s"${t.getClass.getName}: ${t.getMessage}")
+      assert(!msgs.exists(_.contains("IndexOutOfBounds")),
+        s"$bad must not surface IndexOutOfBounds: $msgs")
+      assert(msgs.exists(m => m.contains("expects") || m.contains("argument")),
+        s"$bad must name the arity problem: $msgs")
+    }
   }
 }

@@ -39,13 +39,21 @@ class RankStatsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_a") === a.length.toLong)
     assert(row.getAs[Long]("n_b") === b.length.toLong)
     val grid = (a ++ b).distinct.sorted
-    val d = grid.map { v =>
-      val fa = a.count(_ <= v).toDouble / a.length
-      val fb = b.count(_ <= v).toDouble / b.length
-      math.abs(fa - fb)
+    // integer replay of the cross-multiplied form: d_num = max|cuma*nb - cumb*na|
+    val na = BigInt(a.length); val nb = BigInt(b.length)
+    val dNum = grid.map { v =>
+      (BigInt(a.count(_ <= v)) * nb - BigInt(b.count(_ <= v)) * na).abs
     }.max
-    assert(math.abs(row.getAs[Double]("ks_d") - d) < 1e-6)
+    assert(row.getAs[Long]("ks_d_e6") === (dNum * 1000000 / (na * nb)).toLong)
+    assert(row.getAs[Long]("ks_crit2_e12") ===
+      (BigInt(1843764) * (na + nb) * 1000000 / (na * nb)).toLong)
+    // reject decided by the squared integer comparison (1.358^2 = 1.843764)
+    assert(row.getAs[Boolean]("reject") ===
+      (dNum * dNum * 1000000 > BigInt(1843764) * (na + nb) * na * nb))
+    // and the integer form agrees with the textbook double replay
+    val d = dNum.toDouble / (a.length.toDouble * b.length)
     val crit = 1.358 * math.sqrt((a.length + b.length).toDouble / (a.length.toLong * b.length))
+    assert(math.abs(row.getAs[Long]("ks_d_e6") / 1e6 - d) < 2e-6)
     assert(row.getAs[Boolean]("reject") === (d > crit))
   }
 
@@ -67,7 +75,11 @@ class RankStatsSpec extends SparkSpec {
       .map(t => t * t * t - t).sum
     val varU = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
     val z = (u - na * nb / 2.0) / math.sqrt(varU)
-    assert(math.abs(row.getAs[Double]("z") - z) < 1e-5)
+    // the query emits sign(z) * floor(z^2 * 1e4) — pure integer arithmetic;
+    // the textbook double replay must agree to the discretization step
+    val z2e4 = row.getAs[Long]("z2_e4")
+    assert(math.signum(z2e4.toDouble) === math.signum(z) || z2e4 == 0L)
+    assert(math.abs(math.abs(z2e4) / 1e4 - z * z) < 2e-4 + z * z * 1e-9)
     assert(row.getAs[Boolean]("sig") === (math.abs(z) > 1.96))
   }
 

@@ -7,8 +7,71 @@ Usage: python3 tools/check.py <sfDir> <outDir>
 
 Driver-side tooling only — not part of the shipped library.
 """
-import sys, os, json, math
+import sys, os, json, math, re
 import duckdb
+
+# Round-11 lesson: the driver's DuckDB build and the local one disagree on
+# the last ulp of libm transcendentals (ln/pow/exp/log — NOT IEEE-correctly-
+# rounded, unlike + - * / sqrt), so a DOUBLE column produced through a
+# transcendental and then pinned with floor(x*1e6...) can flip its floored
+# digit on the driver even though it passes here. The local gate cannot see
+# that divergence by comparing values (both engines here are the same
+# build), so it LINTS for the pattern instead: a DOUBLE column in the final
+# schema + a floor(...*1eN...) pin whose ARGUMENT contains a transcendental
+# call. sqrt and / are IEEE-correctly-rounded and stay allowed — three of
+# the four round-11 reds used only those and failed on boundary-value luck
+# (a floored digit landing a hair from an integer), which no static lint
+# can see; those were fixed in round 12 by removing doubles from their
+# lineage entirely (integer/DECIMAL emission).
+#
+# RATCHET, not purge: queries whose transcendental argument domain is
+# data-dependent (bm25's ln over df ratios, entropy, PMI, ...) CANNOT use
+# the ndcg literal-table cure — a 9dp floor-pin immediately on the ln is
+# the best engine-portable form that exists, and the queries below have
+# held green across every driver run to date. They are grandfathered by
+# name; any NEW query matching the pattern fails the gate and must either
+# use a literal table (bounded domain) or integer/DECIMAL sufficient
+# statistics (see RankStatsQueries round-12 notes).
+TRANSCENDENTAL = re.compile(r"\b(ln|pow|power|exp|log|log2|log10)\s*\(",
+                            re.IGNORECASE)
+FLOOR_OPEN = re.compile(r"\bfloor\s*\(", re.IGNORECASE)
+PIN_SCALE = re.compile(r"\*\s*10{6,9}")
+
+LINT_GRANDFATHERED = {
+    "q_benford", "q_bm25_topk", "q_cluster_terms", "q_ddsketch_quantiles",
+    "q_dict_encoding", "q_dp_counts", "q_dsir_weights", "q_hybrid_rrf",
+    "q_kl_divergence", "q_link_prediction", "q_lm_perplexity",
+    "q_mutual_info", "q_nb_calibration", "q_nb_score", "q_nb_train",
+    "q_psi_drift", "q_record_linkage", "q_survival_km", "q_text_entropy",
+    "q_tfidf_top_terms", "q_time_decay", "q_token_pmi", "q_ucb_bandit",
+    "q_zipf_fit",
+}
+
+def _floor_args(sql):
+    """Yield the balanced-paren argument text of every floor(...) call."""
+    for m in FLOOR_OPEN.finditer(sql):
+        depth, start = 1, m.end()
+        i = start
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        yield sql[start:i - 1]
+
+def lint_build_sensitive_double(sql, cols, types):
+    dbl_cols = [c for c, t in zip(cols, types) if t == "DOUBLE"]
+    if not dbl_cols:
+        return None
+    for arg in _floor_args(sql):
+        if TRANSCENDENTAL.search(arg) and PIN_SCALE.search(arg):
+            return (f"LINT: DOUBLE column(s) {dbl_cols} and a floor(*1eN) "
+                    f"pin directly over a transcendental (ln/pow/exp/log) — "
+                    f"build-sensitive on the driver; use a literal table "
+                    f"(bounded domain) or integer/DECIMAL sufficient "
+                    f"statistics (see RankStatsQueries round-12 notes)")
+    return None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -72,8 +135,17 @@ def main(sf_dir, out_dir):
                 print(f"   {a}\n   {b}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows)")
-            n_pass += 1
+            lint = lint_build_sensitive_double(sql, ocols, otypes)
+            if lint and name not in LINT_GRANDFATHERED:
+                print(f"FAIL {name}: {lint}")
+                n_fail += 1
+            elif lint:
+                print(f"PASS {name} ({len(srows)} rows) "
+                      f"[lint-grandfathered pinned transcendental]")
+                n_pass += 1
+            else:
+                print(f"PASS {name} ({len(srows)} rows)")
+                n_pass += 1
     # queries without oracle: rows-only check
     for d in sorted(os.listdir(out_dir)):
         full = f"{out_dir}/{d}"
