@@ -16,7 +16,8 @@ object SparkEntry {
       RankStatsQueries.defs ++ LayoutQueries.defs ++ ClassifierQueries.defs ++
       SpatialQueries.defs ++ GovernanceQueries.defs ++ ActivityQueries.defs ++
       SamplingQueries.defs ++ ExperimentQueries.defs ++ Experiment2Queries.defs ++
-      RetrievalEvalQueries.defs ++ Experiment3Queries.defs
+      RetrievalEvalQueries.defs ++ Experiment3Queries.defs ++
+      IvfMaintenanceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

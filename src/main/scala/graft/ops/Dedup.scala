@@ -140,14 +140,92 @@ object Dedup {
     // 14 s for the full operator at sf0.1). Candidates are ≪ corpus by
     // LSH construction (two longs per row), so the checkpoint is cheap at
     // any scale — the same discipline as the chain-level pair checkpoint.
-    val candidates = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-      .localCheckpoint(true)
+    //
+    // Pair dedup: a pair agreeing on j bands comes out of the self-join j
+    // times, and the historical `.distinct()` paid a full shuffle+sort of
+    // the PRE-dedup multiset — on a template-heavy corpus (the measured
+    // shape at sf0.1: near-dup clusters agreeing on every band) that is
+    // bands× the candidate set through an exchange. Instead each banded
+    // row carries all `bands` band keys and a pair is emitted ONLY from
+    // its first agreeing band (the standard LSH once-per-pair trick):
+    // uniqueness holds by construction, the duplicate rows die in a
+    // codegen'd filter right at the join output, and no distinct exchange
+    // exists at all. Identical pair set: a pair survives iff SOME band
+    // agrees, and exactly its first agreeing band emits it.
+    // (With maxBucket set, kept-ness varies per band, so "first agreeing
+    // band" ≠ "first agreeing KEPT band" — the capped path keeps the
+    // distinct form; the cap already bounds the duplicate factor.)
+    val candidates = (maxBucket match {
+      case None =>
+        // posexplode keeps the full band-key array on every exploded row,
+        // so the earlier-band comparison needs no join back to the sigs
+        val withKeys = sigs
+          .select(col("id"), array((0 until bands).map { b =>
+            array_join(transform(
+              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+              v => v.cast("string")), ":")
+          }: _*).as("bks"))
+          .select(col("id"), col("bks"),
+            posexplode(col("bks")).as(Seq("band", "band_key")))
+        val earlierAgrees = (0 until bands).map { bp =>
+          col("x.band") > bp &&
+            element_at(col("x.bks"), bp + 1) === element_at(col("y.bks"), bp + 1)
+        }.reduce(_ || _)
+        // Hot-bucket parallelization: a (band, band_key) bucket of size m
+        // emits its m²/2 pairs on ONE reducer (same-key rows cannot split,
+        // and AQE's skew handling never fires — banded rows are tiny in
+        // BYTES while the blowup is in OUTPUT rows). A template cluster of
+        // 3.6k docs is a ~6.5M-pair serial task, the measured hotspot of
+        // the chain first-touch. Buckets larger than `splitAt` are grid-
+        // decomposed instead: members get a chunk c = hash(id) mod s, the
+        // x side replicates each row to cells (c, *), the y side to
+        // (*, c), and the join adds (cell_i, cell_j) to its key — pair
+        // (a, b) meets in exactly one cell (chunk(a), chunk(b)), so the
+        // pair set is unchanged while the hot bucket's m² spreads over s²
+        // reducers. Replication costs 2s× on OVERSIZED-bucket rows only
+        // (id + 4 band keys — bytes, not documents).
+        val splitAt = 1024
+        val chunks = 8
+        val wBucket = Window.partitionBy(col("band"), col("band_key"))
+        // barrier: `sized` feeds FOUR join sides (small x/y, big x/y) —
+        // without it each side re-runs the sign+window chain (banded rows
+        // are bands×corpus ids + keys: bytes per doc, cheap to pin)
+        val sized = withKeys.withColumn("__bn", count(lit(1)).over(wBucket))
+          .localCheckpoint(true)
+        val smallB = sized.filter(col("__bn") <= splitAt).drop("__bn")
+        val bigB = sized.filter(col("__bn") > splitAt).drop("__bn")
+          .withColumn("__c", pmod(xxhash64(col("id")), lit(chunks)).cast("int"))
+        val cells = array((0 until chunks).map(lit): _*)
+        val bigX = bigB.withColumn("__i", col("__c"))
+          .withColumn("__j", explode(cells)).drop("__c")
+        val bigY = bigB.withColumn("__i", explode(cells))
+          .withColumn("__j", col("__c")).drop("__c")
+        val candSmall = smallB.as("x")
+          .join(smallB.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.id") < col("y.id"))
+          .filter(!earlierAgrees)
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        val candBig = bigX.as("x")
+          .join(bigY.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.__i") === col("y.__i") &&
+              col("x.__j") === col("y.__j") &&
+              col("x.id") < col("y.id"))
+          .filter(!earlierAgrees)
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        candSmall.union(candBig)
+      case Some(_) =>
+        banded.as("x")
+          .join(banded.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .distinct()
+    }).localCheckpoint(true)
     // tokenize only candidate docs: join the raw text to the candidate id
     // set FIRST, then tokenize — the optimizer cannot hoist an expression
     // below a join on its own, so the order is explicit here
@@ -164,10 +242,19 @@ object Dedup {
       .localCheckpoint(true)
     val a = candToks.select(col("id").as("id_a"), col("toks").as("toks_a"))
     val b = candToks.select(col("id").as("id_b"), col("toks").as("toks_b"))
-    candidates.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+    // The threshold filter must NOT sit directly on the join output: the
+    // optimizer folds it into the SortMergeJoin condition, and join
+    // conditions evaluate OUTSIDE whole-stage codegen — the interpreted
+    // jaccard tree walk measured 10× the codegen'd project (40 vs 4 CPU-s
+    // at sf0.1). A checkpoint barrier between the scored projection and
+    // the filter keeps jaccard in a codegen project, evaluated once; the
+    // scored frame is candidate-sized (two ids + a double), the same
+    // class of state the candidates checkpoint above already pins.
+    val scored = candidates.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("toks_a"), col("toks_b")).as("jaccard"))
+      .localCheckpoint(true)
+    scored.filter(col("jaccard") >= minJaccard)
   }
 
   /** Incremental MinHash near-dup: pairs of a NEW batch against itself and
@@ -219,12 +306,16 @@ object Dedup {
     val candToks = tagged.select(col("id"), col("__text"))
       .join(candIds, "id")
       .select(col("id"), TextAnalysis.tokenSet(col("__text")).as("toks"))
-    candidates
+    // same checkpoint barrier as the batch operator: the threshold must
+    // not fold into the join condition (interpreted eval — see the
+    // nearDupMinhash note; measured 10×)
+    val scored = candidates
       .join(candToks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(candToks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("toks_a"), col("toks_b")).as("jaccard"))
+      .localCheckpoint(true)
+    scored.filter(col("jaccard") >= minJaccard)
   }
 
   /** Connected components over an undirected pair graph — the survivor-
@@ -259,12 +350,21 @@ object Dedup {
     * hop, not jump depth), and pre-partitioning edges by dst (noise at
     * this volume, plus an extra eager job).
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      uniquePairs: Boolean = false): DataFrame = {
     // lazy checkpoint + count: one job both materializes the edge RDD and
     // returns the size for partition right-sizing (eager + count was two)
-    val edgesAll = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    //
+    // `uniquePairs = true` (caller guarantees the pair list is duplicate-
+    // free with aCol < bCol, as every pair operator in this file emits):
+    // the symmetric union is then duplicate-free by construction — (a,b)
+    // with a<b cannot collide with any reversed (b,a) — and the edge-sized
+    // distinct (the single largest shuffle of the whole components run on
+    // a dense pair graph) is skipped outright.
+    val edgesSym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint(false)
+    val edgesAll = (if (uniquePairs) edgesSym else edgesSym.distinct())
+      .localCheckpoint(false)
     // right-size the iteration: every round schedules jobs over these
     // partitions, so a small graph on many partitions pays pure scheduling
     // overhead (~1M edges per partition is comfortable)
@@ -511,10 +611,16 @@ object Dedup {
     // guarantees candidate generation for true J >= t, so admitting pairs
     // whose ROUNDED J reaches t (true J in [t - 5e-7, t)) would promise
     // rows the pruning may already have dropped. Rounding is display-only.
-    candidates
+    // checkpoint barrier before the threshold: keeps the intersect walk
+    // in a codegen project instead of the interpreted join condition
+    // (see the nearDupMinhash note; measured 10×)
+    val scored = candidates
       .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("__jraw", jaccardSortedRaw(col("toks_a"), col("toks_b")))
+      .select(col("id_a"), col("id_b"),
+        jaccardSortedRaw(col("toks_a"), col("toks_b")).as("__jraw"))
+      .localCheckpoint(true)
+    scored
       .filter(col("__jraw") >= minJaccard)
       .select(col("id_a"), col("id_b"),
         TextAnalysis.round6(col("__jraw")).as("jaccard"))
@@ -576,12 +682,17 @@ object Dedup {
     val sets = docs.select(col("id"), col("toks"), size(col("toks")).as("sz"))
     val ni = graft.functions.SortedIntersectCount
       .intersectCountFast(col("toks_a"), col("toks_b")).cast("long")
-    candidates
+    // checkpoint barrier before the threshold: keeps the intersect walk
+    // in a codegen project instead of the interpreted join condition
+    // (see the nearDupMinhash note; measured 10×)
+    val scored = candidates
       .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a"),
         col("sz").as("sz_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b"),
         col("sz").as("sz_b")), "id_b")
-      .withColumn("ni", ni)
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"), ni.as("ni"))
+      .localCheckpoint(true)
+    scored
       .filter(col("ni").cast("double") / least(col("sz_a"), col("sz_b")) >= t)
       .withColumn("containment", TextAnalysis.round6(
         col("ni").cast("double") / least(col("sz_a"), col("sz_b"))))
@@ -945,11 +1056,13 @@ object Dedup {
       .localCheckpoint(false)
     val lhs = ranked.select(col("id").as("id_a"), col("__ts").as("toks_a"),
       explode(sequence(col("rn") + 1, col("rn") + window)).as("rn_b"))
-    lhs
+    // checkpoint barrier before the threshold (see nearDupMinhash note)
+    val scored = lhs
       .join(ranked.select(col("id").as("id_b"), col("__ts").as("toks_b"),
         col("rn").as("rn_b")), "rn_b")
-      .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("toks_a"), col("toks_b")).as("jaccard"))
+      .localCheckpoint(true)
+    scored.filter(col("jaccard") >= minJaccard)
   }
 }

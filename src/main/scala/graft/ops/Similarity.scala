@@ -263,7 +263,11 @@ object Similarity {
     // one 2-D literal + one transform lambda (small codegen body reused
     // per cell — n_cells separate fold expressions were measured to bloat
     // the generated code); array_position picks the FIRST maximum, which
-    // with ascending cells is exactly the window's lowest-cell tie-break
+    // with ascending cells is exactly the window's lowest-cell tie-break.
+    // (A broadcast one-row centroid column — to make the generated class
+    // value-independent and skip the per-iteration janino compile — was
+    // tried and measured SLOWER end-to-end: the extra broadcast exchange
+    // and per-row broadcast-array access cost more than the compile.)
     // array() of flat array literals — typedlit cannot build nested arrays
     val centLits = array(cs.map(c => typedlit(c._2)).toSeq: _*)
     val scores = transform(centLits, c =>

@@ -511,6 +511,12 @@ object ExtensionQueries {
       val docs = Tables.documents(spark, dir)
       // 1-row scalar, stays lazy; Spark broadcasts the single row
       val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+      // (a repartition before the tokenize was tried to parallelize the
+      // single-row-group local scan and measured SLOWER both ways: AQE
+      // coalesces a column-only repartition back to one partition, and a
+      // pinned 32-way spread pays more in tiny-task scheduling than the
+      // 0.4 s serial tokenize it removes — production many-file scans
+      // arrive pre-split, so the local artifact is left alone)
       val tf = docs
         .select(col("doc_id"),
           sort_array(TextAnalysis.tokens(col("text"))).as("st"))
@@ -524,8 +530,17 @@ object ExtensionQueries {
             |  (b, nb) -> struct(st[b] AS token, CAST(nb - b AS BIGINT) AS tf))"""
             .stripMargin)).as("e"))
         .select(col("doc_id"), col("e.token").as("token"), col("e.tf").as("tf"))
-      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val scored = tf.join(df_, "token").crossJoin(broadcast(n))
+      // df via a window count over token: ONE token shuffle carries both
+      // the document-frequency aggregation and its "join" back onto the
+      // tf rows (the groupBy+join form paid that shuffle twice plus a
+      // barrier to avoid re-running the tokenize scan per consumer). The
+      // per-token partition a hot token occupies is the same set of rows
+      // a groupBy(token) reducer would hold, so the scale shape is
+      // unchanged.
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
+        .crossJoin(broadcast(n))
         .withColumn("tfidf",
           floor(col("tf") * log(col("__n") / col("df")) * 1e6 + 0.5) / 1e6)
       scored
@@ -732,7 +747,8 @@ object ExtensionQueries {
   private def minhashComps(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     minhashPairsCache.getOrElseUpdate(spark, (dir, "comps"),
-      Dedup.connectedComponents(minhashPairs(spark, dir), "id_a", "id_b")
+      Dedup.connectedComponents(minhashPairs(spark, dir), "id_a", "id_b",
+          uniquePairs = true) // id_a < id_b and once-per-pair by construction
         .withColumnRenamed("id", "doc_id")
         .localCheckpoint(true))
 
@@ -1269,6 +1285,33 @@ object ExtensionQueries {
         .localCheckpoint(true)
     })
 
+  /** Memoized amplified-LSH top-5 for the fixed 8-query probe set — the
+    * recall gate (q_ann_recall, alphabetically the family's first
+    * toucher) and the standalone q_sim_ann_lsh consume the IDENTICAL
+    * result, so the bucket-index build + candidate join + re-rank run
+    * once per session (same contract as [[annBruteTruth]]). */
+  private def annLshTopK(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    minhashPairsCache.getOrElseUpdate(spark, (dir, "ann_lsh"), {
+      val emb = trainedIvfCells(spark, dir, 0)
+      Similarity.lshTopKSelf(emb, col("vec_id") < 8,
+          "vec_id", "embedding", k = 5, nBits = 4, tables = 16)
+        .localCheckpoint(true)
+    })
+
+  /** Memoized trained-IVF nprobe-2 top-5 for the same probe set —
+    * q_ann_recall and q_sim_ann_ivf consume the identical result. */
+  private def annIvfTopK(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    minhashPairsCache.getOrElseUpdate(spark, (dir, "ann_ivf"), {
+      val emb = trainedIvfCells(spark, dir, 0)
+      val cells = trainedIvfCells(spark, dir, 2)
+      Similarity.ivfTopK(cells, emb.filter(col("vec_id") < 8),
+          Similarity.centroidsLiteral(cells, "label", "embedding"),
+          "vec_id", "embedding", "label", k = 5, nprobe = 2)
+        .localCheckpoint(true)
+    })
+
   private val annBrute = QueryDef(
     fn = (spark, dir) =>
       annBruteTruth(spark, dir).orderBy("query_id", "rank"),
@@ -1288,12 +1331,8 @@ object ExtensionQueries {
     * embeddings (one 8-bit table measured 1/40 recall; this family measures
     * 35-39/40 across SFs — see `q_ann_recall`'s floor contract). */
   private val annLsh = QueryDef(
-    fn = (spark, dir) => {
-      val emb = trainedIvfCells(spark, dir, 0)
-      Similarity.lshTopKSelf(emb, col("vec_id") < 8,
-          "vec_id", "embedding", k = 5, nBits = 4, tables = 16)
-        .orderBy("query_id", "rank")
-    },
+    fn = (spark, dir) =>
+      annLshTopK(spark, dir).orderBy("query_id", "rank"),
     oracle = Some {
       s"""WITH v AS (SELECT vec_id, embedding AS e,
          |  ${dLshKeys("embedding", tables = 16, nBits = 4)} AS keys FROM embeddings),
@@ -1479,15 +1518,8 @@ object ExtensionQueries {
     * Oracle replays the identical training chain, so the driver hash-gates
     * the full train-then-probe pipeline, not just the probe join. */
   private val annIvf = QueryDef(
-    fn = (spark, dir) => {
-      val emb = trainedIvfCells(spark, dir, 0)
-      val cells = trainedIvfCells(spark, dir, 2)
-      Similarity.ivfTopK(
-          cells, emb.filter(col("vec_id") < 8),
-          Similarity.centroidsLiteral(cells, "label", "embedding"),
-          "vec_id", "embedding", "label", k = 5, nprobe = 2)
-        .orderBy("query_id", "rank")
-    },
+    fn = (spark, dir) =>
+      annIvfTopK(spark, dir).orderBy("query_id", "rank"),
     oracle = Some {
       val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
       val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
@@ -1746,12 +1778,8 @@ object ExtensionQueries {
       def pairs(df: org.apache.spark.sql.DataFrame) =
         df.select(col("query_id"), col("neighbor_id"))
       val brute = pairs(annBruteTruth(spark, dir))
-      val lsh = pairs(Similarity.lshTopKSelf(emb, col("vec_id") < 8,
-        "vec_id", "embedding", 5, nBits = 4, tables = 16))
-      val cells = trainedIvfCells(spark, dir, 2)
-      val ivf = pairs(Similarity.ivfTopK(cells, qs,
-        Similarity.centroidsLiteral(cells, "label", "embedding"),
-        "vec_id", "embedding", "label", k = 5, nprobe = 2))
+      val lsh = pairs(annLshTopK(spark, dir))
+      val ivf = pairs(annIvfTopK(spark, dir))
       brute
         .join(lsh.withColumn("in_lsh", lit(1)), Seq("query_id", "neighbor_id"), "left")
         .join(ivf.withColumn("in_ivf", lit(1)), Seq("query_id", "neighbor_id"), "left")
