@@ -1023,7 +1023,96 @@ object AnalyticQueries {
         |  (SELECT MIN(ts) FROM rs WHERE run = m.peak) AS first_peak_us
         |FROM m""".stripMargin))
 
+  /** Revenue-concentration profile per market segment: Gini coefficient,
+    * Herfindahl-Hirschman index, and CR-1/CR-10 concentration ratios of
+    * per-customer order revenue — the inequality readouts a marketplace /
+    * data-mix dashboard bolts onto the warehouse (and the same math that
+    * scores token-budget concentration across corpus sources). Population
+    * = customers with ≥ 1 order (declared). All statistics are EXACT
+    * integer arithmetic on ¢-quantized revenue: Gini via the sorted-rank
+    * identity G = (2Σi·vᵢ − (n+1)Σv) / (n·Σv) with ties broken
+    * deterministically by customer key; HHI = Σv² / (Σv)²; CR-k = top-k
+    * revenue share. Every emitted ratio is ⌊·10⁶⌋ via DECIMAL(38,0)
+    * integral division (non-negative numerators, so floor = truncate on
+    * both engines) — no double anywhere in the plan.
+    *
+    * Scale shape: the orders scan collapses to per-customer sums in one
+    * partial-aggregatable shuffle; the segment dimension broadcasts; the
+    * rank windows partition by segment (segment-parallel sorts over the
+    * CUSTOMER-grain frame, ≪ fact grain); the final rollup is
+    * segment-domain-sized. No unpartitioned window, no fact-grain sort.
+    */
+  private val concentration = QueryDef(
+    fn = (spark, dir) => {
+      val d380s = "CAST(rev_cents AS DECIMAL(38,0))"
+      val rev = Tables.orders(spark, dir)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("v"))
+        .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("segment"))), "o_custkey")
+      val wAsc = Window.partitionBy(col("segment"))
+        .orderBy(col("v").asc, col("o_custkey").asc)
+      val wDesc = Window.partitionBy(col("segment"))
+        .orderBy(col("v").desc, col("o_custkey").asc)
+      rev
+        .withColumn("i", row_number().over(wAsc))
+        .withColumn("rd", row_number().over(wDesc))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("v")).as("rev_cents"),
+          sum(col("i").cast(DecimalType(38, 0)) * col("v")).as("siv"),
+          sum(col("v").cast(DecimalType(38, 0)) * col("v")).as("sv2"),
+          sum(when(col("rd") <= 1, col("v")).otherwise(0L)).as("top1"),
+          sum(when(col("rd") <= 10, col("v")).otherwise(0L)).as("top10"))
+        .select(col("segment"), col("n_cust"), col("rev_cents"),
+          expr("((2 * siv - (CAST(n_cust AS DECIMAL(38,0)) + 1)" +
+            s" * $d380s) * CAST(1000000 AS DECIMAL(38,0)))" +
+            s" div (CAST(n_cust AS DECIMAL(38,0)) * $d380s)").as("gini_e6"),
+          expr("(sv2 * CAST(1000000 AS DECIMAL(38,0)))" +
+            s" div ($d380s * $d380s)").as("hhi_e6"),
+          expr(s"(CAST(top1 AS DECIMAL(38,0))" +
+            s" * CAST(1000000 AS DECIMAL(38,0))) div $d380s").as("cr1_e6"),
+          expr(s"(CAST(top10 AS DECIMAL(38,0))" +
+            s" * CAST(1000000 AS DECIMAL(38,0))) div $d380s").as("cr10_e6"))
+        .orderBy("segment")
+    },
+    oracle = Some(
+      """WITH rev AS (SELECT o_custkey,
+        |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+        |  FROM orders GROUP BY 1),
+        |seg AS (SELECT rev.o_custkey, v, c_mktsegment AS segment
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        |rk AS (SELECT segment, v,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY v ASC, o_custkey ASC) AS i,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY v DESC, o_custkey ASC) AS rd
+        |  FROM seg),
+        |g AS (SELECT segment, COUNT(*) AS n_cust,
+        |    SUM(v) AS rev_cents,
+        |    SUM(CAST(i AS HUGEINT) * v) AS siv,
+        |    SUM(CAST(v AS HUGEINT) * v) AS sv2,
+        |    SUM(CASE WHEN rd <= 1 THEN v ELSE 0 END) AS top1,
+        |    SUM(CASE WHEN rd <= 10 THEN v ELSE 0 END) AS top10
+        |  FROM rk GROUP BY 1)
+        |SELECT segment, CAST(n_cust AS BIGINT) AS n_cust,
+        |  CAST(rev_cents AS BIGINT) AS rev_cents,
+        |  CAST(((2 * siv - (CAST(n_cust AS HUGEINT) + 1)
+        |      * CAST(rev_cents AS HUGEINT)) * 1000000)
+        |    // (CAST(n_cust AS HUGEINT) * CAST(rev_cents AS HUGEINT))
+        |    AS BIGINT) AS gini_e6,
+        |  CAST((sv2 * 1000000) // (CAST(rev_cents AS HUGEINT)
+        |    * CAST(rev_cents AS HUGEINT)) AS BIGINT) AS hhi_e6,
+        |  CAST((CAST(top1 AS HUGEINT) * 1000000)
+        |    // CAST(rev_cents AS HUGEINT) AS BIGINT) AS cr1_e6,
+        |  CAST((CAST(top10 AS HUGEINT) * 1000000)
+        |    // CAST(rev_cents AS HUGEINT) AS BIGINT) AS cr10_e6
+        |FROM g ORDER BY segment""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_concentration" -> concentration,
     "q_bot_regularity" -> botRegularity,
     "q_concurrency_peak" -> concurrencyPeak,
     "q_autocorr_lag1" -> autocorrLag1,

@@ -301,9 +301,110 @@ object ClassifierQueries {
          |    * 1000000.0 + 0.5) / 1000000.0 AS accuracy
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** ROC-AUC of the trained classifier as a one-vs-rest ranker: does the
+    * NB 'en' class score rank true-English documents above the rest? AUC
+    * is computed EXACTLY from the rank-sum identity
+    * AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) with tie-averaged
+    * ranks — the Mann-Whitney machinery (2·avg_rank = 2·preceding +
+    * ties + 1, all integer), so no probability estimate and no
+    * trapezoid-on-doubles is ever formed. The score is first quantized
+    * to 0.01-nat bins (⌊score6/10⁴⌋ via floor on the exactly-widened
+    * double — truncating `div` disagrees with DuckDB's flooring `//` on
+    * the NEGATIVE log-scores, so neither is used); the binned AUC is the
+    * exact AUC of the quantized score (the declared statistic — the
+    * binned-KS precedent), and the bin grid is score-RANGE-bounded —
+    * ≤ range/0.01 rows (a ~10⁵ ceiling set by the model's nat scale,
+    * independent of corpus size) rather than corpus-sized; widen the
+    * bin to trade AUC resolution for grid size if the range grows.
+    *
+    * Scale shape: scoring is the q_nb_score plan (corpus tf ⋈ broadcast
+    * weights, one doc-keyed combine); the rank stage collapses docs to
+    * the bin grid in one partial-aggregatable shuffle, and the only
+    * unpartitioned window runs on that grid. Emitted columns are pure
+    * integers: auc_e6 = ⌊AUC·10⁶⌋ and gini_e6 = ⌊2·AUC·10⁶⌋ − 10⁶ via
+    * cross-multiplied integral division (non-negative numerators, so
+    * floor and truncate agree).
+    */
+  private val rocAuc = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = nbWeights(spark, dir)
+      val docs = Tables.documents(spark, dir)
+      val tf = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val wEn = w.filter(col("lang") === "en")
+      val s6 = tf.join(broadcast(wEn.select(col("token"), col("w6"))), "token")
+        .groupBy(col("doc_id")).agg(sum(col("tf") * col("w6")).as("s6"))
+      val prior = wEn.select(col("prior6")).distinct()
+      val scored = docs.select(col("doc_id"),
+          (col("lang") === "en").as("pos"))
+        .join(s6, Seq("doc_id"), "left")
+        .crossJoin(broadcast(prior))
+        .select(col("pos"),
+          (coalesce(col("s6"), lit(0L)) + col("prior6")).as("score6"))
+      val g = scored
+        .select(floor(col("score6").cast("double") / 1e4).cast("long").as("bin"),
+          when(col("pos"), 1L).otherwise(0L).as("ga"))
+        .groupBy(col("bin"))
+        .agg(sum(col("ga")).as("ca"), sum(lit(1L) - col("ga")).as("cb"))
+        .withColumn("t", col("ca") + col("cb"))
+      val wPrev = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = g.withColumn("p", coalesce(sum(col("t")).over(wPrev), lit(0L)))
+        .withColumn("r2", lit(2L) * col("p") + col("t") + lit(1L))
+      val s = c.agg(
+        sum(col("ca")).cast(d380).as("np"),
+        sum(col("cb")).cast(d380).as("nn"),
+        sum(col("ca").cast(d380) * col("r2")).as("r2a"),
+        count(lit(1)).as("n_bins"))
+      s.select(col("np").cast("long").as("n_pos"),
+          col("nn").cast("long").as("n_neg"),
+          col("n_bins"),
+          expr("((r2a - np * (np + 1)) * CAST(1000000 AS DECIMAL(38,0)))" +
+            " div (2 * np * nn)").as("auc_e6"),
+          (expr("((r2a - np * (np + 1)) * CAST(1000000 AS DECIMAL(38,0)))" +
+            " div (np * nn)") - lit(1000000L)).as("gini_e6"))
+    },
+    oracle = Some(
+      s"""WITH $nbOracleCtes,
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+         |       FROM toks GROUP BY doc_id, token),
+         |s6 AS (SELECT tf.doc_id, SUM(tf.tf * w.w6) AS s6
+         |       FROM tf JOIN w USING (token) WHERE w.lang = 'en'
+         |       GROUP BY tf.doc_id),
+         |pr AS (SELECT DISTINCT prior6 FROM w WHERE lang = 'en'),
+         |sc AS (SELECT (d.lang = 'en') AS pos,
+         |    COALESCE(s6.s6, 0) + pr.prior6 AS score6
+         |  FROM documents d LEFT JOIN s6 USING (doc_id) CROSS JOIN pr),
+         |b AS (SELECT CAST(floor(CAST(score6 AS DOUBLE) / 10000.0) AS BIGINT)
+         |    AS bin,
+         |    CASE WHEN pos THEN 1 ELSE 0 END AS ga
+         |  FROM sc),
+         |g AS (SELECT bin, SUM(ga) AS ca, SUM(1 - ga) AS cb, COUNT(*) AS t
+         |  FROM b GROUP BY 1),
+         |c AS (SELECT bin, ca, cb, t,
+         |    COALESCE(SUM(t) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+         |  FROM g),
+         |s AS (SELECT CAST(SUM(ca) AS HUGEINT) AS np,
+         |    CAST(SUM(cb) AS HUGEINT) AS nn,
+         |    CAST(SUM(CAST(ca AS HUGEINT) * (2 * p + t + 1)) AS HUGEINT)
+         |      AS r2a,
+         |    COUNT(*) AS n_bins
+         |  FROM c)
+         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         |  CAST(n_bins AS BIGINT) AS n_bins,
+         |  CAST(((r2a - np * (np + 1)) * 1000000) // (2 * np * nn) AS BIGINT)
+         |    AS auc_e6,
+         |  CAST(((r2a - np * (np + 1)) * 1000000) // (np * nn) - 1000000
+         |    AS BIGINT) AS gini_e6
+         |FROM s""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_nb_train" -> nbTrain,
     "q_nb_score" -> nbScore,
     "q_nb_calibration" -> nbCalibration,
+    "q_roc_auc" -> rocAuc,
     "q_token_pmi" -> tokenPmi)
 }

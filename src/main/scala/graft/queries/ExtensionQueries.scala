@@ -2370,7 +2370,7 @@ object ExtensionQueries {
     * [[graft.ops.TextAnalysis.shingleHashesFromHashes]]: md5 runs once per
     * TOKEN, each shingle is the exact rolling combine
     * ((…(h₁·C + h₂) mod M)·C + …) mod M with all intermediates ≤ 2^52. */
-  private def dShingleHashes(n: Int): String = {
+  private[queries] def dShingleHashes(n: Int): String = {
     val inner = (0 until n).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
       s"(($acc * ${TextAnalysis.ShingleHashC} + th[i+$j]) % ${TextAnalysis.ShingleHashM})"
     }

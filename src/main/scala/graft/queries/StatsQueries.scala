@@ -1456,7 +1456,186 @@ object StatsQueries {
         |FROM f JOIN seas USING (event_type, dow)
         |ORDER BY f.event_type, f.day""".stripMargin))
 
+  // --- Holt double-exponential smoothing ------------------------------------
+
+  /** Holt's linear-trend smoother over the daily purchase-revenue series
+    * (α = 0.2, β = 0.1): the level/trend recursion
+    * fitted_t = l_{t−1} + b_{t−1};  l_t = α·y_t + (1−α)·fitted_t;
+    * b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}, seeded l₂ = y₂,
+    * b₂ = y₂ − y₁ — the one-step-ahead forecaster whose naive/seasonal
+    * cousins q_forecast_eval scores. A COUPLED two-state recursion has no
+    * window de-recursion (q_ewma_anomaly's power-of-two trick needs a
+    * single dyadic state), so the series is folded SEQUENTIALLY: Spark
+    * runs `aggregate` over the array_sort-collected day array; DuckDB
+    * replays the identical fold as a recursive CTE. Every step is IEEE
+    * + and × composed in the same written order with the same literals,
+    * so the doubles are bit-identical across engines (the correctly-
+    * rounded-ops class — no transcendental anywhere), and the 6dp floor
+    * pin is safe.
+    *
+    * Scale shape: the fact scan collapses to the daily grid in one
+    * partial-aggregatable shuffle; the fold runs over the
+    * calendar-bounded grid array (~120 elements — O(days), not O(rows))
+    * in a single task, exactly like the driver loop of a production
+    * forecaster. Inputs y are exact µ$-quantized longs widened to
+    * double (< 2⁵³, exact).
+    */
+  private val holtLinear = QueryDef(
+    fn = (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+        .groupBy(col("day")).agg(sum(col("vq")).as("s"))
+        .select(col("day"), (col("s").cast("double") / 1e6).as("y"))
+      daily.agg(array_sort(collect_list(struct(col("day"), col("y"))))
+          .as("pts"))
+        .select(explode(expr(
+          """aggregate(
+            |  slice(pts, 3, size(pts) - 2),
+            |  named_struct(
+            |    'l', CAST(element_at(pts, 2).y AS DOUBLE),
+            |    'b', CAST(element_at(pts, 2).y - element_at(pts, 1).y
+            |              AS DOUBLE),
+            |    'rows', CAST(array()
+            |      AS ARRAY<STRUCT<day: DATE, y: DOUBLE, fitted: DOUBLE>>)),
+            |  (acc, p) -> named_struct(
+            |    'l', 0.2D * p.y + 0.8D * (acc.l + acc.b),
+            |    'b', 0.1D * ((0.2D * p.y + 0.8D * (acc.l + acc.b)) - acc.l)
+            |         + 0.9D * acc.b,
+            |    'rows', concat(acc.rows, array(named_struct(
+            |      'day', p.day, 'y', p.y, 'fitted', acc.l + acc.b)))),
+            |  acc -> acc.rows)""".stripMargin)).as("r"))
+        .select(col("r.day").as("day"), col("r.y").as("y"),
+          (floor(col("r.fitted") * 1e6 + 0.5) / 1e6).as("fitted"),
+          (floor((col("r.y") - col("r.fitted")) * 1e6 + 0.5) / 1e6)
+            .as("resid"))
+        .orderBy("day")
+    },
+    oracle = Some(
+      """WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS s
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |idx AS (SELECT day, CAST(s AS DOUBLE) / 1000000.0 AS y,
+        |    row_number() OVER (ORDER BY day) AS i
+        |  FROM daily),
+        |rec AS (
+        |  SELECT 2 AS i, CAST(NULL AS DATE) AS day, CAST(NULL AS DOUBLE) AS y,
+        |    CAST(NULL AS DOUBLE) AS fitted,
+        |    (SELECT y FROM idx WHERE i = 2) AS l,
+        |    (SELECT y FROM idx WHERE i = 2) - (SELECT y FROM idx WHERE i = 1)
+        |      AS b
+        |  UNION ALL
+        |  SELECT x.i, x.day, x.y,
+        |    r.l + r.b,
+        |    0.2 * x.y + 0.8 * (r.l + r.b),
+        |    0.1 * ((0.2 * x.y + 0.8 * (r.l + r.b)) - r.l) + 0.9 * r.b
+        |  FROM rec r JOIN idx x ON x.i = r.i + 1)
+        |SELECT day, y,
+        |  floor(fitted * 1000000.0 + 0.5) / 1000000.0 AS fitted,
+        |  floor((y - fitted) * 1000000.0 + 0.5) / 1000000.0 AS resid
+        |FROM rec WHERE i >= 3 ORDER BY day""".stripMargin))
+
+  /** Holt-Winters additive triple-exponential smoothing (α = 0.2, β = 0.1,
+    * γ = 0.3, period m = 7) over the same daily purchase-revenue series as
+    * [[holtLinear]] — level + trend + a 7-slot seasonal ring:
+    * fitted_t = l + b + s₁;  l' = α(y_t − s₁) + (1−α)(l + b);
+    * b' = β(l' − l) + (1−β)b;  s' = γ(y_t − (l + b)) + (1−γ)s₁, the ring
+    * then rotates (drop s₁, append s'). Seeds from the first two weeks:
+    * l₀ = mean(y₁..y₇), b₀ = (mean(y₈..y₁₄) − mean(y₁..y₇))/7,
+    * sᵢ = yᵢ − l₀ — the classical two-period initialization. Emits
+    * t ≥ 8. Same engine-portability argument as [[holtLinear]]: every
+    * step is IEEE +, −, ×, ÷ composed in the same written order with the
+    * same literals on both engines (the seed means are explicit 7-term
+    * left-associated sums, NOT an engine-ordered SUM()), so the doubles
+    * are bit-identical and the 6dp floor pin is safe.
+    *
+    * Scale shape: identical to [[holtLinear]] — one partial-aggregatable
+    * shuffle collapses the fact scan to the ≤O(days) grid; the
+    * three-state fold (two scalars + the m-slot ring) runs over the
+    * collected grid array in a single task.
+    */
+  private val holtWinters = QueryDef(
+    fn = (spark, dir) => {
+      // explicit left-associated 7-term sums so the fold order is pinned
+      def sum7(off: Int) = (1 to 7)
+        .map(i => s"element_at(pts, ${off + i}).y").mkString(" + ")
+      val l0 = s"((${sum7(0)}) / 7.0D)"
+      val m2 = s"((${sum7(7)}) / 7.0D)"
+      val seas = (1 to 7)
+        .map(i => s"CAST(element_at(pts, $i).y - $l0 AS DOUBLE)")
+        .mkString(", ")
+      val newl = "0.2D * (p.y - element_at(acc.s, 1)) + 0.8D * (acc.l + acc.b)"
+      val news = "0.3D * (p.y - (acc.l + acc.b)) + 0.7D * element_at(acc.s, 1)"
+      val daily = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
+        .groupBy(col("day")).agg(sum(col("vq")).as("s"))
+        .select(col("day"), (col("s").cast("double") / 1e6).as("y"))
+      daily.agg(array_sort(collect_list(struct(col("day"), col("y"))))
+          .as("pts"))
+        .select(explode(expr(
+          s"""aggregate(
+             |  slice(pts, 8, size(pts) - 7),
+             |  named_struct(
+             |    'l', CAST($l0 AS DOUBLE),
+             |    'b', CAST(($m2 - $l0) / 7.0D AS DOUBLE),
+             |    's', array($seas),
+             |    'rows', CAST(array()
+             |      AS ARRAY<STRUCT<day: DATE, y: DOUBLE, fitted: DOUBLE>>)),
+             |  (acc, p) -> named_struct(
+             |    'l', $newl,
+             |    'b', 0.1D * (($newl) - acc.l) + 0.9D * acc.b,
+             |    's', concat(slice(acc.s, 2, 6), array($news)),
+             |    'rows', concat(acc.rows, array(named_struct(
+             |      'day', p.day, 'y', p.y,
+             |      'fitted', acc.l + acc.b + element_at(acc.s, 1))))),
+             |  acc -> acc.rows)""".stripMargin)).as("r"))
+        .select(col("r.day").as("day"), col("r.y").as("y"),
+          (floor(col("r.fitted") * 1e6 + 0.5) / 1e6).as("fitted"),
+          (floor((col("r.y") - col("r.fitted")) * 1e6 + 0.5) / 1e6)
+            .as("resid"))
+        .orderBy("day")
+    },
+    oracle = Some {
+      def sum7(off: Int) = (1 to 7)
+        .map(i => s"ys[${off + i}]").mkString(" + ")
+      val l0 = s"((${sum7(0)}) / 7.0)"
+      val m2 = s"((${sum7(7)}) / 7.0)"
+      val seas = (1 to 7).map(i => s"ys[$i] - $l0").mkString(", ")
+      val newl = "0.2 * (x.y - r.s[1]) + 0.8 * (r.l + r.b)"
+      val news = "0.3 * (x.y - (r.l + r.b)) + 0.7 * r.s[1]"
+      s"""WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS day,
+         |    SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS s
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |idx AS (SELECT day, CAST(s AS DOUBLE) / 1000000.0 AS y,
+         |    row_number() OVER (ORDER BY day) AS i
+         |  FROM daily),
+         |lst AS (SELECT list(y ORDER BY day) AS ys FROM idx),
+         |rec AS (
+         |  SELECT 7 AS i, CAST(NULL AS DATE) AS day, CAST(NULL AS DOUBLE) AS y,
+         |    CAST(NULL AS DOUBLE) AS fitted,
+         |    $l0 AS l,
+         |    ($m2 - $l0) / 7.0 AS b,
+         |    [$seas] AS s
+         |  FROM lst
+         |  UNION ALL
+         |  SELECT x.i, x.day, x.y,
+         |    r.l + r.b + r.s[1],
+         |    $newl,
+         |    0.1 * (($newl) - r.l) + 0.9 * r.b,
+         |    list_append(r.s[2:7], $news)
+         |  FROM rec r JOIN idx x ON x.i = r.i + 1)
+         |SELECT day, y,
+         |  floor(fitted * 1000000.0 + 0.5) / 1000000.0 AS fitted,
+         |  floor((y - fitted) * 1000000.0 + 0.5) / 1000000.0 AS resid
+         |FROM rec WHERE i >= 8 ORDER BY day""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
+    "q_holt_linear" -> holtLinear,
+    "q_holt_winters" -> holtWinters,
     "q_seasonal_decompose" -> seasonalDecompose,
     "q_pca_top2" -> pcaTop2,
     "q_emb_pca_project" -> pcaProject,

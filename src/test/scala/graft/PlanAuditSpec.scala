@@ -393,4 +393,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti") || p.contains("ExistenceJoin"),
       "the NOT EXISTS must plan as an anti/existence join")
   }
+
+  test("IVF upsert: batch assignment is map-side (no join on the batch path), merge is grid-sized") {
+    val p = plan("q_ivf_upsert")
+    // the batch assignment embeds centroids as literals — nothing joins
+    // the corpus to anything corpus-sized, and nothing nested-loops
+    assert(!p.contains("CartesianProduct"), "upsert must not cartesian")
+    // the merge joins the (cell, dim) stat grids — hash strategies only
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the stat-grid merge must be an equi-join")
+  }
+
+  test("ROC-AUC: broadcast model join, rank stage on the bin grid only") {
+    val p = plan("q_roc_auc")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabulary-bounded weight table must broadcast onto the tf stream")
+    // no corpus-sized cartesian (the broadcast cross of the 1-row prior
+    // plans as a BroadcastNestedLoopJoin, which is fine at 1 row)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "the rank stage must be a window on the grid")
+  }
+
+  test("Holt smoother: corpus collapses to the daily grid before the fold") {
+    val p = plan("q_holt_linear")
+    // the fact-sized stage is one partial-aggregatable groupBy(day);
+    // the fold itself is a scalar expression over a collected array —
+    // no join of any kind should appear
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"),
+      "the smoother must not join — grid + fold only")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate") ||
+      p.contains("ObjectHashAggregate"),
+      "the daily rollup must be an aggregate")
+  }
 }
