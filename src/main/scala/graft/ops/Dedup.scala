@@ -236,9 +236,13 @@ object Dedup {
     // side re-runs the corpus⋈candIds join and re-tokenizes the candidate
     // docs. This is candidate-doc-sized (not corpus-sized) state, so the
     // checkpoint stays inside the "never pin O(corpus)" discipline above.
+    // Token sets are HASHED ([[TextAnalysis.hashedTokenSet]]): the verify
+    // join shuffles long arrays instead of string arrays and the intersect
+    // walk compares longs — Jaccard is unchanged except on md5-prefix
+    // collisions, which the oracle (same md5 fold) collapses identically.
     val candToks = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(candIds, "id")
-      .select(col("id"), TextAnalysis.tokenSet(col("__text")).as("toks"))
+      .select(col("id"), TextAnalysis.hashedTokenSet(col("__text")).as("toks"))
       .localCheckpoint(true)
     val a = candToks.select(col("id").as("id_a"), col("toks").as("toks_a"))
     val b = candToks.select(col("id").as("id_b"), col("toks").as("toks_b"))
@@ -303,9 +307,10 @@ object Dedup {
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id")))
       .distinct()
+    // hashed token sets, exactly as the batch operator (output-identity)
     val candToks = tagged.select(col("id"), col("__text"))
       .join(candIds, "id")
-      .select(col("id"), TextAnalysis.tokenSet(col("__text")).as("toks"))
+      .select(col("id"), TextAnalysis.hashedTokenSet(col("__text")).as("toks"))
     // same checkpoint barrier as the batch operator: the threshold must
     // not fold into the join condition (interpreted eval — see the
     // nearDupMinhash note; measured 10×)

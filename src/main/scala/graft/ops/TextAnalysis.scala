@@ -34,6 +34,20 @@ object TextAnalysis {
   /** Distinct token set (order-normalized by sort for determinism). */
   def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
 
+  /** Distinct SORTED 32-bit token-hash set — the verification-side twin of
+    * the minhash signature's token hashing. Jaccard over these equals
+    * Jaccard over the token strings except on md5-prefix collisions, which
+    * collapse the SAME tokens in both engines (the oracle replays the
+    * identical md5 fold), so pair output stays hash-identical while the
+    * intersect merge walk compares longs instead of strings and the
+    * candidate-token shuffle carries 8-byte elements instead of UTF8
+    * payloads. Hash after the string distinct: one md5 per DISTINCT token,
+    * then a second distinct over the hashes so a collision still yields a
+    * set. */
+  def hashedTokenSet(text: Column): Column =
+    array_sort(array_distinct(transform(array_distinct(tokens(text)),
+      t => tokenHash32(t))))
+
   /** Deterministic 32-bit token hash: first 8 hex chars of md5 as a long.
     * Range [0, 2^32); DuckDB twin: fold hex chars of substr(md5(t),1,8).
     * Routed through the native digest-bytes expression (no hex round-trip);

@@ -694,6 +694,9 @@ object ExtensionQueries {
     s"""docs AS (
        |  SELECT doc_id AS id, ${dTokSet("text")} AS toks
        |  FROM documents),
+       |hdocs AS (
+       |  SELECT id, list_distinct(list_transform(toks, t -> ${dHash32("t")})) AS hs
+       |  FROM docs),
        |tok AS (SELECT id, unnest(toks) AS t FROM docs),
        |th AS (SELECT id, ${dHash32("t")} % 2147483647 AS h FROM tok),
        |coef AS (SELECT * FROM (VALUES $coefValues) c(i, a, b)),
@@ -704,10 +707,10 @@ object ExtensionQueries {
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id),
        |jac AS (SELECT id_a, id_b,
-       |  floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-       |        / (len(a.toks) + len(b.toks)
-       |           - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-       |  FROM cand JOIN docs a ON cand.id_a = a.id JOIN docs b ON cand.id_b = b.id)""".stripMargin
+       |  floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |        / (len(a.hs) + len(b.hs)
+       |           - CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+       |  FROM cand JOIN hdocs a ON cand.id_a = a.id JOIN hdocs b ON cand.id_b = b.id)""".stripMargin
   }
 
   /** Verified minhash pair graph over the FULL corpus (unsampled —
@@ -1773,13 +1776,24 @@ object ExtensionQueries {
 
   private val annRecall = QueryDef(
     fn = (spark, dir) => {
-      val emb = trainedIvfCells(spark, dir, 0)
-      val qs = emb.filter(col("vec_id") < 8)
       def pairs(df: org.apache.spark.sql.DataFrame) =
         df.select(col("query_id"), col("neighbor_id"))
-      val brute = pairs(annBruteTruth(spark, dir))
-      val lsh = pairs(annLshTopK(spark, dir))
-      val ivf = pairs(annIvfTopK(spark, dir))
+      // The three index builds are INDEPENDENT eager materializations
+      // (brute truth, LSH buckets, IVF train+probe) — launch them as
+      // concurrent Spark jobs so the scheduler fills otherwise-idle cores
+      // during each build's stage tails (classic driver-side job-level
+      // parallelism; on a cluster this is how a recall gate over several
+      // indexes keeps executors busy). Each build is deterministic and
+      // memoized under its own key, so concurrency changes wall time only.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fBrute = Future(annBruteTruth(spark, dir))
+      val fLsh = Future(annLshTopK(spark, dir))
+      val fIvf = Future(annIvfTopK(spark, dir))
+      val brute = pairs(Await.result(fBrute, Duration.Inf))
+      val lsh = pairs(Await.result(fLsh, Duration.Inf))
+      val ivf = pairs(Await.result(fIvf, Duration.Inf))
       brute
         .join(lsh.withColumn("in_lsh", lit(1)), Seq("query_id", "neighbor_id"), "left")
         .join(ivf.withColumn("in_ivf", lit(1)), Seq("query_id", "neighbor_id"), "left")
