@@ -508,15 +508,18 @@ object ExtensionQueries {
     */
   private val tfidf = QueryDef(
     fn = (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
+      val docsRaw = Tables.documents(spark, dir)
       // 1-row scalar, stays lazy; Spark broadcasts the single row
-      val n = docs.agg(count(lit(1)).cast("double").as("__n"))
-      // (a repartition before the tokenize was tried to parallelize the
-      // single-row-group local scan and measured SLOWER both ways: AQE
-      // coalesces a column-only repartition back to one partition, and a
-      // pinned 32-way spread pays more in tiny-task scheduling than the
-      // 0.4 s serial tokenize it removes — production many-file scans
-      // arrive pre-split, so the local artifact is left alone)
+      val n = docsRaw.agg(count(lit(1)).cast("double").as("__n"))
+      // Parallelism repair for under-split scans: the local fixture is ONE
+      // parquet row group, so the tokenize+sort_array below would run as a
+      // single serial task (~0.65 s, half this query's wall time; the
+      // round-robin spread measured 0.54-0.79 s vs 0.68-1.19 s serial over
+      // 4 interleaved rounds). Guarded by the scan's partition count so a
+      // production many-file corpus — which arrives pre-split far wider
+      // than this threshold — NEVER pays a corpus-wide text exchange.
+      val scanParts = docsRaw.rdd.getNumPartitions
+      val docs = if (scanParts < 8) docsRaw.repartition(16) else docsRaw
       val tf = docs
         .select(col("doc_id"),
           sort_array(TextAnalysis.tokens(col("text"))).as("st"))
