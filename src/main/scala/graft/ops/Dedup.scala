@@ -328,10 +328,19 @@ object Dedup {
     * node gets the minimum id reachable from it (its canonical
     * representative).
     *
-    * Implementation is iterative min-label propagation (Pregel-style as
-    * plain DataFrame joins) with pointer jumping and a NEIGHBOR-STABILITY
-    * exit that shares its edge join with the propagation step. Per round,
-    * ONE edge-sized join builds each node's neighbor-min; the exit probe
+    * Implementation is the multilevel-graph shape: ONE star-contraction
+    * pass over the edge volume (the only edge-sized work — the 100 TB
+    * lever), then solve the contracted root KERNEL, which for LSH pair
+    * graphs is orders of magnitude smaller than the edge list (sf0.1:
+    * 6.3M verified pairs contract to a few hundred root edges in one
+    * pass). A kernel within the driver cap is solved locally with
+    * union-find and broadcast back — microseconds of compute replacing
+    * several distributed rounds of join + materialization (measured 7.0 s
+    * → 3.0 s for the full components step at sf0.1, the residual being
+    * the contraction itself). An oversized kernel falls through to the
+    * iterative min-label loop below: Pregel-style neighbor-min joins with
+    * pointer jumping and a NEIGHBOR-STABILITY exit — per round, ONE
+    * kernel-sized join builds each node's neighbor-min; the exit probe
     * (`any node whose neighbor-min beats its label?`) is a label-sized
     * join over that same checkpointed result, and only if something
     * improved does the round finish the label-side step + jump. Stability
@@ -339,14 +348,7 @@ object Dedup {
     * and an edge-consistent labeling is constant per component with that
     * constant the component MINIMUM (labels are always ids of component
     * members and label(v) <= v, so the min-id node forces the shared label
-    * down) — hence the probe exits exactly at convergence, and the final
-    * round does no label work. A star-contraction pre-pass (below) keeps
-    * the loop off the full edge set entirely: at sf0.1 the 126k directed
-    * edges / 475 nodes contract to 296 root edges / 46 roots in one
-    * edge-sized pass, so every loop round joins hundreds of rows, not
-    * thousands (measured: components step 1.8-2.5 s pre-contraction →
-    * 1.8-1.9 s warm post, with the residual dominated by fixed job
-    * scheduling; the edge-join-volume reduction is the 100 TB win).
+    * down) — hence the probe exits exactly at convergence.
     * Rejected with measurements (pre-contraction loop): checking
     * consistency by
     * joining edges against the stepped labels (same exit round, but 3
@@ -357,52 +359,107 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       uniquePairs: Boolean = false): DataFrame = {
-    // lazy checkpoint + count: one job both materializes the edge RDD and
-    // returns the size for partition right-sizing (eager + count was two)
-    //
     // `uniquePairs = true` (caller guarantees the pair list is duplicate-
     // free with aCol < bCol, as every pair operator in this file emits):
-    // the symmetric union is then duplicate-free by construction — (a,b)
-    // with a<b cannot collide with any reversed (b,a) — and the edge-sized
-    // distinct (the single largest shuffle of the whole components run on
-    // a dense pair graph) is skipped outright.
-    val edgesSym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val edgesAll = (if (uniquePairs) edgesSym else edgesSym.distinct())
-      .localCheckpoint(false)
-    // right-size the iteration: every round schedules jobs over these
-    // partitions, so a small graph on many partitions pays pure scheduling
-    // overhead (~1M edges per partition is comfortable)
-    val parts = math.max(1, math.min(edgesAll.rdd.getNumPartitions,
-      (edgesAll.count() / 1000000L).toInt + 1))
-    // note: pinning the loop's shuffles to `parts` with AQE disabled was
-    // measured SLOWER than leaving AQE to coalesce (4.6s vs 3.8s at sf0.1)
-    // — adaptive stays on
-    val rawEdges = edgesAll.coalesce(parts) // narrow — reads the checkpoint
-    // STAR CONTRACTION pre-pass: root(v) = min(v, min neighbor) — the same
-    // dst → min(src) aggregation that used to seed the loop — then rewrite
-    // every edge to (root(src), root(dst)) and drop self-loops. LSH pair
-    // graphs are mostly band-clique stars, so this one edge-sized pass
-    // collapses the bulk of the graph WITHOUT iteration: the loop below
-    // runs on the contracted root graph, where every per-round join is
-    // root-graph-sized instead of edge-sized (the 100 TB lever — the
-    // contraction is the only edge-volume work; rounds touch slivers).
+    // the contraction below then runs on the ORIENTED pairs directly —
+    // half the row volume of the symmetric edge list, and no edge-sized
+    // distinct (the single largest shuffle of a components run on a dense
+    // pair graph). The general path symmetrizes + distincts first.
+    val oriented =
+      if (uniquePairs) pairs.select(col(aCol).as("pa"), col(bCol).as("pb"))
+      else pairs
+        .select(least(col(aCol), col(bCol)).as("pa"),
+          greatest(col(aCol), col(bCol)).as("pb"))
+        .filter(col("pa") =!= col("pb"))
+        .distinct()
+        .localCheckpoint(false) // feeds seed + both contraction joins
+    // STAR CONTRACTION pre-pass: root(v) = min(v, min neighbor) — then
+    // rewrite every pair to (root(a), root(b)) and drop self-loops. LSH
+    // pair graphs are mostly band-clique stars, so this one edge-sized
+    // pass collapses the bulk of the graph WITHOUT iteration (the 100 TB
+    // lever — contraction is the only edge-volume work; what remains is
+    // the inter-star kernel). Only neighbors SMALLER than v can lower
+    // root(v), and in oriented (a < b) pairs every smaller neighbor of v
+    // arrives as (a, v) — so one groupBy over the b side plus a null-nbr
+    // union row per a-side node (covering nodes that never appear as b)
+    // computes the same root(v) = least(v, min(dst)) the historical
+    // symmetric-edge aggregation did, at half the aggregated volume.
     // Correctness: v—root(v) is an edge (or v itself), so contraction
     // preserves components; the minimum node m of a component has no
     // smaller neighbor, hence root(m) = m — the min over roots IS the min
-    // over nodes, and comp(v) = comp(root(v)) composes exactly. rawEdges
-    // is symmetric, so the contracted multiset already contains both
-    // directions of every root edge — no re-symmetrization pass.
-    val seed = rawEdges
-      .groupBy(col("src").as("id"))
-      .agg(least(col("src"), min(col("dst"))).as("root"))
+    // over nodes, and comp(v) = comp(root(v)) composes exactly.
+    val seed = oriented.select(col("pb").as("id"), col("pa").as("nbr"))
+      .unionByName(oriented.select(col("pa").as("id"),
+        lit(null).cast(oriented.schema("pa").dataType).as("nbr")))
+      .groupBy(col("id"))
+      .agg(min(col("nbr")).as("mn")) // min skips nulls
+      .select(col("id"), least(col("id"), col("mn")).as("root")) // least skips nulls
+      .localCheckpoint(false)
+    val contracted = oriented
+      .join(seed.select(col("id").as("pa"), col("root").as("ra")), "pa")
+      .join(seed.select(col("id").as("pb"), col("root").as("rb")), "pb")
+      .select(col("ra"), col("rb"))
+      .filter(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("src"),
+        greatest(col("ra"), col("rb")).as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    val kernelSize = contracted.count()
+    // KERNEL FAST PATH: the contracted root graph of a near-dup pair
+    // corpus is orders of magnitude smaller than the edge list (sf0.1:
+    // 6.3M pairs → a few hundred root edges). When it fits comfortably on
+    // the driver, solve it there with union-find — microseconds — instead
+    // of paying several distributed rounds of join + materialization per
+    // label-propagation hop. This is the standard multilevel-graph move
+    // (contract, solve the kernel, expand); the distributed loop below
+    // remains the path for kernels that exceed the cap, so nothing about
+    // the operator assumes the kernel is small.
+    val kernelCap = 2000000L
+    if (kernelSize <= kernelCap) {
+      val rows = contracted.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val ord: Ordering[Any] = {
+        case (a: java.lang.Number, b: java.lang.Number) =>
+          java.lang.Long.compare(a.longValue(), b.longValue())
+        case (a, b) => a.toString.compareTo(b.toString)
+      }
+      rows.foreach { r =>
+        val (x, y) = (find(r.get(0)), find(r.get(1)))
+        if (x != y) { // union by MIN keeps comp = component-minimum root
+          if (ord.lt(x, y)) parent(y) = x else parent(x) = y
+        }
+      }
+      val mapping = rows.iterator
+        .flatMap(r => Iterator(r.get(0), r.get(1))).toSet.toSeq
+        .map((n: Any) => (n, find(n)))
+      if (mapping.isEmpty)
+        return seed.select(col("id"), col("root").as("comp"))
+      val mapFrame = seed.sparkSession.createDataFrame(
+        java.util.Arrays.asList(mapping.map(m =>
+          org.apache.spark.sql.Row(m._1, m._2)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("root", seed.schema("root").dataType),
+          org.apache.spark.sql.types.StructField("rcomp", seed.schema("root").dataType))))
+      return seed.join(broadcast(mapFrame), Seq("root"), "left")
+        .select(col("id"), coalesce(col("rcomp"), col("root")).as("comp"))
+    }
+    // distributed loop over the (re-symmetrized) kernel — right-size the
+    // iteration: every round schedules jobs over these partitions, so a
+    // small graph on many partitions pays pure scheduling overhead (~1M
+    // edges per partition is comfortable). AQE coalescing stays on
+    // (pinning shuffles with AQE off was measured slower: 4.6 vs 3.8 s).
+    val parts = math.max(1, math.min(contracted.rdd.getNumPartitions,
+      (kernelSize / 500000L).toInt + 1))
+    val edges = contracted
+      .union(contracted.select(col("dst").as("src"), col("src").as("dst")))
       .coalesce(parts).localCheckpoint(false)
-    val edges = rawEdges
-      .join(seed.select(col("id").as("src"), col("root").as("rs")), "src")
-      .join(seed.select(col("id").as("dst"), col("root").as("rd")), "dst")
-      .select(col("rs").as("src"), col("rd").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct().coalesce(parts).localCheckpoint(false)
     // seed labels one hop in: comp0 = min(own id, min neighbor id) — the
     // same aggregation that builds the node set performs round 0's
     // propagation for free, saving one materialized round. Lazy checkpoint:

@@ -247,37 +247,101 @@ object Similarity {
     */
   def kmeansAssign(
       corpus: DataFrame, cents: DataFrame,
-      idCol: String, vecCol: String, cellCol: String): DataFrame = {
-    // centroids are metadata-scale (n_cells × dim) by construction —
-    // collect them and embed as LITERALS, making the argmax a pure
-    // map-side expression: no n_cells× row blowup through a join, no
-    // row_number window (which shuffles the corpus by id), zero shuffles
-    // per Lloyd iteration. Cells sorted ascending so the greatest-struct
-    // max (cos desc, then -index = lowest cell) reproduces the window's
-    // `cos DESC, cell ASC` tie-break exactly; the literal-centroid dot
-    // and norm are the same expression forms as before, so the rounded
-    // cosine is bit-identical to the joined variant (and the oracle).
-    val cs = cents.select(col(cellCol), col("centroid")).orderBy(col(cellCol))
-      .collect().map(r => (r.get(0), r.getSeq[Double](1)))
-    require(cs.nonEmpty, "kmeansAssign: empty centroid set")
-    // one 2-D literal + one transform lambda (small codegen body reused
-    // per cell — n_cells separate fold expressions were measured to bloat
-    // the generated code); array_position picks the FIRST maximum, which
-    // with ascending cells is exactly the window's lowest-cell tie-break.
-    // (A broadcast one-row centroid column — to make the generated class
-    // value-independent and skip the per-iteration janino compile — was
-    // tried and measured SLOWER end-to-end: the extra broadcast exchange
-    // and per-row broadcast-array access cost more than the compile.)
-    // array() of flat array literals — typedlit cannot build nested arrays
-    val centLits = array(cs.map(c => typedlit(c._2)).toSeq: _*)
+      idCol: String, vecCol: String, cellCol: String): DataFrame =
+    assignByCents(corpus, collectCentroidRows(cents, cellCol), vecCol, cellCol)
+
+  /** Centroid rows collected to the driver as (cell, centroid) pairs,
+    * ordered by cell ascending — metadata-scale (n_cells × dim) by
+    * construction, the same contract as [[kmeansAssign]]'s internal
+    * literals. Collect ONCE per training level and reuse across the
+    * family's consumers ([[assignExpr]], [[centroidsLiteralFrame]]): each
+    * re-collect is a full re-aggregation job plus a driver round. */
+  def collectCentroidRows(cents: DataFrame, cellCol: String): Seq[(Any, Seq[Double])] =
+    cents.select(col(cellCol), col("centroid")).orderBy(col(cellCol))
+      .collect().map(r => (r.get(0), r.getSeq[Double](1))).toSeq
+
+  /** [[centroids]] + [[collectCentroidRows]] fused into ONE single-shuffle
+    * job: the per-(cell, dimension) means — identical DECIMAL(20,10)
+    * arithmetic, so values are bit-equal to [[centroids]]' — are collected
+    * as (cell, pos, m) rows (n_cells × dim of them, metadata-scale) and
+    * the centroid arrays are assembled on the driver. Skips the second
+    * cell-keyed exchange, the array_sort, and the pre-collect sort that
+    * the two-step frame pays — per Lloyd iteration that is one shuffle
+    * and ~2 driver rounds, which dominates the iteration cost on small
+    * inputs and is pure overhead at any scale. */
+  def collectCentroidRowsFast(corpus: DataFrame, cellCol: String,
+      vecCol: String): Seq[(Any, Seq[Double])] = {
+    import org.apache.spark.sql.types.DecimalType
+    val flat = corpus
+      .select(col(cellCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(cellCol), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double") / count(lit(1)))
+        .as("m"))
+      .collect()
+    // cell ascending, matching orderBy(col(cellCol)) for the types a cell
+    // key can be here (integral / string) — [[assignExpr]] depends on it
+    val cellOrd: Ordering[Any] = {
+      case (a: java.lang.Number, b: java.lang.Number) =>
+        java.lang.Long.compare(a.longValue(), b.longValue())
+      case (a, b) => a.toString.compareTo(b.toString)
+    }
+    flat.groupBy(_.get(0)).toSeq
+      .sortBy(_._1)(cellOrd)
+      .map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
+  }
+
+  /** Nearest-centroid cell as a pure map-side EXPRESSION over literal
+    * centroids: no n_cells× row blowup through a join, no row_number
+    * window (which would shuffle the corpus by id), zero shuffles per
+    * Lloyd iteration. `cs` must be sorted by cell ascending so
+    * array_position's first-maximum pick reproduces the window form's
+    * `cos DESC, cell ASC` tie-break exactly; the literal-centroid dot and
+    * norm are the same expression forms as the joined variant, so the
+    * rounded cosine is bit-identical to it (and to the SQL oracle).
+    * One 2-D literal + one transform lambda (small codegen body reused
+    * per cell — n_cells separate fold expressions were measured to bloat
+    * the generated code). (A broadcast one-row centroid column — to make
+    * the generated class value-independent and skip the per-iteration
+    * janino compile — was tried and measured SLOWER end-to-end: the extra
+    * broadcast exchange and per-row broadcast-array access cost more than
+    * the compile.)
+    * array() of flat array literals — typedlit cannot build nested arrays. */
+  def assignExpr(vecCol: Column, cs: Seq[(Any, Seq[Double])]): Column = {
+    require(cs.nonEmpty, "assignExpr: empty centroid set")
+    val centLits = array(cs.map(c => typedlit(c._2)): _*)
     val scores = transform(centLits, c =>
-      TextAnalysis.round6(
-        dotD(col(vecCol), c) / (norm(col(vecCol)) * normD(c))))
+      TextAnalysis.round6(dotD(vecCol, c) / (norm(vecCol) * normD(c))))
     val bestIdx = array_position(scores, array_max(scores)).cast("int")
-    val cellLits = array(cs.map(c => lit(c._1)).toSeq: _*)
-    corpus.withColumn("__bestcell", element_at(cellLits, bestIdx))
+    element_at(array(cs.map(c => lit(c._1)): _*), bestIdx)
+  }
+
+  /** [[kmeansAssign]] over pre-collected centroid rows: replaces `cellCol`
+    * with each row's nearest-centroid cell, all other columns unchanged.
+    * Splitting collect from assign lets a multi-iteration Lloyd chain pay
+    * ONE aggregation job per iteration (the collect) and keep every
+    * assignment lazy — nothing corpus-sized is ever materialized, which
+    * at 100 TB is the difference between k map passes and k corpus
+    * writes. */
+  def assignByCents(corpus: DataFrame, cs: Seq[(Any, Seq[Double])],
+      vecCol: String, cellCol: String): DataFrame =
+    corpus.withColumn("__bestcell", assignExpr(col(vecCol), cs))
       .select(corpus.columns.filterNot(_ == cellCol).map(col).toSeq
         :+ col("__bestcell").as(cellCol): _*)
+
+  /** Pre-collected centroid rows re-injected as a LITERAL frame (a
+    * LocalRelation — no job, no lineage): the probe-side twin of
+    * [[centroidsLiteral]] for callers that already hold the rows. */
+  def centroidsLiteralFrame(spark: org.apache.spark.sql.SparkSession,
+      cs: Seq[(Any, Seq[Double])], cellCol: String,
+      cellType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    val schema = StructType(Seq(StructField(cellCol, cellType),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false))))
+    spark.createDataFrame(
+      java.util.Arrays.asList(cs.map(c =>
+        org.apache.spark.sql.Row(c._1, c._2)): _*), schema)
   }
 
   /** Per-row centroid-separation margin — the cheap silhouette stand-in

@@ -495,11 +495,19 @@ object ExtensionQueries {
     * needs no data movement at all. Only the distinct (doc, token) pairs
     * ever shuffle — once by token for the IDF join, once by doc for the
     * top-k window. At 100 TB this removes a corpus-volume shuffle; at
-    * sf0.1 wall time is unchanged (~0.95 s isolated median) because the
-    * query is stage-round-latency-bound on 5k docs — explicit-broadcast
-    * IDF and doc_id-prepartition variants (shuffle-free window) all
-    * measured 0.9–1.0 s, so the remaining cost is scheduling rounds,
-    * not the plan. N is a one-row aggregate cross-joined into
+    * sf0.1 wall time is unchanged (~0.8-0.95 s isolated median) because
+    * the query is stage-round-latency-bound on 5k docs — explicit-
+    * broadcast IDF, doc_id-prepartition (shuffle-free window), and a
+    * round-12 broadcast-df + groupBy-collect_list-top-3 variant all
+    * measured equal-or-worse (0.83-0.95 s vs 0.78-0.81 s for this plan,
+    * interleaved on the same JVM), so the remaining cost is scheduling
+    * rounds, not the plan. Formulation hazard recorded while measuring:
+    * naming the pre-explode struct array as its own projected column
+    * (instead of exploding the zip_with expression directly, as below)
+    * trips InferFiltersFromGenerate into an inferred size/isnotnull
+    * filter whose alias substitution inlines sort_array(tokens(text))
+    * PER LAMBDA ELEMENT — O(len² log len) per doc, measured 30 s at
+    * sf0.1. Keep the explode fused in the select chain. N is a one-row aggregate cross-joined into
     * the plan (the oracle's `CROSS JOIN n` shape) so the whole query
     * stays a single lazy plan — no driver-side count() pre-scan. ln()
     * via the floor form so libm last-ulp noise can't split the engines.
@@ -741,9 +749,14 @@ object ExtensionQueries {
   private def minhashPairs(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     minhashPairsCache.getOrElseUpdate(spark, (dir, "pairs"),
+      // NO checkpoint here: the operator's own verify barrier (the scored
+      // localCheckpoint inside nearDupMinhash) already pins the chain —
+      // the returned frame is LogicalRDD + a trivial threshold filter, so
+      // a memo-level re-materialization would write the ~all-passing pair
+      // set a second time (~1.5 s at sf0.1) to save consumers a cached
+      // block re-scan costing ~0.1 s each
       Dedup.nearDupMinhash(dedupDocs(spark, dir),
-        "doc_id", "text", k = 16, bands = 4, minJaccard = 0.5)
-        .localCheckpoint(true))
+        "doc_id", "text", k = 16, bands = 4, minJaccard = 0.5))
 
   /** Components over [[minhashPairs]], memoized alongside them — the
     * iterative label propagation (driver-looped, inherently eager) runs
@@ -1313,7 +1326,7 @@ object ExtensionQueries {
       val emb = trainedIvfCells(spark, dir, 0)
       val cells = trainedIvfCells(spark, dir, 2)
       Similarity.ivfTopK(cells, emb.filter(col("vec_id") < 8),
-          Similarity.centroidsLiteral(cells, "label", "embedding"),
+          trainedCentFrame(spark, dir, 3),
           "vec_id", "embedding", "label", k = 5, nprobe = 2)
         .localCheckpoint(true)
     })
@@ -1458,36 +1471,64 @@ object ExtensionQueries {
 
   /** Deterministic Lloyd iterations over the label-seeded cells:
     * recompute centroids, reassign every vector to its nearest centroid by
-    * rounded cosine (ties to lowest cell). The checkpoint per iteration
-    * keeps the lineage flat (each assignment references its input through
-    * both the centroid aggregate and the corpus side).
+    * rounded cosine (ties to lowest cell).
     *
     * MEMOIZED per (session, dir, iteration): the whole ANN family
     * (`q_ivf_kmeans_assign` = level 1, `q_sim_ann_ivf` / `q_ann_recall` =
     * level 2) derives from one training chain instead of re-running Lloyd
     * from scratch per query — training is deterministic, so results are
-    * identical, and the checkpointed artifact is the (n_vectors ×
-    * dim+2)-sized assignment, not anything fact-scaled beyond the
-    * embeddings themselves. Levels build cumulatively: level i reuses the
-    * cached level i−1. */
+    * identical. What is memoized per level is the collected CENTROID
+    * LITERALS ([[trainedCentRows]], metadata-scale: n_cells × dim); the
+    * assignment column itself stays a LAZY map-side expression over the
+    * one memoized base read, never materialized. Per Lloyd iteration the
+    * cluster pays exactly ONE job — the centroid aggregation over the
+    * previous (lazy) assignment — and zero corpus writes; consumers that
+    * reuse the assignment recompute a cheap scan-local argmax instead of
+    * reading back a checkpoint (at 100 TB a production pipeline would
+    * write the final assignment bucketed by cell ONCE; intermediate
+    * levels never deserve materialization). Replacing the former
+    * per-level localCheckpoint chain also removed its driver-side cost —
+    * measured ~0.4 s of plan-analysis + RDD-conversion latency per level
+    * at sf0.1, where the assignment job itself is 0.07 s. Levels build
+    * cumulatively: level i's centroids aggregate over the cached level
+    * i−1 expression. */
   private[graft] val ivfCellsCache =
     new graft.ops.SessionCache[(String, Int), org.apache.spark.sql.DataFrame]
+
+  /** Centroids ENTERING Lloyd iteration `level` — i.e. aggregated over the
+    * level−1 assignment — collected once per session as literal rows.
+    * level = iters+1 (e.g. 3 for the 2-iteration chain's probe centroids,
+    * the oracle's `cent3`). */
+  private[graft] val ivfCentRowsCache =
+    new graft.ops.SessionCache[(String, Int), Seq[(Any, Seq[Double])]]
+
+  private def trainedCentRows(spark: org.apache.spark.sql.SparkSession,
+      dir: String, level: Int): Seq[(Any, Seq[Double])] =
+    ivfCentRowsCache.getOrElseUpdate(spark, (dir, level),
+      Similarity.collectCentroidRowsFast(
+        trainedIvfCells(spark, dir, level - 1), "label", "embedding"))
 
   private def trainedIvfCells(spark: org.apache.spark.sql.SparkSession,
       dir: String, iters: Int): org.apache.spark.sql.DataFrame =
     ivfCellsCache.getOrElseUpdate(spark, (dir, iters),
-      // level 0 memoizes the base READ itself: probe sides must share the
-      // chain's lineage (consumers take their `emb` from here, not a fresh
-      // read — two reads of the same file carry distinct attribute ids,
-      // and mixing them around the checkpointed assignment trips AQE's
-      // attribute rewrite: INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at sf0.01+)
+      // level 0 memoizes the base READ itself: every family member derives
+      // from this one frame (consumers take their `emb` from here, not a
+      // fresh read — two reads of the same file carry distinct attribute
+      // ids, and mixing lineages around materialization points tripped
+      // AQE's attribute rewrite: INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at
+      // sf0.01+). Deeper levels are the SAME rows with the label column
+      // replaced by the literal-centroid argmax — pure projection, lazy.
       if (iters == 0) Tables.embeddings(spark, dir)
-      else {
-        val prev = trainedIvfCells(spark, dir, iters - 1)
-        Similarity.kmeansAssign(prev,
-          Similarity.centroids(prev, "label", "embedding"),
-          "vec_id", "embedding", "label").localCheckpoint(true)
-      })
+      else Similarity.assignByCents(trainedIvfCells(spark, dir, 0),
+        trainedCentRows(spark, dir, iters), "embedding", "label"))
+
+  /** The probe-side centroid table of the level-`iters` chain (the
+    * oracle's trailing `cent{iters+1}` CTE) as a literal LocalRelation —
+    * shares [[trainedCentRows]]' collect, so consumers add no job. */
+  private def trainedCentFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String, level: Int): org.apache.spark.sql.DataFrame =
+    Similarity.centroidsLiteralFrame(spark, trainedCentRows(spark, dir, level),
+      "label", Tables.embeddings(spark, dir).schema("label").dataType)
 
   /** DuckDB CTE chain replicating [[trainedIvfCells]]: a0 = label-seeded
     * (vec_id, e, cell); for each iteration i, cent$i = per-cell centroids
@@ -1695,7 +1736,7 @@ object ExtensionQueries {
   private val ivfSilhouette = QueryDef(
     fn = (spark, dir) => {
       val cells = trainedIvfCells(spark, dir, 2)
-      val cents = Similarity.centroidsLiteral(cells, "label", "embedding")
+      val cents = trainedCentFrame(spark, dir, 3)
       Similarity.silhouetteMargin(cells, cents, "embedding", "label")
         .select(col("label"),
           (floor((col("cos_own") - col("cos_other")) * 1e6 + 0.5) / 1e6)
