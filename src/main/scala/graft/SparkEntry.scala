@@ -17,7 +17,8 @@ object SparkEntry {
       SpatialQueries.defs ++ GovernanceQueries.defs ++ ActivityQueries.defs ++
       SamplingQueries.defs ++ ExperimentQueries.defs ++ Experiment2Queries.defs ++
       RetrievalEvalQueries.defs ++ Experiment3Queries.defs ++
-      IvfMaintenanceQueries.defs ++ TextNoveltyQueries.defs
+      IvfMaintenanceQueries.defs ++ TextNoveltyQueries.defs ++
+      AgreementQueries.defs ++ CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -358,7 +358,10 @@ object Dedup {
     * this volume, plus an extra eager job).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      uniquePairs: Boolean = false): DataFrame = {
+      uniquePairs: Boolean = false,
+      // driver-kernel cap, overridable so the spec can force the
+      // distributed loop on small fixtures and assert both paths agree
+      kernelCap: Long = 2000000L): DataFrame = {
     // `uniquePairs = true` (caller guarantees the pair list is duplicate-
     // free with aCol < bCol, as every pair operator in this file emits):
     // the contraction below then runs on the ORIENTED pairs directly —
@@ -414,7 +417,6 @@ object Dedup {
     // (contract, solve the kernel, expand); the distributed loop below
     // remains the path for kernels that exceed the cap, so nothing about
     // the operator assumes the kernel is small.
-    val kernelCap = 2000000L
     if (kernelSize <= kernelCap) {
       val rows = contracted.collect()
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]

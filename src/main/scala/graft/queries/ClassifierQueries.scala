@@ -401,10 +401,97 @@ object ClassifierQueries {
          |    AS BIGINT) AS gini_e6
          |FROM s""".stripMargin))
 
+  /** Binned precision-recall AUC (average precision) of the NB lang-id
+    * scorer — the class-imbalance-honest complement to q_roc_auc (ROC is
+    * blind to prevalence; AP is anchored to it). Same score6 bins as
+    * q_roc_auc, processed in DESCENDING score order: with tp_b / n_b the
+    * cumulative positives / rows through bin b, the binned AP is
+    * Σ_b ca_b · P_b / n_pos with P_b = tp_b/n_b — the step-curve AP of
+    * the quantized score, a declared statistic of the binned variable
+    * (the q_ks_test stance). Integer discipline end to end: each bin's
+    * precision is ⌊tp_b·10⁶/n_b⌋, the positives-weighted sum is a
+    * DECIMAL(38,0), pr_auc_e6 its floored division by n_pos; prev_e6 =
+    * ⌊n_pos·10⁶/n⌋ is the random-classifier baseline AP to read it
+    * against. No double anywhere.
+    *
+    * Scale shape: identical to q_roc_auc — one corpus pass to the score
+    * bins, running sums on the bounded bin grid only. */
+  private val prAuc = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = nbWeights(spark, dir)
+      val docs = Tables.documents(spark, dir)
+      val tf = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val wEn = w.filter(col("lang") === "en")
+      val s6 = tf.join(broadcast(wEn.select(col("token"), col("w6"))), "token")
+        .groupBy(col("doc_id")).agg(sum(col("tf") * col("w6")).as("s6"))
+      val prior = wEn.select(col("prior6")).distinct()
+      val scored = docs.select(col("doc_id"),
+          (col("lang") === "en").as("pos"))
+        .join(s6, Seq("doc_id"), "left")
+        .crossJoin(broadcast(prior))
+        .select(col("pos"),
+          (coalesce(col("s6"), lit(0L)) + col("prior6")).as("score6"))
+      val g = scored
+        .select(floor(col("score6").cast("double") / 1e4).cast("long").as("bin"),
+          when(col("pos"), 1L).otherwise(0L).as("ga"))
+        .groupBy(col("bin"))
+        .agg(sum(col("ga")).as("ca"), count(lit(1)).as("t"))
+      val wRun = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = g
+        .withColumn("tp", sum(col("ca")).over(wRun))
+        .withColumn("nc", sum(col("t")).over(wRun))
+        .withColumn("term", col("ca").cast(d380)
+          * expr("(tp * CAST(1000000 AS BIGINT)) div nc"))
+      val s = c.agg(
+        sum(col("ca")).as("np"), sum(col("t")).as("n"),
+        sum(col("term")).as("tsum"), count(lit(1)).as("n_bins"))
+      s.select(col("np").as("n_pos"), col("n"), col("n_bins"),
+        expr("CAST(tsum div np AS BIGINT)").as("pr_auc_e6"),
+        expr("(np * CAST(1000000 AS BIGINT)) div n").as("prev_e6"))
+    },
+    oracle = Some(
+      s"""WITH $nbOracleCtes,
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+         |       FROM toks GROUP BY doc_id, token),
+         |s6 AS (SELECT tf.doc_id, SUM(tf.tf * w.w6) AS s6
+         |       FROM tf JOIN w USING (token) WHERE w.lang = 'en'
+         |       GROUP BY tf.doc_id),
+         |pr AS (SELECT DISTINCT prior6 FROM w WHERE lang = 'en'),
+         |sc AS (SELECT (d.lang = 'en') AS pos,
+         |    COALESCE(s6.s6, 0) + pr.prior6 AS score6
+         |  FROM documents d LEFT JOIN s6 USING (doc_id) CROSS JOIN pr),
+         |b AS (SELECT CAST(floor(CAST(score6 AS DOUBLE) / 10000.0) AS BIGINT)
+         |    AS bin,
+         |    CASE WHEN pos THEN 1 ELSE 0 END AS ga
+         |  FROM sc),
+         |g AS (SELECT bin, SUM(ga) AS ca, COUNT(*) AS t FROM b GROUP BY 1),
+         |c AS (SELECT bin, ca, t,
+         |    SUM(ca) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |    SUM(t) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nc
+         |  FROM g),
+         |s AS (SELECT CAST(SUM(ca) AS HUGEINT) AS np,
+         |    CAST(SUM(t) AS HUGEINT) AS n,
+         |    CAST(SUM(CAST(ca AS HUGEINT) * ((tp * 1000000) // nc))
+         |      AS HUGEINT) AS tsum,
+         |    COUNT(*) AS n_bins
+         |  FROM c)
+         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n,
+         |  CAST(n_bins AS BIGINT) AS n_bins,
+         |  CAST(tsum // np AS BIGINT) AS pr_auc_e6,
+         |  CAST((np * 1000000) // n AS BIGINT) AS prev_e6
+         |FROM s""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_nb_train" -> nbTrain,
     "q_nb_score" -> nbScore,
     "q_nb_calibration" -> nbCalibration,
     "q_roc_auc" -> rocAuc,
+    "q_pr_auc" -> prAuc,
     "q_token_pmi" -> tokenPmi)
 }

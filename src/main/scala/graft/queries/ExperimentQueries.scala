@@ -442,9 +442,108 @@ object ExperimentQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS tau_b
         |FROM s""".stripMargin))
 
+  /** Difference-in-differences: did BUILDING-segment customers' average
+    * order value move differently across the 1996-01-01 boundary than
+    * everyone else's? The canonical quasi-experimental estimator —
+    * DID = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre) —
+    * over the orders × customer join, outcome in EXACT integer cents
+    * (floor(price·100 + 0.5), the q_er_clusters pattern).
+    *
+    * Numeric discipline: the four cell means never exist as doubles —
+    * DID is ONE cross-multiplied rational (numerator = Σ±s_g·Πn_other,
+    * denominator = Πn_g, both DECIMAL(38,0)-exact while s·n³ < 10³⁸ ≈
+    * any realistic warehouse) emitted as round-toward-zero fixed-point:
+    * sign(N)·⌊|N|·10⁶/D⌋ — `div`/`//` agree on NON-NEGATIVE operands
+    * only (Spark div truncates, DuckDB // floors), so the sign is split
+    * out explicitly. Per-cell means are also emitted as ⌊·10⁶⌋ of the
+    * non-negative cent sums.
+    *
+    * Scale shape: one fact-sized join (orders × customer on custkey,
+    * AQE picks the side) into ONE partial-aggregatable 4-cell groupBy;
+    * everything after runs on 4 rows. */
+  private val did = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          (col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+            .as("post"))
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").as("treat"))
+      val cells = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("treat"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      val p = cells.agg(
+        max(when(col("treat") && col("post"), col("n"))).as("n_tp"),
+        max(when(col("treat") && col("post"), col("s"))).as("s_tp"),
+        max(when(col("treat") && !col("post"), col("n"))).as("n_tr"),
+        max(when(col("treat") && !col("post"), col("s"))).as("s_tr"),
+        max(when(!col("treat") && col("post"), col("n"))).as("n_cp"),
+        max(when(!col("treat") && col("post"), col("s"))).as("s_cp"),
+        max(when(!col("treat") && !col("post"), col("n"))).as("n_cr"),
+        max(when(!col("treat") && !col("post"), col("s"))).as("s_cr"))
+      p.select(
+        col("n_tp"), col("n_tr"), col("n_cp"), col("n_cr"),
+        expr("(s_tp * CAST(1000000 AS BIGINT)) div n_tp").as("mean_tp_e6"),
+        expr("(s_tr * CAST(1000000 AS BIGINT)) div n_tr").as("mean_tr_e6"),
+        expr("(s_cp * CAST(1000000 AS BIGINT)) div n_cp").as("mean_cp_e6"),
+        expr("(s_cr * CAST(1000000 AS BIGINT)) div n_cr").as("mean_cr_e6"),
+        expr("CAST(CASE WHEN" +
+          "  CAST(s_tp AS DECIMAL(38,0)) * n_tr * n_cp * n_cr" +
+          "  - CAST(s_tr AS DECIMAL(38,0)) * n_tp * n_cp * n_cr" +
+          "  - CAST(s_cp AS DECIMAL(38,0)) * n_tp * n_tr * n_cr" +
+          "  + CAST(s_cr AS DECIMAL(38,0)) * n_tp * n_tr * n_cp < 0" +
+          " THEN -1 ELSE 1 END AS BIGINT)").as("did_sign"),
+        expr("CAST((abs(" +
+          "  CAST(s_tp AS DECIMAL(38,0)) * n_tr * n_cp * n_cr" +
+          "  - CAST(s_tr AS DECIMAL(38,0)) * n_tp * n_cp * n_cr" +
+          "  - CAST(s_cp AS DECIMAL(38,0)) * n_tp * n_tr * n_cr" +
+          "  + CAST(s_cr AS DECIMAL(38,0)) * n_tp * n_tr * n_cp)" +
+          "  * CAST(1000000 AS DECIMAL(38,0)))" +
+          " div (CAST(n_tp AS DECIMAL(38,0)) * n_tr * n_cp * n_cr)" +
+          " AS BIGINT)").as("did_abs_e6"))
+    },
+    oracle = Some(
+      """WITH j AS (SELECT
+        |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    o.o_orderdate >= TIMESTAMP '1996-01-01' AS post,
+        |    c.c_mktsegment = 'BUILDING' AS treat
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cells AS (SELECT treat, post, COUNT(*) AS n, SUM(cents) AS s
+        |  FROM j GROUP BY 1, 2),
+        |p AS (SELECT
+        |    MAX(CASE WHEN treat AND post THEN n END) AS n_tp,
+        |    MAX(CASE WHEN treat AND post THEN s END) AS s_tp,
+        |    MAX(CASE WHEN treat AND NOT post THEN n END) AS n_tr,
+        |    MAX(CASE WHEN treat AND NOT post THEN s END) AS s_tr,
+        |    MAX(CASE WHEN NOT treat AND post THEN n END) AS n_cp,
+        |    MAX(CASE WHEN NOT treat AND post THEN s END) AS s_cp,
+        |    MAX(CASE WHEN NOT treat AND NOT post THEN n END) AS n_cr,
+        |    MAX(CASE WHEN NOT treat AND NOT post THEN s END) AS s_cr
+        |  FROM cells),
+        |d AS (SELECT *,
+        |    CAST(s_tp AS HUGEINT) * n_tr * n_cp * n_cr
+        |    - CAST(s_tr AS HUGEINT) * n_tp * n_cp * n_cr
+        |    - CAST(s_cp AS HUGEINT) * n_tp * n_tr * n_cr
+        |    + CAST(s_cr AS HUGEINT) * n_tp * n_tr * n_cp AS nn
+        |  FROM p)
+        |SELECT CAST(n_tp AS BIGINT) AS n_tp, CAST(n_tr AS BIGINT) AS n_tr,
+        |  CAST(n_cp AS BIGINT) AS n_cp, CAST(n_cr AS BIGINT) AS n_cr,
+        |  CAST((s_tp * 1000000) // n_tp AS BIGINT) AS mean_tp_e6,
+        |  CAST((s_tr * 1000000) // n_tr AS BIGINT) AS mean_tr_e6,
+        |  CAST((s_cp * 1000000) // n_cp AS BIGINT) AS mean_cp_e6,
+        |  CAST((s_cr * 1000000) // n_cr AS BIGINT) AS mean_cr_e6,
+        |  CAST(CASE WHEN nn < 0 THEN -1 ELSE 1 END AS BIGINT) AS did_sign,
+        |  CAST((abs(nn) * 1000000)
+        |    // (CAST(n_tp AS HUGEINT) * n_tr * n_cp * n_cr) AS BIGINT)
+        |    AS did_abs_e6
+        |FROM d""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_anova" -> anova,
     "q_cuped" -> cuped,
+    "q_did" -> did,
     "q_fdr_bh" -> fdrBh,
     "q_kendall_tau" -> kendallTau)
 }

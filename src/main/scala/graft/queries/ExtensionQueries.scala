@@ -44,7 +44,7 @@ object ExtensionQueries {
   private def dSum(list: String) =
     s"list_reduce(list_concat([CAST(0 AS BIGINT)], $list), (a, b) -> a + b)"
 
-  private def dSumD(list: String) =
+  private[queries] def dSumD(list: String) =
     s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], $list), (a, b) -> a + b)"
 
   /** sequential double dot product of two float lists (same order as the

@@ -445,7 +445,103 @@ object GovernanceQueries {
         |      / (SELECT COUNT(*) FROM lineitem) * 1000000.0 + 0.5) / 1000000.0
         |) ORDER BY table_name""".stripMargin))
 
+  /** t-closeness (Li, Li & Venkatasubramanian 2007): how far is each
+    * quasi-identifier class's SENSITIVE-attribute distribution from the
+    * table-wide one? k-anonymity (class size) and l-diversity (distinct
+    * sensitive values) both pass a class whose sensitive values are
+    * skewed relative to the population — t-closeness catches that
+    * residual disclosure. Classes = c_mktsegment; sensitive = the
+    * ordered $1000 acctbal bucket; distance = Earth Mover's Distance,
+    * which for an ordered discrete attribute is the mean absolute
+    * difference of the two CDFs: EMD = Σ_i |F_class(i) − F_global(i)| /
+    * (B − 1) over the B-bucket grid.
+    *
+    * Integer discipline: |F_c·den − F_g·den| cross-multiplies to
+    * |cum_c·n − cum_g·n_c| (exact DECIMAL(38,0)); emd_e6 is its summed
+    * floored division by n_c·n·(B−1); the t > 0.2 flag is the
+    * cross-multiplied comparison Σ·5 > n_c·n·(B−1). No double anywhere.
+    *
+    * Scale shape: one partial-aggregatable groupBy(class, bucket) over
+    * the table; the grid is zero-filled by a class × bucket cross (both
+    * domain-sized) and every window runs on that grid. */
+  private val tCloseness = QueryDef(
+    fn = (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val m = Tables.customer(spark, dir)
+        .select(col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("b"))
+      val g = m.groupBy(col("segment"), col("b")).agg(count(lit(1)).as("c"))
+      val grid = g.select(col("segment")).distinct()
+        .crossJoin(g.select(col("b")).distinct())
+      val filled = grid.join(g, Seq("segment", "b"), "left")
+        .select(col("segment"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+      val wRun = Window.partitionBy(col("segment")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSeg = Window.partitionBy(col("segment"))
+      val cum = filled
+        .withColumn("cum_c", sum(col("c")).over(wRun))
+        .withColumn("n_c", sum(col("c")).over(wSeg))
+      // global per-bucket cumulative: the same counts re-keyed by bucket
+      val glob = filled.groupBy(col("b")).agg(sum(col("c")).as("gc"))
+        .withColumn("cum_g", sum(col("gc")).over(
+          Window.orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val nAll = filled.agg(sum(col("c")).as("n"))
+      val nB = filled.select(col("b")).distinct().agg(count(lit(1)).as("nb"))
+      cum.join(glob.select(col("b"), col("cum_g")), "b")
+        .crossJoin(broadcast(nAll)).crossJoin(broadcast(nB))
+        .groupBy(col("segment"))
+        .agg(max(col("n_c")).as("n_c"), max(col("n")).as("n"),
+          max(col("nb")).as("n_buckets"),
+          sum(abs(col("cum_c").cast(d380) * col("n")
+            - col("cum_g").cast(d380) * col("n_c"))).as("dsum"))
+        .select(col("segment"), col("n_c"), col("n_buckets"),
+          expr("CAST((dsum * CAST(1000000 AS DECIMAL(38,0)))" +
+            " div (CAST(n_c AS DECIMAL(38,0)) * n * (n_buckets - 1))" +
+            " AS BIGINT)").as("emd_e6"),
+          (col("dsum") * lit(5L) >
+            col("n_c").cast(d380) * col("n") * (col("n_buckets") - 1L))
+            .as("t_violation"))
+        .orderBy("segment")
+    },
+    oracle = Some(
+      """WITH m AS (SELECT c_mktsegment AS segment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
+        |  FROM customer),
+        |g AS (SELECT segment, b, COUNT(*) AS c FROM m GROUP BY 1, 2),
+        |grid AS (SELECT s.segment, bb.b
+        |  FROM (SELECT DISTINCT segment FROM g) s
+        |  CROSS JOIN (SELECT DISTINCT b FROM g) bb),
+        |f AS (SELECT grid.segment, grid.b, COALESCE(g.c, 0) AS c
+        |  FROM grid LEFT JOIN g USING (segment, b)),
+        |cum AS (SELECT segment, b, c,
+        |    SUM(c) OVER (PARTITION BY segment ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+        |    SUM(c) OVER (PARTITION BY segment) AS n_c
+        |  FROM f),
+        |gl AS (SELECT b, SUM(gc) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+        |  FROM (SELECT b, SUM(c) AS gc FROM f GROUP BY 1)),
+        |n AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM f),
+        |nb AS (SELECT COUNT(DISTINCT b) AS nb FROM f),
+        |s AS (SELECT segment, MAX(n_c) AS n_c, MAX(n.n) AS n,
+        |    MAX(nb.nb) AS n_buckets,
+        |    CAST(SUM(abs(CAST(cum_c AS HUGEINT) * n.n
+        |      - CAST(cum_g AS HUGEINT) * n_c)) AS HUGEINT) AS dsum
+        |  FROM cum JOIN gl USING (b) CROSS JOIN n CROSS JOIN nb
+        |  GROUP BY segment)
+        |SELECT segment, CAST(n_c AS BIGINT) AS n_c,
+        |  CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST((dsum * 1000000)
+        |    // (CAST(n_c AS HUGEINT) * n * (n_buckets - 1)) AS BIGINT)
+        |    AS emd_e6,
+        |  dsum * 5 > CAST(n_c AS HUGEINT) * n * (n_buckets - 1)
+        |    AS t_violation
+        |FROM s ORDER BY segment""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_t_closeness" -> tCloseness,
     "q_k_anonymity" -> kAnonymity,
     "q_er_clusters" -> erClusters,
     "q_fk_orphans" -> fkOrphans,

@@ -495,7 +495,77 @@ object GraphQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS assortativity
         |FROM g""".stripMargin))
 
+  /** Label-propagation communities (Raghavan et al. 2007) over the
+    * co-supply graph, SYNCHRONOUS and fully deterministic: every node
+    * starts as its own community; each of THREE fixed rounds reassigns
+    * every node to the most frequent community among its neighbors
+    * (votes desc, then smallest community id — no self-vote, standard
+    * LPA). A fixed iteration count instead of convergence makes the
+    * computation engine-replayable (the q_pagerank discipline), and on
+    * this graph three rounds already coarsen the supplier set into dense
+    * co-supply communities — a DIFFERENT equivalence than connected
+    * components (the whole sparsified graph is one component; LPA splits
+    * it by edge density).
+    *
+    * Scale shape: per round, ONE edge-sized join carries labels across
+    * edges, then a (node, label) groupBy (partial-aggregatable) and a
+    * per-node argmax window whose input is the aggregated vote frame,
+    * never raw edges. Rounds are unrolled into one lazy plan over the
+    * memoized [[cosupplyEdges]] frame — no driver iteration, no
+    * checkpoint churn; the oracle replays the identical three rounds as
+    * chained CTEs.
+    */
+  private val labelPropagation = QueryDef(
+    fn = (spark, dir) => {
+      val e0 = cosupplyEdges(spark, dir)
+      val nodes = e0.select(col("u").as("node")).distinct()
+      def round(labels: org.apache.spark.sql.DataFrame) = {
+        val votes = e0
+          .join(labels.select(col("node").as("v"), col("comm")), "v")
+          .groupBy(col("u").as("node"), col("comm"))
+          .agg(count(lit(1)).as("votes"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("node"))
+          .orderBy(col("votes").desc, col("comm").asc)
+        votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("comm"))
+      }
+      val l0 = nodes.select(col("node"), col("node").as("comm"))
+      val l3 = round(round(round(l0)))
+      val sizes = l3.groupBy(col("comm")).agg(count(lit(1)).as("comm_size"))
+      l3.join(sizes, "comm")
+        .select(col("node"), col("comm"), col("comm_size"))
+        .orderBy("node")
+    },
+    oracle = Some {
+      def oRound(i: Int): String = {
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""v$i AS (SELECT e.u AS node, p.comm, COUNT(*) AS votes
+           |  FROM e0 e JOIN $prev p ON e.v = p.node GROUP BY 1, 2),
+           |l$i AS (SELECT node, comm FROM (
+           |  SELECT node, comm, row_number() OVER (PARTITION BY node
+           |    ORDER BY votes DESC, comm ASC) AS rn FROM v$i) WHERE rn = 1)"""
+          .stripMargin
+      }
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+         |pairs AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS w
+         |          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS ne FROM pairs),
+         |keep AS (SELECT sa, sb FROM pairs, tot WHERE w * ne * 10 > tw * 11),
+         |e0 AS (SELECT sa AS u, sb AS v FROM keep
+         |       UNION ALL SELECT sb, sa FROM keep),
+         |l0 AS (SELECT DISTINCT u AS node, u AS comm FROM e0),
+         |${oRound(1)},
+         |${oRound(2)},
+         |${oRound(3)},
+         |sz AS (SELECT comm, COUNT(*) AS comm_size FROM l3 GROUP BY 1)
+         |SELECT node, l3.comm, comm_size
+         |FROM l3 JOIN sz ON l3.comm = sz.comm ORDER BY node""".stripMargin
+    })
+
   def defs: Map[String, QueryDef] = Map(
+    "q_label_propagation" -> labelPropagation,
     "q_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
     "q_graph_kcore" -> kcore,

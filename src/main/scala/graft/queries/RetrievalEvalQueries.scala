@@ -202,7 +202,76 @@ object RetrievalEvalQueries {
          |       ELSE 1000000 // first_rel_pos END AS BIGINT) AS rr_e6
          |FROM firstrel ORDER BY term""".stripMargin))
 
+  /** MAP@10 + precision/recall@10 per query term, binary relevance =
+    * grade ≥ 2 (the q_mrr threshold): hits10 = relevant retrieved in the
+    * top-10, n_rel = relevant docs in the whole corpus (the judgment
+    * set), P@10 = hits10/10, R@10 = hits10/n_rel, and average precision
+    * AP@10 = Σ over relevant ranks k ≤ 10 of P@k, normalized by
+    * min(n_rel, 10). All pure integer: the running hit count comes from
+    * a rows-frame window over the ≤ 10 retrieved rows, each P@k is
+    * ⌊hits_k·10⁶/k⌋, and AP is the floored division of their sum —
+    * sum-of-floors is the DECLARED statistic, replayed digit-identically
+    * by the oracle (the dcgNanoTable discipline: no real-valued
+    * intermediate exists on either engine).
+    *
+    * Scale shape: identical to q_ndcg — query-sized retrieved rows, one
+    * corpus × |queries| broadcast pass for the judgment totals. */
+  private val mapAtK = QueryDef(
+    fn = (spark, dir) => {
+      val ret = retrieved(spark, dir).filter(col("rn") <= 10)
+        .select(col("term"), col("doc_id"), col("rn"))
+        .withColumn("isrel",
+          when(rel(col("term"), col("doc_id")) >= 2, 1L).otherwise(0L))
+      val wRun = Window.partitionBy(col("term")).orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val perTerm = ret
+        .withColumn("hits_k", sum(col("isrel")).over(wRun))
+        .groupBy(col("term"))
+        .agg(sum(col("isrel")).as("hits10"),
+          sum(when(col("isrel") === 1L,
+            expr("(hits_k * CAST(1000000 AS BIGINT)) div rn"))
+            .otherwise(0L)).as("sum_prec_e6"))
+      val termsDf = spark.range(1)
+        .select(explode(array(terms.map(lit): _*)).as("term"))
+      val totals = Tables.documents(spark, dir).select(col("doc_id"))
+        .crossJoin(broadcast(termsDf))
+        .filter(rel(col("term"), col("doc_id")) >= 2)
+        .groupBy(col("term")).agg(count(lit(1)).as("n_rel"))
+      perTerm.join(totals, "term")
+        .select(col("term"), col("hits10"), col("n_rel"),
+          expr("(hits10 * CAST(1000000 AS BIGINT)) div 10").as("p10_e6"),
+          expr("(hits10 * CAST(1000000 AS BIGINT)) div n_rel").as("r10_e6"),
+          expr("sum_prec_e6 div least(n_rel, CAST(10 AS BIGINT))")
+            .as("ap_e6"))
+        .orderBy("term")
+    },
+    oracle = Some(
+      s"""WITH $oRetrieved,
+         |graded AS (SELECT term, doc_id, rn,
+         |    CASE WHEN ${oRel("term", "doc_id")} >= 2 THEN 1 ELSE 0 END
+         |      AS isrel
+         |  FROM retrieved WHERE rn <= 10),
+         |run AS (SELECT term, rn, isrel,
+         |    SUM(isrel) OVER (PARTITION BY term ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits_k
+         |  FROM graded),
+         |pt AS (SELECT term, CAST(SUM(isrel) AS BIGINT) AS hits10,
+         |    CAST(SUM(CASE WHEN isrel = 1
+         |      THEN (hits_k * 1000000) // rn ELSE 0 END) AS BIGINT)
+         |      AS sum_prec_e6
+         |  FROM run GROUP BY term),
+         |tot AS (SELECT term, COUNT(*) AS n_rel
+         |  FROM (SELECT q.term, d.doc_id FROM documents d CROSS JOIN $oTerms
+         |        WHERE ${oRel("q.term", "d.doc_id")} >= 2)
+         |  GROUP BY term)
+         |SELECT term, hits10, n_rel,
+         |  CAST((hits10 * 1000000) // 10 AS BIGINT) AS p10_e6,
+         |  CAST((hits10 * 1000000) // n_rel AS BIGINT) AS r10_e6,
+         |  CAST(sum_prec_e6 // least(n_rel, 10) AS BIGINT) AS ap_e6
+         |FROM pt JOIN tot USING (term) ORDER BY term""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_ndcg" -> ndcg,
-    "q_mrr" -> mrr)
+    "q_mrr" -> mrr,
+    "q_map_at_k" -> mapAtK)
 }

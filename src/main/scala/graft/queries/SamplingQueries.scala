@@ -249,8 +249,64 @@ object SamplingQueries {
          |FROM f GROUP BY source ORDER BY source""".stripMargin
     })
 
+  /** Grouped k-fold assignment: fold = stable hash of the GROUP key
+    * (customer), never of the row — so all of a customer's orders land in
+    * ONE fold and cross-validation cannot leak a customer's behavior
+    * across the train/test boundary (the group-aware complement of
+    * q_hash_split's row split and q_split_leakage's doc-level check).
+    * Output is the fold-balance report: per fold, how many groups, how
+    * many rows, and the row share (⌊·10⁶⌋) — the numbers a practitioner
+    * reads before trusting folds of a group-skewed table — plus
+    * max_folds_per_group, a VERIFIED 1 (the q_ann_recall contract
+    * pattern: the no-leak property rides the result as a checked value,
+    * recomputed from the data, not assumed from the construction).
+    *
+    * Scale shape: one fact-sized groupBy(custkey) (partial-agg) carrying
+    * the pure-function fold with it, then a 5-row fold rollup; the leak
+    * probe is a second aggregation over the same grouped frame. Fold
+    * assignment is a pure function of the key — stable across runs,
+    * engines, partitionings, cluster sizes. */
+  private val groupKfold = QueryDef(
+    fn = (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey"),
+          TextAnalysis.hashBucket(col("o_custkey"), 5).as("fold"))
+      val perGroup = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("fold")).as("n_folds"),
+          min(col("fold")).as("fold"))
+      val leak = perGroup.agg(max(col("n_folds")).as("max_folds_per_group"))
+      val total = o.agg(count(lit(1)).as("n_total"))
+      perGroup.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_rows")).as("n_rows"))
+        .crossJoin(broadcast(total))
+        .crossJoin(broadcast(leak))
+        .select(col("fold"), col("n_groups"), col("n_rows"),
+          expr("(n_rows * CAST(1000000 AS BIGINT)) div n_total")
+            .as("row_share_e6"),
+          col("max_folds_per_group"))
+        .orderBy("fold")
+    },
+    oracle = Some {
+      val fold = s"${ExtensionQueries.dHash32("CAST(o_custkey AS VARCHAR)")} % 5"
+      s"""WITH o AS (SELECT o_custkey, $fold AS fold FROM orders),
+         |pg AS (SELECT o_custkey, COUNT(*) AS n_rows,
+         |    COUNT(DISTINCT fold) AS n_folds, MIN(fold) AS fold
+         |  FROM o GROUP BY 1),
+         |lk AS (SELECT MAX(n_folds) AS max_folds_per_group FROM pg),
+         |t AS (SELECT COUNT(*) AS n_total FROM o)
+         |SELECT fold, COUNT(*) AS n_groups,
+         |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         |  CAST((SUM(n_rows) * 1000000) // MAX(t.n_total) AS BIGINT)
+         |    AS row_share_e6,
+         |  CAST(MAX(lk.max_folds_per_group) AS BIGINT) AS max_folds_per_group
+         |FROM pg CROSS JOIN t CROSS JOIN lk
+         |GROUP BY fold ORDER BY fold""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_neyman_allocation" -> neymanAllocation,
     "q_token_budget_fill" -> tokenBudgetFill,
+    "q_group_kfold" -> groupKfold,
     "q_readability" -> readability)
 }
