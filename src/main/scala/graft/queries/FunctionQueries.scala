@@ -272,7 +272,40 @@ object FunctionQueries {
          |FROM lineitem WHERE l_orderkey % 50 = 0
          |ORDER BY l_orderkey, l_linenumber""".stripMargin))
 
+  /** Hilbert-curve layout keys over the same two lineitem filter
+    * dimensions as [[zorderKey]] — the locality-superior curve (a
+    * contiguous key range is always a CONNECTED (x, y) region; Morton
+    * ranges jump at quadrant seams), i.e. the clustering key Delta's
+    * OPTIMIZE moved to. Same 8-bit quantization and sample, so the two
+    * keys are directly comparable row by row; the per-level
+    * rotate/reflect walk is unrolled into exact integer CASE/bit
+    * projections ([[graft.sink.Hilbert]]) and the oracle replays the
+    * identical walk as chained CTE steps. */
+  private val hilbertKey = QueryDef(
+    fn = (spark, dir) => {
+      val base = Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).as("pk8"),
+          (col("l_suppkey") % 256).as("sk8"))
+      graft.sink.Hilbert
+        .withHilbertKey(base, col("pk8"), col("sk8"), 8, "hval")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    oracle = Some {
+      val (ctes, last) = graft.sink.Hilbert.hilbertSqlCtes(
+        from = "base", xCol = "pk8", yCol = "sk8", bits = 8,
+        carry = "l_orderkey, l_linenumber, pk8, sk8")
+      s"""WITH base AS (SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 256 AS pk8, l_suppkey % 256 AS sk8
+         |  FROM lineitem WHERE l_orderkey % 50 = 0),
+         |$ctes
+         |SELECT l_orderkey, l_linenumber, pk8, sk8, hd AS hval
+         |FROM $last ORDER BY l_orderkey, l_linenumber""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
+    "q_hilbert_key" -> hilbertKey,
     "q_zorder_key" -> zorderKey,
     "q_string_funcs" -> stringFuncs,
     "q_date_funcs" -> dateFuncs,
