@@ -323,6 +323,60 @@ object AnalyticQueries {
     * by revenue (unique-key tie-break so LIMIT is deterministic). Per-order
     * revenue sums stay far below 2^53 scaled, so the direct DOUBLE cast is
     * exact on both engines. */
+  /** TPC-H Q22-shaped "sales opportunity": per nation, the count and
+    * total balance of customers who hold an ABOVE-GLOBAL-AVERAGE
+    * positive account balance yet placed no order in the data's final
+    * year (>= 2000-06-01; EVERY synthetic customer has some order, so
+    * Q22's bare never-ordered probe would be degenerate here) — the
+    * classic scalar-subquery + NOT EXISTS pair. Decorrelation shape: the
+    * global average is a one-row aggregate broadcast into the scan
+    * filter as a CROSS-MULTIPLIED integer comparison (bal·n_pos >
+    * sum_pos — no division, no double), the "never ordered" probe is a
+    * LEFT ANTI join on custkey against the orders key projection (the
+    * NOT-EXISTS decorrelation Catalyst can't always reach from
+    * spark.sql when the subquery is hand-written correlated), and the
+    * nation rollup runs on the surviving slice only. Balances are exact
+    * integer cents throughout (floor(·100 + 0.5), the q_did pattern).
+    *
+    * Scale shape: orders is touched ONLY as a projected key column
+    * (anti joins never widen), customer twice (one-row agg + filtered
+    * scan — ReuseExchange-free but both scans prune to 3 columns), and
+    * nothing shuffles wider than (nationkey, cents). */
+  private val salesOpportunity = QueryDef(
+    fn = (spark, dir) => {
+      val cust = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+      val avgPos = cust.filter(col("cents") > 0)
+        .agg(count(lit(1)).as("n_pos"), sum(col("cents")).as("sum_pos"))
+      val rich = cust.crossJoin(broadcast(avgPos))
+        .filter(col("cents").cast(DecimalType(38, 0)) * col("n_pos")
+          > col("sum_pos"))
+      val idle = rich.join(
+        Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      idle.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents_total"))
+        .orderBy("c_nationkey")
+    },
+    oracle = Some(
+      """WITH cust AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |avgpos AS (SELECT COUNT(*) AS n_pos, SUM(cents) AS sum_pos
+        |  FROM cust WHERE cents > 0),
+        |rich AS (SELECT c.* FROM cust c CROSS JOIN avgpos
+        |  WHERE CAST(c.cents AS HUGEINT) * n_pos > sum_pos),
+        |idle AS (SELECT * FROM rich r
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = r.c_custkey
+        |                      AND o.o_orderdate >= TIMESTAMP '2000-06-01'))
+        |SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_total
+        |FROM idle GROUP BY 1 ORDER BY c_nationkey""".stripMargin))
+
   private val shipPriority = QueryDef(
     fn = (spark, dir) => {
       Tables.customer(spark, dir).createOrReplaceTempView("customer_q3")
@@ -1126,6 +1180,7 @@ object AnalyticQueries {
     "q_grouping_sets" -> groupingSets,
     "q_in_subquery" -> inSubquery,
     "q_ship_priority" -> shipPriority,
+    "q_sales_opportunity" -> salesOpportunity,
     "q_recursive_cte" -> recursiveCte,
     "q_lateral_topk" -> lateralTopk,
     "q_market_share" -> marketShare,
