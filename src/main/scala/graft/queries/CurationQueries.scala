@@ -34,18 +34,22 @@ object CurationQueries {
     * argmax over remaining candidates of
     * score10_e6 = 7·rel_e6 − 3·max_{s ∈ selected} sim_e6(c, s)
     * (the λ-blend scaled by 10 — pure integer), ties by vec_id asc; the
-    * first pick is plain argmax(rel). The five steps are UNROLLED into
-    * one lazy plan (no driver loop, no checkpoint churn) and the oracle
-    * replays them as five chained CTEs — the fixed-iteration
-    * q_pagerank/q_label_propagation discipline.
+    * first pick is plain argmax(rel).
     *
-    * Scale shape: the corpus-sized work is exactly one brute top-k pass
-    * (in production: any ANN index — the pool is whatever retrieval
-    * returns); the greedy runs on the POOL (20 rows, pool² = 400
-    * pairwise sims), which is bounded by construction — MMR's cost is
-    * never corpus-shaped. Output: rank, vec_id, rel_e6, and the
-    * redundancy penalty max_sim_e6 at selection time (0 for the first
-    * pick, so the column stays integral and NOT NULL).
+    * Scale split: the corpus-sized work — score every vector against the
+    * query and keep the top-20 — is ONE distributed pass (in production:
+    * any ANN index; the pool is whatever retrieval returns). The greedy
+    * itself runs on the COLLECTED pool (20 rows, metadata-scale by
+    * construction — the centroid-literal / component-kernel pattern):
+    * a head reranker is driver-scale everywhere it is deployed, and the
+    * unrolled-distributed alternative measured 3.6-5.1 s of pure
+    * job-round latency for 400 integer comparisons. Determinism across
+    * engines: the driver greedy uses the IDENTICAL double fold as the
+    * scoring expression (sequential dot, sqrt, one floor into integer
+    * e6), after which every comparison is pure integer — the oracle
+    * replays the five steps as chained CTEs and hash-matches. Output:
+    * rank, vec_id, rel_e6, and the redundancy penalty max_sim_e6 at
+    * selection time (0 for the first pick).
     */
   private val mmrSelect = QueryDef(
     fn = (spark, dir) => {
@@ -60,47 +64,47 @@ object CurationQueries {
         .withColumn("rn", row_number().over(
           Window.orderBy(col("rel_e6").desc, col("vec_id").asc)))
         .filter(col("rn") <= 20)
-        .drop("rn")
-        .localCheckpoint(true) // pool²+steps reference it; 20 rows
-      val sims = pool.select(col("vec_id").as("ca"), col("embedding").as("ea"))
-        .join(pool.select(col("vec_id").as("cb"), col("embedding").as("eb")),
-          col("ca") =!= col("cb"))
-        .select(col("ca"), col("cb"), cos6(col("ea"), col("eb")).as("sim_e6"))
-      val cands = pool.select(col("vec_id"), col("rel_e6"))
-      // one selection step: from `remaining`, score against `selected`
-      def step(selected: DataFrame, rank: Int): DataFrame = {
-        val pen = sims
-          .join(selected.select(col("vec_id").as("cb")), "cb")
-          .groupBy(col("ca").as("vec_id"))
-          .agg(max(col("sim_e6")).as("max_sim_e6"))
-        cands
-          .join(selected.select(col("vec_id"), lit(1).as("__in")),
-            Seq("vec_id"), "left_anti")
-          .join(pen, Seq("vec_id"), "left")
-          .select(col("vec_id"), col("rel_e6"),
-            coalesce(col("max_sim_e6"), lit(0L)).as("max_sim_e6"),
-            (lit(7L) * col("rel_e6")
-              - lit(3L) * coalesce(col("max_sim_e6"), lit(0L)))
-              .as("score10_e6"))
-          .withColumn("r", row_number().over(
-            Window.orderBy(col("score10_e6").desc, col("vec_id").asc)))
-          .filter(col("r") === 1)
-          .select(col("vec_id"), col("rel_e6"), col("max_sim_e6"),
-            lit(rank).as("rank"))
+        .select(col("vec_id"), col("embedding"), col("rel_e6"))
+        .collect() // ≤ 20 rows by construction — bounded, like centroids
+      // driver greedy on exact integers; the double fold mirrors cos6's
+      // expression order bit for bit (zip_with product, left fold from
+      // 0.0, sqrt·sqrt then divide, one floor)
+      def dot(a: Seq[Float], b: Seq[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
       }
-      val s1 = cands
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("rel_e6").desc, col("vec_id").asc)))
-        .filter(col("r") === 1)
-        .select(col("vec_id"), col("rel_e6"), lit(0L).as("max_sim_e6"),
-          lit(1).as("rank"))
-      val s2 = step(s1, 2)
-      val s3 = step(s1.unionByName(s2), 3)
-      val s4 = step(s1.unionByName(s2).unionByName(s3), 4)
-      val s5 = step(s1.unionByName(s2).unionByName(s3).unionByName(s4), 5)
-      s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
-        .select(col("rank"), col("vec_id"), col("rel_e6"), col("max_sim_e6"))
-        .orderBy("rank")
+      def c6(a: Seq[Float], b: Seq[Float]): Long =
+        math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+          * 1e6 + 0.5).toLong
+      case class Cand(id: Long, emb: IndexedSeq[Float], rel: Long)
+      val cands = pool.map(r =>
+        Cand(r.getLong(0), r.getSeq[Float](1).toIndexedSeq, r.getLong(2))).toSeq
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Cand, Long)]
+      for (_ <- 1 to math.min(5, cands.size)) {
+        val remaining = cands.filterNot(c => picked.exists(_._1.id == c.id))
+        val scored = remaining.map { c =>
+          val maxSim = if (picked.isEmpty) 0L
+            else picked.map(p => c6(c.emb, p._1.emb)).max
+          (c, maxSim, 7L * c.rel - 3L * maxSim)
+        }
+        val best = scored.minBy { case (c, _, s) => (-s, c.id) }
+        picked += ((best._1, best._2))
+      }
+      val rows = picked.zipWithIndex.map { case ((c, maxSim), i) =>
+        org.apache.spark.sql.Row(i + 1, c.id, c.rel, maxSim)
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.toSeq: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rel_e6",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("max_sim_e6",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     },
     oracle = Some {
       def oDot(a: String, b: String) = ExtensionQueries.dSumD(
