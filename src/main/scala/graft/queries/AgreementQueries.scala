@@ -160,7 +160,84 @@ object AgreementQueries {
         |    > 38416 * (2 * n * (n + 1) * (2 * n + 1) - tie) AS reject
         |FROM s""".stripMargin))
 
+  /** Split-conformal prediction interval (Vovk et al.; the
+    * distribution-free coverage guarantee modern ML eval reaches for):
+    * customers split by key hash into a CALIBRATION and a TEST half; the
+    * point predictor is the per-segment calibration mean of account
+    * balance (exact integer cents, floored division — a declared
+    * predictor, not a claim of optimality); the conformal quantile q̂ is
+    * the ⌈(n_cal+1)·0.9⌉-th smallest calibration |residual| — an EXACT
+    * order statistic, no percentile interpolation — and the readout is
+    * test-half coverage of ±q̂, which split conformal guarantees ≥ 0.9
+    * in expectation regardless of the predictor.
+    *
+    * Scale shape: residual ranks come from a groupBy(residual) value
+    * grid + one running sum over that grid (the weighted-median
+    * pattern) — no row-level global sort; the q̂ pick is a filtered min
+    * on the grid. Everything integer: cents, |residuals|, the rank
+    * threshold, coverage_e6.
+    */
+  private val conformalInterval = QueryDef(
+    fn = (spark, dir) => {
+      val c = Tables.customer(spark, dir).select(
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"),
+        (TextAnalysis.hashBucket(col("c_custkey"), 2) === 0L).as("is_cal"))
+      val pred = c.filter(col("is_cal"))
+        .groupBy(col("seg"))
+        .agg(expr("sum(cents) div count(1)").as("mean_cents"))
+      val resid = c.join(broadcast(pred), "seg")
+        .select(col("is_cal"), abs(col("cents") - col("mean_cents")).as("r"))
+      val calGrid = resid.filter(col("is_cal"))
+        .groupBy(col("r")).agg(count(lit(1)).as("t"))
+      val wRun = Window.orderBy(col("r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      // rank threshold k = ceil((n_cal + 1) * 0.9) = (9*(n+1) + 9) div 10
+      val qhat = calGrid
+        .withColumn("cum", sum(col("t")).over(wRun))
+        .withColumn("n_cal", sum(col("t")).over(wAll))
+        .filter(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"))
+        .agg(min(col("r")).as("q_hat"), max(col("n_cal")).as("n_cal"))
+      resid.filter(!col("is_cal"))
+        .crossJoin(broadcast(qhat))
+        .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+          max(col("q_hat")).as("q_hat"),
+          sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L)).as("n_covered"))
+        .select(col("n_cal"), col("n_test"), col("q_hat"), col("n_covered"),
+          expr("(n_covered * CAST(1000000 AS BIGINT)) div n_test")
+            .as("coverage_e6"))
+    },
+    oracle = Some {
+      val bucket = s"${ExtensionQueries.dHash32("CAST(c_custkey AS VARCHAR)")} % 2"
+      s"""WITH c AS (SELECT c_mktsegment AS seg,
+         |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         |    $bucket = 0 AS is_cal
+         |  FROM customer),
+         |pred AS (SELECT seg, SUM(cents) // COUNT(*) AS mean_cents
+         |  FROM c WHERE is_cal GROUP BY 1),
+         |resid AS (SELECT is_cal, abs(cents - mean_cents) AS r
+         |  FROM c JOIN pred USING (seg)),
+         |grid AS (SELECT r, COUNT(*) AS t FROM resid WHERE is_cal GROUP BY 1),
+         |cum AS (SELECT r, SUM(t) OVER (ORDER BY r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(t) OVER () AS n_cal
+         |  FROM grid),
+         |qh AS (SELECT MIN(r) AS q_hat, MAX(n_cal) AS n_cal FROM cum
+         |  WHERE cum >= (9 * (n_cal + 1) + 9) // 10)
+         |SELECT CAST(MAX(qh.n_cal) AS BIGINT) AS n_cal,
+         |  COUNT(*) AS n_test,
+         |  CAST(MAX(q_hat) AS BIGINT) AS q_hat,
+         |  CAST(SUM(CASE WHEN r <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_covered,
+         |  CAST((SUM(CASE WHEN r <= q_hat THEN 1 ELSE 0 END) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS coverage_e6
+         |FROM resid CROSS JOIN qh WHERE NOT is_cal""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_cohens_kappa" -> cohensKappa,
+    "q_conformal_interval" -> conformalInterval,
     "q_wilcoxon_signed" -> wilcoxonSigned)
 }

@@ -487,11 +487,158 @@ object ClassifierQueries {
          |  CAST((np * 1000000) // n AS BIGINT) AS prev_e6
          |FROM s""".stripMargin))
 
+  /** Cumulative gains / lift table of the NB scorer by score decile —
+    * the campaign-targeting readout ("top 20% of scores capture X% of
+    * positives"): documents ranked by score6 (ties by doc_id — fully
+    * deterministic), cut into 10 equal-count deciles by rank arithmetic
+    * (⌈rank·10/n⌉, exact integers — NOT ntile, whose remainder spread is
+    * engine-specific), then per decile the positive count, cumulative
+    * capture rate, and cumulative lift vs the base rate — both emitted
+    * as cross-multiplied ⌊·10⁶⌋ integers.
+    *
+    * Scale shape: one corpus-sized rank (at 100 TB: rank via the
+    * bounded score-grid running sum exactly as q_roc_auc — the
+    * row-window here keeps the fixture deterministic at test scale,
+    * documented trade); deciles and everything after are 10-row frames.
+    */
+  private val gainsTable = QueryDef(
+    fn = (spark, dir) => {
+      val w = nbWeights(spark, dir)
+      val docs = Tables.documents(spark, dir)
+      val tf = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val wEn = w.filter(col("lang") === "en")
+      val s6 = tf.join(broadcast(wEn.select(col("token"), col("w6"))), "token")
+        .groupBy(col("doc_id")).agg(sum(col("tf") * col("w6")).as("s6"))
+      val prior = wEn.select(col("prior6")).distinct()
+      val scored = docs.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .join(s6, Seq("doc_id"), "left")
+        .crossJoin(broadcast(prior))
+        .select(col("doc_id"), col("pos"),
+          (coalesce(col("s6"), lit(0L)) + col("prior6")).as("score6"))
+      val ranked = scored.withColumn("rk", row_number().over(
+          Window.orderBy(col("score6").desc, col("doc_id").asc)))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("decile", expr("(rk * 10 + n - 1) div n"))
+      val byDec = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("pos")).as("n_pos"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      byDec
+        .withColumn("cum_rows", sum(col("n_rows")).over(wCum))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+        .withColumn("tot_rows", sum(col("n_rows")).over(wTot))
+        .withColumn("tot_pos", sum(col("n_pos")).over(wTot))
+        .select(col("decile"), col("n_rows"), col("n_pos"),
+          expr("(cum_pos * CAST(1000000 AS BIGINT)) div tot_pos")
+            .as("capture_e6"),
+          expr("(cum_pos * tot_rows * CAST(1000000 AS BIGINT))" +
+            " div (cum_rows * tot_pos)").as("lift_e6"))
+        .orderBy("decile")
+    },
+    oracle = Some(
+      s"""WITH $nbOracleCtes,
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+         |       FROM toks GROUP BY doc_id, token),
+         |s6 AS (SELECT tf.doc_id, SUM(tf.tf * w.w6) AS s6
+         |       FROM tf JOIN w USING (token) WHERE w.lang = 'en'
+         |       GROUP BY tf.doc_id),
+         |pr AS (SELECT DISTINCT prior6 FROM w WHERE lang = 'en'),
+         |sc AS (SELECT d.doc_id,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    COALESCE(s6.s6, 0) + pr.prior6 AS score6
+         |  FROM documents d LEFT JOIN s6 USING (doc_id) CROSS JOIN pr),
+         |rk AS (SELECT pos, row_number() OVER (
+         |      ORDER BY score6 DESC, doc_id ASC) AS rk,
+         |    COUNT(*) OVER () AS n
+         |  FROM sc),
+         |dec AS (SELECT (rk * 10 + n - 1) // n AS decile, pos FROM rk),
+         |g AS (SELECT decile, COUNT(*) AS n_rows, SUM(pos) AS n_pos
+         |  FROM dec GROUP BY 1),
+         |c AS (SELECT decile, n_rows, n_pos,
+         |    SUM(n_rows) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
+         |    SUM(n_pos) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+         |    SUM(n_rows) OVER () AS tot_rows,
+         |    SUM(n_pos) OVER () AS tot_pos
+         |  FROM g)
+         |SELECT CAST(decile AS BIGINT) AS decile, n_rows,
+         |  CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST((cum_pos * 1000000) // tot_pos AS BIGINT) AS capture_e6,
+         |  CAST((CAST(cum_pos AS HUGEINT) * tot_rows * 1000000)
+         |    // (CAST(cum_rows AS HUGEINT) * tot_pos) AS BIGINT) AS lift_e6
+         |FROM c ORDER BY decile""".stripMargin))
+
+  /** Smoothed mean target encoding with LEAVE-ONE-OUT (the
+    * feature-engineering classic, and its classic leakage trap): encode
+    * each order's customer segment by the mean high-priority rate of the
+    * segment's OTHER orders — enc = (sum_g − y_i + m·prior)/(n_g − 1 + m)
+    * with smoothing m = 20 toward the global rate — so a row never sees
+    * its own label (the q_split_leakage concern, solved arithmetically).
+    * Emitted per (segment, own label): row count and the exact
+    * ⌊enc·10⁶⌋ — within a segment the encoding takes exactly two values
+    * (y = 0 / y = 1), so the 10-row grid IS the complete encoder.
+    *
+    * Numeric discipline: prior rides as the exact rational (tot_pos,
+    * tot_n); enc_e6 = ⌊(sum_g − y + m·tot_pos/tot_n)·10⁶ / (n_g − 1 +
+    * m)⌋ cross-multiplies to ((sum_g − y)·tot_n + m·tot_pos)·10⁶ div
+    * ((n_g − 1 + m)·tot_n) — DECIMAL(38,0)-exact, no double anywhere.
+    *
+    * Scale shape: one orders × customer join into a partial-aggregatable
+    * (segment, label) groupBy; the encoder grid is domain-sized. */
+  private val targetEncode = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val o = Tables.orders(spark, dir).select(col("o_custkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("y"))
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val j = o.join(c, col("o_custkey") === col("c_custkey"))
+      val grid = j.groupBy(col("seg"), col("y"))
+        .agg(count(lit(1)).as("n_rows"))
+      val segAgg = j.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_g"), sum(col("y")).as("sum_g"))
+      val tot = j.agg(count(lit(1)).as("tot_n"), sum(col("y")).as("tot_pos"))
+      grid.join(segAgg, "seg").crossJoin(broadcast(tot))
+        .select(col("seg"), col("y"), col("n_rows"),
+          expr("(((sum_g - y) * CAST(tot_n AS DECIMAL(38,0))" +
+            " + 20 * tot_pos) * CAST(1000000 AS DECIMAL(38,0)))" +
+            " div ((n_g - 1 + 20) * CAST(tot_n AS DECIMAL(38,0)))")
+            .as("enc_e6"))
+        .orderBy("seg", "y")
+    },
+    oracle = Some(
+      """WITH j AS (SELECT c.c_mktsegment AS seg,
+        |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |grid AS (SELECT seg, y, COUNT(*) AS n_rows FROM j GROUP BY 1, 2),
+        |sa AS (SELECT seg, COUNT(*) AS n_g, SUM(y) AS sum_g
+        |  FROM j GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS tot_n, SUM(y) AS tot_pos FROM j)
+        |SELECT seg, CAST(y AS BIGINT) AS y, n_rows,
+        |  CAST((((sum_g - y) * CAST(tot_n AS HUGEINT) + 20 * tot_pos)
+        |      * 1000000)
+        |    // ((n_g - 1 + 20) * CAST(tot_n AS HUGEINT)) AS BIGINT)
+        |    AS enc_e6
+        |FROM grid JOIN sa USING (seg) CROSS JOIN tot
+        |ORDER BY seg, y""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_nb_train" -> nbTrain,
     "q_nb_score" -> nbScore,
     "q_nb_calibration" -> nbCalibration,
     "q_roc_auc" -> rocAuc,
     "q_pr_auc" -> prAuc,
+    "q_gains_table" -> gainsTable,
+    "q_target_encode" -> targetEncode,
     "q_token_pmi" -> tokenPmi)
 }
