@@ -3897,6 +3897,72 @@ object ExtensionQueries {
     * component's keep-first survivor (comp ≠ doc_id, the
     * q_dedup_components policy). Pure integer byte sums + one ratio.
     */
+  /** Dedup ROI curve: how the near-dup pair volume and the number of
+    * affected documents fall as the Jaccard threshold tightens from the
+    * operating 0.5 up to 0.9 — the sweep a curator reads before picking
+    * a threshold (tight = keep borderline near-dups, loose = drop more;
+    * the marginal row count per notch IS the cost of the choice).
+    * Consumes the memoized verified pair set, so the marginal cost is
+    * two one-pass conditional aggregations: per-pair integer
+    * ⌊jaccard·10⁶ + ½⌋ against the five integer thresholds, and per-doc
+    * max-jaccard (both pair endpoints) against the same — no
+    * re-banding, no components. The +½ re-floor makes the bucketing
+    * exact on both engines (a bare j·10⁶ floor would flip on doubles
+    * like 0.6 whose binary form sits just below the boundary).
+    */
+  private val dedupThresholdSweep = QueryDef(
+    fn = (spark, dir) => {
+      val je6 = floor(col("jaccard") * 1e6 + 0.5).cast("long")
+      val pairs = minhashPairs(spark, dir).select(je6.as("je6"))
+      val ths = Seq(500000L, 600000L, 700000L, 800000L, 900000L)
+      val pCols = ths.map(t =>
+        sum(when(col("je6") >= t, 1L).otherwise(0L)).as(s"p$t"))
+      val pAgg = pairs.agg(pCols.head, pCols.tail: _*)
+      val maxJ = minhashPairs(spark, dir)
+        .select(col("id_a").as("id"), je6.as("je6"))
+        .union(minhashPairs(spark, dir)
+          .select(col("id_b").as("id"), je6.as("je6")))
+        .groupBy(col("id")).agg(max(col("je6")).as("mj"))
+      val dCols = ths.map(t =>
+        sum(when(col("mj") >= t, 1L).otherwise(0L)).as(s"d$t"))
+      val dAgg = maxJ.agg(dCols.head, dCols.tail: _*)
+      val thFrame = spark.range(1).select(
+        explode(array(ths.map(lit): _*)).as("threshold_e6"))
+      pAgg.crossJoin(dAgg).crossJoin(thFrame)
+        .select(col("threshold_e6"),
+          ths.map(t => when(col("threshold_e6") === t, col(s"p$t")))
+            .reduce(coalesce(_, _)).as("n_pairs"),
+          ths.map(t => when(col("threshold_e6") === t, col(s"d$t")))
+            .reduce(coalesce(_, _)).as("n_dup_docs"))
+        .orderBy("threshold_e6")
+    },
+    oracle = Some {
+      val ths = Seq(500000L, 600000L, 700000L, 800000L, 900000L)
+      val pCols = ths.map(t =>
+        s"CAST(SUM(CASE WHEN je6 >= $t THEN 1 ELSE 0 END) AS BIGINT) AS p$t")
+        .mkString(", ")
+      val dCols = ths.map(t =>
+        s"CAST(SUM(CASE WHEN mj >= $t THEN 1 ELSE 0 END) AS BIGINT) AS d$t")
+        .mkString(", ")
+      val pPick = ths.map(t => s"WHEN $t THEN p$t").mkString(" ")
+      val dPick = ths.map(t => s"WHEN $t THEN d$t").mkString(" ")
+      s"""WITH $minhashOracle,
+         |j6 AS (SELECT id_a, id_b,
+         |    CAST(floor(jaccard * 1000000.0 + 0.5) AS BIGINT) AS je6
+         |  FROM jac WHERE jaccard >= 0.5),
+         |pa AS (SELECT $pCols FROM j6),
+         |mx AS (SELECT id, MAX(je6) AS mj FROM (
+         |    SELECT id_a AS id, je6 FROM j6
+         |    UNION ALL SELECT id_b, je6 FROM j6) GROUP BY 1),
+         |da AS (SELECT $dCols FROM mx),
+         |thr AS (SELECT unnest([${ths.mkString(", ")}]) AS threshold_e6)
+         |SELECT CAST(threshold_e6 AS BIGINT) AS threshold_e6,
+         |  CASE threshold_e6 $pPick END AS n_pairs,
+         |  CASE threshold_e6 $dPick END AS n_dup_docs
+         |FROM pa CROSS JOIN da CROSS JOIN thr
+         |ORDER BY threshold_e6""".stripMargin
+    })
+
   private val dedupSavings = QueryDef(
     fn = (spark, dir) => {
       val comps = minhashComps(spark, dir)
@@ -3991,6 +4057,7 @@ object ExtensionQueries {
     "q_dedup_cluster_sizes" -> dedupClusterSizes,
     "q_lsh_calibration" -> lshCalibration,
     "q_dedup_savings" -> dedupSavings,
+    "q_dedup_threshold_sweep" -> dedupThresholdSweep,
     "q_lang_confusion" -> langConfusion,
     "q_vocab_coverage" -> vocabCoverage,
     "q_lexical_diversity" -> lexicalDiversity,
