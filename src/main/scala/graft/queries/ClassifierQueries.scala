@@ -82,6 +82,35 @@ object ClassifierQueries {
         .localCheckpoint(true)
     })
 
+  /** Memoized per-(doc, class) score matrix (doc_id, true_lang, lang,
+    * score6 = Σ tf·w6 + prior6): the ONE corpus-sized scoring pass —
+    * tokenize, tf, weight join, per-class sum — that all five classifier
+    * consumers (q_nb_score, q_nb_calibration, q_roc_auc, q_pr_auc,
+    * q_gains_table) previously re-ran from scratch. The matrix is
+    * |corpus|×L narrow rows, checkpointed once per session; consumers
+    * derive their windows/bins from it (the en-ranker family filters its
+    * class slice — identical values to the per-query construction, with
+    * the left-join coalesce folded in). */
+  private def nbScoreMatrix(spark: SparkSession, dir: String): DataFrame =
+    modelCache.getOrElseUpdate(spark, (dir, "nb_scores"), {
+      val w = nbWeights(spark, dir)
+      val docs = Tables.documents(spark, dir)
+      val tf = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val partial = tf
+        .join(broadcast(w.select(col("token"), col("lang"), col("w6"))), "token")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("tf") * col("w6")).as("s6"))
+      val classes = w.select(col("lang"), col("prior6")).distinct()
+      docs.select(col("doc_id"), col("lang").as("true_lang"))
+        .crossJoin(broadcast(classes))
+        .join(partial, Seq("doc_id", "lang"), "left")
+        .select(col("doc_id"), col("true_lang"), col("lang"),
+          (coalesce(col("s6"), lit(0L)) + col("prior6")).as("score6"))
+        .localCheckpoint(true)
+    })
+
   /** Shared oracle CTE prefix rebuilding the identical model in DuckDB. */
   private val nbOracleCtes =
     s"""toks AS (SELECT doc_id, lang, unnest(${dToks("text")}) AS token
@@ -132,20 +161,7 @@ object ClassifierQueries {
     */
   private val nbScore = QueryDef(
     fn = (spark, dir) => {
-      val w = nbWeights(spark, dir)
-      val docs = Tables.documents(spark, dir)
-      val tf = docs.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      // token → (lang, w6) fanout is L-bounded (≤ #classes per token)
-      val partial = tf.join(broadcast(w.select(col("token"), col("lang"), col("w6"))), "token")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("tf") * col("w6")).as("s6"))
-      val classes = w.select(col("lang"), col("prior6")).distinct()
-      val scored = docs.select(col("doc_id"), col("lang").as("true_lang"))
-        .crossJoin(broadcast(classes))
-        .join(partial, Seq("doc_id", "lang"), "left")
-        .withColumn("score6", coalesce(col("s6"), lit(0L)) + col("prior6"))
+      val scored = nbScoreMatrix(spark, dir)
       scored
         .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("score6").desc, col("lang").asc)))
@@ -245,19 +261,7 @@ object ClassifierQueries {
     */
   private val nbCalibration = QueryDef(
     fn = (spark, dir) => {
-      val w = nbWeights(spark, dir)
-      val docs = Tables.documents(spark, dir)
-      val tf = docs.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val partial = tf.join(broadcast(w.select(col("token"), col("lang"), col("w6"))), "token")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("tf") * col("w6")).as("s6"))
-      val classes = w.select(col("lang"), col("prior6")).distinct()
-      val scored = docs.select(col("doc_id"), col("lang").as("true_lang"))
-        .crossJoin(broadcast(classes))
-        .join(partial, Seq("doc_id", "lang"), "left")
-        .withColumn("score6", coalesce(col("s6"), lit(0L)) + col("prior6"))
+      val scored = nbScoreMatrix(spark, dir)
         .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("score6").desc, col("lang").asc)))
         .filter(col("rn") <= 2)
@@ -328,21 +332,8 @@ object ClassifierQueries {
   private val rocAuc = QueryDef(
     fn = (spark, dir) => {
       val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val w = nbWeights(spark, dir)
-      val docs = Tables.documents(spark, dir)
-      val tf = docs.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val wEn = w.filter(col("lang") === "en")
-      val s6 = tf.join(broadcast(wEn.select(col("token"), col("w6"))), "token")
-        .groupBy(col("doc_id")).agg(sum(col("tf") * col("w6")).as("s6"))
-      val prior = wEn.select(col("prior6")).distinct()
-      val scored = docs.select(col("doc_id"),
-          (col("lang") === "en").as("pos"))
-        .join(s6, Seq("doc_id"), "left")
-        .crossJoin(broadcast(prior))
-        .select(col("pos"),
-          (coalesce(col("s6"), lit(0L)) + col("prior6")).as("score6"))
+      val scored = nbScoreMatrix(spark, dir).filter(col("lang") === "en")
+        .select((col("true_lang") === "en").as("pos"), col("score6"))
       val g = scored
         .select(floor(col("score6").cast("double") / 1e4).cast("long").as("bin"),
           when(col("pos"), 1L).otherwise(0L).as("ga"))
@@ -419,21 +410,8 @@ object ClassifierQueries {
   private val prAuc = QueryDef(
     fn = (spark, dir) => {
       val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val w = nbWeights(spark, dir)
-      val docs = Tables.documents(spark, dir)
-      val tf = docs.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val wEn = w.filter(col("lang") === "en")
-      val s6 = tf.join(broadcast(wEn.select(col("token"), col("w6"))), "token")
-        .groupBy(col("doc_id")).agg(sum(col("tf") * col("w6")).as("s6"))
-      val prior = wEn.select(col("prior6")).distinct()
-      val scored = docs.select(col("doc_id"),
-          (col("lang") === "en").as("pos"))
-        .join(s6, Seq("doc_id"), "left")
-        .crossJoin(broadcast(prior))
-        .select(col("pos"),
-          (coalesce(col("s6"), lit(0L)) + col("prior6")).as("score6"))
+      val scored = nbScoreMatrix(spark, dir).filter(col("lang") === "en")
+        .select((col("true_lang") === "en").as("pos"), col("score6"))
       val g = scored
         .select(floor(col("score6").cast("double") / 1e4).cast("long").as("bin"),
           when(col("pos"), 1L).otherwise(0L).as("ga"))
@@ -503,21 +481,10 @@ object ClassifierQueries {
     */
   private val gainsTable = QueryDef(
     fn = (spark, dir) => {
-      val w = nbWeights(spark, dir)
-      val docs = Tables.documents(spark, dir)
-      val tf = docs.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val wEn = w.filter(col("lang") === "en")
-      val s6 = tf.join(broadcast(wEn.select(col("token"), col("w6"))), "token")
-        .groupBy(col("doc_id")).agg(sum(col("tf") * col("w6")).as("s6"))
-      val prior = wEn.select(col("prior6")).distinct()
-      val scored = docs.select(col("doc_id"),
-          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-        .join(s6, Seq("doc_id"), "left")
-        .crossJoin(broadcast(prior))
-        .select(col("doc_id"), col("pos"),
-          (coalesce(col("s6"), lit(0L)) + col("prior6")).as("score6"))
+      val scored = nbScoreMatrix(spark, dir).filter(col("lang") === "en")
+        .select(col("doc_id"),
+          when(col("true_lang") === "en", 1L).otherwise(0L).as("pos"),
+          col("score6"))
       val ranked = scored.withColumn("rk", row_number().over(
           Window.orderBy(col("score6").desc, col("doc_id").asc)))
         .withColumn("n", count(lit(1)).over(
