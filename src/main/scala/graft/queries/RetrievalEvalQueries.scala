@@ -270,8 +270,82 @@ object RetrievalEvalQueries {
          |  CAST(sum_prec_e6 // least(n_rel, 10) AS BIGINT) AS ap_e6
          |FROM pt JOIN tot USING (term) ORDER BY term""".stripMargin))
 
+  /** Truncated Rank-Biased Overlap (Webber, Moffat & Zobel 2010,
+    * p = 0.9, depth 10) between the BM25 top-10 and the deterministic
+    * IDEAL relevance ranking per query term — the ranking-agreement
+    * readout retrieval teams use when two rankers must be compared
+    * without clicks. The identity that keeps it exact: RBO₁₀ =
+    * Σ_d w_d·|A_d ∩ B_d| with w_d = (1−p)p^{d−1}/d collapses to
+    * Σ over MATCHED docs of W_{max(ra, rb)} where W_m = Σ_{d≥m} w_d —
+    * so the whole statistic is ONE inner join of two top-10 lists plus
+    * a literal 10-entry suffix-weight table in pico-units (the
+    * dcgNanoTable discipline: no power/division is ever evaluated at
+    * query time; rbo_e12 is an exact integer, 235416399426 = the
+    * truncated-series maximum for identical prefixes).
+    *
+    * Scale shape: both rankings are the memo-free q_ndcg frames
+    * (query-sized retrieved rows; corpus × |queries| broadcast ideal);
+    * the RBO join touches ≤ 10 × terms rows. */
+  private val rbo = QueryDef(
+    fn = (spark, dir) => {
+      // W_m = Σ_{d=m..10} round(1e12·(1−p)·p^{d−1}/d), p = 0.9
+      val wSuffix = Seq(235416399426L, 135416399426L, 90416399426L,
+        63416399426L, 45191399426L, 32069399426L, 22227899426L,
+        14635885140L, 8657173890L, 3874204890L)
+      val ret = retrieved(spark, dir).filter(col("rn") <= 10)
+        .select(col("term"), col("doc_id"), col("rn").as("ra"))
+      val termsDf = spark.range(1)
+        .select(explode(array(terms.map(lit): _*)).as("term"))
+      val ideal = Tables.documents(spark, dir).select(col("doc_id"))
+        .crossJoin(broadcast(termsDf))
+        .withColumn("rel", rel(col("term"), col("doc_id")))
+        .withColumn("rb", row_number().over(
+          Window.partitionBy(col("term"))
+            .orderBy(col("rel").desc, col("doc_id"))))
+        .filter(col("rb") <= 10)
+        .select(col("term"), col("doc_id"), col("rb"))
+      val matched = ret.join(ideal, Seq("term", "doc_id"))
+        .select(col("term"),
+          element_at(array(wSuffix.map(lit): _*),
+            greatest(col("ra"), col("rb")).cast("int")).as("w"))
+      // left join from the term list so a zero-overlap term still rows
+      termsDf.join(
+          matched.groupBy(col("term"))
+            .agg(count(lit(1)).as("n_overlap"), sum(col("w")).as("rbo")),
+          Seq("term"), "left")
+        .select(col("term"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          coalesce(col("rbo"), lit(0L)).as("rbo_e12"))
+        .orderBy("term")
+    },
+    oracle = Some {
+      val wSuffix = Seq(235416399426L, 135416399426L, 90416399426L,
+        63416399426L, 45191399426L, 32069399426L, 22227899426L,
+        14635885140L, 8657173890L, 3874204890L)
+      s"""WITH $oRetrieved,
+         |ra AS (SELECT term, doc_id, rn AS ra FROM retrieved WHERE rn <= 10),
+         |ideal AS (SELECT term, doc_id, rb FROM (
+         |  SELECT term, doc_id, row_number() OVER
+         |      (PARTITION BY term ORDER BY rel DESC, doc_id) AS rb
+         |  FROM (SELECT q.term, d.doc_id,
+         |          ${oRel("q.term", "d.doc_id")} AS rel
+         |        FROM documents d CROSS JOIN $oTerms)) WHERE rb <= 10),
+         |m AS (SELECT ra.term,
+         |    ([${wSuffix.mkString(", ")}])[CAST(greatest(ra.ra, ideal.rb)
+         |      AS INTEGER)] AS w
+         |  FROM ra JOIN ideal USING (term, doc_id)),
+         |agg AS (SELECT term, COUNT(*) AS n_overlap,
+         |    CAST(SUM(w) AS BIGINT) AS rbo FROM m GROUP BY term)
+         |SELECT q.term,
+         |  COALESCE(n_overlap, 0) AS n_overlap,
+         |  COALESCE(rbo, CAST(0 AS BIGINT)) AS rbo_e12
+         |FROM $oTerms LEFT JOIN agg ON q.term = agg.term
+         |ORDER BY q.term""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_ndcg" -> ndcg,
     "q_mrr" -> mrr,
-    "q_map_at_k" -> mapAtK)
+    "q_map_at_k" -> mapAtK,
+    "q_rbo" -> rbo)
 }
