@@ -188,8 +188,89 @@ object ActivityQueries {
         |  CAST(n AS BIGINT) AS n_in_frame, med AS med7
         |FROM x ORDER BY event_type, day""".stripMargin))
 
+  /** Maximum drawdown of the cumulative daily-revenue curve — the
+    * classic worst-peak-to-trough readout (finance's risk stat, equally
+    * the KPI-dashboard "worst slump" number): with cum_t the running
+    * total of daily NET revenue deviations from the mean day (so the
+    * curve actually goes down — a raw cumulative of positive revenue is
+    * monotone and its drawdown is degenerately 0), dd_t = runmax(cum)−
+    * cum_t; report the deepest trough, its day (first on ties), the day
+    * of the preceding peak, and dd as a ⌊·10⁶⌋ fraction of the peak-to-
+    * range denominator. All exact integer cents: the mean deviation is
+    * cross-multiplied (n·cents_t − total), so cum_t = n·Σcents_≤t −
+    * t·total never divides.
+    *
+    * Scale shape: one partial-aggregatable groupBy(day), then windows on
+    * the bounded calendar grid (the family's documented stance). */
+  private val maxDrawdown = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("t"))
+      val wRun = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = daily.crossJoin(broadcast(tot))
+        .withColumn("dev", col("cents").cast(d380) * col("n") - col("t"))
+        .withColumn("cum", sum(col("dev")).over(wRun))
+        .withColumn("runmax", max(col("cum")).over(wRun))
+        .withColumn("dd", col("runmax") - col("cum"))
+      // deepest trough, FIRST day on ties (max on (dd, -epoch day));
+      // the peak day is the first day attaining that runmax
+      val trough = curve
+        .select(col("day"), col("dd"), col("runmax"), col("n"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("dd").desc, col("day").asc)))
+        .filter(col("rn") === 1)
+        .select(col("day").as("trough_day"), col("dd").as("max_dd"),
+          col("runmax").as("peak_cum"), col("n"))
+      val peak = curve.join(broadcast(trough),
+          col("cum") === col("peak_cum") && col("day") <= col("trough_day"))
+        .agg(min(col("day")).as("peak_day"))
+      trough.crossJoin(broadcast(peak))
+        .select(col("n").as("n_days"), col("peak_day"), col("trough_day"),
+          col("max_dd").cast("long").as("max_dd_scaled"),
+          expr("CASE WHEN peak_cum = 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE CAST((max_dd * CAST(1000000 AS DECIMAL(38,0)))" +
+            " div (max_dd + abs(peak_cum)) AS BIGINT) END")
+            .as("dd_share_e6"))
+    },
+    oracle = Some(
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, SUM(cents) AS t FROM daily),
+        |dev AS (SELECT day, n, CAST(cents AS HUGEINT) * n - t AS dev
+        |  FROM daily CROSS JOIN tot),
+        |curve0 AS (SELECT day, n,
+        |    SUM(dev) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dev),
+        |curve AS (SELECT day, n, cum,
+        |    MAX(cum) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |  FROM curve0),
+        |dd AS (SELECT day, n, cum, runmax, runmax - cum AS dd FROM curve),
+        |trough AS (SELECT day AS trough_day, dd AS max_dd,
+        |    runmax AS peak_cum, n FROM (
+        |  SELECT *, row_number() OVER (ORDER BY dd DESC, day ASC) AS rn
+        |  FROM dd) WHERE rn = 1),
+        |peak AS (SELECT MIN(d.day) AS peak_day
+        |  FROM dd d CROSS JOIN trough
+        |  WHERE d.cum = trough.peak_cum AND d.day <= trough.trough_day)
+        |SELECT CAST(trough.n AS BIGINT) AS n_days, peak.peak_day,
+        |  trough.trough_day,
+        |  CAST(max_dd AS BIGINT) AS max_dd_scaled,
+        |  CASE WHEN peak_cum = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((max_dd * 1000000) // (max_dd + abs(peak_cum))
+        |         AS BIGINT) END AS dd_share_e6
+        |FROM trough CROSS JOIN peak""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_gaps_islands" -> gapsIslands,
     "q_dau_mau" -> dauMau,
+    "q_max_drawdown" -> maxDrawdown,
     "q_rolling_median" -> rollingMedian)
 }

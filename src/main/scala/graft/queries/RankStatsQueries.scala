@@ -405,9 +405,86 @@ object RankStatsQueries {
         |  floor(AVG(res) * 1000000.0 + 0.5) / 1000000.0 AS intercept
         |FROM rr WHERE rk = (nd + 1) // 2 OR rk = (nd + 2) // 2""".stripMargin))
 
+  /** Wald–Wolfowitz runs test: is the daily above-/below-mean pattern of
+    * order revenue random, or does it cluster (trend/seasonality leaves
+    * too FEW runs; oscillation too many)? The sign sequence is
+    * above-mean by the cross-multiplied integer comparison day_cents·n >
+    * total_cents (no mean is ever divided out); R = 1 + sign changes
+    * along the date-ordered day grid. Under H₀, E[R] = 1 + 2n₁n₂/n and
+    * Var = 2n₁n₂(2n₁n₂−n)/(n²(n−1)); the α = 0.05 two-sided decision is
+    * the pure-DECIMAL(38,0) cross-multiplication
+    * (Rn − n − 2n₁n₂)²·(n−1)·10⁴ > 38416·2n₁n₂(2n₁n₂−n), and z²·10⁶ is
+    * emitted by the same integral division. No double anywhere.
+    *
+    * Scale shape: one partial-aggregatable groupBy(day) over orders;
+    * the sign/lag/run machinery runs on the bounded day grid (the
+    * calendar-domain window the house style documents per-query). */
+  private val runsTest = QueryDef(
+    fn = (spark, dir) => {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("t"))
+      val signed = daily.crossJoin(broadcast(tot))
+        .select(col("day"),
+          (col("cents").cast(d380) * col("n") > col("t")).as("up"),
+          col("n"))
+      val wDay = Window.orderBy(col("day"))
+      val s = signed
+        .withColumn("chg",
+          when(lag(col("up"), 1).over(wDay).isNull, 0L)
+            .when(col("up") =!= lag(col("up"), 1).over(wDay), 1L)
+            .otherwise(0L))
+        .agg(max(col("n")).as("n"),
+          sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("up"), 1L).otherwise(0L)).as("n2"),
+          (sum(col("chg")) + 1L).as("r"))
+      val n = col("n").cast(d380); val n1 = col("n1").cast(d380)
+      val n2 = col("n2").cast(d380); val r = col("r").cast(d380)
+      val dev = r * n - n - lit(2L).cast(d380) * n1 * n2 // (R−ER)·n
+      val varNum = (lit(2L).cast(d380) * n1 * n2) *
+        (lit(2L).cast(d380) * n1 * n2 - n) // Var·n²(n−1), sans the (n−1)
+      s.select(col("n"), col("n1"), col("n2"), col("r"),
+        expr("((CAST(r AS DECIMAL(38,0)) * n - n - 2 * CAST(n1 AS DECIMAL(38,0)) * n2)" +
+          " * (CAST(r AS DECIMAL(38,0)) * n - n - 2 * CAST(n1 AS DECIMAL(38,0)) * n2)" +
+          " * (n - 1) * CAST(1000000 AS DECIMAL(38,0)))" +
+          " div (2 * CAST(n1 AS DECIMAL(38,0)) * n2" +
+          " * (2 * CAST(n1 AS DECIMAL(38,0)) * n2 - n))").as("z2_e6"),
+        (dev * dev * (n - lit(1L)) * lit(10000L) >
+          lit(38416L).cast(d380) * varNum).as("reject"))
+    },
+    oracle = Some(
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, SUM(cents) AS t FROM daily),
+        |sg AS (SELECT day, CAST(cents AS HUGEINT) * n > t AS up, n
+        |  FROM daily CROSS JOIN tot),
+        |ch AS (SELECT n, up,
+        |    CASE WHEN lag(up, 1) OVER (ORDER BY day) IS NULL THEN 0
+        |         WHEN up <> lag(up, 1) OVER (ORDER BY day) THEN 1
+        |         ELSE 0 END AS chg
+        |  FROM sg),
+        |s AS (SELECT CAST(MAX(n) AS HUGEINT) AS n,
+        |    CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        |    CAST(SUM(CASE WHEN up THEN 0 ELSE 1 END) AS HUGEINT) AS n2,
+        |    CAST(SUM(chg) + 1 AS HUGEINT) AS r
+        |  FROM ch)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n2 AS BIGINT) AS n2, CAST(r AS BIGINT) AS r,
+        |  CAST(((r * n - n - 2 * n1 * n2) * (r * n - n - 2 * n1 * n2)
+        |      * (n - 1) * 1000000)
+        |    // (2 * n1 * n2 * (2 * n1 * n2 - n)) AS BIGINT) AS z2_e6,
+        |  (r * n - n - 2 * n1 * n2) * (r * n - n - 2 * n1 * n2)
+        |    * (n - 1) * 10000
+        |    > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - n) AS reject
+        |FROM s""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_ks_test" -> ksTest,
     "q_mann_whitney" -> mannWhitney,
+    "q_runs_test" -> runsTest,
     "q_spearman_corr" -> spearmanCorr,
     "q_theil_sen" -> theilSen)
 }
