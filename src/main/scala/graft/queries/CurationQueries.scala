@@ -57,14 +57,15 @@ object CurationQueries {
         .select(col("vec_id"), col("embedding"))
       val q = emb.filter(col("vec_id") === 0L)
         .select(col("embedding").as("qv"))
+      // orderBy+limit = TakeOrdered (per-partition top-20 then a 20-row
+      // merge — no global sort, no single-partition row_number window);
+      // (rel desc, vec_id) is a total order, so the cut is deterministic
       val pool = emb.filter(col("vec_id") =!= 0L)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("embedding"),
           cos6(col("embedding"), col("qv")).as("rel_e6"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("rel_e6").desc, col("vec_id").asc)))
-        .filter(col("rn") <= 20)
-        .select(col("vec_id"), col("embedding"), col("rel_e6"))
+        .orderBy(col("rel_e6").desc, col("vec_id").asc)
+        .limit(20)
         .collect() // ≤ 20 rows by construction — bounded, like centroids
       // driver greedy on exact integers; the double fold mirrors cos6's
       // expression order bit for bit (zip_with product, left fold from
