@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Tables, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010 — "Rapid
+  * Automatic Keyword Extraction"): candidate phrases are the maximal
+  * runs of non-stopword tokens; each word scores deg(w)/freq(w) (degree
+  * = summed length of the phrases it appears in — co-occurrence rewards
+  * words that live in long phrases); a phrase scores the sum of its
+  * words' scores. The unsupervised keyword pass a corpus pipeline runs
+  * when no model may touch the data.
+  */
+object KeywordQueries {
+
+  /** Corpus-level RAKE top-20 keywords over the EN documents (the en
+    * stopword list is the boundary set — the same literal list q_doc
+    * _profile and the oracle share). Scores are exact integers: each
+    * word's deg/freq ratio is ⌊deg·10⁶/freq⌋ and a phrase sums its
+    * DISTINCT words' floored ratios (sum-of-floors is the declared
+    * statistic, replayed digit-identically — the q_map_at_k stance);
+    * ties break lexicographically, so the top-20 cut is total-ordered.
+    *
+    * Scale shape: phrase assembly is doc-local (tokens explode with
+    * position, phrase id = running stopword count per doc — the ONE
+    * corpus-token-sized shuffle, keyed (doc, phrase), AQE-splittable);
+    * word stats and phrase scores run on the phrase/word DOMAIN, and
+    * the final cut is orderBy+limit (TakeOrdered, no global sort).
+    * Single-token phrases carry deg = freq contributions (RAKE's deg
+    * includes the word itself per phrase length).
+    */
+  private val rakeKeywords = QueryDef(
+    fn = (spark, dir) => {
+      val stop = TextAnalysis.StopwordLists.toMap.apply("en")
+      val toks = Tables.documents(spark, dir)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+        .withColumn("is_stop", col("token").isin(stop.map(lit): _*))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val phrases = toks
+        .withColumn("grp", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+        .filter(!col("is_stop"))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(array_join(transform(array_sort(collect_list(
+            struct(col("pos"), col("token")))), e => e.getField("token")), " ")
+          .as("phrase"),
+          count(lit(1)).as("len"))
+      // word stats over phrase instances: freq = occurrences, deg = sum
+      // of host-phrase lengths (multiplicity included, as RAKE defines)
+      val words = phrases
+        .select(col("phrase"), col("len"), explode(split(col("phrase"), " ")).as("w"))
+      val wstats = words.groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+        .withColumn("wscore_e6", expr("(deg * CAST(1000000 AS BIGINT)) div freq"))
+      // phrase TYPE score: distinct words of the phrase, summed once each
+      val ptype = phrases.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occur"), max(col("len")).as("len"))
+      val pscore = ptype
+        .select(col("phrase"), col("n_occur"), col("len"),
+          explode(array_distinct(split(col("phrase"), " "))).as("w"))
+        .join(wstats.select(col("w"), col("wscore_e6")), "w")
+        .groupBy(col("phrase"), col("n_occur"), col("len"))
+        .agg(sum(col("wscore_e6")).as("score_e6"))
+      pscore
+        .orderBy(col("score_e6").desc, col("phrase").asc)
+        .limit(20)
+        .select(col("phrase"), col("len"), col("n_occur"), col("score_e6"))
+    },
+    oracle = Some {
+      val stop = TextAnalysis.StopwordLists.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH toks AS (SELECT doc_id, ${ExtensionQueries.dToks("text")} AS ts
+         |  FROM documents WHERE lang = 'en'),
+         |tk AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos,
+         |    unnest(ts) AS token FROM toks),
+         |st AS (SELECT doc_id, pos, token,
+         |    list_contains($stop, token) AS is_stop FROM tk),
+         |grp AS (SELECT doc_id, pos, token, is_stop,
+         |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM st),
+         |phrases AS (SELECT doc_id, grp,
+         |    string_agg(token, ' ' ORDER BY pos) AS phrase,
+         |    COUNT(*) AS len
+         |  FROM grp WHERE NOT is_stop GROUP BY doc_id, grp),
+         |words AS (SELECT phrase, len, unnest(string_split(phrase, ' ')) AS w
+         |  FROM phrases),
+         |wstats AS (SELECT w, COUNT(*) AS freq, SUM(len) AS deg
+         |  FROM words GROUP BY 1),
+         |ws AS (SELECT w, CAST((deg * 1000000) // freq AS BIGINT)
+         |    AS wscore_e6 FROM wstats),
+         |ptype AS (SELECT phrase, COUNT(*) AS n_occur, MAX(len) AS len
+         |  FROM phrases GROUP BY 1),
+         |pw AS (SELECT phrase, n_occur, len,
+         |    unnest(list_distinct(string_split(phrase, ' '))) AS w
+         |  FROM ptype),
+         |ps AS (SELECT phrase, n_occur, len,
+         |    CAST(SUM(wscore_e6) AS BIGINT) AS score_e6
+         |  FROM pw JOIN ws USING (w) GROUP BY 1, 2, 3)
+         |SELECT phrase, CAST(len AS BIGINT) AS len, n_occur, score_e6
+         |FROM ps ORDER BY score_e6 DESC, phrase ASC LIMIT 20""".stripMargin
+    })
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_rake_keywords" -> rakeKeywords)
+}
