@@ -2099,6 +2099,104 @@ object WarehouseQueries {
          |FROM re2 r, tot, tm ORDER BY r.channel""".stripMargin
     })
 
+  /** Cohort LTV curve: customers grouped by the YEAR of their first
+    * order (the acquisition cohort); per (cohort, order-age-in-years)
+    * the period revenue and the CUMULATIVE revenue per cohort member —
+    * the lifetime-value trajectory finance reads next to
+    * q_cohort_retention's activity curve. Exact integer cents; the
+    * per-member figure is a ⌊·10⁶⌋ integral division of the running
+    * cumulative by the FIXED cohort size (members = distinct customers
+    * acquired that year — the denominator never shrinks; that is the
+    * LTV convention, churn shows as a flattening curve).
+    *
+    * Scale shape: first-order year via one groupBy(customer) min; one
+    * fact-sized join back; then everything runs on the (cohort, age)
+    * grid (≤ years²) — windows included. */
+  private val cohortLtv = QueryDef(
+    fn = (spark, dir) => {
+      val o = Tables.orders(spark, dir).select(col("o_custkey"),
+        year(col("o_orderdate")).as("yr"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val first = o.groupBy(col("o_custkey")).agg(min(col("yr")).as("cohort"))
+      val sized = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_members"))
+      val cells = o.join(first, "o_custkey")
+        .groupBy(col("cohort"), (col("yr") - col("cohort")).as("age"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val wCum = Window.partitionBy(col("cohort")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.join(sized, "cohort")
+        .withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+        .select(col("cohort"), col("age"), col("n_members"),
+          col("rev_cents"), col("cum_cents"),
+          expr("(cum_cents * CAST(1000000 AS BIGINT)) div n_members")
+            .as("ltv_per_member_e6"))
+        .orderBy("cohort", "age")
+    },
+    oracle = Some(
+      """WITH o AS (SELECT o_custkey, year(o_orderdate) AS yr,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |first AS (SELECT o_custkey, MIN(yr) AS cohort FROM o GROUP BY 1),
+        |sized AS (SELECT cohort, COUNT(*) AS n_members FROM first GROUP BY 1),
+        |cells AS (SELECT cohort, yr - cohort AS age,
+        |    SUM(cents) AS rev_cents
+        |  FROM o JOIN first USING (o_custkey) GROUP BY 1, 2),
+        |c AS (SELECT cohort, age, n_members, rev_cents,
+        |    SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+        |  FROM cells JOIN sized USING (cohort))
+        |SELECT CAST(cohort AS INTEGER) AS cohort,
+        |  CAST(age AS INTEGER) AS age, n_members,
+        |  CAST(rev_cents AS BIGINT) AS rev_cents,
+        |  CAST(cum_cents AS BIGINT) AS cum_cents,
+        |  CAST((cum_cents * 1000000) // n_members AS BIGINT)
+        |    AS ltv_per_member_e6
+        |FROM c ORDER BY cohort, age""".stripMargin))
+
+  /** Burstiness of daily event arrivals per event type: the index of
+    * dispersion D = Var/mean of the per-day counts (Fano factor) — D ≈ 1
+    * is Poisson-like traffic, D ≫ 1 is bursty (bot storms, batch
+    * replays), D < 1 is pacing. Exact cross-multiplication: with
+    * s1 = Σx, s2 = Σx² over n days, D = (n·s2 − s1²)/((n−1)·s1) —
+    * emitted as ⌊·10⁶⌋ DECIMAL(38,0) integral division plus the bursty
+    * flag D > 2 as the integer comparison (n·s2 − s1²)·cross > … — no
+    * double anywhere.
+    *
+    * Scale shape: one partial-aggregatable groupBy(type, day), then one
+    * groupBy(type) of integer moments; everything after is type-domain.
+    */
+  private val burstiness = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = DecimalType(38, 0)
+      val daily = Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val m = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x").cast(d380) * col("x")).as("s2"))
+      m.select(col("event_type"), col("n"), col("s1"),
+          expr("((n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)" +
+            " * CAST(1000000 AS DECIMAL(38,0)))" +
+            " div ((n - 1) * CAST(s1 AS DECIMAL(38,0)))").as("dispersion_e6"),
+          ((col("n").cast(d380) * col("s2")
+            - col("s1").cast(d380) * col("s1")) >
+            lit(2L).cast(d380) * (col("n") - 1L) * col("s1")).as("bursty"))
+        .orderBy("event_type")
+    },
+    oracle = Some(
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS s1,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s1 AS BIGINT) AS s1,
+        |  CAST(((n * s2 - s1 * s1) * 1000000) // ((n - 1) * s1) AS BIGINT)
+        |    AS dispersion_e6,
+        |  (n * s2 - s1 * s1) > 2 * (n - 1) * s1 AS bursty
+        |FROM m ORDER BY event_type""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_abc_class" -> abcClass,
     "q_attribution_markov" -> attributionMarkov,
@@ -2110,6 +2208,8 @@ object WarehouseQueries {
     "q_funnel_windowed" -> funnelWindowed,
     "q_funnel_lag" -> funnelLag,
     "q_cohort_retention" -> cohortRetention,
+    "q_cohort_ltv" -> cohortLtv,
+    "q_burstiness" -> burstiness,
     "q_regr_ols" -> regrOls,
     "q_cdc_diff" -> cdcDiff,
     "q_cdc_apply" -> cdcApply,
