@@ -92,24 +92,29 @@ object ClassifierQueries {
     * class slice — identical values to the per-query construction, with
     * the left-join coalesce folded in). */
   private def nbScoreMatrix(spark: SparkSession, dir: String): DataFrame =
-    modelCache.getOrElseUpdate(spark, (dir, "nb_scores"), {
-      val w = nbWeights(spark, dir)
-      val docs = Tables.documents(spark, dir)
-      val tf = docs.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val partial = tf
-        .join(broadcast(w.select(col("token"), col("lang"), col("w6"))), "token")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("tf") * col("w6")).as("s6"))
-      val classes = w.select(col("lang"), col("prior6")).distinct()
-      docs.select(col("doc_id"), col("lang").as("true_lang"))
-        .crossJoin(broadcast(classes))
-        .join(partial, Seq("doc_id", "lang"), "left")
-        .select(col("doc_id"), col("true_lang"), col("lang"),
-          (coalesce(col("s6"), lit(0L)) + col("prior6")).as("score6"))
-        .localCheckpoint(true)
-    })
+    modelCache.getOrElseUpdate(spark, (dir, "nb_scores"),
+      nbScoreMatrixBuild(spark, dir).localCheckpoint(true))
+
+  /** The lazy pre-checkpoint build — separate so PlanAuditSpec can
+    * assert the broadcast shape of the scoring join (the memoized
+    * consumers read a LogicalRDD, which hides the build plan). */
+  private[graft] def nbScoreMatrixBuild(spark: SparkSession, dir: String): DataFrame = {
+    val w = nbWeights(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val partial = tf
+      .join(broadcast(w.select(col("token"), col("lang"), col("w6"))), "token")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf") * col("w6")).as("s6"))
+    val classes = w.select(col("lang"), col("prior6")).distinct()
+    docs.select(col("doc_id"), col("lang").as("true_lang"))
+      .crossJoin(broadcast(classes))
+      .join(partial, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("true_lang"), col("lang"),
+        (coalesce(col("s6"), lit(0L)) + col("prior6")).as("score6"))
+  }
 
   /** Shared oracle CTE prefix rebuilding the identical model in DuckDB. */
   private val nbOracleCtes =

@@ -338,9 +338,18 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("NB scoring: the weight table broadcasts onto the tf stream") {
+    // the round-12 memoized score matrix moved the scoring join into the
+    // one-per-session build (consumers read the checkpointed matrix) —
+    // audit the BUILD plan for the broadcast, the consumer for leanness
+    val build = graft.queries.ClassifierQueries
+      .nbScoreMatrixBuild(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(build.contains("BroadcastHashJoin"), "weight join must broadcast")
+    assert(!build.contains("CartesianProduct"), "score matrix grew a cartesian")
     val p = plan("q_nb_score")
-    assert(p.contains("BroadcastHashJoin"), "weight join must broadcast")
     assert(!p.contains("CartesianProduct"), "nb_score grew a cartesian")
+    assert(p.contains("WindowGroupLimit"),
+      "the per-doc argmax must rank map-side-limited on the matrix")
   }
 
   test("ER clusters: blocking join hashes; no nested loop anywhere") {
@@ -405,12 +414,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("ROC-AUC: broadcast model join, rank stage on the bin grid only") {
+    // the scoring join now lives in the memoized matrix build (audited in
+    // the NB-scoring test above); the consumer plan must stay lean: bins
+    // from the matrix slice, a single-partition window on the BIN grid
     val p = plan("q_roc_auc")
-    assert(p.contains("BroadcastHashJoin"),
-      "the vocabulary-bounded weight table must broadcast onto the tf stream")
-    // no corpus-sized cartesian (the broadcast cross of the 1-row prior
-    // plans as a BroadcastNestedLoopJoin, which is fine at 1 row)
     assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "no join belongs in the consumer plan — it reads the matrix slice")
     assert(p.contains("Window"), "the rank stage must be a window on the grid")
   }
 
