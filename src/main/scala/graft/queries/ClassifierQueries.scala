@@ -604,7 +604,81 @@ object ClassifierQueries {
         |FROM grid JOIN sa USING (seg) CROSS JOIN tot
         |ORDER BY seg, y""".stripMargin))
 
+  /** McNemar's paired test between the two lang-id classifiers the suite
+    * already ships — the NB model (argmax of the memoized score matrix)
+    * and the stopword-argmax heuristic (q_text_lang_id) — on the SAME
+    * documents: do they err at different rates, judged only on the
+    * discordant pairs? b = NB right & heuristic wrong, c = the reverse;
+    * continuity-corrected χ² = (|b−c|−1)²/(b+c), α = 0.05 decided by the
+    * pure-integer comparison (|b−c|−1)²·1000 > 3841·(b+c). This is THE
+    * test for "is the expensive classifier actually better on paired
+    * data" — accuracy deltas alone ignore the pairing.
+    *
+    * Scale shape: both predictions are map-side over memoized/scan-local
+    * state; one corpus-row join on doc_id; the test statistic is a
+    * single aggregation row. */
+  private val mcnemar = QueryDef(
+    fn = (spark, dir) => {
+      val nbPred = nbScoreMatrix(spark, dir)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score6").desc, col("lang").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("true_lang"),
+          (col("lang") === col("true_lang")).as("nb_ok"))
+      val heur = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          (TextAnalysis.langId(col("text")).getField("lang_pred")
+            === col("lang")).as("h_ok"))
+      val s = nbPred.join(heur, "doc_id").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("nb_ok") && !col("h_ok"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("nb_ok") && col("h_ok"), 1L).otherwise(0L)).as("c"))
+      s.select(col("n"), col("b"), col("c"),
+        expr("CASE WHEN b + c = 0 THEN CAST(0 AS BIGINT) ELSE" +
+          " ((abs(b - c) - 1) * (abs(b - c) - 1)" +
+          " * CAST(1000000 AS BIGINT)) div (b + c) END").as("chi2_e6"),
+        expr("CASE WHEN b + c = 0 THEN false ELSE" +
+          " (abs(b - c) - 1) * (abs(b - c) - 1) * 1000 > 3841 * (b + c)" +
+          " END").as("reject"))
+    },
+    oracle = Some {
+      val (hits, caseExpr, _) = ExtensionQueries.dLangIdSql
+      s"""WITH $nbOracleCtes,
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+         |       FROM toks GROUP BY doc_id, token),
+         |partial AS (SELECT tf.doc_id, w.lang, SUM(tf.tf * w.w6) AS s6
+         |            FROM tf JOIN w USING (token) GROUP BY tf.doc_id, w.lang),
+         |classes AS (SELECT DISTINCT lang, prior6 FROM w),
+         |scored AS (SELECT d.doc_id, d.lang AS true_lang, c.lang,
+         |    COALESCE(p.s6, 0) + c.prior6 AS score6
+         |  FROM documents d CROSS JOIN classes c
+         |  LEFT JOIN partial p ON p.doc_id = d.doc_id AND p.lang = c.lang),
+         |nbp AS (SELECT doc_id, true_lang, lang AS pred FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score6 DESC, lang ASC) AS rn FROM scored)
+         |  WHERE rn = 1),
+         |h AS (SELECT doc_id, lang AS lang_declared, $hits FROM documents),
+         |hp AS (SELECT doc_id, ($caseExpr = lang_declared) AS h_ok FROM h),
+         |j AS (SELECT (nbp.pred = nbp.true_lang) AS nb_ok, hp.h_ok
+         |  FROM nbp JOIN hp USING (doc_id)),
+         |s AS (SELECT COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN nb_ok AND NOT h_ok THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN NOT nb_ok AND h_ok THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c
+         |  FROM j)
+         |SELECT n, b, c,
+         |  CASE WHEN b + c = 0 THEN CAST(0 AS BIGINT) ELSE
+         |    CAST(((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000)
+         |      // (b + c) AS BIGINT) END AS chi2_e6,
+         |  CASE WHEN b + c = 0 THEN false ELSE
+         |    (abs(b - c) - 1) * (abs(b - c) - 1) * 1000 > 3841 * (b + c)
+         |  END AS reject
+         |FROM s""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
+    "q_mcnemar" -> mcnemar,
     "q_nb_train" -> nbTrain,
     "q_nb_score" -> nbScore,
     "q_nb_calibration" -> nbCalibration,

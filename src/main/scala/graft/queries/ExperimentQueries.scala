@@ -540,10 +540,175 @@ object ExperimentQueries {
         |    AS did_abs_e6
         |FROM d""".stripMargin))
 
+  /** Cohen's d effect size between URGENT and LOW order values — the
+    * "is the significant difference actually big?" companion to the
+    * test family (p-values scale with n; d does not). The pooled-SD
+    * standardized difference is computed as ONE exact rational:
+    * d² = D²(n₁+n₂−2) / (n₁n₂·[n₂(n₁·Σx₁²−(Σx₁)²) + n₁(n₂·Σx₂²−(Σx₂)²)])
+    * with D = Σx₁·n₂ − Σx₂·n₁, every term a DECIMAL(38,0) of exact
+    * cents (fits while D²(n₁+n₂) < 10³⁸ — ~10⁶ rows at these price
+    * magnitudes; larger scales shard the moments). |d| then takes the
+    * ONE allowed double step — a division and a sqrt, both
+    * IEEE-correctly-rounded, identical on both engines — into a 6dp
+    * floor; the sign is split out (the q_did discipline).
+    */
+  private val cohensD = QueryDef(
+    fn = (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select((col("o_orderpriority") === "1-URGENT").as("g"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val m = o.groupBy(col("g")).agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sv"),
+        sum(col("cents").cast(d380) * col("cents")).as("sq"))
+      val p = m.agg(
+        max(when(col("g"), col("n"))).as("n1"),
+        max(when(col("g"), col("sv"))).as("sv1"),
+        max(when(col("g"), col("sq"))).as("sq1"),
+        max(when(!col("g"), col("n"))).as("n2"),
+        max(when(!col("g"), col("sv"))).as("sv2"),
+        max(when(!col("g"), col("sq"))).as("sq2"))
+      p.select(col("n1"), col("n2"),
+        expr("CAST(CASE WHEN CAST(sv1 AS DECIMAL(38,0)) * n2" +
+          " - CAST(sv2 AS DECIMAL(38,0)) * n1 < 0 THEN -1 ELSE 1 END" +
+          " AS BIGINT)").as("d_sign"),
+        expr("CAST(floor(sqrt(" +
+          " CAST((CAST(sv1 AS DECIMAL(38,0)) * n2 - CAST(sv2 AS DECIMAL(38,0)) * n1)" +
+          "  * (CAST(sv1 AS DECIMAL(38,0)) * n2 - CAST(sv2 AS DECIMAL(38,0)) * n1)" +
+          "  * (n1 + n2 - 2) AS DOUBLE)" +
+          " / CAST(CAST(n1 AS DECIMAL(38,0)) * n2" +
+          "  * (n2 * (n1 * sq1 - CAST(sv1 AS DECIMAL(38,0)) * sv1)" +
+          "   + n1 * (n2 * sq2 - CAST(sv2 AS DECIMAL(38,0)) * sv2)) AS DOUBLE)" +
+          ") * 1000000.0 + 0.5) AS BIGINT)").as("d_abs_e6"))
+    },
+    oracle = Some(
+      """WITH o AS (SELECT o_orderpriority = '1-URGENT' AS g,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |m AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(cents) AS HUGEINT) AS sv,
+        |    CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sq
+        |  FROM o GROUP BY 1),
+        |p AS (SELECT
+        |    MAX(CASE WHEN g THEN n END) AS n1,
+        |    MAX(CASE WHEN g THEN sv END) AS sv1,
+        |    MAX(CASE WHEN g THEN sq END) AS sq1,
+        |    MAX(CASE WHEN NOT g THEN n END) AS n2,
+        |    MAX(CASE WHEN NOT g THEN sv END) AS sv2,
+        |    MAX(CASE WHEN NOT g THEN sq END) AS sq2
+        |  FROM m)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(CASE WHEN sv1 * n2 - sv2 * n1 < 0 THEN -1 ELSE 1 END
+        |    AS BIGINT) AS d_sign,
+        |  CAST(floor(sqrt(
+        |    CAST((sv1 * n2 - sv2 * n1) * (sv1 * n2 - sv2 * n1)
+        |      * (n1 + n2 - 2) AS DOUBLE)
+        |    / CAST(n1 * n2 * (n2 * (n1 * sq1 - sv1 * sv1)
+        |      + n1 * (n2 * sq2 - sv2 * sv2)) AS DOUBLE)
+        |    ) * 1000000.0 + 0.5) AS BIGINT) AS d_abs_e6
+        |FROM p""".stripMargin))
+
+  /** Levene's test, Brown–Forsythe variant: are quantity VARIANCES
+    * homogeneous across return-status groups? (The assumption q_anova
+    * silently makes — this is its pre-flight.) Deviations are taken
+    * from the group MEDIAN (the robust BF choice), which on the bounded
+    * integer quantity domain is an EXACT grid statistic (lower median:
+    * smallest v with 2·cum ≥ n — no percentile interpolation); the
+    * one-way F over |x − med| then follows q_anova's proven arithmetic
+    * exactly (integer moments; identically-composed double divisions;
+    * 9dp-floored terms; no transcendental).
+    *
+    * Scale shape: one (group, value) combine over the fact table, grid
+    * medians from running sums, moments per group weighted by the grid
+    * counts — nothing row-level past the first aggregation. */
+  private val levene = QueryDef(
+    fn = (spark, dir) => {
+      val grid = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("v"))
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("t"))
+      val wRun = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("g"))
+      val med = grid
+        .withColumn("cum", sum(col("t")).over(wRun))
+        .withColumn("ng", sum(col("t")).over(wAll))
+        .filter(col("cum") * 2 >= col("ng"))
+        .groupBy(col("g")).agg(min(col("v")).as("med"))
+      val z = grid.join(med, "g")
+        .select(col("g"), abs(col("v") - col("med")).as("z"), col("t"))
+      val mo = z.groupBy(col("g")).agg(sum(col("t")).as("n_i"),
+        sum(col("z") * col("t")).as("sv_i"),
+        sum((col("z") * col("z")).cast(d380) * col("t")).as("sq_i"))
+      val tot = mo.agg(count(lit(1)).as("k"), sum(col("n_i")).as("n"),
+        sum(col("sv_i")).as("sv"))
+      val mi = col("sv_i").cast("double") / col("n_i").cast("double")
+      val mAll = col("sv").cast("double") / col("n").cast("double")
+      val terms = mo.crossJoin(broadcast(tot))
+        .select(col("k"), col("n"),
+          f9(col("n_i").cast("double") * (mi - mAll) * (mi - mAll)).as("bt"),
+          f9(col("sq_i").cast("double")
+            - col("sv_i").cast("double") * col("sv_i").cast("double")
+              / col("n_i").cast("double")).as("wt"))
+      val s = terms.agg(max(col("k")).as("k"), max(col("n")).as("n"),
+        sum(col("bt")).as("ssb"), sum(col("wt")).as("ssw"))
+      val ssb = col("ssb").cast("double")
+      val ssw = col("ssw").cast("double")
+      s.select(col("k"), col("n"), r6(ssb).as("ss_between"),
+        r6(ssw).as("ss_within"),
+        r6((ssb / (col("k") - 1).cast("double"))
+          / (ssw / (col("n") - col("k")).cast("double"))).as("f_stat"))
+    },
+    oracle = Some(
+      """WITH grid AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS t
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT g, v, t,
+        |    SUM(t) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(t) OVER (PARTITION BY g) AS ng
+        |  FROM grid),
+        |med AS (SELECT g, MIN(v) AS med FROM c WHERE cum * 2 >= ng
+        |  GROUP BY g),
+        |z AS (SELECT grid.g, abs(v - med) AS z, t
+        |  FROM grid JOIN med USING (g)),
+        |mo AS (SELECT g, CAST(SUM(t) AS BIGINT) AS n_i,
+        |    CAST(SUM(z * t) AS BIGINT) AS sv_i,
+        |    CAST(SUM(CAST(z * z AS HUGEINT) * t) AS HUGEINT) AS sq_i
+        |  FROM z GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS k, CAST(SUM(n_i) AS BIGINT) AS n,
+        |    CAST(SUM(sv_i) AS BIGINT) AS sv FROM mo),
+        |t AS (SELECT k, n,
+        |    CAST(floor(CAST(n_i AS DOUBLE)
+        |      * (CAST(sv_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+        |         - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sv_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+        |         - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS bt,
+        |    CAST(floor((CAST(sq_i AS DOUBLE)
+        |      - CAST(sv_i AS DOUBLE) * CAST(sv_i AS DOUBLE)
+        |        / CAST(n_i AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS wt
+        |  FROM mo CROSS JOIN tot),
+        |s AS (SELECT MAX(k) AS k, MAX(n) AS n,
+        |    CAST(SUM(bt) AS DECIMAL(38,9)) AS ssb,
+        |    CAST(SUM(wt) AS DECIMAL(38,9)) AS ssw FROM t)
+        |SELECT CAST(k AS BIGINT) AS k, n,
+        |  floor(CAST(ssb AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS ss_between,
+        |  floor(CAST(ssw AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS ss_within,
+        |  floor((CAST(ssb AS DOUBLE) / (k - 1))
+        |    / (CAST(ssw AS DOUBLE) / (n - k)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS f_stat
+        |FROM s""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_anova" -> anova,
+    "q_cohens_d" -> cohensD,
     "q_cuped" -> cuped,
     "q_did" -> did,
     "q_fdr_bh" -> fdrBh,
-    "q_kendall_tau" -> kendallTau)
+    "q_kendall_tau" -> kendallTau,
+    "q_levene" -> levene)
 }

@@ -129,7 +129,7 @@ object ExtensionQueries {
     * oracle — first-in-list wins ties, mirroring the Spark
     * greatest(struct) tie-break. Shared by q_text_lang_id and
     * q_lang_confusion. Returns (hit column list, lang CASE, score CASE). */
-  private def dLangIdSql: (String, String, String) = {
+  private[queries] def dLangIdSql: (String, String, String) = {
     val hits = TextAnalysis.StopwordLists.map { case (lang, words) =>
       val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
       s"CAST(len(list_filter(${dToks("text")}, t -> list_contains($arr, t))) AS INTEGER) AS h_$lang"
