@@ -677,8 +677,153 @@ object ClassifierQueries {
          |FROM s""".stripMargin
     })
 
+  /** Model KS statistic — max separation of the positive and negative
+    * cumulative score distributions over the same bins as q_roc_auc
+    * (the credit-scoring discrimination readout; with AUC, PR-AUC and
+    * the gains table this completes the standard ranking-eval quartet).
+    * Exact integers: D = max |cum_pos·n_neg − cum_neg·n_pos| in
+    * DECIMAL(38,0) cross-multiplication, ks_e6 its floored division,
+    * plus the first bin attaining the max (ties to the lowest bin —
+    * deterministic cutoff recommendation).
+    *
+    * Scale shape: same as q_roc_auc — matrix slice to score bins,
+    * running sums on the bounded bin grid. */
+  private val modelKs = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val scored = nbScoreMatrix(spark, dir).filter(col("lang") === "en")
+        .select((col("true_lang") === "en").as("pos"), col("score6"))
+      val g = scored
+        .select(floor(col("score6").cast("double") / 1e4).cast("long").as("bin"),
+          when(col("pos"), 1L).otherwise(0L).as("ga"))
+        .groupBy(col("bin"))
+        .agg(sum(col("ga")).as("ca"), sum(lit(1L) - col("ga")).as("cb"))
+      val wRun = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val c = g
+        .withColumn("cp", sum(col("ca")).over(wRun))
+        .withColumn("cn", sum(col("cb")).over(wRun))
+        .withColumn("np", sum(col("ca")).over(wAll))
+        .withColumn("nn", sum(col("cb")).over(wAll))
+        .withColumn("d", abs(col("cp").cast(d380) * col("nn")
+          - col("cn").cast(d380) * col("np")))
+      val top = c
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("d").desc, col("bin").asc)))
+        .filter(col("rn") === 1)
+      top.select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        col("bin").as("ks_bin"),
+        expr("(d * CAST(1000000 AS DECIMAL(38,0)))" +
+          " div (CAST(np AS DECIMAL(38,0)) * nn)").as("ks_e6"))
+    },
+    oracle = Some(
+      s"""WITH $nbOracleCtes,
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+         |       FROM toks GROUP BY doc_id, token),
+         |s6 AS (SELECT tf.doc_id, SUM(tf.tf * w.w6) AS s6
+         |       FROM tf JOIN w USING (token) WHERE w.lang = 'en'
+         |       GROUP BY tf.doc_id),
+         |pr AS (SELECT DISTINCT prior6 FROM w WHERE lang = 'en'),
+         |sc AS (SELECT (d.lang = 'en') AS pos,
+         |    COALESCE(s6.s6, 0) + pr.prior6 AS score6
+         |  FROM documents d LEFT JOIN s6 USING (doc_id) CROSS JOIN pr),
+         |b AS (SELECT CAST(floor(CAST(score6 AS DOUBLE) / 10000.0) AS BIGINT)
+         |    AS bin, CASE WHEN pos THEN 1 ELSE 0 END AS ga
+         |  FROM sc),
+         |g AS (SELECT bin, SUM(ga) AS ca, SUM(1 - ga) AS cb FROM b GROUP BY 1),
+         |c AS (SELECT bin,
+         |    SUM(ca) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         |    SUM(cb) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         |    SUM(ca) OVER () AS np, SUM(cb) OVER () AS nn
+         |  FROM g),
+         |d AS (SELECT bin, np, nn,
+         |    abs(CAST(cp AS HUGEINT) * nn - CAST(cn AS HUGEINT) * np) AS d
+         |  FROM c),
+         |top AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (ORDER BY d DESC, bin ASC) AS rn
+         |  FROM d) WHERE rn = 1)
+         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         |  bin AS ks_bin,
+         |  CAST((d * 1000000) // (CAST(np AS HUGEINT) * nn) AS BIGINT)
+         |    AS ks_e6
+         |FROM top""".stripMargin))
+
+  /** Gini split gain of a candidate feature — the decision-tree /
+    * feature-selection scorer: how much does splitting orders by
+    * customer segment reduce Gini impurity of the high-priority label?
+    * Pure integers end to end: branch impurity g_j = (n_j² − pos_j² −
+    * neg_j²)/n_j² is emitted as its floored e6; the weighted child
+    * impurity is ⌊Σ n_j·g_j_e6 / n⌋ (sum-of-floors weighting, the
+    * declared statistic); gain_e6 = parent_e6 − weighted_e6. A noisy
+    * feature scores ≈ 0 — the readout that stops a pipeline from
+    * one-hot-exploding useless categoricals.
+    *
+    * Scale shape: one orders × customer join into a (segment, label)
+    * combine; the impurity algebra runs on the ≤ 2k-cell grid. */
+  private val splitGain = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val j = Tables.orders(spark, dir)
+        .select(col("o_custkey"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("y"))
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+          col("o_custkey") === col("c_custkey"))
+      val br = j.groupBy(col("seg"))
+        .agg(count(lit(1)).as("nj"), sum(col("y")).as("pj"))
+        .withColumn("gj_e6", expr(
+          "((CAST(nj AS DECIMAL(38,0)) * nj" +
+            " - CAST(pj AS DECIMAL(38,0)) * pj" +
+            " - CAST(nj - pj AS DECIMAL(38,0)) * (nj - pj))" +
+            " * CAST(1000000 AS DECIMAL(38,0)))" +
+            " div (CAST(nj AS DECIMAL(38,0)) * nj)"))
+      val s = br.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
+        sum(col("pj")).as("pos"),
+        sum(col("nj").cast(d380) * col("gj_e6")).as("wsum"))
+      s.select(col("n"), col("k"), col("pos"),
+          expr("((CAST(n AS DECIMAL(38,0)) * n" +
+            " - CAST(pos AS DECIMAL(38,0)) * pos" +
+            " - CAST(n - pos AS DECIMAL(38,0)) * (n - pos))" +
+            " * CAST(1000000 AS DECIMAL(38,0)))" +
+            " div (CAST(n AS DECIMAL(38,0)) * n)").as("parent_gini_e6"),
+          expr("wsum div CAST(n AS DECIMAL(38,0))").as("weighted_child_e6"))
+        .withColumn("gain_e6",
+          col("parent_gini_e6") - col("weighted_child_e6"))
+    },
+    oracle = Some(
+      """WITH j AS (SELECT c.c_mktsegment AS seg,
+        |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |br AS (SELECT seg, CAST(COUNT(*) AS HUGEINT) AS nj,
+        |    CAST(SUM(y) AS HUGEINT) AS pj
+        |  FROM j GROUP BY 1),
+        |bg AS (SELECT seg, nj, pj,
+        |    ((nj * nj - pj * pj - (nj - pj) * (nj - pj)) * 1000000)
+        |      // (nj * nj) AS gj_e6
+        |  FROM br),
+        |s AS (SELECT COUNT(*) AS k, CAST(SUM(nj) AS HUGEINT) AS n,
+        |    CAST(SUM(pj) AS HUGEINT) AS pos,
+        |    CAST(SUM(nj * gj_e6) AS HUGEINT) AS wsum
+        |  FROM bg)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CAST(pos AS BIGINT) AS pos,
+        |  CAST(((n * n - pos * pos - (n - pos) * (n - pos)) * 1000000)
+        |    // (n * n) AS BIGINT) AS parent_gini_e6,
+        |  CAST(wsum // n AS BIGINT) AS weighted_child_e6,
+        |  CAST(((n * n - pos * pos - (n - pos) * (n - pos)) * 1000000)
+        |    // (n * n) - wsum // n AS BIGINT) AS gain_e6
+        |FROM s""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_mcnemar" -> mcnemar,
+    "q_model_ks" -> modelKs,
+    "q_split_gain" -> splitGain,
     "q_nb_train" -> nbTrain,
     "q_nb_score" -> nbScore,
     "q_nb_calibration" -> nbCalibration,
