@@ -749,6 +749,74 @@ object AnalyticQueries {
     * 1-row projections; sqrt/divide run on identical doubles in both
     * engines (VARCHAR-cast roundtrip guards the past-2^53 sums, as
     * statsAgg's oracle documents). */
+  /** Partial correlation r(qty, price | discount): the qty-price
+    * association with the discount channel regressed out — the
+    * confounder-control readout that tells an analyst whether two
+    * metrics co-move on their own or only through a third (the classic
+    * spurious-correlation screen). r_xy.z = (r_xy − r_xz·r_yz) /
+    * (√(1−r_xz²)·√(1−r_yz²)), each r from the SAME exact DECIMAL(38,0)
+    * moment sums as q_corr_matrix (fixed-point units, one
+    * string-mediated double cast so both engines round the big decimal
+    * identically), and the composition uses only ±×÷√ — every step
+    * IEEE-correctly-rounded in identical order; 6dp floors on the four
+    * emitted statistics.
+    *
+    * Scale shape: ONE aggregation over the fact table (9 moment sums);
+    * everything after is a single-row projection. */
+  private val partialCorr = QueryDef(
+    fn = (spark, dir) => {
+      def u(c: String): Column = round(col(c) * lit(10000)).cast("long")
+      def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+      val vars = Seq("l_quantity" -> "x", "l_extendedprice" -> "y",
+        "l_discount" -> "z")
+      val sums = vars.map { case (c, a) => sum(d38(u(c))).as(s"s_$a") } ++
+        (for { i <- vars.indices; j <- i until vars.size } yield {
+          val (ci, ai) = vars(i); val (cj, aj) = vars(j)
+          sum(d38(u(ci) * u(cj))).as(s"s_${ai}$aj")
+        })
+      val agg = Tables.lineitem(spark, dir)
+        .agg(count(lit(1)).as("n"), sums: _*)
+      def dd(name: String): Column = col(name).cast("string").cast("double")
+      val n = col("n").cast("double")
+      def r(a: String, b: String): Column = {
+        val cov = n * dd(s"s_$a$b") - dd(s"s_$a") * dd(s"s_$b")
+        val va = n * dd(s"s_$a$a") - dd(s"s_$a") * dd(s"s_$a")
+        val vb = n * dd(s"s_$b$b") - dd(s"s_$b") * dd(s"s_$b")
+        cov / (sqrt(va) * sqrt(vb))
+      }
+      val (rxy, rxz, ryz) = (r("x", "y"), r("x", "z"), r("y", "z"))
+      agg.select(col("n"),
+        r6(rxy).as("r_xy"), r6(rxz).as("r_xz"), r6(ryz).as("r_yz"),
+        r6((rxy - rxz * ryz)
+          / (sqrt(lit(1.0) - rxz * rxz) * sqrt(lit(1.0) - ryz * ryz)))
+          .as("r_xy_given_z"))
+    },
+    oracle = Some {
+      def u(c: String) = s"CAST(round($c * 10000) AS BIGINT)"
+      val vars = Seq("l_quantity" -> "x", "l_extendedprice" -> "y",
+        "l_discount" -> "z")
+      val sums = (vars.map { case (c, a) =>
+        s"CAST(CAST(SUM(${u(c)}) AS VARCHAR) AS DOUBLE) AS s_$a" } ++
+        (for { i <- vars.indices; j <- i until vars.size } yield {
+          val (ci, ai) = vars(i); val (cj, aj) = vars(j)
+          s"CAST(CAST(SUM(${u(ci)} * ${u(cj)}) AS VARCHAR) AS DOUBLE) AS s_$ai$aj"
+        })).mkString(",\n    ")
+      def rr(a: String, b: String) =
+        s"((n * s_$a$b - s_$a * s_$b) / (sqrt(n * s_$a$a - s_$a * s_$a) * sqrt(n * s_$b$b - s_$b * s_$b)))"
+      s"""WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    $sums
+         |  FROM lineitem)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  floor(${rr("x", "y")} * 1000000.0 + 0.5) / 1000000.0 AS r_xy,
+         |  floor(${rr("x", "z")} * 1000000.0 + 0.5) / 1000000.0 AS r_xz,
+         |  floor(${rr("y", "z")} * 1000000.0 + 0.5) / 1000000.0 AS r_yz,
+         |  floor((${rr("x", "y")} - ${rr("x", "z")} * ${rr("y", "z")})
+         |    / (sqrt(1.0 - ${rr("x", "z")} * ${rr("x", "z")})
+         |       * sqrt(1.0 - ${rr("y", "z")} * ${rr("y", "z")}))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS r_xy_given_z
+         |FROM m""".stripMargin
+    })
+
   private val corrMatrix = QueryDef(
     fn = (spark, dir) => {
       val vars = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
@@ -1172,6 +1240,7 @@ object AnalyticQueries {
     "q_autocorr_lag1" -> autocorrLag1,
     "q_bootstrap_ci" -> bootstrapCi,
     "q_corr_matrix" -> corrMatrix,
+    "q_partial_corr" -> partialCorr,
     "q_stats_agg" -> statsAgg,
     "q_outlier_zscore" -> outlierZscore,
     "q_minmax_by" -> minmaxBy,
