@@ -304,9 +304,51 @@ object SamplingQueries {
          |GROUP BY fold ORDER BY fold""".stripMargin
     })
 
+  /** Kish design effect of re-weighting the corpus to a UNIFORM source
+    * mix — the "how much sample did the weighting cost" readout read
+    * next to q_mix_rebalance: with per-source weight w_s = n/(k·n_s)
+    * (uniform target), effective sample size n_eff = (Σw)²/Σw²
+    * collapses to the harmonic form k²/Σ(1/n_s) — a balanced corpus
+    * gives n_eff = n; skew drives it down. The reciprocals are the
+    * DECLARED 9dp integer statistics inv9_s = ⌊10⁹/n_s⌋ (pure integral
+    * division, exact at any scale — no product of counts ever forms, so
+    * nothing overflows regardless of k or corpus size); n_eff_e6 =
+    * ⌊k²·10¹⁵/Σinv9⌋ and efficiency_e6 = n_eff/n by the same integral
+    * division.
+    *
+    * Scale shape: one groupBy(source) count; the harmonic algebra runs
+    * on the k-row source domain. */
+  private val designEffect = QueryDef(
+    fn = (spark, dir) => {
+      val m = Tables.documents(spark, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val s = m.agg(count(lit(1)).as("k"), sum(col("ns")).as("n"),
+        sum(expr("CAST(1000000000 AS BIGINT) div ns")).as("sinv9"))
+      s.select(col("k"), col("n"),
+        expr("CAST((CAST(k AS DECIMAL(38,0)) * k" +
+          " * CAST(1000000000000000 AS DECIMAL(38,0))) div sinv9" +
+          " AS BIGINT)").as("n_eff_e6"),
+        expr("CAST((CAST(k AS DECIMAL(38,0)) * k" +
+          " * CAST(1000000000000000 AS DECIMAL(38,0)))" +
+          " div (CAST(sinv9 AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("efficiency_e6"))
+    },
+    oracle = Some(
+      """WITH m AS (SELECT source, COUNT(*) AS ns
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS k, CAST(SUM(ns) AS BIGINT) AS n,
+        |    CAST(SUM(1000000000 // ns) AS HUGEINT) AS sinv9 FROM m)
+        |SELECT CAST(k AS BIGINT) AS k, n,
+        |  CAST((CAST(k AS HUGEINT) * k * 1000000000000000) // sinv9
+        |    AS BIGINT) AS n_eff_e6,
+        |  CAST((CAST(k AS HUGEINT) * k * 1000000000000000)
+        |    // (sinv9 * n) AS BIGINT) AS efficiency_e6
+        |FROM s""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_neyman_allocation" -> neymanAllocation,
     "q_token_budget_fill" -> tokenBudgetFill,
     "q_group_kfold" -> groupKfold,
+    "q_design_effect" -> designEffect,
     "q_readability" -> readability)
 }

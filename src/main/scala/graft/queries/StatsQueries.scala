@@ -54,6 +54,46 @@ object StatsQueries {
     * accumulator). The z/t compositions run on doubles cast from those
     * exact integers in the same order on both engines.
     */
+  /** Sample-ratio mismatch check on q_ab_test's assignment — the
+    * plumbing gate an experimentation platform runs BEFORE reading any
+    * metric: does the observed 50/50 hash split actually hold? With
+    * expected halves, the 1-df goodness-of-fit χ² collapses to
+    * (n_a − n_b)²/n, and the SRM convention's α = 0.001 decision is the
+    * pure-integer comparison (n_a − n_b)²·1000 > 10828·n. A true SRM
+    * means the assignment (not the treatment) is broken — every metric
+    * downstream is invalid, which is why this ships as its own query.
+    */
+  private val abSrm = QueryDef(
+    fn = (spark, dir) => {
+      val g = Tables.events(spark, dir)
+        .select(col("user_id")).distinct()
+        .withColumn("variant", TextAnalysis.hashBucket(col("user_id"), 2))
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      g.select(col("n_a"), col("n_b"),
+        expr("((n_a - n_b) * (n_a - n_b) * CAST(1000000 AS BIGINT))" +
+          " div (n_a + n_b)").as("chi2_e6"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * lit(1000L)
+          > lit(10828L) * (col("n_a") + col("n_b"))).as("srm"))
+    },
+    oracle = Some {
+      val bucket =
+        s"${ExtensionQueries.dHash32("CAST(user_id AS VARCHAR)")} % 2"
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |v AS (SELECT $bucket AS variant FROM u),
+         |g AS (SELECT
+         |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b
+         |  FROM v)
+         |SELECT n_a, n_b,
+         |  CAST(((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)
+         |    AS BIGINT) AS chi2_e6,
+         |  (n_a - n_b) * (n_a - n_b) * 1000 > 10828 * (n_a + n_b) AS srm
+         |FROM g""".stripMargin
+    })
+
   private val abTest = QueryDef(
     fn = (spark, dir) => {
       val vq = floor(col("value") * 1e6 + 0.5).cast("long")
@@ -1645,6 +1685,7 @@ object StatsQueries {
     "q_forecast_eval" -> forecastEval,
     "q_power_analysis" -> powerAnalysis,
     "q_ab_test" -> abTest,
+    "q_ab_srm" -> abSrm,
     "q_cusum_changepoint" -> cusumChangepoint,
     "q_survival_km" -> survivalKm,
     "q_key_skew" -> keySkew,
