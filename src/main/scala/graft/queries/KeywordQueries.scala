@@ -106,6 +106,65 @@ object KeywordQueries {
          |FROM ps ORDER BY score_e6 DESC, phrase ASC LIMIT 20""".stripMargin
     })
 
+  /** Trending terms between the corpus's arrival-order halves (ascending
+    * doc_id as arrival order — the q_ngram_novelty convention): which
+    * tokens' usage RATE rose most from the first half to the second?
+    * The crawl-monitoring readout that surfaces topic drift before it
+    * skews a training mix. Rate ratio with +1 smoothing on the early
+    * count, emitted exactly: ratio_e6 = ⌊c₂·n₁·10⁶ / ((c₁+1)·n₂)⌋
+    * (cross-multiplied — no rate is ever divided out); minimum late
+    * support c₂ ≥ 5 keeps one-off tokens out; top-20 by (ratio desc,
+    * token asc) via TakeOrdered.
+    *
+    * Scale shape: the half assignment is a rank cut (corpus-row window
+    * at test scale; a production crawl carries an ingest timestamp and
+    * splits by time — documented trade); token stats are ONE
+    * partial-aggregatable groupBy(token) with conditional sums. */
+  private val trendingTerms = QueryDef(
+    fn = (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("doc_id"), col("text"),
+          (col("rk") * 2 <= col("n")).as("early"))
+      val tok = docs.select(col("early"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val g = tok.groupBy(col("token")).agg(
+        sum(when(col("early"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("c2"))
+      val tot = g.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      g.crossJoin(broadcast(tot))
+        .filter(col("c2") >= 5)
+        .select(col("token"), col("c1"), col("c2"),
+          expr("(c2 * CAST(n1 AS DECIMAL(38,0))" +
+            " * CAST(1000000 AS DECIMAL(38,0)))" +
+            " div ((c1 + 1) * CAST(n2 AS DECIMAL(38,0)))").as("ratio_e6"))
+        .orderBy(col("ratio_e6").desc, col("token").asc)
+        .limit(20)
+    },
+    oracle = Some(
+      s"""WITH d AS (SELECT doc_id, text,
+         |    row_number() OVER (ORDER BY doc_id) * 2
+         |      <= COUNT(*) OVER () AS early
+         |  FROM documents),
+         |tok AS (SELECT early, unnest(${ExtensionQueries.dToks("text")})
+         |    AS token FROM d),
+         |g AS (SELECT token,
+         |    CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |  FROM tok GROUP BY 1),
+         |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         |    CAST(SUM(c2) AS BIGINT) AS n2 FROM g)
+         |SELECT token, c1, c2,
+         |  CAST((CAST(c2 AS HUGEINT) * n1 * 1000000)
+         |    // ((c1 + 1) * CAST(n2 AS HUGEINT)) AS BIGINT) AS ratio_e6
+         |FROM g CROSS JOIN t WHERE c2 >= 5
+         |ORDER BY ratio_e6 DESC, token ASC LIMIT 20""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
-    "q_rake_keywords" -> rakeKeywords)
+    "q_rake_keywords" -> rakeKeywords,
+    "q_trending_terms" -> trendingTerms)
 }

@@ -54,6 +54,77 @@ object StatsQueries {
     * accumulator). The z/t compositions run on doubles cast from those
     * exact integers in the same order on both engines.
     */
+  /** Offline changepoint by one binary-segmentation step (the top-down
+    * complement to q_cusum_changepoint's sequential detector): the split
+    * day t* maximizing the between-segment sum-of-squares gain
+    * n_l·n_r/n·(m_l − m_r)² of daily revenue. The gain is evaluated per
+    * candidate t as the DECLARED integer statistic
+    * gain(t) = ⌊(S_l·n_r − S_r·n_l)² / (n_l·n_r·n)⌋ in KILOdollar²
+    * units (cents div 10⁵ — finer units square past int64 on this
+    * series), computed for every t from ONE pair of running sums over
+    * the day grid; argmax ties break to the earliest day. Means are
+    * emitted as kilodollars·10⁶.
+    *
+    * Scale shape: one partial-aggregatable groupBy(day); running sums
+    * and the argmax on the bounded calendar grid. */
+  private val changepointBinseg = QueryDef(
+    fn = (spark, dir) => {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))" +
+          " div 100000").as("kd"))
+      val wRun = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val c = daily
+        .withColumn("i", row_number().over(Window.orderBy(col("day"))))
+        .withColumn("sl", sum(col("kd")).over(wRun))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("st", sum(col("kd")).over(wAll))
+        .filter(col("i") < col("n")) // both segments non-empty
+        .withColumn("gain", expr(
+          "((CAST(sl AS DECIMAL(38,0)) * (n - i)" +
+            " - CAST(st - sl AS DECIMAL(38,0)) * i)" +
+            " * (CAST(sl AS DECIMAL(38,0)) * (n - i)" +
+            " - CAST(st - sl AS DECIMAL(38,0)) * i))" +
+            " div (CAST(i AS DECIMAL(38,0)) * (n - i) * n)"))
+      c.withColumn("rn", row_number().over(
+          Window.orderBy(col("gain").desc, col("day").asc)))
+        .filter(col("rn") === 1)
+        .select(col("day").as("split_day"), col("i").as("n_left"),
+          (col("n") - col("i")).cast("int").as("n_right"),
+          expr("(sl * CAST(1000000 AS BIGINT)) div i").as("mean_left_e6"),
+          expr("((st - sl) * CAST(1000000 AS BIGINT)) div (n - i)")
+            .as("mean_right_e6"),
+          col("gain").cast("long").as("gain"))
+    },
+    oracle = Some(
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      // 100000 AS BIGINT) AS kd
+        |  FROM orders GROUP BY 1),
+        |c0 AS (SELECT day, kd,
+        |    row_number() OVER (ORDER BY day) AS i,
+        |    SUM(kd) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+        |    COUNT(*) OVER () AS n, SUM(kd) OVER () AS st
+        |  FROM daily),
+        |c AS (SELECT *,
+        |    ((CAST(sl AS HUGEINT) * (n - i) - CAST(st - sl AS HUGEINT) * i)
+        |     * (CAST(sl AS HUGEINT) * (n - i) - CAST(st - sl AS HUGEINT) * i))
+        |    // (CAST(i AS HUGEINT) * (n - i) * n) AS gain
+        |  FROM c0 WHERE i < n),
+        |top AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (ORDER BY gain DESC, day ASC) AS rn
+        |  FROM c) WHERE rn = 1)
+        |SELECT day AS split_day, CAST(i AS INTEGER) AS n_left,
+        |  CAST(n - i AS INTEGER) AS n_right,
+        |  CAST((sl * 1000000) // i AS BIGINT) AS mean_left_e6,
+        |  CAST(((st - sl) * 1000000) // (n - i) AS BIGINT) AS mean_right_e6,
+        |  CAST(gain AS BIGINT) AS gain
+        |FROM top""".stripMargin))
+
   /** Sample-ratio mismatch check on q_ab_test's assignment — the
     * plumbing gate an experimentation platform runs BEFORE reading any
     * metric: does the observed 50/50 hash split actually hold? With
@@ -1686,6 +1757,7 @@ object StatsQueries {
     "q_power_analysis" -> powerAnalysis,
     "q_ab_test" -> abTest,
     "q_ab_srm" -> abSrm,
+    "q_changepoint_binseg" -> changepointBinseg,
     "q_cusum_changepoint" -> cusumChangepoint,
     "q_survival_km" -> survivalKm,
     "q_key_skew" -> keySkew,
