@@ -345,10 +345,62 @@ object SamplingQueries {
         |    // (sinv9 * n) AS BIGINT) AS efficiency_e6
         |FROM s""".stripMargin))
 
+  /** Capture-recapture estimate of corpus size (Lincoln-Petersen and the
+    * bias-corrected Chapman form): two INDEPENDENT deterministic 30%
+    * samples — drawn from the two md5 words of the doc key, so
+    * membership in one sample carries no information about the other —
+    * overlap in m docs; N̂ = n₁n₂/m estimates the universe the samples
+    * were drawn from. The data-ops use: estimate how much of a corpus
+    * two partial crawls actually cover before paying for a full dedup
+    * pass. Because the fixture knows ground truth, the error is emitted
+    * too (err_e6 vs the true count) — the estimator audits itself.
+    * All integral divisions of exact counts.
+    *
+    * Scale shape: one scan computing two hash-bucket flags; a single
+    * 4-sum aggregation. */
+  private val captureRecapture = QueryDef(
+    fn = (spark, dir) => {
+      val key = col("doc_id").cast("string")
+      val inA = pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"),
+        lit(10L)) < 3
+      val inB = pmod(conv(substring(md5(key), 9, 8), 16, 10).cast("long"),
+        lit(10L)) < 3
+      val s = Tables.documents(spark, dir).agg(
+        count(lit(1)).as("n_true"),
+        sum(when(inA, 1L).otherwise(0L)).as("n1"),
+        sum(when(inB, 1L).otherwise(0L)).as("n2"),
+        sum(when(inA && inB, 1L).otherwise(0L)).as("m"))
+      s.select(col("n_true"), col("n1"), col("n2"), col("m"),
+        expr("(n1 * n2) div m").as("lp_est"),
+        expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("chapman_est"),
+        expr("(abs(((n1 + 1) * (n2 + 1)) div (m + 1) - 1 - n_true)" +
+          " * CAST(1000000 AS BIGINT)) div n_true").as("err_e6"))
+    },
+    oracle = Some {
+      def h(start: Int) =
+        ExtensionQueries.dHash32At("CAST(doc_id AS VARCHAR)", start)
+      s"""WITH s AS (SELECT COUNT(*) AS n_true,
+         |    CAST(SUM(CASE WHEN ${h(1)} % 10 < 3 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN ${h(9)} % 10 < 3 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN ${h(1)} % 10 < 3 AND ${h(9)} % 10 < 3
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS m
+         |  FROM documents)
+         |SELECT n_true, n1, n2, m,
+         |  CAST((n1 * n2) // m AS BIGINT) AS lp_est,
+         |  CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT)
+         |    AS chapman_est,
+         |  CAST((abs(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 - n_true)
+         |    * 1000000) // n_true AS BIGINT) AS err_e6
+         |FROM s""".stripMargin
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_neyman_allocation" -> neymanAllocation,
     "q_token_budget_fill" -> tokenBudgetFill,
     "q_group_kfold" -> groupKfold,
     "q_design_effect" -> designEffect,
+    "q_capture_recapture" -> captureRecapture,
     "q_readability" -> readability)
 }
