@@ -164,7 +164,87 @@ object KeywordQueries {
          |FROM g CROSS JOIN t WHERE c2 >= 5
          |ORDER BY ratio_e6 DESC, token ASC LIMIT 20""".stripMargin))
 
+  /** Pairwise vocabulary Jaccard between sources — which corpus shards
+    * speak the same language? (High overlap argues for merged dedup and
+    * shared tokenizer budgets; low overlap means a shard contributes
+    * genuinely new vocabulary.) ONE pass computes every pair: each
+    * distinct (source, token) collapses per token into a SOURCE BITMASK
+    * (bit_or of 1 << source-rank — sources are a bounded domain by
+    * design), the ≤ 2^k−1 mask histogram is domain-sized, and all k²/2
+    * pairwise intersections/unions read off the mask counts — the
+    * corpus is never rescanned per pair. jaccard_e6 exact integral
+    * division.
+    *
+    * Scale shape: distinct (source, token) combine, a token-keyed
+    * bit_or, then everything on the mask/pair domain. */
+  private val vocabOverlap = QueryDef(
+    fn = (spark, dir) => {
+      val srcIdx = Tables.documents(spark, dir)
+        .select(col("source")).distinct()
+        .withColumn("idx", (row_number().over(
+          Window.orderBy(col("source"))) - 1).cast("int"))
+      val masks = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text")))
+          .as("token"))
+        .distinct()
+        .join(broadcast(srcIdx), "source")
+        .groupBy(col("token"))
+        .agg(expr("bit_or(CAST(1 AS BIGINT) << idx)").as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("c"))
+      val pairs = srcIdx.select(col("source").as("src_a"), col("idx").as("ia"))
+        .join(srcIdx.select(col("source").as("src_b"), col("idx").as("ib")),
+          col("src_a") < col("src_b"))
+      pairs.join(masks,
+          expr("((mask >> ia) & 1) = 1 OR ((mask >> ib) & 1) = 1"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(
+          sum(when(expr("((mask >> ia) & 1) = 1 AND ((mask >> ib) & 1) = 1"),
+            col("c")).otherwise(0L)).as("n_both"),
+          sum(when(expr("((mask >> ia) & 1) = 1"), col("c")).otherwise(0L))
+            .as("v_a"),
+          sum(when(expr("((mask >> ib) & 1) = 1"), col("c")).otherwise(0L))
+            .as("v_b"))
+        .select(col("src_a"), col("src_b"), col("v_a"), col("v_b"),
+          col("n_both"),
+          expr("(n_both * CAST(1000000 AS BIGINT))" +
+            " div (v_a + v_b - n_both)").as("jaccard_e6"))
+        .orderBy("src_a", "src_b")
+    },
+    oracle = Some(
+      s"""WITH si AS (SELECT source,
+         |    CAST(row_number() OVER (ORDER BY source) - 1 AS INTEGER)
+         |      AS idx
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |st AS (SELECT DISTINCT source, unnest(${ExtensionQueries.dToks("text")})
+         |    AS token FROM documents),
+         |mk AS (SELECT token,
+         |    bit_or(CAST(1 AS BIGINT) << idx) AS mask
+         |  FROM st JOIN si USING (source) GROUP BY token),
+         |mc AS (SELECT mask, COUNT(*) AS c FROM mk GROUP BY 1),
+         |p AS (SELECT a.source AS src_a, a.idx AS ia,
+         |    b.source AS src_b, b.idx AS ib
+         |  FROM si a JOIN si b ON a.source < b.source)
+         |SELECT src_a, src_b,
+         |  CAST(SUM(CASE WHEN ((mask >> ia) & 1) = 1 THEN c ELSE 0 END)
+         |    AS BIGINT) AS v_a,
+         |  CAST(SUM(CASE WHEN ((mask >> ib) & 1) = 1 THEN c ELSE 0 END)
+         |    AS BIGINT) AS v_b,
+         |  CAST(SUM(CASE WHEN ((mask >> ia) & 1) = 1
+         |    AND ((mask >> ib) & 1) = 1 THEN c ELSE 0 END) AS BIGINT)
+         |    AS n_both,
+         |  CAST((SUM(CASE WHEN ((mask >> ia) & 1) = 1
+         |      AND ((mask >> ib) & 1) = 1 THEN c ELSE 0 END) * 1000000)
+         |    // (SUM(CASE WHEN ((mask >> ia) & 1) = 1 THEN c ELSE 0 END)
+         |      + SUM(CASE WHEN ((mask >> ib) & 1) = 1 THEN c ELSE 0 END)
+         |      - SUM(CASE WHEN ((mask >> ia) & 1) = 1
+         |        AND ((mask >> ib) & 1) = 1 THEN c ELSE 0 END))
+         |    AS BIGINT) AS jaccard_e6
+         |FROM p JOIN mc ON ((mask >> ia) & 1) = 1 OR ((mask >> ib) & 1) = 1
+         |GROUP BY src_a, src_b
+         |ORDER BY src_a, src_b""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_rake_keywords" -> rakeKeywords,
-    "q_trending_terms" -> trendingTerms)
+    "q_trending_terms" -> trendingTerms,
+    "q_vocab_overlap" -> vocabOverlap)
 }

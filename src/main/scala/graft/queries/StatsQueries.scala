@@ -1248,6 +1248,87 @@ object StatsQueries {
     * DuckDB `isodow − 1` — identical integers). The index is a ratio of
     * two exact-decimal means composed identically and 6dp floored.
     */
+  /** Seasonal strength: what fraction of daily-revenue variance does the
+    * day-of-week explain (eta-squared — the q_anova decomposition pointed
+    * at the calendar)? The one-number answer to "should this series be
+    * deseasonalized before q_changepoint_binseg / q_ewma_anomaly read
+    * it". Arithmetic is q_anova's proven engine-portable pattern: exact
+    * integer/DECIMAL moments per day-of-week group, identically-composed
+    * double divisions, 9dp-floored group terms summed in DECIMAL, 6dp
+    * final ratios — no transcendental, no engine-sensitive step. (A pure
+    * cross-multiplied integer form was tried first and could not fit:
+    * eta-squared's cleared-denominator products exceed DECIMAL(38,0) on
+    * cent-scale revenue — the declared-double pattern IS the
+    * engine-portable form here.) The grouping key only partitions, so
+    * Spark's Monday-0 weekday and any other day-of-week convention give
+    * identical results.
+    *
+    * Scale shape: one groupBy(day) over orders, a 7-row rollup, scalar
+    * algebra on the group domain. */
+  private val seasonalStrength = QueryDef(
+    fn = (spark, dir) => {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+        .withColumn("dow", weekday(col("day")))
+      val g = daily.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_i"), sum(col("cents")).as("sv_i"),
+          sum(col("cents").cast(d380) * col("cents")).as("sq_i"))
+      val tot = g.agg(count(lit(1)).as("k"), sum(col("n_i")).as("n"),
+        sum(col("sv_i")).as("sv"))
+      val mi = col("sv_i").cast("double") / col("n_i").cast("double")
+      val m = col("sv").cast("double") / col("n").cast("double")
+      val terms = g.crossJoin(broadcast(tot))
+        .select(col("k"), col("n"),
+          f9(col("n_i").cast("double") * (mi - m) * (mi - m) / 1e12).as("bt"),
+          f9((col("sq_i").cast("double")
+            - col("sv_i").cast("double") * col("sv_i").cast("double")
+              / col("n_i").cast("double")) / 1e12).as("wt"))
+      val s = terms.agg(max(col("k")).as("k"), max(col("n")).as("n"),
+        sum(col("bt")).as("ssb"), sum(col("wt")).as("ssw"))
+      val ssb = col("ssb").cast("double")
+      val ssw = col("ssw").cast("double")
+      s.select(col("k"), col("n"),
+        r6(ssb / (ssb + ssw)).as("eta2"),
+        r6((ssb / (col("k") - 1).cast("double"))
+          / (ssw / (col("n") - col("k")).cast("double"))).as("f_stat"))
+    },
+    oracle = Some(
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT dayofweek(day) AS dow, cents FROM daily),
+        |g AS (SELECT dow, COUNT(*) AS n_i,
+        |    CAST(SUM(cents) AS BIGINT) AS sv_i,
+        |    CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sq_i
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS k, CAST(SUM(n_i) AS BIGINT) AS n,
+        |    CAST(SUM(sv_i) AS BIGINT) AS sv FROM g),
+        |t AS (SELECT k, n,
+        |    CAST(floor(CAST(n_i AS DOUBLE)
+        |      * (CAST(sv_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+        |         - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sv_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+        |         - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000000000.0
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS bt,
+        |    CAST(floor((CAST(sq_i AS DOUBLE)
+        |      - CAST(sv_i AS DOUBLE) * CAST(sv_i AS DOUBLE)
+        |        / CAST(n_i AS DOUBLE)) / 1000000000000.0
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS wt
+        |  FROM g CROSS JOIN tot),
+        |s AS (SELECT MAX(k) AS k, MAX(n) AS n,
+        |    CAST(SUM(bt) AS DECIMAL(38,9)) AS ssb,
+        |    CAST(SUM(wt) AS DECIMAL(38,9)) AS ssw FROM t)
+        |SELECT CAST(k AS BIGINT) AS k, n,
+        |  floor(CAST(ssb AS DOUBLE) / (CAST(ssb AS DOUBLE)
+        |    + CAST(ssw AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS eta2,
+        |  floor((CAST(ssb AS DOUBLE) / (k - 1))
+        |    / (CAST(ssw AS DOUBLE) / (n - k)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS f_stat
+        |FROM s""".stripMargin))
+
   private val seasonalityDow = QueryDef(
     fn = (spark, dir) => {
       val daily = Tables.events(spark, dir)
@@ -1752,6 +1833,7 @@ object StatsQueries {
     "q_emb_pca_project" -> pcaProject,
     "q_new_vs_returning" -> newVsReturning,
     "q_seasonality_dow" -> seasonalityDow,
+    "q_seasonal_strength" -> seasonalStrength,
     "q_rolling_corr" -> rollingCorr,
     "q_forecast_eval" -> forecastEval,
     "q_power_analysis" -> powerAnalysis,
