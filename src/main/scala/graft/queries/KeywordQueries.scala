@@ -243,8 +243,71 @@ object KeywordQueries {
          |GROUP BY src_a, src_b
          |ORDER BY src_a, src_b""".stripMargin))
 
+  /** Vocabulary-growth curve (Heaps' law readout) over arrival order:
+    * at each decile of the corpus (ascending doc_id — the
+    * q_ngram_novelty arrival convention), the cumulative token volume
+    * and the cumulative DISTINCT vocabulary. The curve a tokenizer
+    * budgeter reads: if vocabulary still grows steeply at 100%, the
+    * corpus has not saturated and a frozen vocab will orphan the tail.
+    * One pass: each token type collapses to its FIRST arrival decile
+    * (min doc rank), token volume to a per-decile count; the cumulative
+    * curve is a running sum over the 10-row decile grid. No per-prefix
+    * rescan — the first-arrival attribution IS the prefix-distinct
+    * count.
+    *
+    * Scale shape: one corpus-token groupBy(token) min + one decile
+    * rollup; windows on the 10-row grid. The decile cut is rank
+    * arithmetic (⌈rk·10/n⌉, the q_gains_table discipline). */
+  private val vocabGrowth = QueryDef(
+    fn = (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("rk", row_number().over(Window.orderBy(col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("text"), expr("(rk * 10 + n - 1) div n").as("decile"))
+      val tok = docs.select(col("decile"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val vol = tok.groupBy(col("decile")).agg(count(lit(1)).as("n_tokens"))
+      val firsts = tok.groupBy(col("token"))
+        .agg(min(col("decile")).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_new_types"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vol.join(firsts, Seq("decile"), "left")
+        .select(col("decile"), col("n_tokens"),
+          coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+        .withColumn("cum_vocab", sum(col("n_new_types")).over(wCum))
+        .orderBy("decile")
+    },
+    oracle = Some(
+      s"""WITH d AS (SELECT text,
+         |    (row_number() OVER (ORDER BY doc_id) * 10
+         |     + COUNT(*) OVER () - 1) // COUNT(*) OVER () AS decile
+         |  FROM documents),
+         |tok AS (SELECT decile, unnest(${ExtensionQueries.dToks("text")})
+         |    AS token FROM d),
+         |vol AS (SELECT decile, COUNT(*) AS n_tokens FROM tok GROUP BY 1),
+         |fs AS (SELECT decile, COUNT(*) AS n_new_types FROM (
+         |    SELECT token, MIN(decile) AS decile FROM tok GROUP BY 1)
+         |  GROUP BY 1),
+         |j AS (SELECT vol.decile, n_tokens,
+         |    COALESCE(n_new_types, 0) AS n_new_types
+         |  FROM vol LEFT JOIN fs USING (decile))
+         |SELECT CAST(decile AS BIGINT) AS decile, n_tokens,
+         |  CAST(n_new_types AS BIGINT) AS n_new_types,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens,
+         |  CAST(SUM(n_new_types) OVER (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_vocab
+         |FROM j ORDER BY decile""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_rake_keywords" -> rakeKeywords,
     "q_trending_terms" -> trendingTerms,
+    "q_vocab_growth" -> vocabGrowth,
     "q_vocab_overlap" -> vocabOverlap)
 }

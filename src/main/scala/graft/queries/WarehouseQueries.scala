@@ -2153,6 +2153,71 @@ object WarehouseQueries {
         |    AS ltv_per_member_e6
         |FROM c ORDER BY cohort, age""".stripMargin))
 
+  /** Laspeyres and Paasche price indices between the data's first and
+    * last full years (1995 base, 2000 current): how much did the traded
+    * part basket's price level move, weighted by base-period quantities
+    * (Laspeyres — answers "what would the old basket cost now") vs
+    * current-period quantities (Paasche)? Unit prices per (part, year)
+    * are the DECLARED e6 integers ⌊Σ extendedprice·10⁶ / Σ qty⌋ (exact
+    * cents-scale sums; the per-part division is the statistic, both
+    * engines replay it), the index sums run over parts traded in BOTH
+    * periods (the matched basket — the convention that keeps the index
+    * a price measure, not a mix shift), and each index is one final
+    * cross-multiplied division: ⌊Σ p₁q_w·10⁶ / Σ p₀q_w⌋.
+    *
+    * Scale shape: one (part, year) combine over the filtered fact scan
+    * (partition-prunable at a date-partitioned 100 TB layout), an
+    * inner self-join on the part domain, a single-row rollup. */
+  private val priceIndex = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = DecimalType(38, 0)
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_partkey").as("pk"), year(col("l_shipdate")).as("yr"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+        .filter(col("yr").isin(1995, 2000))
+      val py = li.groupBy(col("pk"), col("yr"))
+        .agg(sum(col("cents")).as("sc"), sum(col("qty")).as("sq"))
+        .withColumn("up_e6",
+          expr("(sc * CAST(1000000 AS BIGINT)) div sq"))
+      val base = py.filter(col("yr") === 1995)
+        .select(col("pk"), col("up_e6").as("p0"), col("sq").as("q0"))
+      val cur = py.filter(col("yr") === 2000)
+        .select(col("pk"), col("up_e6").as("p1"), col("sq").as("q1"))
+      base.join(cur, "pk")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("p1").cast(d380) * col("q0")).as("l_num"),
+          sum(col("p0").cast(d380) * col("q0")).as("l_den"),
+          sum(col("p1").cast(d380) * col("q1")).as("p_num"),
+          sum(col("p0").cast(d380) * col("q1")).as("p_den"))
+        .select(col("n_parts"),
+          expr("CAST((l_num * CAST(1000000 AS DECIMAL(38,0))) div l_den" +
+            " AS BIGINT)").as("laspeyres_e6"),
+          expr("CAST((p_num * CAST(1000000 AS DECIMAL(38,0))) div p_den" +
+            " AS BIGINT)").as("paasche_e6"))
+    },
+    oracle = Some(
+      """WITH li AS (SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 2000)),
+        |py AS (SELECT pk, yr, CAST(SUM(cents) AS BIGINT) AS sc,
+        |    CAST(SUM(qty) AS BIGINT) AS sq
+        |  FROM li GROUP BY 1, 2),
+        |up AS (SELECT pk, yr, (sc * 1000000) // sq AS up_e6, sq FROM py),
+        |b AS (SELECT pk, up_e6 AS p0, sq AS q0 FROM up WHERE yr = 1995),
+        |c AS (SELECT pk, up_e6 AS p1, sq AS q1 FROM up WHERE yr = 2000),
+        |s AS (SELECT COUNT(*) AS n_parts,
+        |    CAST(SUM(CAST(p1 AS HUGEINT) * q0) AS HUGEINT) AS l_num,
+        |    CAST(SUM(CAST(p0 AS HUGEINT) * q0) AS HUGEINT) AS l_den,
+        |    CAST(SUM(CAST(p1 AS HUGEINT) * q1) AS HUGEINT) AS p_num,
+        |    CAST(SUM(CAST(p0 AS HUGEINT) * q1) AS HUGEINT) AS p_den
+        |  FROM b JOIN c USING (pk))
+        |SELECT n_parts,
+        |  CAST((l_num * 1000000) // l_den AS BIGINT) AS laspeyres_e6,
+        |  CAST((p_num * 1000000) // p_den AS BIGINT) AS paasche_e6
+        |FROM s""".stripMargin))
+
   /** Burstiness of daily event arrivals per event type: the index of
     * dispersion D = Var/mean of the per-day counts (Fano factor) — D ≈ 1
     * is Poisson-like traffic, D ≫ 1 is bursty (bot storms, batch
@@ -2209,6 +2274,7 @@ object WarehouseQueries {
     "q_funnel_lag" -> funnelLag,
     "q_cohort_retention" -> cohortRetention,
     "q_cohort_ltv" -> cohortLtv,
+    "q_price_index" -> priceIndex,
     "q_burstiness" -> burstiness,
     "q_regr_ols" -> regrOls,
     "q_cdc_diff" -> cdcDiff,
