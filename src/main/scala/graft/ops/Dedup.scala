@@ -368,11 +368,20 @@ object Dedup {
     // half the row volume of the symmetric edge list, and no edge-sized
     // distinct (the single largest shuffle of a components run on a dense
     // pair graph). The general path symmetrizes + distincts first.
-    val oriented =
+    // `orientedAll` keeps self-pairs (a,a): the seed below draws its NODE
+    // set from it, so a node appearing ONLY as a self-pair still gets
+    // comp = id in the output (round-12 ADVICE — the pa =!= pb filter
+    // alone silently dropped such nodes). Edges for contraction still
+    // come from the self-free, deduped `oriented`.
+    val orientedAll =
       if (uniquePairs) pairs.select(col(aCol).as("pa"), col(bCol).as("pb"))
       else pairs
         .select(least(col(aCol), col(bCol)).as("pa"),
           greatest(col(aCol), col(bCol)).as("pb"))
+        .localCheckpoint(false) // feeds seed node set + the edge dedup
+    val oriented =
+      if (uniquePairs) orientedAll
+      else orientedAll
         .filter(col("pa") =!= col("pb"))
         .distinct()
         .localCheckpoint(false) // feeds seed + both contraction joins
@@ -392,7 +401,7 @@ object Dedup {
     // smaller neighbor, hence root(m) = m — the min over roots IS the min
     // over nodes, and comp(v) = comp(root(v)) composes exactly.
     val seed = oriented.select(col("pb").as("id"), col("pa").as("nbr"))
-      .unionByName(oriented.select(col("pa").as("id"),
+      .unionByName(orientedAll.select(col("pa").as("id"),
         lit(null).cast(oriented.schema("pa").dataType).as("nbr")))
       .groupBy(col("id"))
       .agg(min(col("nbr")).as("mn")) // min skips nulls
@@ -417,7 +426,22 @@ object Dedup {
     // (contract, solve the kernel, expand); the distributed loop below
     // remains the path for kernels that exceed the cap, so nothing about
     // the operator assumes the kernel is small.
-    if (kernelSize <= kernelCap) {
+    // the kernel solver's union-by-min ordering compares Numbers via
+    // longValue(), which truncates fractional/decimal ids (two distinct
+    // ids could compare equal and break canonical-minimum selection) —
+    // so the fast path is RESTRICTED to id types where that ordering is
+    // exact (integrals and strings, round-12 ADVICE); anything else falls
+    // through to the distributed loop, which uses engine least/min
+    // semantics on the native type.
+    val kernelOrderingExact = seed.schema("root").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (kernelSize <= kernelCap && kernelOrderingExact) {
       val rows = contracted.collect()
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]
       def find(x: Any): Any = {
@@ -428,9 +452,16 @@ object Dedup {
         r
       }
       val ord: Ordering[Any] = {
+        // integral-only by the gate above, so longValue() is exact
         case (a: java.lang.Number, b: java.lang.Number) =>
           java.lang.Long.compare(a.longValue(), b.longValue())
-        case (a, b) => a.toString.compareTo(b.toString)
+        // unsigned UTF-8 byte order = Spark UTF8String least/min order
+        // (Java String.compareTo orders UTF-16 code units, which differs
+        // for supplementary characters)
+        case (a, b) =>
+          val (x, y) = (a.toString.getBytes("UTF-8"),
+            b.toString.getBytes("UTF-8"))
+          java.util.Arrays.compareUnsigned(x, y)
       }
       rows.foreach { r =>
         val (x, y) = (find(r.get(0)), find(r.get(1)))

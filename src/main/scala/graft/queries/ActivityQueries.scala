@@ -130,10 +130,12 @@ object ActivityQueries {
     * and the median stays DECIMAL end-to-end: the midpoint of two
     * DECIMAL(22,2) values is exactly representable at scale 3
     * ((a+b)·0.5 — multiplication by the 1-digit literal, never a
-    * division), so `med7` is emitted as DECIMAL(18,6) with no double
-    * anywhere in its lineage (round-11 driver-red root cause: a
-    * decimal→double→floor composition whose last ulp differed between
-    * DuckDB builds).
+    * division), with no double anywhere in its lineage (round-11
+    * driver-red root cause: a decimal→double→floor composition whose
+    * last ulp differed between DuckDB builds). Round-12 root cause was
+    * the EMISSION type itself — the driver gate cannot hash top-level
+    * DECIMALs — so the surface is exact scaled BIGINT (`v_cents`,
+    * `med7_e6`) while the DECIMAL arithmetic stays internal.
     */
   private val rollingMedian = QueryDef(
     fn = (spark, dir) => {
@@ -161,8 +163,15 @@ object ActivityQueries {
             ((element_at(col("arr"), (col("n") / 2).cast("int"))
               + element_at(col("arr"), (col("n") / 2).cast("int") + 1))
               * lit(BigDecimal("0.5"))).cast("decimal(18,6)")))
-        .select(col("event_type"), col("day"), col("v"),
-          col("n").cast("long").as("n_in_frame"), col("med").as("med7"))
+        // DECIMAL stays INTERNAL; the emitted surface is exact scaled
+        // BIGINT (v_cents = v·100, med7_e6 = med7·10⁶ — the ·0.5 midpoint
+        // is exactly representable at scale 3, so ·10⁶ is integral). The
+        // driver's hash gate cannot faithfully hash top-level DECIMAL
+        // columns (round-12 root cause; see tools/check.py lint).
+        .select(col("event_type"), col("day"),
+          (col("v") * 100).cast("long").as("v_cents"),
+          col("n").cast("long").as("n_in_frame"),
+          (col("med") * 1000000).cast("long").as("med7_e6"))
         .orderBy("event_type", "day")
     },
     oracle = Some(
@@ -184,8 +193,10 @@ object ActivityQueries {
         |                    * CAST(0.5 AS DECIMAL(1,1)) AS DECIMAL(18,6))
         |        END AS med
         |      FROM r)
-        |SELECT event_type, day, CAST(v AS DECIMAL(22,2)) AS v,
-        |  CAST(n AS BIGINT) AS n_in_frame, med AS med7
+        |SELECT event_type, day,
+        |  CAST(CAST(v AS DECIMAL(22,2)) * 100 AS BIGINT) AS v_cents,
+        |  CAST(n AS BIGINT) AS n_in_frame,
+        |  CAST(med * 1000000 AS BIGINT) AS med7_e6
         |FROM x ORDER BY event_type, day""".stripMargin))
 
   /** Maximum drawdown of the cumulative daily-revenue curve — the

@@ -453,10 +453,14 @@ object ExperimentQueries {
     * DID is ONE cross-multiplied rational (numerator = Σ±s_g·Πn_other,
     * denominator = Πn_g, both DECIMAL(38,0)-exact while s·n³ < 10³⁸ ≈
     * any realistic warehouse) emitted as round-toward-zero fixed-point:
-    * sign(N)·⌊|N|·10⁶/D⌋ — `div`/`//` agree on NON-NEGATIVE operands
-    * only (Spark div truncates, DuckDB // floors), so the sign is split
-    * out explicitly. Per-cell means are also emitted as ⌊·10⁶⌋ of the
-    * non-negative cent sums.
+    * sign(N)·⌊|N|·10⁶/D⌋. (Round-12 correction: on INTEGER/HUGEINT
+    * operands the pinned DuckDB's `//` TRUNCATES toward zero — verified
+    * -7 // 2 = -3 — matching Spark `div`, so negative-numerator
+    * integer pairs are actually consistent; but on DECIMAL operands
+    * DuckDB `//` degenerates to plain division (-7.0 // 2.0 = -3.5,
+    * verified), so the sign split stays as belt-and-braces and is
+    * REQUIRED wherever the oracle divides DECIMALs.) Per-cell means
+    * are also emitted as ⌊·10⁶⌋ of the non-negative cent sums.
     *
     * Scale shape: one fact-sized join (orders × customer on custkey,
     * AQE picks the side) into ONE partial-aggregatable 4-cell groupBy;

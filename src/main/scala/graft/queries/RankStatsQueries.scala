@@ -79,7 +79,11 @@ object RankStatsQueries {
         max(col("dn")).as("d_num"))
       val na = col("n_a").cast(d380)
       val nb = col("n_b").cast(d380)
-      s.select(col("n_a"), col("n_b"), col("d_num"),
+      // d_num is DECIMAL(38,0) internally; emitted as its exact integer
+      // STRING — the driver's hash gate cannot faithfully hash top-level
+      // DECIMAL columns (round-12 root cause; see tools/check.py lint).
+      s.select(col("n_a"), col("n_b"),
+        col("d_num").cast("string").as("d_num"),
         expr("(d_num * CAST(1000000 AS DECIMAL(38,0)))" +
           " div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))")
           .as("ks_d_e6"),
@@ -110,7 +114,7 @@ object RankStatsQueries {
         |  FROM c),
         |s AS (SELECT MAX(na) AS n_a, MAX(nb) AS n_b, MAX(dn) AS d_num FROM d)
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-        |  CAST(d_num AS DECIMAL(38,0)) AS d_num,
+        |  CAST(CAST(d_num AS DECIMAL(38,0)) AS VARCHAR) AS d_num,
         |  CAST((CAST(d_num AS HUGEINT) * 1000000)
         |    // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)) AS BIGINT)
         |    AS ks_d_e6,
@@ -181,7 +185,10 @@ object RankStatsQueries {
         .withColumn("a2", col("n_a") * col("n_b") * col("m"))
         .select(col("n_a").cast("long").as("n_a"),
           col("n_b").cast("long").as("n_b"),
-          col("u2"),
+          // u2 is DECIMAL(38,0) internally; emitted as its exact integer
+          // STRING (driver hash gate cannot hash top-level DECIMALs —
+          // round-12 root cause; see tools/check.py lint).
+          col("u2").cast("string").as("u2"),
           (when(col("num") < 0, -1L).otherwise(1L)
             * expr("t_num div a2")).as("z2_e4"),
           (col("t_num") > lit(38416L).cast(d380) * col("a2")).as("sig"))
@@ -213,7 +220,7 @@ object RankStatsQueries {
         |    n_a * n_b * (n * (n - 1) * (n + 1) - ties) AS a2
         |  FROM x)
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-        |  CAST(u2 AS DECIMAL(38,0)) AS u2,
+        |  CAST(CAST(u2 AS DECIMAL(38,0)) AS VARCHAR) AS u2,
         |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * (t_num // a2)
         |    AS BIGINT) AS z2_e4,
         |  t_num > 38416 * a2 AS sig

@@ -370,8 +370,12 @@ object SamplingQueries {
         sum(when(inA, 1L).otherwise(0L)).as("n1"),
         sum(when(inB, 1L).otherwise(0L)).as("n2"),
         sum(when(inA && inB, 1L).otherwise(0L)).as("m"))
+      // m = 0 (disjoint samples) leaves Lincoln-Petersen undefined —
+      // pinned to NULL explicitly on both engines rather than leaning on
+      // engine NULL-division behavior (round-12 ADVICE)
       s.select(col("n_true"), col("n1"), col("n2"), col("m"),
-        expr("(n1 * n2) div m").as("lp_est"),
+        expr("CASE WHEN m = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE (n1 * n2) div m END").as("lp_est"),
         expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("chapman_est"),
         expr("(abs(((n1 + 1) * (n2 + 1)) div (m + 1) - 1 - n_true)" +
           " * CAST(1000000 AS BIGINT)) div n_true").as("err_e6"))
@@ -388,7 +392,8 @@ object SamplingQueries {
          |      THEN 1 ELSE 0 END) AS BIGINT) AS m
          |  FROM documents)
          |SELECT n_true, n1, n2, m,
-         |  CAST((n1 * n2) // m AS BIGINT) AS lp_est,
+         |  CASE WHEN m = 0 THEN CAST(NULL AS BIGINT)
+         |    ELSE CAST((n1 * n2) // m AS BIGINT) END AS lp_est,
          |  CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT)
          |    AS chapman_est,
          |  CAST((abs(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 - n_true)

@@ -74,13 +74,14 @@ class ActivityQueriesSpec extends SparkSpec {
     val got = all
       .select(org.apache.spark.sql.functions.col("day"),
         org.apache.spark.sql.functions.col("n_in_frame"),
-        // med7 is DECIMAL(18,6) since round 12 (no-double discipline)
-        org.apache.spark.sql.functions.col("med7").cast("double"))
-      .as[(java.sql.Date, Long, Double)].collect().toList
+        // emitted as exact scaled BIGINT since round 13 (the driver gate
+        // cannot hash top-level DECIMAL columns)
+        org.apache.spark.sql.functions.col("med7_e6"))
+      .as[(java.sql.Date, Long, Long)].collect().toList
     assert(got == List(
-      (java.sql.Date.valueOf("2024-01-01"), 1L, 10.0),  // odd frame of 1
-      (java.sql.Date.valueOf("2024-01-02"), 2L, 15.0),  // even: avg(10,20)
-      (java.sql.Date.valueOf("2024-01-03"), 3L, 20.0),  // odd: middle of 3
-      (java.sql.Date.valueOf("2024-01-04"), 4L, 25.0))) // even: avg(20,30)
+      (java.sql.Date.valueOf("2024-01-01"), 1L, 10000000L), // odd frame of 1
+      (java.sql.Date.valueOf("2024-01-02"), 2L, 15000000L), // even: avg(10,20)
+      (java.sql.Date.valueOf("2024-01-03"), 3L, 20000000L), // odd: middle of 3
+      (java.sql.Date.valueOf("2024-01-04"), 4L, 25000000L))) // even: avg(20,30)
   }
 }

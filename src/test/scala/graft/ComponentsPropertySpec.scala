@@ -70,4 +70,25 @@ class ComponentsPropertySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq.sorted
     assert(got == Seq((3L, 3L), (7L, 3L)))
   }
+
+  test("general path: a node appearing ONLY as a self-pair keeps comp = id") {
+    // round-12 ADVICE: the pa =!= pb edge filter silently dropped nodes
+    // whose only appearance was a self-pair (a, a); the seed now draws
+    // its node set from the unfiltered pair list
+    val pairs = Seq((9L, 9L), (7L, 3L), (3L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((3L, 3L), (7L, 3L), (9L, 9L)),
+      s"self-pair-only node 9 must be present with comp = 9, got $got")
+  }
+
+  test("kernel fast path is bypassed for fractional id types (ordering hazard)") {
+    // longValue() truncates doubles — 1.2 and 1.7 would compare equal; the
+    // gate must route non-integral id types to the distributed loop, whose
+    // least/min uses native type semantics. 1.2 < 1.7 so comp = 1.2.
+    val pairs = Seq((1.7, 1.2)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Double, Double)].collect().toSeq.sorted
+    assert(got == Seq((1.2, 1.2), (1.7, 1.2)))
+  }
 }

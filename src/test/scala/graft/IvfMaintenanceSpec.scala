@@ -16,9 +16,22 @@ class IvfMaintenanceSpec extends SparkSpec {
     floor(c.cast("double") * 1e9 + 0.5).cast("long")
 
   test("q_ivf_upsert equals a full recompute over corpus + assigned batch") {
+    // since round 13 the query emits the index STATE as scalar rows
+    // (cell, pos 1-based, s_tot, n_old, n_new); reconstruct the merged
+    // centroid here with the same two IEEE divisions the old array
+    // emission used, so the bit-identity assertion below still holds
     val out = SparkEntry.queries("q_ivf_upsert")(spark, dir)
-      .collect().map(r => (r.getInt(0),
-        (r.getLong(1), r.getLong(2), r.getSeq[Double](3)))).toMap
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .groupBy(_._1)
+      .map { case (cell, rs) =>
+        val sorted = rs.sortBy(_._2)
+        assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+          s"cell $cell pos must be dense 1-based")
+        (cell, (sorted.head._4, sorted.head._5,
+          sorted.map(t => t._3.toDouble / 1e9 / (t._4 + t._5)).toSeq))
+      }
     // replay: corpus stats + batch assignment exactly as the query defines
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val isNew = pmod(col("vec_id"), lit(10)) === 7
@@ -80,5 +93,19 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(nTruth == 40L)
     assert(hits.toDouble / nTruth >= 0.15,
       s"post-upsert recall collapsed: $hits/$nTruth")
+  }
+
+  test("q_ivf_multiprobe: hits monotone non-decreasing in nprobe, floors hold") {
+    // the probe candidate sets NEST as p grows (the per-query cell
+    // ranking is fixed), so recall can only rise with scan fraction —
+    // the property that makes the sweep a meaningful cost knob
+    val rows = SparkEntry.queries("q_ivf_multiprobe")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 5L))
+    assert(rows.forall(_._2 == 40L), "n_truth must be 8 queries x top-5")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted,
+      s"hits must be monotone in nprobe: ${rows.map(_._3).toSeq}")
+    assert(rows.forall(_._4), s"per-depth recall floors must hold: $rows")
   }
 }

@@ -68,7 +68,8 @@ class RankStatsSpec extends SparkSpec {
     val nb = li.length - na
     val rA = li.zip(ranks).filter(_._1._2).map(_._2).sum
     val u = rA - na * (na + 1) / 2.0
-    assert(row.getAs[java.math.BigDecimal]("u2").doubleValue() === 2.0 * u)
+    // u2 is emitted as an exact integer STRING since round 13
+    assert(row.getAs[String]("u2").toDouble === 2.0 * u)
     val n = (na + nb).toDouble
     val ties = pooled.groupBy(identity).values
       .map(g => g.length.toDouble)

@@ -60,6 +60,32 @@ def _floor_args(sql):
             i += 1
         yield sql[start:i - 1]
 
+# Round-12 lesson: the driver's hash gate cannot faithfully hash top-level
+# DECIMAL result columns (pandas/pyarrow Decimal objects hash/sort
+# differently from DuckDB's conversion even when values are equal), and its
+# pandas row-sorter CRASHES on ARRAY/LIST columns ("unhashable type:
+# numpy.ndarray" — q_ivf_upsert, r12). Across all 297 r12 outputs the ONLY
+# emitters of either type were exactly the four driver-reds. The rule is
+# therefore absolute, with NO grandfather list: the final schema of every
+# query must stay inside the driver-proven scalar set (BIGINT/INT, DOUBLE,
+# VARCHAR, DATE, TIMESTAMP, BOOLEAN). DECIMALs and arrays are fine INSIDE
+# a plan — re-emit as scaled BIGINT, exact-integer VARCHAR, or exploded
+# scalar rows (array_join for display strings). Mirrored at build time by
+# EmissionSurfaceSpec.
+BANNED_EMISSION = re.compile(r"DECIMAL|\[\]|^LIST|STRUCT|MAP|HUGEINT|UHUGEINT",
+                             re.IGNORECASE)
+
+def lint_emission_surface(cols, types):
+    bad = [f"{c}: {t}" for c, t in zip(cols, types)
+           if BANNED_EMISSION.search(t)]
+    if bad:
+        return (f"LINT: driver-unhashable top-level column type(s) "
+                f"[{'; '.join(bad)}] — the driver gate cannot hash DECIMAL "
+                f"and crashes on ARRAY/LIST (round-12 root cause); emit "
+                f"scaled BIGINT / exact-integer VARCHAR / exploded scalar "
+                f"rows instead")
+    return None
+
 def lint_build_sensitive_double(sql, cols, types):
     dbl_cols = [c for c, t in zip(cols, types) if t == "DOUBLE"]
     if not dbl_cols:
@@ -113,7 +139,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {str(e)[:300]}")
             n_fail += 1
             continue
-        if scols != ocols:
+        surface = lint_emission_surface(scols, stypes)
+        if surface:
+            print(f"FAIL {name}: {surface}")
+            n_fail += 1
+        elif scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
             n_fail += 1
         elif stypes != otypes:
