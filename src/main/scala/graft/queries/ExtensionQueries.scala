@@ -333,6 +333,66 @@ object ExtensionQueries {
       s"""WITH ${dQualityCte("")}
          |SELECT doc_id, quality FROM qual ORDER BY doc_id""".stripMargin))
 
+  /** Quality-filter threshold sweep — the curation ROI curve for the
+    * [[TextAnalysis.qualityScore]] filter (the q_dedup_threshold_sweep
+    * pattern applied to quality): for each cut t ∈ {0.00, 0.10, …,
+    * 0.90}, how many documents and how many TOKENS survive `quality ≥ t`
+    * — the table an operator reads to pick the threshold that trades
+    * corpus size against the training-token budget before running the
+    * filter at 100 TB.
+    *
+    * Scale shape: documents are reduced to a ≤101-row score-percentile
+    * bucket grid in ONE partial-aggregatable groupBy (bucket =
+    * ⌊quality·100⌋ — exact: thresholds are integer percents, so
+    * quality ≥ t/100 ⟺ bucket ≥ t); the sweep itself is a 10×101
+    * grid theta-join. Counts and token sums are exact integers;
+    * fractions are integral division e6. */
+  private val qualitySweep = QueryDef(
+    fn = (spark, dir) => {
+      val q = Tables.documents(spark, dir)
+        .select(TextAnalysis.qualityScore(col("text")).as("quality"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+      val g = q.select(floor(col("quality") * 100.0).cast("long").as("b"),
+          col("ntok"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("c"), sum(col("ntok")).as("tk"))
+        .localCheckpoint(false) // grid feeds the totals AND the sweep join
+      val tot = g.agg(sum(col("c")).as("n_total"),
+        sum(col("tk")).as("tok_total"))
+      val th = spark.range(0, 100, 10).select(col("id").as("t_e2"))
+      th.join(g, col("b") >= col("t_e2"), "left")
+        .groupBy(col("t_e2"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_kept"),
+          coalesce(sum(col("tk")), lit(0L)).as("tok_kept"))
+        .crossJoin(broadcast(tot))
+        .select(col("t_e2"), col("n_kept"),
+          (col("n_total") - col("n_kept")).as("n_dropped"),
+          expr("n_kept * 1000000 div n_total").as("kept_frac_e6"),
+          col("tok_kept"),
+          expr("tok_kept * 1000000 div tok_total").as("tok_frac_e6"))
+        .orderBy("t_e2")
+    },
+    oracle = Some(
+      s"""WITH ${dQualityCte("")},
+         |nt AS (SELECT doc_id, CAST(len(${dToks("text")}) AS BIGINT) AS ntok
+         |  FROM documents),
+         |d AS (SELECT CAST(floor(quality * 100.0) AS BIGINT) AS b, ntok
+         |  FROM qual JOIN nt USING (doc_id)),
+         |g AS (SELECT b, COUNT(*) AS c, SUM(ntok) AS tk FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+         |  CAST(SUM(tk) AS BIGINT) AS tok_total FROM g),
+         |th AS (SELECT unnest([0, 10, 20, 30, 40, 50, 60, 70, 80, 90]) AS t_e2),
+         |k AS (SELECT t_e2,
+         |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_kept,
+         |    CAST(COALESCE(SUM(tk), 0) AS BIGINT) AS tok_kept
+         |  FROM th LEFT JOIN g ON g.b >= th.t_e2 GROUP BY t_e2)
+         |SELECT CAST(t_e2 AS BIGINT) AS t_e2, n_kept,
+         |  n_total - n_kept AS n_dropped,
+         |  n_kept * 1000000 // n_total AS kept_frac_e6,
+         |  tok_kept,
+         |  tok_kept * 1000000 // tok_total AS tok_frac_e6
+         |FROM k CROSS JOIN tot ORDER BY t_e2""".stripMargin))
+
   /** Gopher-style repetition removal signals ([[TextAnalysis
     * .repetitionStats]]): per document, the most-frequent-n-gram slot
     * fraction and the duplicated-n-gram slot fraction for n = 2 and 3,
@@ -4214,6 +4274,7 @@ object ExtensionQueries {
     "q_seq_pack" -> seqPack,
     "q_text_lang_id" -> langIdQ,
     "q_text_quality" -> qualityQ,
+    "q_quality_filter_sweep" -> qualitySweep,
     "q_text_repetition" -> textRepetition,
     "q_text_fingerprint" -> fingerprintQ,
     "q_dedup_exact_docs" -> dedupExact,

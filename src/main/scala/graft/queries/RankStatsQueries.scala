@@ -488,8 +488,214 @@ object RankStatsQueries {
         |    > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - n) AS reject
         |FROM s""".stripMargin))
 
+  // --- Kruskal-Wallis H ------------------------------------------------------
+
+  /** Kruskal-Wallis H test: do the three return-flag populations differ
+    * in quantity distribution? The k-group extension of q_mann_whitney,
+    * on the same bounded-grid rank machinery: ranks are GLOBAL pooled
+    * tie-averaged ranks from the ≤50-row quantity count grid
+    * (2·avg_rank = 2·preceding + ties + 1, integer), so the per-group
+    * sufficient statistics — n_g and the doubled rank sum 2R_g — are
+    * exact DECIMAL(38,0). With D_g = 2R_g − n_g(n+1),
+    * H = 3/(n(n+1)) · Σ_g D_g²/n_g, tie-corrected
+    * H_c = H / (1 − ΣT/(n³−n)), ΣT = Σ(t³−t).
+    *
+    * Numeric discipline: the q_anova engine-portable pattern (division
+    * and multiplication only — IEEE-correctly-rounded, no
+    * transcendental): each group's D_g²/(n_g·n(n+1)) term is composed on
+    * doubles cast from the exact integers in one fixed order, 9dp
+    * floor-pinned into DECIMAL(28,9), summed in DECIMAL
+    * (associativity-safe), and H = 3·Σterm / tie-correction composed
+    * identically on both engines, 6dp floored. The α=0.05 decision
+    * against χ²(k−1=2) = 5.991465 compares the two identical doubles.
+    * The term is pre-divided by n(n+1) BEFORE the pin so term ≤ n and
+    * the pinned product fits int64 (Spark's floor(double) returns
+    * LONG): valid to n ≲ 10⁹ rows; widen the pin scale past that.
+    *
+    * Scale shape: one partial-aggregatable groupBy(rf, q) over lineitem;
+    * the pooled-rank window runs on the ≤50-row grid; everything after
+    * is k = 3 rows. */
+  private val kruskalWallis = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("rf"),
+          floor(col("l_quantity") + 0.5).cast("long").as("q"))
+      val cells = li.groupBy(col("rf"), col("q"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds the pooled grid AND the group join
+      val pooled = cells.groupBy(col("q")).agg(sum(col("c")).as("t"))
+      val wPrev = Window.orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = pooled
+        .withColumn("p", coalesce(sum(col("t")).over(wPrev), lit(0L)))
+        .select(col("q"),
+          (lit(2L) * col("p") + col("t") + lit(1L)).as("r2"),
+          (col("t").cast(d380) * col("t") * col("t") - col("t")).as("tt"))
+      val grp = cells.join(ranked.select(col("q"), col("r2")), Seq("q"))
+        .groupBy(col("rf"))
+        .agg(sum(col("c")).cast(d380).as("n_g"),
+          sum(col("c").cast(d380) * col("r2")).as("r2g"))
+      val tot = grp.agg(count(lit(1)).as("k"),
+          sum(col("n_g")).cast(d380).as("n"))
+        .crossJoin(broadcast(
+          ranked.agg(sum(col("tt")).as("ties"))))
+      def dd(c: Column) = c.cast("double")
+      // f9-pinned per-group term (the q_anova pattern)
+      // term_g is pre-divided by n(n+1) BEFORE the 9dp pin so its
+      // magnitude stays ≤ n — Spark's floor(double) returns LONG, so the
+      // pinned product must fit int64 (term·10⁹ ≤ n·10⁹; bound n ≲ 10⁹)
+      val terms = grp.crossJoin(broadcast(tot))
+        .withColumn("d_g", col("r2g") - col("n_g") * (col("n") + 1))
+        .select(col("k"), col("n"), col("ties"),
+          (floor(dd(col("d_g")) * dd(col("d_g")) / dd(col("n_g"))
+            / (dd(col("n")) * (dd(col("n")) + 1.0))
+            * 1e9 + 0.5) / 1e9).cast(DecimalType(28, 9)).as("term"))
+      val s = terms.agg(max(col("k")).as("k"), max(col("n")).as("n"),
+        max(col("ties")).as("ties"), sum(col("term")).as("sterm"))
+      val h = lit(3.0) * dd(col("sterm"))
+      val corr = lit(1.0) - (dd(col("ties"))
+        / (dd(col("n")) * dd(col("n")) * dd(col("n")) - dd(col("n"))))
+      s.select(col("k"), col("n").cast("long").as("n"),
+        r6(h).as("h"), r6(h / corr).as("h_adj"),
+        (h / corr > 5.991465).as("reject"))
+    },
+    oracle = Some(
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q FROM lineitem),
+        |cells AS (SELECT rf, q, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |pooled AS (SELECT q, SUM(c) AS t FROM cells GROUP BY 1),
+        |ranked AS (SELECT q,
+        |    2 * COALESCE(SUM(t) OVER (ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+        |      AS r2,
+        |    CAST(t AS DECIMAL(38,0)) * t * t - t AS tt
+        |  FROM pooled),
+        |grp AS (SELECT rf,
+        |    CAST(SUM(c) AS DECIMAL(38,0)) AS n_g,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * r2) AS r2g
+        |  FROM cells JOIN ranked USING (q) GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS k, CAST(SUM(n_g) AS DECIMAL(38,0)) AS n
+        |  FROM grp),
+        |tsum AS (SELECT CAST(SUM(tt) AS DECIMAL(38,0)) AS ties FROM ranked),
+        |terms AS (SELECT k, n, ties,
+        |    CAST(floor(CAST(r2g - n_g * (n + 1) AS DOUBLE)
+        |        * CAST(r2g - n_g * (n + 1) AS DOUBLE)
+        |        / CAST(n_g AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS term
+        |  FROM grp CROSS JOIN tot CROSS JOIN tsum),
+        |s AS (SELECT MAX(k) AS k, MAX(n) AS n, MAX(ties) AS ties,
+        |    CAST(SUM(term) AS DECIMAL(38,9)) AS sterm FROM terms)
+        |SELECT k, CAST(n AS BIGINT) AS n,
+        |  floor(3.0 * CAST(sterm AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS h,
+        |  floor(3.0 * CAST(sterm AS DOUBLE)
+        |      / (1.0 - CAST(ties AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |           - CAST(n AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS h_adj,
+        |  3.0 * CAST(sterm AS DOUBLE)
+        |      / (1.0 - CAST(ties AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |           - CAST(n AS DOUBLE)))
+        |    > 5.991465 AS reject
+        |FROM s""".stripMargin))
+
+  // --- Kendall tau-b ---------------------------------------------------------
+
+  /** ROW-LEVEL Kendall tau-b between quantity and discount — the
+    * concordance-based sibling of q_spearman_corr, exact under heavy
+    * ties. Both variables live on bounded domains, so the statistic
+    * derives ENTIRELY from the ≤550-cell joint count grid: nc (= pairs
+    * ordered the same way on both axes) and nd (= pairs ordered
+    * oppositely) come from one grid×grid self-join — each unordered pair
+    * of distinct cells contributes c₁·c₂ to exactly one bucket, counted
+    * once from the lexicographically smaller cell — and the tie terms
+    * from the marginal grids. All sufficient statistics are exact
+    * integers; tau-b's sqrt denominator never materializes: the output
+    * is the sign-split squared form tau2_e6 = sign(nc−nd) ·
+    * ⌊(nc−nd)²·10⁶ / (A·B)⌋ with A = n(n−1)−Σtx(tx−1) and
+    * B = n(n−1)−Σty(ty−1) (= 2(n0−n1)·2(n0−n2); the 4s cancel) — pure
+    * DECIMAL(38,0) integral arithmetic, the q_mann_whitney z² pattern.
+    * Exact while (nc−nd)²·10⁶ fits DECIMAL(38,0): n ≲ 3·10⁷ rows
+    * worst-case, far more for any real |tau| ≪ 1.
+    *
+    * Scale shape: one partial-aggregatable groupBy(q, d) over lineitem;
+    * the pair stage is the 550²-cell GRID self-join (bounded by the
+    * value domains, never data-sized) and two ≤50-row marginal sums. */
+  private val kendallTau = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(floor(col("l_quantity") + 0.5).cast("long").as("q"),
+          floor(col("l_discount") * 100.0 + 0.5).cast("long").as("d"))
+      val cells = li.groupBy(col("q"), col("d"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds the self-join twice + 3 marginals
+      val a = cells.select(col("q").as("q1"), col("d").as("d1"),
+        col("c").as("c1"))
+      val b = cells.select(col("q").as("q2"), col("d").as("d2"),
+        col("c").as("c2"))
+      // lexicographically-ordered cell pairs: each unordered pair once
+      val pairs = a.join(b,
+        col("q1") < col("q2") ||
+          (col("q1") === col("q2") && col("d1") < col("d2")))
+      val cd = pairs.agg(
+        sum(when(col("q1") < col("q2") && col("d1") < col("d2"),
+          col("c1").cast(d380) * col("c2")).otherwise(lit(0L).cast(d380)))
+          .as("nc"),
+        sum(when(col("q1") < col("q2") && col("d1") > col("d2"),
+          col("c1").cast(d380) * col("c2")).otherwise(lit(0L).cast(d380)))
+          .as("nd"))
+      val tx = cells.groupBy(col("q")).agg(sum(col("c")).as("t"))
+        .agg(sum(col("t").cast(d380) * (col("t") - 1)).as("ttx"),
+          sum(col("t")).cast(d380).as("n"))
+      val ty = cells.groupBy(col("d")).agg(sum(col("c")).as("t"))
+        .agg(sum(col("t").cast(d380) * (col("t") - 1)).as("tty"))
+      val s = cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .withColumn("a2", col("n") * (col("n") - 1) - col("ttx"))
+        .withColumn("b2", col("n") * (col("n") - 1) - col("tty"))
+        .withColumn("diff", col("nc") - col("nd"))
+      s.select(col("n").cast("long").as("n"),
+        col("nc").cast("long").as("nc"), col("nd").cast("long").as("nd"),
+        (when(col("diff") < 0, -1L).otherwise(1L)
+          * expr("(diff * diff * CAST(1000000 AS DECIMAL(38,0)))"
+            + " div (a2 * b2)")).as("tau2_e6"))
+    },
+    oracle = Some(
+      """WITH b AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+        |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d
+        |  FROM lineitem),
+        |cells AS (SELECT q, d, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |pr AS (SELECT x.q AS q1, x.d AS d1, x.c AS c1,
+        |         y.q AS q2, y.d AS d2, y.c AS c2
+        |  FROM cells x JOIN cells y
+        |    ON x.q < y.q OR (x.q = y.q AND x.d < y.d)),
+        |cd AS (SELECT
+        |    SUM(CASE WHEN q1 < q2 AND d1 < d2
+        |      THEN CAST(c1 AS HUGEINT) * c2 ELSE 0 END) AS nc,
+        |    SUM(CASE WHEN q1 < q2 AND d1 > d2
+        |      THEN CAST(c1 AS HUGEINT) * c2 ELSE 0 END) AS nd
+        |  FROM pr),
+        |tx AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT)
+        |    AS ttx, CAST(SUM(t) AS HUGEINT) AS n
+        |  FROM (SELECT q, SUM(c) AS t FROM cells GROUP BY 1)),
+        |ty AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT)
+        |    AS tty
+        |  FROM (SELECT d, SUM(c) AS t FROM cells GROUP BY 1)),
+        |s AS (SELECT n, nc, nd,
+        |    n * (n - 1) - ttx AS a2, n * (n - 1) - tty AS b2,
+        |    nc - nd AS diff
+        |  FROM cd CROSS JOIN tx CROSS JOIN ty)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(nc AS BIGINT) AS nc,
+        |  CAST(nd AS BIGINT) AS nd,
+        |  CAST((CASE WHEN diff < 0 THEN -1 ELSE 1 END)
+        |    * ((diff * diff * 1000000) // (a2 * b2)) AS BIGINT) AS tau2_e6
+        |FROM s""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_ks_test" -> ksTest,
+    "q_kruskal_wallis" -> kruskalWallis,
+    "q_kendall_tau_rows" -> kendallTau,
     "q_mann_whitney" -> mannWhitney,
     "q_runs_test" -> runsTest,
     "q_spearman_corr" -> spearmanCorr,

@@ -84,6 +84,61 @@ class RankStatsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("sig") === (math.abs(z) > 1.96))
   }
 
+  test("q_kruskal_wallis matches the pooled-rank textbook replay") {
+    val row = run("q_kruskal_wallis").collect().head
+    val li = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) + 0.5).toLong))
+    val ranks = avgRanks(li.map(_._2))
+    val n = li.length.toDouble
+    val groups = li.zip(ranks).groupBy(_._1._1)
+    assert(row.getAs[Long]("k") === groups.size.toLong)
+    assert(row.getAs[Long]("n") === li.length.toLong)
+    val rBar = (n + 1) / 2.0
+    val hRaw = 12.0 / (n * (n + 1)) * groups.values.map { g =>
+      val m = g.map(_._2).sum / g.length
+      g.length * (m - rBar) * (m - rBar)
+    }.sum
+    val ties = li.map(_._2).groupBy(identity).values
+      .map(_.length.toDouble).map(t => t * t * t - t).sum
+    val hAdj = hRaw / (1.0 - ties / (n * n * n - n))
+    assert(math.abs(row.getAs[Double]("h") - hRaw) < 2e-5 + hRaw * 1e-9)
+    assert(math.abs(row.getAs[Double]("h_adj") - hAdj) < 2e-5 + hAdj * 1e-9)
+    assert(row.getAs[Boolean]("reject") === (hAdj > 5.991465))
+  }
+
+  test("q_kendall_tau_rows matches the cell-grid concordance replay") {
+    val row = run("q_kendall_tau_rows").collect().head
+    val li = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("l_quantity", "l_discount").collect()
+      .map(r => (math.floor(r.getDouble(0) + 0.5).toLong,
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    val cells = li.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val cellSeq = cells.toSeq
+    var nc = BigInt(0); var nd = BigInt(0)
+    for (i <- cellSeq.indices; j <- (i + 1) until cellSeq.length) {
+      val ((q1, d1), c1) = cellSeq(i); val ((q2, d2), c2) = cellSeq(j)
+      if ((q1 < q2 && d1 < d2) || (q2 < q1 && d2 < d1)) nc += BigInt(c1) * c2
+      else if ((q1 < q2 && d1 > d2) || (q2 < q1 && d2 > d1)) nd += BigInt(c1) * c2
+    }
+    val nn = BigInt(li.length)
+    val ttx = li.map(_._1).groupBy(identity).values
+      .map(g => BigInt(g.length) * (g.length - 1)).sum
+    val tty = li.map(_._2).groupBy(identity).values
+      .map(g => BigInt(g.length) * (g.length - 1)).sum
+    assert(row.getAs[Long]("n") === li.length.toLong)
+    assert(BigInt(row.getAs[Long]("nc")) === nc)
+    assert(BigInt(row.getAs[Long]("nd")) === nd)
+    val a2 = nn * (nn - 1) - ttx
+    val b2 = nn * (nn - 1) - tty
+    val diff = nc - nd
+    val want = (if (diff < 0) -1 else 1) * (diff * diff * 1000000 / (a2 * b2))
+    assert(BigInt(row.getAs[Long]("tau2_e6")) === want)
+    // and the squared integer form agrees with the textbook tau-b double
+    val tau = diff.toDouble / math.sqrt(a2.toDouble * b2.toDouble)
+    assert(math.abs(math.abs(row.getAs[Long]("tau2_e6")) / 1e6 - tau * tau) < 2e-6)
+  }
+
   test("q_spearman_corr matches Pearson-on-average-ranks per group") {
     val got = run("q_spearman_corr").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
