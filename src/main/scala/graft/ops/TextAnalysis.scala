@@ -175,6 +175,23 @@ object TextAnalysis {
       best.getField("score").as("lang_score"))
   }
 
+  /** [[langId]] plus its confidence ingredients: (lang_pred, best-list
+    * hit count, total hits across ALL lists). conf = best/total is the
+    * heuristic's self-reported probability — what a calibration readout
+    * (q_langid_ece) buckets. Same argmax/tie-break as [[langId]]. */
+  def langIdConfidence(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = StopwordLists.zipWithIndex.map { case ((lang, words), i) =>
+      struct(stopwordHits(toks, words).as("score"),
+        lit(-i).as("neg_idx"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    val total = scored.map(_.getField("score")).reduce(_ + _)
+    struct(best.getField("lang").as("lang_pred"),
+      best.getField("score").as("best_hits"),
+      total.as("total_hits"))
+  }
+
   /** English stopword ratio, punctuation ratio, mean token length — the
     * classic cheap quality signals — blended into one deterministic score.
     * All-double arithmetic evaluated in a fixed order; rounded to 6 digits

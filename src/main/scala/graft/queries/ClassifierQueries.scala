@@ -820,7 +820,157 @@ object ClassifierQueries {
         |    // (n * n) - wsum // n AS BIGINT) AS gain_e6
         |FROM s""".stripMargin))
 
+  /** Expected calibration error of the heuristic lang-ID classifier —
+    * the reliability readout for its confidence proxy
+    * conf = best-list hits / document tokens (hit DENSITY — an exact
+    * rational, so no softmax and no transcendental ever appears; the
+    * share-of-hits variant best/total is degenerate on this corpus —
+    * measured: every doc hits exactly one list, so all mass lands at
+    * conf = 1.0 — while density spreads the buckets and is the signal a
+    * stopword classifier actually accumulates): documents are bucketed
+    * by ⌊conf·10⌋, and per bucket the average confidence is compared to
+    * the measured accuracy; ECE = Σ_b |ok_b − Σconf_b| / n (the n_b
+    * weights cancel into the raw sums). A well-calibrated filter has
+    * gap ≈ 0 per bucket — this table is where a pipeline decides whether
+    * the heuristic's confidence can gate documents directly or needs
+    * recalibration (q_nb_calibration is the margin-based sibling for the
+    * trained NB).
+    *
+    * Numeric discipline: conf is 9dp floor-pinned (single division —
+    * IEEE-exact composition) and summed in DECIMAL(28,9), so conf_sum_e9
+    * is an exact integer, gap_e9 = |n_correct·10⁹ − conf_sum_e9| is pure
+    * long arithmetic, and ece_e6 = Σgap_e9 div (1000·n) is one integral
+    * division. Zero-hit documents carry no confidence and are excluded
+    * (the declared statistic).
+    *
+    * Scale shape: one scan-stage stopword-hit projection (the
+    * q_text_lang_id argmax plus two integer columns), one
+    * partial-aggregatable groupBy onto the ≤11-bucket grid. */
+  private val langidEce = QueryDef(
+    fn = (spark, dir) => {
+      val lc = TextAnalysis.langIdConfidence(col("text"))
+      val d = Tables.documents(spark, dir)
+        .select(col("lang").as("true_lang"),
+          lc.getField("lang_pred").as("pred"),
+          lc.getField("best_hits").cast("long").as("bh"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("th"))
+        .filter(col("th") > 0)
+        .withColumn("conf9",
+          floor(col("bh").cast("double") / col("th").cast("double")
+            * 1e9 + 0.5) / 1e9)
+        .withColumn("bucket", floor(col("conf9") * 10.0).cast("long"))
+        .withColumn("ok",
+          when(col("pred") === col("true_lang"), 1L).otherwise(0L))
+      val g = d.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"),
+          (sum(col("conf9").cast(
+            org.apache.spark.sql.types.DecimalType(28, 9))) * 1000000000L)
+            .cast("long").as("conf_sum_e9"))
+        .withColumn("gap_e9",
+          abs(col("n_correct") * 1000000000L - col("conf_sum_e9")))
+      val tot = g.agg(sum(col("n_docs")).as("n"),
+        sum(col("gap_e9")).as("gap_tot"))
+        .select(expr("gap_tot div (1000 * n)").as("ece_e6"))
+      g.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_docs"), col("n_correct"),
+          col("conf_sum_e9"), col("gap_e9"),
+          TextAnalysis.round6(col("n_correct").cast("double")
+            / col("n_docs").cast("double")).as("accuracy"),
+          col("ece_e6"))
+        .orderBy("bucket")
+    },
+    oracle = Some {
+      val (hits, caseExpr, scoreExpr) = ExtensionQueries.dLangIdSql
+      s"""WITH h AS (SELECT doc_id, lang AS true_lang,
+         |  CAST(len(${ExtensionQueries.dToks("text")}) AS BIGINT) AS th,
+         |  $hits
+         |FROM documents),
+         |p AS (SELECT true_lang, $caseExpr AS pred,
+         |    CAST($scoreExpr AS BIGINT) AS bh, th
+         |  FROM h),
+         |d AS (SELECT true_lang, pred,
+         |    floor(CAST(bh AS DOUBLE) / CAST(th AS DOUBLE)
+         |      * 1000000000.0 + 0.5) / 1000000000.0 AS conf9
+         |  FROM p WHERE th > 0),
+         |e AS (SELECT CAST(floor(conf9 * 10.0) AS BIGINT) AS bucket,
+         |    CASE WHEN pred = true_lang THEN 1 ELSE 0 END AS ok,
+         |    CAST(conf9 AS DECIMAL(28,9)) AS conf
+         |  FROM d),
+         |g AS (SELECT bucket, COUNT(*) AS n_docs,
+         |    CAST(SUM(ok) AS BIGINT) AS n_correct,
+         |    CAST(SUM(conf) * 1000000000 AS BIGINT) AS conf_sum_e9
+         |  FROM e GROUP BY bucket),
+         |g2 AS (SELECT *,
+         |    abs(n_correct * 1000000000 - conf_sum_e9) AS gap_e9 FROM g),
+         |tot AS (SELECT CAST(SUM(gap_e9) // (1000 * SUM(n_docs)) AS BIGINT)
+         |    AS ece_e6 FROM g2)
+         |SELECT bucket, n_docs, n_correct, conf_sum_e9, gap_e9,
+         |  floor(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS accuracy,
+         |  ece_e6
+         |FROM g2 CROSS JOIN tot ORDER BY bucket""".stripMargin
+    })
+
+  /** Bigram next-token table — the n-gram language-model estimator read
+    * directly off the corpus (the Markov-chain sibling of q_token_pmi,
+    * over the same bigram counts): for the 20 highest-frequency context
+    * tokens, the top-3 successors with their exact conditional
+    * probability p(b|a) = ⌊n_ab·10⁶ / n_a⌋ (integral division of exact
+    * counts — no double anywhere). Both the context cut and the
+    * successor cut are strict total orders (count desc, token asc), so
+    * every limit is a deterministic takeOrdered.
+    *
+    * Scale shape: one corpus-sized bigram groupBy (map-side
+    * combinable); everything after lives on the vocabulary²-bounded
+    * count table. */
+  private val bigramNext = QueryDef(
+    fn = (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(TextAnalysis.tokens(col("text")).as("toks"))
+      val bg = d.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val bc = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+        .localCheckpoint(false) // feeds the marginal AND the successor cut
+      val na = bc.groupBy(col("a")).agg(sum(col("cab")).as("nx"))
+      val top = na
+        .withColumn("crank", row_number().over(
+          Window.orderBy(col("nx").desc, col("a").asc)))
+        .filter(col("crank") <= 20)
+      bc.join(top, "a")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("a"))
+            .orderBy(col("cab").desc, col("b").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("a").as("tok"), col("rank").cast("long").as("rank"),
+          col("b").as("next_tok"), col("cab").as("n_ab"), col("nx").as("n_a"),
+          expr("cab * 1000000 div nx").as("p_e6"))
+        .orderBy("tok", "rank")
+    },
+    oracle = Some(
+      s"""WITH d AS (SELECT ${ExtensionQueries.dToks("text")} AS toks
+         |  FROM documents),
+         |bg AS (SELECT toks[i] AS a, toks[i+1] AS b
+         |       FROM d, unnest(range(1, len(toks))) t(i)
+         |       WHERE len(toks) >= 2),
+         |bc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+         |na AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS nx FROM bc GROUP BY a),
+         |top AS (SELECT a, nx FROM (SELECT a, nx, row_number() OVER (
+         |    ORDER BY nx DESC, a ASC) AS crank FROM na) WHERE crank <= 20),
+         |r AS (SELECT bc.a, bc.b, bc.cab, top.nx, row_number() OVER (
+         |    PARTITION BY bc.a ORDER BY bc.cab DESC, bc.b ASC) AS rank
+         |  FROM bc JOIN top USING (a))
+         |SELECT a AS tok, CAST(rank AS BIGINT) AS rank, b AS next_tok,
+         |  cab AS n_ab, nx AS n_a,
+         |  CAST(cab * 1000000 // nx AS BIGINT) AS p_e6
+         |FROM r WHERE rank <= 3 ORDER BY tok, rank""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_langid_ece" -> langidEce,
+    "q_bigram_next" -> bigramNext,
     "q_mcnemar" -> mcnemar,
     "q_model_ks" -> modelKs,
     "q_split_gain" -> splitGain,

@@ -100,4 +100,51 @@ class ClassifierQueriesSpec extends SparkSpec {
     }
     assert(rows.map(r => r._2 - r._3).sum == 1L, "exactly one miss corpus-wide")
   }
+
+  test("q_langid_ece: density buckets, exact gap arithmetic, zero-token docs excluded") {
+    val docs = Seq(
+      // 8 tokens, 4 'the' hits -> conf 0.5, bucket 5, pred en, correct
+      (1L, "the the the the x y z w", "en"),
+      // 10 tokens, 1 'der' hit -> conf 0.1, bucket 1, pred de, WRONG label
+      (2L, "der a1 b2 c3 d4 e5 f6 g7 h8 i9", "en"),
+      // zero tokens -> excluded
+      (3L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = fixtureDir("documents" -> docs)
+    val rows = SparkEntry.queries("q_langid_ece")(spark, dir)
+      .select("bucket", "n_docs", "n_correct", "conf_sum_e9", "gap_e9", "ece_e6")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).sum == 2L, "the empty doc must be excluded")
+    // doc 2: 'a' is an es-list stopword hit too? no — all filler tokens
+    // are unique non-stopwords, so bucket 1 holds the wrong-label doc
+    val b1 = rows.find(_._1 == 1L).get
+    assert(b1._2 == 1L && b1._3 == 0L)
+    assert(b1._4 == 100000000L, "conf_sum_e9 of one 0.1-conf doc")
+    assert(b1._5 == 100000000L, "gap = |0 - 0.1| in e9")
+    val b5 = rows.find(_._1 == 5L).get
+    assert(b5._2 == 1L && b5._3 == 1L)
+    assert(b5._4 == 500000000L)
+    assert(b5._5 == 500000000L, "gap = |1 - 0.5| in e9")
+    // ECE = (0.1 + 0.5)/2 = 0.3
+    assert(rows.head._6 == 300000L)
+  }
+
+  test("q_bigram_next: exact conditional probabilities, deterministic cuts") {
+    val docs = Seq(
+      (1L, "a b a b a c", "en"), // bigrams: ab ba ab ba ac
+      (2L, "a b d d", "en"))     // bigrams: ab bd dd
+      .toDF("doc_id", "text", "lang")
+    val dir = fixtureDir("documents" -> docs)
+    val rows = SparkEntry.queries("q_bigram_next")(spark, dir)
+      .select("tok", "rank", "next_tok", "n_ab", "n_a", "p_e6")
+      .as[(String, Long, String, Long, Long, Long)].collect()
+    val a = rows.filter(_._1 == "a").sortBy(_._2)
+    // from 'a': b x3, c x1 -> n_a = 4
+    assert(a.map(r => (r._3, r._4, r._5, r._6)).toSeq ==
+      Seq(("b", 3L, 4L, 750000L), ("c", 1L, 4L, 250000L)))
+    val b = rows.filter(_._1 == "b").sortBy(_._2)
+    // from 'b': a x2, d x1
+    assert(b.map(r => (r._3, r._4, r._6)).toSeq ==
+      Seq(("a", 2L, 666666L), ("d", 1L, 333333L)))
+  }
 }
