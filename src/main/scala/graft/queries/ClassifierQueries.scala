@@ -868,6 +868,10 @@ object ClassifierQueries {
             .cast("long").as("conf_sum_e9"))
         .withColumn("gap_e9",
           abs(col("n_correct") * 1000000000L - col("conf_sum_e9")))
+        // ≤11-row grid feeds both the ECE total and the output rows —
+        // the barrier keeps the corpus scan single (audited: 2 scans
+        // without it)
+        .localCheckpoint(false)
       val tot = g.agg(sum(col("n_docs")).as("n"),
         sum(col("gap_e9")).as("gap_tot"))
         .select(expr("gap_tot div (1000 * n)").as("ece_e6"))

@@ -692,7 +692,86 @@ object RankStatsQueries {
         |    * ((diff * diff * 1000000) // (a2 * b2)) AS BIGINT) AS tau2_e6
         |FROM s""".stripMargin))
 
+  // --- Hodges-Lehmann pseudomedian -------------------------------------------
+
+  /** Hodges–Lehmann location estimator (the pseudomedian, Hodges &
+    * Lehmann 1963) of quantity per return flag — the robust one-sample
+    * location partner of q_theil_sen's robust slope: the median of all
+    * Walsh averages (x_i + x_j)/2 over unordered pairs i ≤ j. Breakdown
+    * point 0.29 where the mean's is 0; the estimator behind the
+    * Wilcoxon signed-rank confidence interval.
+    *
+    * The naive form is an O(n²) pair space; quantity lives on a bounded
+    * domain, so the pair space collapses to the VALUE-pair grid
+    * (≤ 50·51/2 cells): a pair of distinct values (v₁ < v₂) carries
+    * weight c₁·c₂, a within-value pair weight c(c+1)/2 (i ≤ j includes
+    * singletons), and the weighted median over Walsh sums s = v₁+v₂
+    * comes from a running sum on the ≤99-row s-grid. Everything is an
+    * exact integer: the output hl_x4 = 4·HL is s_lo + s_hi of the two
+    * middle Walsh sums (equal when the pair count is odd) — no division
+    * ever happens; n_pairs = W = n(n+1)/2 cross-checks the grid against
+    * the row count.
+    *
+    * Scale shape: one partial-aggregatable groupBy(rf, q) over lineitem;
+    * the pair join, the s-grid window, and the median probe all run on
+    * value-domain-sized frames. Weights fit long to n ≈ 4·10⁹ rows per
+    * flag (W = n(n+1)/2 < 2⁶³). */
+  private val hodgesLehmann = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("rf"),
+          floor(col("l_quantity") + 0.5).cast("long").as("q"))
+      val cells = li.groupBy(col("rf"), col("q"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds both sides of the value-pair join
+      val a = cells.select(col("rf"), col("q").as("v1"), col("c").as("c1"))
+      val b = cells.select(col("rf").as("rf2"), col("q").as("v2"),
+        col("c").as("c2"))
+      val pairs = a.join(b,
+          col("rf") === col("rf2") && col("v1") <= col("v2"))
+        .select(col("rf"), (col("v1") + col("v2")).as("s"),
+          when(col("v1") < col("v2"), col("c1") * col("c2"))
+            .otherwise(expr("c1 * (c1 + 1) div 2")).as("w"))
+      val g = pairs.groupBy(col("rf"), col("s")).agg(sum(col("w")).as("ws"))
+      val wRun = Window.partitionBy(col("rf")).orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("rf"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = g.withColumn("cw", sum(col("ws")).over(wRun))
+        .withColumn("tw", sum(col("ws")).over(wAll))
+      cum
+        .withColumn("k1", expr("(tw + 1) div 2"))
+        .withColumn("k2", expr("(tw + 2) div 2"))
+        .groupBy(col("rf"))
+        .agg(max(col("tw")).as("n_pairs"),
+          min(when(col("cw") >= col("k1"), col("s"))).as("s_lo"),
+          min(when(col("cw") >= col("k2"), col("s"))).as("s_hi"))
+        .select(col("rf"), col("n_pairs"),
+          (col("s_lo") + col("s_hi")).as("hl_x4"))
+        .orderBy("rf")
+    },
+    oracle = Some(
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q FROM lineitem),
+        |cells AS (SELECT rf, q, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |pr AS (SELECT x.rf, x.q + y.q AS s,
+        |    CASE WHEN x.q < y.q THEN x.c * y.c
+        |      ELSE x.c * (x.c + 1) // 2 END AS w
+        |  FROM cells x JOIN cells y ON x.rf = y.rf AND x.q <= y.q),
+        |g AS (SELECT rf, s, SUM(w) AS ws FROM pr GROUP BY 1, 2),
+        |cum AS (SELECT rf, s, ws,
+        |    SUM(ws) OVER (PARTITION BY rf ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(ws) OVER (PARTITION BY rf) AS tw
+        |  FROM g)
+        |SELECT rf, CAST(MAX(tw) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(CASE WHEN cw >= (tw + 1) // 2 THEN s END)
+        |    + MIN(CASE WHEN cw >= (tw + 2) // 2 THEN s END) AS BIGINT)
+        |    AS hl_x4
+        |FROM cum GROUP BY rf ORDER BY rf""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_hodges_lehmann" -> hodgesLehmann,
     "q_ks_test" -> ksTest,
     "q_kruskal_wallis" -> kruskalWallis,
     "q_kendall_tau_rows" -> kendallTau,

@@ -474,4 +474,73 @@ object StreamingOps {
         }
       }
       .start()
+
+  /** Streaming IVF index maintenance — the streaming form of
+    * q_ivf_upsert's mergeable-sufficient-statistics contract, persisted
+    * through [[graft.sink.IndexStore]]: embedding batches stream in
+    * (already carrying their cell assignment — the caller composes
+    * [[graft.ops.Similarity.assignByCents]] upstream, a map-side argmax),
+    * and the cell-partitioned state table (cell, pos, s, n) stays
+    * continuously maintained with batch ≡ stream identity (IvfStreamSpec
+    * asserts the state after N micro-batches equals one batch build over
+    * the union, byte-identically).
+    *
+    * Per micro-batch:
+    *  1. the batch's (cell, pos)-grid DELTA stats — exact nano-unit
+    *     coordinate sums + counts, the q_ivf_upsert quantization — land
+    *     in a delta log as the batch's OWN deterministic `batch_id=N`
+    *     partition: foreachBatch is at-least-once, and a replayed batch
+    *     overwrites its prior delta instead of double-counting (the
+    *     reason the state is NEVER merged in place — state += delta
+    *     applied twice corrupts silently, a rewritten delta partition
+    *     cannot);
+    *  2. only the batch's TOUCHED cells recompute: their stats re-sum
+    *     from the accumulated delta log (grid-sized per batch — deltas
+    *     are (cell, pos) rows, never vectors) and dynamic-partition-
+    *     overwrite those cells in the state store; untouched cells'
+    *     files are never rewritten.
+    *
+    * At 100 TB the per-batch cost is batch-sized quantization + a
+    * touched-cells × batches grid re-sum — nothing corpus-sized moves,
+    * and probes read the maintained state partition-pruned
+    * ([[graft.sink.IndexStore.readIvfCells]]).
+    *
+    * CONTRACT: one delta log belongs to ONE checkpointed stream —
+    * `batch_id` is only unique per checkpoint, so a second query (fresh
+    * checkpoint) writing the same `deltaLogPath` would restart ids at 0
+    * and overwrite the first stream's deltas. Resume the same
+    * checkpoint, or give a new stream a new log.
+    */
+  def ivfStateSink(
+      assigned: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      deltaLogPath: String, statePath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    assigned.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        val delta = batch
+          .select(col(cellCol).as("cell"),
+            posexplode(col(vecCol)).as(Seq("pos0", "v")))
+          .groupBy(col("cell"), col("pos0"))
+          .agg(sum(floor(col("v").cast("double") * 1e9 + 0.5).cast("long"))
+            .as("s"), count(lit(1)).as("n"))
+          .select(col("cell"), (col("pos0") + 1).cast("long").as("pos"),
+            col("s"), col("n"))
+        delta.write.mode("overwrite")
+          .parquet(s"$deltaLogPath/batch_id=$batchId")
+        val landed = sess.read.parquet(s"$deltaLogPath/batch_id=$batchId")
+        val touched = landed.select(col("cell")).distinct()
+        if (touched.head(1).nonEmpty) {
+          val fullLog = sess.read.parquet(deltaLogPath).drop("batch_id")
+          val merged = fullLog
+            .join(broadcast(touched), Seq("cell"))
+            .groupBy(col("cell"), col("pos"))
+            .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+          graft.sink.IndexStore.writeIvfState(merged, statePath)
+        }
+      }
+      .start()
 }

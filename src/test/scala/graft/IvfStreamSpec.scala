@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming IVF index maintenance (StreamingOps.ivfStateSink): the
+  * cell-partitioned sufficient-statistics store after N micro-batches
+  * must equal a single batch build over the union (batch ≡ stream), a
+  * replayed micro-batch must not double-count (delta-log idempotence),
+  * and a batch touching one cell must leave other cells' files
+  * byte-untouched (dynamic partition overwrite).
+  */
+class IvfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivfstream-" +
+      s"${ProcessHandle.current().pid()}-$name"
+
+  private def stateOf(path: String): Map[(Int, Long), (Long, Long)] =
+    graft.sink.IndexStore.readIvfState(spark, path)
+      .select(col("cell").cast("int"), col("pos"), col("s"), col("n"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+
+  private def rebuild(rows: Seq[(Long, Seq[Float], Int)]): Map[(Int, Long), (Long, Long)] =
+    rows.toDF("vec_id", "embedding", "cell")
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("cell"), col("pos0"))
+      .agg(sum(floor(col("v").cast("double") * 1e9 + 0.5).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), (col("pos0") + 1).cast("long").as("pos"),
+        col("s"), col("n"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("streamed state equals batch rebuild; replay idempotent; untouched cells untouched") {
+    implicit val sc = spark.sqlContext
+    val all = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect().toSeq
+    val batches = Seq(
+      all.filter(_._1 % 3 == 0), all.filter(_._1 % 3 == 1),
+      all.filter(_._1 % 3 == 2))
+    val (deltaLog, statePath, ckpt) =
+      (tmp("delta"), tmp("state"), tmp("ckpt"))
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val q = graft.streaming.StreamingOps.ivfStateSink(
+      in.toDF().toDF("vec_id", "embedding", "cell"),
+      "vec_id", "embedding", "cell", deltaLog, statePath, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    val cell3 = all.filter(_._3 == 3).take(5)
+    assert(cell3.nonEmpty)
+    try {
+      // one processAllAvailable per addData = one micro-batch per split
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = stateOf(statePath)
+      val full = rebuild(all)
+      assert(streamed == full,
+        "state after 3 micro-batches must equal the one-shot batch build")
+
+      // dynamic partition overwrite: a 4th batch touching ONLY cell 3
+      // (same stream — batch_id continues) must not rewrite other cells
+      val before = new java.io.File(statePath).listFiles()
+        .filter(f => f.getName.startsWith("cell=") && f.getName != "cell=3")
+        .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+      in.addData(cell3: _*)
+      q.processAllAvailable()
+      val after = new java.io.File(statePath).listFiles()
+        .filter(f => f.getName.startsWith("cell=") && f.getName != "cell=3")
+        .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+      assert(after == before,
+        "cells untouched by the batch must keep their files byte-untouched")
+      val s3 = stateOf(statePath).filter(_._1._1 == 3)
+      val want3 = rebuild(all.filter(_._3 == 3) ++ cell3).filter(_._1._1 == 3)
+      assert(s3 == want3, "touched cell must absorb the new batch exactly")
+    } finally q.stop()
+
+    // replay idempotence: re-apply the LAST batch's delta + merge exactly
+    // as a foreachBatch retry would (same batch_id partition, re-merge) —
+    // the state must not change
+    val snapshot = stateOf(statePath)
+    val lastId = spark.read.parquet(deltaLog)
+      .select(max(col("batch_id")).cast("long")).head.getLong(0)
+    val replay = cell3.toDF("vec_id", "embedding", "cell")
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("cell"), col("pos0"))
+      .agg(sum(floor(col("v").cast("double") * 1e9 + 0.5).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), (col("pos0") + 1).cast("long").as("pos"),
+        col("s"), col("n"))
+    replay.write.mode("overwrite").parquet(s"$deltaLog/batch_id=$lastId")
+    val touched = spark.read.parquet(s"$deltaLog/batch_id=$lastId")
+      .select(col("cell")).distinct()
+    val merged = spark.read.parquet(deltaLog).drop("batch_id")
+      .join(broadcast(touched), Seq("cell"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+    graft.sink.IndexStore.writeIvfState(merged, statePath)
+    assert(stateOf(statePath) == snapshot,
+      "a replayed batch must not double-count")
+  }
+}

@@ -139,6 +139,25 @@ class RankStatsSpec extends SparkSpec {
     assert(math.abs(math.abs(row.getAs[Long]("tau2_e6")) / 1e6 - tau * tau) < 2e-6)
   }
 
+  test("q_hodges_lehmann matches the brute-force Walsh-average median") {
+    val got = run("q_hodges_lehmann").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) + 0.5).toLong))
+    for ((rf, rows) <- li.groupBy(_._1)) {
+      val xs = rows.map(_._2)
+      // brute force: every Walsh sum x_i + x_j over i <= j
+      val sums = (for (i <- xs.indices; j <- i until xs.length)
+        yield xs(i) + xs(j)).sorted
+      val w = sums.length.toLong
+      val lo = sums(((w + 1) / 2 - 1).toInt)
+      val hi = sums(((w + 2) / 2 - 1).toInt)
+      assert(got(rf)._1 === w, s"$rf pair count")
+      assert(got(rf)._2 === lo + hi, s"$rf hl_x4")
+    }
+  }
+
   test("q_spearman_corr matches Pearson-on-average-ranks per group") {
     val got = run("q_spearman_corr").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
