@@ -770,7 +770,191 @@ object RankStatsQueries {
         |    AS hl_x4
         |FROM cum GROUP BY rf ORDER BY rf""".stripMargin))
 
+  // --- Friedman test -----------------------------------------------------------
+
+  /** Friedman test (the blocked k-treatment rank test — repeated-measures
+    * ANOVA's nonparametric form): do the five order priorities differ in
+    * monthly revenue once month-to-month level shifts are blocked out?
+    * Blocks = order months, treatments = priorities, the cell metric =
+    * exact cent revenue. Within each block the k = 5 cell values are
+    * ranked (tie-averaged, the integer 2·rank form: 2r = 2·|smaller| +
+    * |equal| + 1, from two ≤5-row windows); with D_j = 2R_j − b(k+1),
+    * Q = 3·Σ_j D_j² / (b·k·(k+1)).
+    *
+    * EVERYTHING is integer: q_e6 = ⌊Q·10⁶⌋ by one integral division and
+    * the α = 0.05 decision against χ²(k−1 = 4) cross-multiplies
+    * 3·ΣD²·10⁶ > 9487729·b·k·(k+1) — no double exists in the plan
+    * (9.487729 = the χ²₄ critical value). Exact while ΣD² ≲ 10¹² — D is
+    * bounded by b·k, so long arithmetic holds to ~10⁸ blocks.
+    *
+    * Scale shape: one partial-aggregatable groupBy(month, priority) over
+    * orders; ranking windows partition by month over exactly k = 5 rows;
+    * the treatment rollup is k rows. */
+  private val friedman = QueryDef(
+    fn = (spark, dir) => {
+      val cells = Tables.orders(spark, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+          col("o_orderpriority").as("trt"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("v"))
+      // complete blocks only (every priority present) — the Friedman
+      // design requires a full b×k table; the fixture always is, but the
+      // guard keeps the statistic well-defined on any input
+      val wB = Window.partitionBy(col("m"))
+      val full = cells.withColumn("kk", count(lit(1)).over(wB))
+      val kTot = full.agg(max(col("kk")).as("k"))
+      val ranked = full.crossJoin(broadcast(kTot))
+        .filter(col("kk") === col("k"))
+        .withColumn("smaller", coalesce(count(lit(1)).over(
+          wB.orderBy(col("v")).rangeBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("equal", count(lit(1)).over(
+          wB.orderBy(col("v")).rangeBetween(0, 0)))
+        .withColumn("r2", lit(2L) * col("smaller") + col("equal") + 1)
+      val perTrt = ranked.groupBy(col("trt"), col("k"))
+        .agg(sum(col("r2")).as("r2j"), count(lit(1)).as("b"))
+      val s = perTrt
+        .withColumn("d", col("r2j") - col("b") * (col("k") + 1))
+        .agg(max(col("k")).cast("long").as("k"), max(col("b")).as("b"),
+          sum(col("d") * col("d")).as("d2"))
+      s.select(col("k"), col("b"),
+        expr("(3 * d2 * 1000000) div (b * k * (k + 1))").as("q_e6"),
+        (col("d2") * 3000000L >
+          lit(9487729L) * col("b") * col("k") * (col("k") + 1))
+          .as("reject"))
+    },
+    oracle = Some(
+      """WITH cells AS (SELECT strftime(o_orderdate, '%Y-%m') AS m,
+        |    o_orderpriority AS trt,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |full_b AS (SELECT m, trt, v, COUNT(*) OVER (PARTITION BY m) AS kk
+        |  FROM cells),
+        |kt AS (SELECT MAX(kk) AS k FROM full_b),
+        |rk AS (SELECT m, trt, k,
+        |    2 * (COUNT(*) OVER (PARTITION BY m ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |    + (COUNT(*) OVER (PARTITION BY m ORDER BY v
+        |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW)) + 1 AS r2
+        |  FROM full_b CROSS JOIN kt WHERE kk = k),
+        |pt AS (SELECT trt, k, SUM(r2) AS r2j, COUNT(*) AS b
+        |  FROM rk GROUP BY 1, 2),
+        |s AS (SELECT MAX(k) AS k, MAX(b) AS b,
+        |    SUM((r2j - b * (k + 1)) * (r2j - b * (k + 1))) AS d2
+        |  FROM pt)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(b AS BIGINT) AS b,
+        |  CAST((3 * d2 * 1000000) // (b * k * (k + 1)) AS BIGINT) AS q_e6,
+        |  d2 * 3000000 > 9487729 * b * k * (k + 1) AS reject
+        |FROM s""".stripMargin))
+
+  // --- Mood's median test --------------------------------------------------------
+
+  /** Mood's median test: do the three return-flag groups differ in the
+    * fraction of line items above the pooled grand median quantity? The
+    * crudest-but-unkillable k-group location test (a 2×k chi-square on
+    * above/not-above the grand median) — the robustness backstop to
+    * q_kruskal_wallis. The grand median is the exact order statistic at
+    * rank ⌈n/2⌉ read off the pooled ≤50-row count grid's running sum;
+    * the 2×k table is one conditional aggregation.
+    *
+    * Numeric discipline: the q_anova f9 pattern — each cell's
+    * (O·n − r·c)²/(n·r·c) term is composed on doubles cast from exact
+    * longs in one fixed order, 9dp floor-pinned, summed in DECIMAL;
+    * the α = 0.05 decision against χ²(k−1 = 2) = 5.991465 compares
+    * identical doubles.
+    *
+    * Scale shape: one groupBy(rf, q) over lineitem feeds BOTH the pooled
+    * median grid and the 2×k table — the corpus is scanned once; all
+    * windows run on ≤50-row grids. */
+  private val moodMedian = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("rf"),
+          floor(col("l_quantity") + 0.5).cast("long").as("q"))
+      val cells = li.groupBy(col("rf"), col("q"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds the pooled grid AND the 2xk table
+      val wRun = Window.orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val med = cells.groupBy(col("q")).agg(sum(col("c")).as("t"))
+        .withColumn("cum", sum(col("t")).over(wRun))
+        .withColumn("n", sum(col("t")).over(wAll))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .agg(min(col("q")).as("gm"))
+      val tab = cells.crossJoin(broadcast(med))
+        .groupBy(col("rf"))
+        .agg(sum(when(col("q") > col("gm"), col("c")).otherwise(0L))
+          .as("above"),
+          sum(col("c")).as("r"))
+        .localCheckpoint(false) // k rows feed totals AND the term sum
+      val tot = tab.agg(count(lit(1)).as("k"), sum(col("above")).as("ca"),
+        sum(col("r")).as("n"))
+      def dd(c: Column) = c.cast("double")
+      val t2 = tab.crossJoin(broadcast(tot))
+        .withColumn("cb", col("n") - col("ca"))
+        .withColumn("below", col("r") - col("above"))
+        .withColumn("t_above",
+          (floor((dd(col("above")) * dd(col("n")) - dd(col("r")) * dd(col("ca")))
+            * (dd(col("above")) * dd(col("n")) - dd(col("r")) * dd(col("ca")))
+            / (dd(col("n")) * dd(col("r")) * dd(col("ca")))
+            * 1e9 + 0.5) / 1e9).cast(DecimalType(28, 9)))
+        .withColumn("t_below",
+          (floor((dd(col("below")) * dd(col("n")) - dd(col("r")) * dd(col("cb")))
+            * (dd(col("below")) * dd(col("n")) - dd(col("r")) * dd(col("cb")))
+            / (dd(col("n")) * dd(col("r")) * dd(col("cb")))
+            * 1e9 + 0.5) / 1e9).cast(DecimalType(28, 9)))
+      val s = t2.agg(max(col("k")).as("k"), max(col("n")).as("n"),
+        max(col("ca")).as("n_above"),
+        sum(col("t_above") + col("t_below")).as("chi2d"))
+      s.select(col("k"), col("n").cast("long").as("n"),
+        col("n_above"),
+        r6(dd(col("chi2d"))).as("chi2"),
+        (dd(col("chi2d")) > 5.991465).as("reject"))
+    },
+    oracle = Some(
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q FROM lineitem),
+        |cells AS (SELECT rf, q, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |pooled AS (SELECT q, SUM(c) AS t FROM cells GROUP BY 1),
+        |med AS (SELECT MIN(q) AS gm FROM (
+        |  SELECT q, SUM(t) OVER (ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(t) OVER () AS n FROM pooled) WHERE cum >= (n + 1) // 2),
+        |tab AS (SELECT rf,
+        |    CAST(SUM(CASE WHEN q > gm THEN c ELSE 0 END) AS BIGINT) AS above,
+        |    CAST(SUM(c) AS BIGINT) AS r
+        |  FROM cells CROSS JOIN med GROUP BY rf),
+        |tot AS (SELECT COUNT(*) AS k, CAST(SUM(above) AS BIGINT) AS ca,
+        |    CAST(SUM(r) AS BIGINT) AS n FROM tab),
+        |t2 AS (SELECT k, n, ca, rf, above, r, n - ca AS cb, r - above AS below
+        |  FROM tab CROSS JOIN tot),
+        |t3 AS (SELECT k, n, ca,
+        |    CAST(floor((CAST(above AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(r AS DOUBLE) * CAST(ca AS DOUBLE))
+        |      * (CAST(above AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(r AS DOUBLE) * CAST(ca AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(ca AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9))
+        |    + CAST(floor((CAST(below AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(r AS DOUBLE) * CAST(cb AS DOUBLE))
+        |      * (CAST(below AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(r AS DOUBLE) * CAST(cb AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(cb AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS term
+        |  FROM t2),
+        |s AS (SELECT MAX(k) AS k, MAX(n) AS n, MAX(ca) AS n_above,
+        |    CAST(SUM(term) AS DECIMAL(38,9)) AS chi2d FROM t3)
+        |SELECT k, CAST(n AS BIGINT) AS n, n_above,
+        |  floor(CAST(chi2d AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+        |  CAST(chi2d AS DOUBLE) > 5.991465 AS reject
+        |FROM s""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_friedman_test" -> friedman,
+    "q_mood_median" -> moodMedian,
     "q_hodges_lehmann" -> hodgesLehmann,
     "q_ks_test" -> ksTest,
     "q_kruskal_wallis" -> kruskalWallis,

@@ -158,6 +158,60 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("q_friedman_test matches the textbook blocked-rank replay") {
+    val row = run("q_friedman_test").collect().head
+    val cells = graft.ops.Tables.orders(spark, dir)
+      .selectExpr("date_format(o_orderdate, 'yyyy-MM') AS m",
+        "o_orderpriority AS trt",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+    val k = cells.keys.map(_._2).toSet.size
+    val blocks = cells.groupBy(_._1._1).filter(_._2.size == k)
+    assert(row.getAs[Long]("k") === k.toLong)
+    assert(row.getAs[Long]("b") === blocks.size.toLong)
+    val rankSums = scala.collection.mutable.Map.empty[String, Double]
+    for ((_, cellsInB) <- blocks) {
+      val vs = cellsInB.toSeq.map { case ((_, t), v) => (t, v) }
+      for ((t, v) <- vs) {
+        val smaller = vs.count(_._2 < v)
+        val equal = vs.count(_._2 == v)
+        val r = smaller + (equal + 1) / 2.0
+        rankSums(t) = rankSums.getOrElse(t, 0.0) + r
+      }
+    }
+    val b = blocks.size.toDouble
+    val q = 12.0 / (b * k * (k + 1)) *
+      rankSums.values.map(r => (r - b * (k + 1) / 2.0) * (r - b * (k + 1) / 2.0)).sum
+    assert(math.abs(row.getAs[Long]("q_e6") / 1e6 - q) < 2e-6 + q * 1e-9)
+    assert(row.getAs[Boolean]("reject") === (q > 9.487729))
+  }
+
+  test("q_mood_median matches the textbook 2xk chi-square replay") {
+    val row = run("q_mood_median").collect().head
+    val li = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) + 0.5).toLong))
+    val sorted = li.map(_._2).sorted
+    val gm = sorted(((sorted.length + 1) / 2 - 1))
+    val groups = li.groupBy(_._1)
+    val n = li.length.toDouble
+    val ca = li.count(_._2 > gm).toDouble
+    val chi2 = groups.values.map { g =>
+      val r = g.length.toDouble
+      val above = g.count(_._2 > gm).toDouble
+      val below = r - above
+      val ea = r * ca / n; val eb = r * (n - ca) / n
+      (above - ea) * (above - ea) / ea + (below - eb) * (below - eb) / eb
+    }.sum
+    assert(row.getAs[Long]("k") === groups.size.toLong)
+    assert(row.getAs[Long]("n") === li.length.toLong)
+    assert(row.getAs[Long]("n_above") === ca.toLong)
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 2e-5 + chi2 * 1e-9)
+    assert(row.getAs[Boolean]("reject") === (chi2 > 5.991465))
+  }
+
   test("q_spearman_corr matches Pearson-on-average-ranks per group") {
     val got = run("q_spearman_corr").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
