@@ -952,7 +952,132 @@ object RankStatsQueries {
         |  CAST(chi2d AS DOUBLE) > 5.991465 AS reject
         |FROM s""".stripMargin))
 
+  // --- Q-Q decile table -------------------------------------------------------
+
+  /** Q–Q table between open ('O') and finished ('F') line items'
+    * quantity distributions: the nine decile order statistics of each
+    * group, side by side — the tabular form of a Q–Q plot (points on
+    * the diagonal = same distribution), the visual-diagnostic partner
+    * of q_ks_test's single-number verdict. Deciles are EXACT type-1
+    * order statistics (smallest value whose running count reaches
+    * ⌈p·n/100⌉) read off each group's bounded count grid — integers
+    * end to end, no interpolation, no double.
+    *
+    * Scale shape: one groupBy(flag, q) over lineitem; running sums on
+    * two ≤50-row grids; a 9-row decile probe joined against each grid
+    * (grid-sized theta-join). */
+  private val qqTable = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_linestatus").isin("O", "F"))
+        .select(col("l_linestatus").as("g"),
+          floor(col("l_quantity") + 0.5).cast("long").as("q"))
+      val cells = li.groupBy(col("g"), col("q"))
+        .agg(count(lit(1)).as("c"))
+      val wRun = Window.partitionBy(col("g")).orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = cells
+        .withColumn("cw", sum(col("c")).over(wRun))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .localCheckpoint(false) // the ≤100-row grid feeds the 9-decile probe
+      val ps = spark.range(10, 100, 10).select(col("id").as("p"))
+      val dec = ps.join(cum,
+          col("cw") >= expr("(p * n + 99) div 100"), "inner")
+        .groupBy(col("p"), col("g"))
+        .agg(min(col("q")).as("qv"))
+      dec.groupBy(col("p"))
+        .agg(max(when(col("g") === "O", col("qv"))).as("q_open"),
+          max(when(col("g") === "F", col("qv"))).as("q_finished"))
+        .orderBy("p")
+    },
+    oracle = Some(
+      """WITH b AS (SELECT l_linestatus AS g,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+        |  FROM lineitem WHERE l_linestatus IN ('O', 'F')),
+        |cells AS (SELECT g, q, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (SELECT g, q,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM cells),
+        |ps AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS p),
+        |dec AS (SELECT ps.p, cum.g, MIN(cum.q) AS qv
+        |  FROM ps JOIN cum ON cum.cw >= (ps.p * cum.n + 99) // 100
+        |  GROUP BY 1, 2)
+        |SELECT CAST(p AS BIGINT) AS p,
+        |  MAX(CASE WHEN g = 'O' THEN qv END) AS q_open,
+        |  MAX(CASE WHEN g = 'F' THEN qv END) AS q_finished
+        |FROM dec GROUP BY p ORDER BY p""".stripMargin))
+
+  // --- Cramér's V ----------------------------------------------------------------
+
+  /** Cramér's V between return flag and line status — the normalized
+    * effect size of the r×c contingency chi-square (q_chisq reports the
+    * test; V reports HOW associated, 0..1, comparable across table
+    * shapes). Cell terms follow the q_anova f9 pattern (exact counts →
+    * fixed-order double composition → 9dp pin → DECIMAL sum); the sqrt
+    * never materializes: v2_e6 = ⌊χ²/(n·min(r−1, c−1))·10⁶⌋ emits the
+    * SQUARE (the q_mann_whitney z² convention).
+    *
+    * Scale shape: one partial-aggregatable groupBy over lineitem onto
+    * the r×c ≤ dozens-cell table; margins and terms are table-sized. */
+  private val cramersV = QueryDef(
+    fn = (spark, dir) => {
+      val tab = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag").as("rf"),
+          col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(false) // cell table feeds margins AND terms
+      val rm = tab.groupBy(col("rf")).agg(sum(col("o")).as("r"))
+      val cm = tab.groupBy(col("ls")).agg(sum(col("o")).as("c"))
+      val tot = tab.agg(sum(col("o")).as("n"),
+        countDistinct(col("rf")).as("kr"),
+        countDistinct(col("ls")).as("kc"))
+      def dd(c: Column) = c.cast("double")
+      val terms = tab.join(rm, "rf").join(cm, "ls")
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          (floor((dd(col("o")) * dd(col("n")) - dd(col("r")) * dd(col("c")))
+            * (dd(col("o")) * dd(col("n")) - dd(col("r")) * dd(col("c")))
+            / (dd(col("n")) * dd(col("r")) * dd(col("c")))
+            * 1e9 + 0.5) / 1e9).cast(DecimalType(28, 9)))
+      val s = terms.agg(max(col("kr")).as("kr"), max(col("kc")).as("kc"),
+        max(col("n")).as("n"), sum(col("term")).as("chi2d"))
+      s.select(col("kr"), col("kc"), col("n"),
+        r6(dd(col("chi2d"))).as("chi2"),
+        floor(dd(col("chi2d"))
+          / (dd(col("n")) * dd(least(col("kr"), col("kc")) - 1))
+          * 1e6 + 0.5).cast("long").as("v2_e6"))
+    },
+    oracle = Some(
+      """WITH tab AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    COUNT(*) AS o FROM lineitem GROUP BY 1, 2),
+        |rm AS (SELECT rf, SUM(o) AS r FROM tab GROUP BY 1),
+        |cm AS (SELECT ls, SUM(o) AS c FROM tab GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    COUNT(DISTINCT rf) AS kr, COUNT(DISTINCT ls) AS kc FROM tab),
+        |t AS (SELECT kr, kc, n,
+        |    CAST(floor((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS term
+        |  FROM tab JOIN rm USING (rf) JOIN cm USING (ls) CROSS JOIN tot),
+        |s AS (SELECT MAX(kr) AS kr, MAX(kc) AS kc, MAX(n) AS n,
+        |    CAST(SUM(term) AS DECIMAL(38,9)) AS chi2d FROM t)
+        |SELECT kr, kc, n,
+        |  floor(CAST(chi2d AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+        |  CAST(floor(CAST(chi2d AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(LEAST(kr, kc) - 1 AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS v2_e6
+        |FROM s""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_qq_table" -> qqTable,
+    "q_cramers_v" -> cramersV,
     "q_friedman_test" -> friedman,
     "q_mood_median" -> moodMedian,
     "q_hodges_lehmann" -> hodgesLehmann,

@@ -212,6 +212,42 @@ class RankStatsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("reject") === (chi2 > 5.991465))
   }
 
+  test("q_qq_table matches brute-force type-1 decile order statistics") {
+    val got = run("q_qq_table").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("l_linestatus", "l_quantity").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) + 0.5).toLong))
+    def dec(g: String, p: Long): Long = {
+      val xs = li.filter(_._1 == g).map(_._2).sorted
+      xs((((p * xs.length + 99) / 100) - 1).toInt) // type-1: ceil(pn/100)-th
+    }
+    for (p <- 10L to 90L by 10L) {
+      assert(got(p)._1 === dec("O", p), s"p=$p open")
+      assert(got(p)._2 === dec("F", p), s"p=$p finished")
+    }
+  }
+
+  test("q_cramers_v matches the textbook contingency replay") {
+    val row = run("q_cramers_v").collect().head
+    val li = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag", "l_linestatus").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = li.length.toDouble
+    val cellsM = li.groupBy(identity).map { case (k, v) => (k, v.length.toDouble) }
+    val rm = li.groupBy(_._1).map { case (k, v) => (k, v.length.toDouble) }
+    val cm = li.groupBy(_._2).map { case (k, v) => (k, v.length.toDouble) }
+    val chi2 = cellsM.map { case ((rf, ls), o) =>
+      val e = rm(rf) * cm(ls) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(row.getAs[Long]("kr") === rm.size.toLong)
+    assert(row.getAs[Long]("kc") === cm.size.toLong)
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 2e-5 + chi2 * 1e-9)
+    val v2 = chi2 / (n * (math.min(rm.size, cm.size) - 1))
+    assert(math.abs(row.getAs[Long]("v2_e6") / 1e6 - v2) < 2e-6)
+  }
+
   test("q_spearman_corr matches Pearson-on-average-ranks per group") {
     val got = run("q_spearman_corr").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
