@@ -106,6 +106,69 @@ object ExtensionQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
          |FROM t ORDER BY doc_id""".stripMargin))
 
+  /** Packing-efficiency sweep across context budgets — the capacity-
+    * planning readout for [[TextAnalysis.packBins]] (q_seq_pack packs at
+    * ONE budget; this table is how the budget gets picked): for each
+    * context length B ∈ {128, 256, 512, 1024}, the bin count, capacity
+    * utilization ⌊tot_tokens·10⁶/(n_bins·B)⌋, the largest bin fill, and
+    * how many bins a straddling document overfills. The exclusive
+    * running token count (`before`) is computed ONCE via the operator's
+    * own distributed prefix sum (packBins at budget 1 returns it
+    * verbatim: bin = before/1), so the sweep adds no second corpus
+    * pass; every budget then derives its bins by one integral division
+    * on the same frame. All emitted statistics are exact integers.
+    *
+    * Scale shape: one corpus scan + the packBins partition-prefix
+    * machinery; the per-budget rollup is (Σ_B n_bins)-sized — token
+    * volume / 128 rows at worst, ≪ corpus. */
+  private val packEfficiency = QueryDef(
+    fn = (spark, dir) => {
+      val before = TextAnalysis.packBins(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+          "text", "doc_id", budgetTokens = 1)
+        .select(col("n_tokens").cast("long").as("nt"),
+          col("bin").as("before"))
+        .localCheckpoint(false) // one corpus pass feeds all four budgets
+      val bs = spark.sql("SELECT explode(array(128, 256, 512, 1024)) AS b")
+      before.crossJoin(broadcast(bs))
+        .select(col("b"), expr("before div b").as("bin"), col("nt"))
+        .groupBy(col("b"), col("bin"))
+        .agg(sum(col("nt")).as("fill"), count(lit(1)).as("nd"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("nd")).as("n_docs"),
+          sum(col("fill")).as("tot_tokens"), max(col("fill")).as("max_fill"),
+          sum(when(col("fill") > col("b"), 1L).otherwise(0L))
+            .as("n_overfull"))
+        .select(col("b").cast("long").as("budget"), col("n_bins"),
+          col("n_docs"), col("tot_tokens"), col("max_fill"),
+          col("n_overfull"),
+          expr("tot_tokens * 1000000 div (n_bins * b)").as("util_e6"))
+        .orderBy("budget")
+    },
+    oracle = Some(
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(${dToks("text")}) AS BIGINT) AS nt FROM documents),
+         |c AS (SELECT doc_id, nt,
+         |    COALESCE(SUM(nt) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS before
+         |  FROM t),
+         |bs AS (SELECT unnest([128, 256, 512, 1024]) AS b),
+         |bins AS (SELECT bs.b, c.before // bs.b AS bin,
+         |    CAST(SUM(c.nt) AS BIGINT) AS fill, COUNT(*) AS nd
+         |  FROM c CROSS JOIN bs GROUP BY 1, 2),
+         |s AS (SELECT b, COUNT(*) AS n_bins, SUM(nd) AS n_docs,
+         |    CAST(SUM(fill) AS BIGINT) AS tot_tokens,
+         |    MAX(fill) AS max_fill,
+         |    CAST(SUM(CASE WHEN fill > b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_overfull
+         |  FROM bins GROUP BY b)
+         |SELECT CAST(b AS BIGINT) AS budget, n_bins,
+         |  CAST(n_docs AS BIGINT) AS n_docs, tot_tokens, max_fill,
+         |  n_overfull,
+         |  CAST(tot_tokens * 1000000 // (n_bins * b) AS BIGINT) AS util_e6
+         |FROM s ORDER BY budget""".stripMargin))
+
   private val textTokens = QueryDef(
     fn = (spark, dir) => {
       val d = Tables.documents(spark, dir)
@@ -4272,6 +4335,7 @@ object ExtensionQueries {
     "q_text_tokens" -> textTokens,
     "q_text_chunks" -> textChunks,
     "q_seq_pack" -> seqPack,
+    "q_pack_efficiency" -> packEfficiency,
     "q_text_lang_id" -> langIdQ,
     "q_text_quality" -> qualityQ,
     "q_quality_filter_sweep" -> qualitySweep,
