@@ -482,6 +482,106 @@ object AnalyticQueries {
     * plans both as existence joins on l_orderkey — no per-row re-scan;
     * the plan-audit spec pins it.
     */
+  /** TPC-H Q5-shaped local-supplier volume: revenue per nation where the
+    * CUSTOMER and the SUPPLIER sit in the same nation (the
+    * c_nationkey = s_nationkey cross-dimension equality is the shape —
+    * it correlates the two fact-side dimension joins), restricted to
+    * ASIA and order year 1996. All dimensions broadcast; the two
+    * fact-sized joins stay hash joins; the region filter prunes the
+    * nation dim before it ever reaches the fact side.
+    *
+    * Revenue is EXACT: price(2dp)·(1−disc)(4dp) is a 6dp
+    * DECIMAL product summed exactly, emitted as the integer
+    * rev_e6 = Σvol·10⁶ — no double anywhere. */
+  private val localSupplierVolume = QueryDef(
+    fn = (spark, dir) => {
+      val vol = (col("l_extendedprice").cast(DecimalType(12, 4))
+        * (lit(1) - col("l_discount").cast(DecimalType(12, 4))))
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(spark, dir),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01")
+          && col("o_orderdate").cast("date") < lit("1997-01-01"))
+        .groupBy(col("n_name"))
+        .agg((sum(vol) * 1000000).cast("long").as("rev_e6"))
+        .orderBy("n_name")
+    },
+    oracle = Some(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,4)))) * 1000000
+        |    AS BIGINT) AS rev_e6
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  /** TPC-H Q7-shaped bi-national trade volume: shipped revenue between
+    * two nations in BOTH directions, by supplier nation × customer
+    * nation × ship year — the symmetric-OR join filter shape
+    * ((N1→N2) OR (N2→N1)) that exercises disjunctive predicates over
+    * two broadcast dimension lineages. Revenue emitted exact
+    * (rev_e6 integer, the Q5 convention). */
+  private val nationTradeVolume = QueryDef(
+    fn = (spark, dir) => {
+      val vol = (col("l_extendedprice").cast(DecimalType(12, 4))
+        * (lit(1) - col("l_discount").cast(DecimalType(12, 4))))
+      val sn = Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val cn = Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(spark, dir)
+        .join(Tables.supplier(spark, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("snk"))
+        .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+        .filter(
+          (col("supp_nation") === "NATION_18"
+            && col("cust_nation") === "NATION_19")
+          || (col("supp_nation") === "NATION_19"
+            && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("date")).as("l_year"))
+        .agg((sum(vol) * 1000000).cast("long").as("rev_e6"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    oracle = Some(
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,4)))) * 1000000
+        |    AS BIGINT) AS rev_e6
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        |   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
   private val soleLateSupplier = QueryDef(
     fn = (spark, dir) => {
       Tables.supplier(spark, dir).createOrReplaceTempView("supplier_q21")
@@ -1254,6 +1354,8 @@ object AnalyticQueries {
     "q_lateral_topk" -> lateralTopk,
     "q_market_share" -> marketShare,
     "q_sole_late_supplier" -> soleLateSupplier,
+    "q_local_supplier_volume" -> localSupplierVolume,
+    "q_nation_trade_volume" -> nationTradeVolume,
     "q_full_outer" -> fullOuter,
     "q_unpivot" -> unpivotQ,
     "q_posexplode" -> posExplode,
