@@ -169,6 +169,100 @@ object ExtensionQueries {
          |  CAST(tot_tokens * 1000000 // (n_bins * b) AS BIGINT) AS util_e6
          |FROM s ORDER BY budget""".stripMargin))
 
+  /** Curation-funnel waterfall — the pipeline report every corpus run
+    * publishes: documents and tokens surviving each curation stage
+    * IN SEQUENCE (raw → exact dedup keep-first → quality ≥ 0.5 (the cut q_quality_filter_sweep shows splits this corpus ~50/50) →
+    * lang-ID agrees with the declared language), with the cumulative
+    * kept fraction vs raw. One row per stage, so the table IS the
+    * waterfall chart. Stages compose by AND, so every row is a
+    * conditional aggregate over the same per-doc flag frame — the
+    * corpus is scanned once and shuffled once (the md5 keep-first
+    * window; the hash+id projection is narrow, text never shuffles).
+    *
+    * All counts exact; fractions are integral-division e6. The stage
+    * list deliberately uses the CHEAP filters (exact hash, quality
+    * score, lang-id) — the near-dup stage lives in q_dedup_savings on
+    * the memoized pair graph; chaining the LSH replay into this oracle
+    * would re-run it per gate pass for no new verification. */
+  private val curationFunnel = QueryDef(
+    fn = (spark, dir) => {
+      val lc = TextAnalysis.langIdConfidence(col("text"))
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(col("text")).as("th"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          lc.getField("lang_pred").as("pred"))
+        .withColumn("keeper", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("th")).orderBy(col("doc_id"))) === 1)
+        .withColumn("f1", col("keeper"))
+        .withColumn("f2", col("f1") && col("quality") >= 0.5)
+        .withColumn("f3", col("f2") && col("pred") === col("lang"))
+      val s = d.agg(
+        count(lit(1)).as("d0"), sum(col("ntok")).as("t0"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("f1"), col("ntok")).otherwise(0L)).as("t1"),
+        sum(when(col("f2"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("f2"), col("ntok")).otherwise(0L)).as("t2"),
+        sum(when(col("f3"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("f3"), col("ntok")).otherwise(0L)).as("t3"))
+      val stages = spark.sql(
+        """SELECT stack(4, 0L, 'raw', 1L, 'exact_dedup',
+          |  2L, 'quality_ge_050', 3L, 'langid_agree')
+          |  AS (stage, stage_name)""".stripMargin)
+      stages.crossJoin(broadcast(s))
+        .select(col("stage"), col("stage_name"),
+          expr("CASE stage WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2"
+            + " ELSE d3 END").as("n_docs"),
+          expr("CASE stage WHEN 0 THEN t0 WHEN 1 THEN t1 WHEN 2 THEN t2"
+            + " ELSE t3 END").as("n_tokens"),
+          expr("(CASE stage WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2"
+            + " ELSE d3 END) * 1000000 div d0").as("doc_frac_e6"),
+          expr("(CASE stage WHEN 0 THEN t0 WHEN 1 THEN t1 WHEN 2 THEN t2"
+            + " ELSE t3 END) * 1000000 div t0").as("tok_frac_e6"))
+        .orderBy("stage")
+    },
+    oracle = Some {
+      val (hits, caseExpr, _) = dLangIdSql
+      s"""WITH ${dQualityCte("")},
+         |h AS (SELECT doc_id, lang, md5(text) AS th,
+         |    CAST(len(${dToks("text")}) AS BIGINT) AS ntok,
+         |  $hits
+         |FROM documents),
+         |f AS (SELECT h.doc_id, ntok,
+         |    row_number() OVER (PARTITION BY th ORDER BY h.doc_id) = 1
+         |      AS f1,
+         |    qual.quality >= 0.5 AS q_ok,
+         |    ($caseExpr) = lang AS l_ok
+         |  FROM h JOIN qual ON h.doc_id = qual.doc_id),
+         |s AS (SELECT COUNT(*) AS d0, CAST(SUM(ntok) AS BIGINT) AS t0,
+         |    CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(SUM(CASE WHEN f1 THEN ntok ELSE 0 END) AS BIGINT) AS t1,
+         |    CAST(SUM(CASE WHEN f1 AND q_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d2,
+         |    CAST(SUM(CASE WHEN f1 AND q_ok THEN ntok ELSE 0 END)
+         |      AS BIGINT) AS t2,
+         |    CAST(SUM(CASE WHEN f1 AND q_ok AND l_ok THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d3,
+         |    CAST(SUM(CASE WHEN f1 AND q_ok AND l_ok THEN ntok ELSE 0 END)
+         |      AS BIGINT) AS t3
+         |  FROM f),
+         |st AS (SELECT unnest([0, 1, 2, 3]) AS stage,
+         |    unnest(['raw', 'exact_dedup', 'quality_ge_050',
+         |            'langid_agree']) AS stage_name)
+         |SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+         |  CASE stage WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2
+         |    ELSE d3 END AS n_docs,
+         |  CASE stage WHEN 0 THEN t0 WHEN 1 THEN t1 WHEN 2 THEN t2
+         |    ELSE t3 END AS n_tokens,
+         |  (CASE stage WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2
+         |    ELSE d3 END) * 1000000 // d0 AS doc_frac_e6,
+         |  (CASE stage WHEN 0 THEN t0 WHEN 1 THEN t1 WHEN 2 THEN t2
+         |    ELSE t3 END) * 1000000 // t0 AS tok_frac_e6
+         |FROM st CROSS JOIN s ORDER BY stage""".stripMargin
+    })
+
   private val textTokens = QueryDef(
     fn = (spark, dir) => {
       val d = Tables.documents(spark, dir)
@@ -4336,6 +4430,7 @@ object ExtensionQueries {
     "q_text_chunks" -> textChunks,
     "q_seq_pack" -> seqPack,
     "q_pack_efficiency" -> packEfficiency,
+    "q_curation_funnel" -> curationFunnel,
     "q_text_lang_id" -> langIdQ,
     "q_text_quality" -> qualityQ,
     "q_quality_filter_sweep" -> qualitySweep,
