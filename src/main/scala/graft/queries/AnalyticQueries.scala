@@ -1033,6 +1033,71 @@ object AnalyticQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS autocorr
         |FROM s""".stripMargin))
 
+  /** ACF correlogram of the daily-revenue series at calendar lags 1–7 —
+    * the multi-lag extension of q_autocorr_lag1 and the table a
+    * forecasting pipeline reads before picking model order (the weekly
+    * seasonality shows up as the lag-7 spike). Uses the standard
+    * correlogram convention: r_k = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)², with
+    * the GLOBAL mean and denominator shared across lags.
+    *
+    * Exactness: deviations are cross-multiplied integers
+    * (n·centsₜ − Σcents, DECIMAL(38,0)), so numerator and denominator
+    * are exact and r_e6 is a sign-split integral division — no double
+    * anywhere (the q_kendall_tau_rows convention).
+    *
+    * Scale shape: one partial-aggregatable groupBy(day) over orders;
+    * the lag pairing is a (7 × calendar-grid) self-join on
+    * day = day₀ + k — bounded by the calendar at any corpus size. */
+  private val acfTable = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = DecimalType(38, 0)
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("c"))
+      val st = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      val dev = daily.crossJoin(broadcast(st))
+        .select(col("day"),
+          (col("c").cast(d380) * col("n") - col("s")).as("dev"))
+        .localCheckpoint(false) // grid feeds the denominator AND 7 lags
+      val den = dev.agg(sum(col("dev") * col("dev")).as("den"),
+        count(lit(1)).as("n_days"))
+      val ks = spark.range(1, 8).select(col("id").as("lag"))
+      dev.select(col("day").as("d0"), col("dev").as("dev0"))
+        .crossJoin(broadcast(ks))
+        .join(dev.select(col("day").as("d1"), col("dev").as("dev1")),
+          expr("d1 = date_add(d0, CAST(lag AS INT))"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dev0") * col("dev1")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("lag"), col("n_pairs"),
+          (when(col("num") < 0, -1L).otherwise(1L)
+            * expr("(abs(num) * CAST(1000000 AS DECIMAL(38,0))) div den"))
+            .as("r_e6"))
+        .orderBy("lag")
+    },
+    oracle = Some(
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS HUGEINT) AS s
+        |  FROM daily),
+        |dev AS (SELECT day, CAST(c AS HUGEINT) * n - s AS dev
+        |  FROM daily CROSS JOIN st),
+        |den AS (SELECT SUM(dev * dev) AS den FROM dev),
+        |ks AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+        |p AS (SELECT ks.lag, a.dev AS dev0, b.dev AS dev1
+        |  FROM dev a CROSS JOIN ks
+        |  JOIN dev b ON b.day = a.day + to_days(ks.lag)),
+        |s AS (SELECT lag, COUNT(*) AS n_pairs, SUM(dev0 * dev1) AS num
+        |  FROM p GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |    * ((abs(num) * 1000000) // den) AS BIGINT) AS r_e6
+        |FROM s CROSS JOIN den ORDER BY lag""".stripMargin))
+
   /** Deterministic Poisson bootstrap (Chamandy et al., "Estimating
     * Uncertainty for Massive Data Streams", Google TR 2012): a 90% CI for
     * the mean event value WITHOUT resampling passes — each row's weight
@@ -1338,6 +1403,7 @@ object AnalyticQueries {
     "q_bot_regularity" -> botRegularity,
     "q_concurrency_peak" -> concurrencyPeak,
     "q_autocorr_lag1" -> autocorrLag1,
+    "q_acf_table" -> acfTable,
     "q_bootstrap_ci" -> bootstrapCi,
     "q_corr_matrix" -> corrMatrix,
     "q_partial_corr" -> partialCorr,
