@@ -582,6 +582,85 @@ object AnalyticQueries {
         |   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
+  /** TPC-H Q14-shaped promotion-revenue share per ship month: what
+    * fraction of shipped revenue came from PROMO-type parts — the
+    * conditional-share-over-a-broadcast-dimension shape. The part dim
+    * broadcasts; one fact-sized hash join; exact 6dp DECIMAL revenue
+    * with the share as integral division (promo·10⁶ div total) — no
+    * double in the plan. */
+  private val promoRevenue = QueryDef(
+    fn = (spark, dir) => {
+      val vol = (col("l_extendedprice").cast(DecimalType(12, 4))
+        * (lit(1) - col("l_discount").cast(DecimalType(12, 4))))
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", vol)
+            .otherwise(lit(0).cast(DecimalType(12, 4)))) * 1000000)
+            .cast("long").as("promo_e6"),
+          (sum(vol) * 1000000).cast("long").as("total_e6"))
+        // promo_e6·10⁶ exceeds int64 at warehouse scale — the share
+        // division runs in DECIMAL(38,0) (Spark div → BIGINT, exact)
+        .withColumn("promo_share_e6",
+          expr("CAST((CAST(promo_e6 AS DECIMAL(38,0)) * 1000000)"
+            + " div CAST(total_e6 AS DECIMAL(38,0)) AS BIGINT)"))
+        .orderBy("ship_month")
+    },
+    oracle = Some(
+      """WITH g AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,4))
+        |        * (1 - CAST(l_discount AS DECIMAL(12,4)))
+        |      ELSE CAST(0 AS DECIMAL(12,4)) END) * 1000000 AS BIGINT)
+        |    AS promo_e6,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,4)))) * 1000000 AS BIGINT)
+        |    AS total_e6
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1)
+        |SELECT ship_month, promo_e6, total_e6,
+        |  CAST((CAST(promo_e6 AS HUGEINT) * 1000000)
+        |    // CAST(total_e6 AS HUGEINT) AS BIGINT) AS promo_share_e6
+        |FROM g ORDER BY ship_month""".stripMargin))
+
+  /** TPC-H Q10-shaped returned-item report: the 20 customers losing the
+    * most revenue to returns (l_returnflag = 'R'), with their nation —
+    * the classic churn-triage list. Strict total order (revenue desc,
+    * custkey asc) makes the LIMIT a deterministic takeOrdered; revenue
+    * exact (rev_e6). */
+  private val returnedItems = QueryDef(
+    fn = (spark, dir) => {
+      val vol = (col("l_extendedprice").cast(DecimalType(12, 4))
+        * (lit(1) - col("l_discount").cast(DecimalType(12, 4))))
+      Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg((sum(vol) * 1000000).cast("long").as("rev_e6"))
+        .orderBy(col("rev_e6").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+    oracle = Some(
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,4)))) * 1000000 AS BIGINT)
+        |    AS rev_e6
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY rev_e6 DESC, c_custkey ASC LIMIT 20""".stripMargin))
+
   private val soleLateSupplier = QueryDef(
     fn = (spark, dir) => {
       Tables.supplier(spark, dir).createOrReplaceTempView("supplier_q21")
@@ -1422,6 +1501,8 @@ object AnalyticQueries {
     "q_sole_late_supplier" -> soleLateSupplier,
     "q_local_supplier_volume" -> localSupplierVolume,
     "q_nation_trade_volume" -> nationTradeVolume,
+    "q_promo_revenue" -> promoRevenue,
+    "q_returned_items" -> returnedItems,
     "q_full_outer" -> fullOuter,
     "q_unpivot" -> unpivotQ,
     "q_posexplode" -> posExplode,
