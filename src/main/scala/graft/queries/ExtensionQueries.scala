@@ -3804,6 +3804,43 @@ object ExtensionQueries {
     * dims-sized join — nothing data-sized after the first combinable
     * pass.
     */
+  /** Embedding-norm profile per label — the vector-table health check a
+    * pipeline runs before indexing (a zero-norm or wildly-scaled batch
+    * breaks cosine retrieval silently; this table is where it shows):
+    * per label, count, min / max / mean L2 norm and the zero-norm count.
+    * Norms are sqrt of the fixed-fold dot (IEEE-exact composition), 9dp
+    * floor-pinned per row, aggregated with DECIMAL sums (min/max are
+    * order-free; the mean must not be a shuffle-order-dependent double
+    * sum — house discipline). Scale shape: one scan-local projection +
+    * one partial-aggregatable groupBy(label). */
+  private val embNormStats = QueryDef(
+    fn = (spark, dir) => {
+      val n9 = (floor(Similarity.norm(col("embedding")) * 1e9 + 0.5) / 1e9)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9))
+      Tables.embeddings(spark, dir)
+        .select(col("label"), n9.as("n9"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("n9") === 0, 1L).otherwise(0L)).as("n_zero"),
+          (min(col("n9")) * 1000000000L).cast("long").as("min_norm_e9"),
+          (max(col("n9")) * 1000000000L).cast("long").as("max_norm_e9"),
+          floor((sum(col("n9")).cast("double") / count(lit(1)))
+            * 1e6 + 0.5).cast("long").as("mean_norm_e6"))
+        .orderBy("label")
+    },
+    oracle = Some(
+      s"""WITH v AS (SELECT label,
+         |    CAST(floor(sqrt(${dDot("embedding", "embedding")})
+         |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS n9
+         |  FROM embeddings)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN n9 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(MIN(n9) * 1000000000 AS BIGINT) AS min_norm_e9,
+         |  CAST(MAX(n9) * 1000000000 AS BIGINT) AS max_norm_e9,
+         |  CAST(floor((CAST(SUM(n9) AS DOUBLE) / COUNT(*))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS mean_norm_e6
+         |FROM v GROUP BY label ORDER BY label""".stripMargin))
+
   private val embDrift = QueryDef(
     fn = (spark, dir) => {
       val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -4385,6 +4422,7 @@ object ExtensionQueries {
     "q_bpe_train_k" -> bpeTrainK,
     "q_kl_divergence" -> klDivergence,
     "q_emb_drift" -> embDrift,
+    "q_emb_norm_stats" -> embNormStats,
     "q_zipf_fit" -> zipfFit,
     "q_lm_perplexity" -> lmPerplexity,
     "q_mix_rebalance" -> mixRebalance,
