@@ -1177,6 +1177,88 @@ object AnalyticQueries {
         |    * ((abs(num) * 1000000) // den) AS BIGINT) AS r_e6
         |FROM s CROSS JOIN den ORDER BY lag""".stripMargin))
 
+  /** Ljung–Box portmanteau test over the q_acf_table machinery: is the
+    * daily-revenue series white noise, or does SOME autocorrelation
+    * survive through lag 7? Q = n(n+2)·Σ_{k=1..7} r_k²/(n−k), rejected
+    * against χ²(7) at α = 0.05 (14.067140) — the standard residual
+    * diagnostic run after fitting any forecast model.
+    *
+    * Numeric discipline: r_k² = num_k²/den² from the SAME exact
+    * cross-multiplied integer numerators/denominator as q_acf_table
+    * (scale-0 DECIMAL → double casts are single correctly-rounded
+    * conversions on both engines — the q_spearman_corr precedent);
+    * each lag's term is composed in one fixed order, 9dp floor-pinned,
+    * DECIMAL-summed, and Q finishes as one multiplication. The decision
+    * compares two identical doubles.
+    *
+    * Scale shape: identical to q_acf_table — one groupBy(day) over
+    * orders, then calendar-grid work only. */
+  private val ljungBox = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = DecimalType(38, 0)
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("c"))
+      val st = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      val dev = daily.crossJoin(broadcast(st))
+        .select(col("day"),
+          (col("c").cast(d380) * col("n") - col("s")).as("dev"))
+        .localCheckpoint(false)
+      val den = dev.agg(sum(col("dev") * col("dev")).as("den"),
+        count(lit(1)).as("n"))
+      val ks = spark.range(1, 8).select(col("id").as("lag"))
+      def dd(c: Column) = c.cast("double")
+      val terms = dev.select(col("day").as("d0"), col("dev").as("dev0"))
+        .crossJoin(broadcast(ks))
+        .join(dev.select(col("day").as("d1"), col("dev").as("dev1")),
+          expr("d1 = date_add(d0, CAST(lag AS INT))"))
+        .groupBy(col("lag"))
+        .agg(sum(col("dev0") * col("dev1")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("n"),
+          (floor(dd(col("num")) * dd(col("num"))
+            / (dd(col("den")) * dd(col("den")))
+            / (dd(col("n")) - dd(col("lag")))
+            * 1e9 + 0.5) / 1e9).cast(DecimalType(28, 9)).as("term"))
+      val s = terms.agg(max(col("n")).as("n"), count(lit(1)).as("lags"),
+        sum(col("term")).as("tsum"))
+      val q = dd(col("n")) * (dd(col("n")) + 2.0) * dd(col("tsum"))
+      s.select(col("n").cast("long").as("n_days"),
+        col("lags"),
+        TextAnalysis.round6(q).as("q_stat"),
+        (q > 14.067140).as("reject"))
+    },
+    oracle = Some(
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS HUGEINT) AS s
+        |  FROM daily),
+        |dev AS (SELECT day, CAST(c AS HUGEINT) * n - s AS dev
+        |  FROM daily CROSS JOIN st),
+        |den AS (SELECT SUM(dev * dev) AS den, COUNT(*) AS n FROM dev),
+        |ks AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+        |nums AS (SELECT ks.lag, SUM(a.dev * b.dev) AS num
+        |  FROM dev a CROSS JOIN ks
+        |  JOIN dev b ON b.day = a.day + to_days(ks.lag)
+        |  GROUP BY ks.lag),
+        |t AS (SELECT n,
+        |    CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |      / (CAST(den AS DOUBLE) * CAST(den AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS term
+        |  FROM nums CROSS JOIN den),
+        |s AS (SELECT MAX(n) AS n, COUNT(*) AS lags,
+        |    CAST(SUM(term) AS DECIMAL(38,9)) AS tsum FROM t)
+        |SELECT CAST(n AS BIGINT) AS n_days, lags,
+        |  floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+        |    * CAST(tsum AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS q_stat,
+        |  CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+        |    * CAST(tsum AS DOUBLE) > 14.067140 AS reject
+        |FROM s""".stripMargin))
+
   /** Deterministic Poisson bootstrap (Chamandy et al., "Estimating
     * Uncertainty for Massive Data Streams", Google TR 2012): a 90% CI for
     * the mean event value WITHOUT resampling passes — each row's weight
@@ -1483,6 +1565,7 @@ object AnalyticQueries {
     "q_concurrency_peak" -> concurrencyPeak,
     "q_autocorr_lag1" -> autocorrLag1,
     "q_acf_table" -> acfTable,
+    "q_ljung_box" -> ljungBox,
     "q_bootstrap_ci" -> bootstrapCi,
     "q_corr_matrix" -> corrMatrix,
     "q_partial_corr" -> partialCorr,
