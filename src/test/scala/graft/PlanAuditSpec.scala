@@ -11,6 +11,20 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
 
+  test("gains table: the only windows partition by BIN (never a global row sort)") {
+    // round-13 rewrite closed the suite's last corpus-sized unpartitioned
+    // window: global rank now derives from grid offsets + per-bin ranks
+    // confined to the <= 9 decile-boundary bins
+    val p = plan("q_gains_table")
+    // the old plan's global rank was windowspecdefinition(score6 DESC,
+    // doc_id ASC, ...) — NO partition key, so the spec STARTS with the
+    // order columns; the rewrite's row windows start with the bin key
+    assert(!p.contains("windowspecdefinition(score6"),
+      "found an unpartitioned row-level window ordered by score6")
+    assert(p.contains("windowspecdefinition(bin"),
+      "the boundary-bin rank window (partitioned by bin) must exist")
+  }
+
   test("star joins broadcast every dimension, none fall back to sort-merge") {
     val p = plan("q_join_nation_revenue")
     assert(p.contains("BroadcastHashJoin"))
