@@ -1006,7 +1006,79 @@ object ClassifierQueries {
          |  CAST(cab * 1000000 // nx AS BIGINT) AS p_e6
          |FROM r WHERE rank <= 3 ORDER BY tok, rank""".stripMargin))
 
+  /** Matthews correlation coefficient of the NB classifier as the
+    * binary "is it English" detector (argmax prediction = 'en' vs truth
+    * label = 'en') — the single-number binary-quality summary that
+    * stays honest under class imbalance where accuracy and F1 both
+    * flatter. From the 2×2 confusion counts,
+    * MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)); the sqrt
+    * never materializes — the output is the sign-split squared form
+    * mcc2_e6 (the q_mann_whitney z² convention), pure DECIMAL(38,0)
+    * integral arithmetic. Exact while num²·10⁶ fits DECIMAL(38,0):
+    * n ≲ 10⁷ docs worst-case, far more for any real |MCC| ≪ 1.
+    *
+    * Scale shape: rides the memoized broadcast score matrix; one
+    * doc-keyed argmax (window over L ≤ 5 rows per doc) into a 4-cell
+    * conditional aggregation. */
+  private val mccQ = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val pred = nbScoreMatrix(spark, dir)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score6").desc, col("lang").asc)))
+        .filter(col("rn") === 1)
+        .select((col("lang") === "en").as("p"),
+          (col("true_lang") === "en").as("t"))
+      val s = pred.agg(
+        sum(when(col("p") && col("t"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") && !col("t"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("p") && col("t"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("p") && !col("t"), 1L).otherwise(0L)).as("tn"))
+      s.withColumn("num",
+          col("tp").cast(d380) * col("tn") - col("fp").cast(d380) * col("fn"))
+        .withColumn("den",
+          (col("tp") + col("fp")).cast(d380) * (col("tp") + col("fn"))
+            * (col("tn") + col("fp")) * (col("tn") + col("fn")))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          (when(col("num") < 0, -1L).otherwise(1L)
+            * expr("(num * num * CAST(1000000 AS DECIMAL(38,0))) div den"))
+            .as("mcc2_e6"))
+    },
+    oracle = Some(
+      s"""WITH $nbOracleCtes,
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+         |       FROM toks GROUP BY doc_id, token),
+         |partial AS (SELECT tf.doc_id, w.lang, SUM(tf.tf * w.w6) AS s6
+         |            FROM tf JOIN w USING (token) GROUP BY tf.doc_id, w.lang),
+         |classes AS (SELECT DISTINCT lang, prior6 FROM w),
+         |scored AS (SELECT d.doc_id, d.lang AS true_lang, c.lang,
+         |    row_number() OVER (PARTITION BY d.doc_id
+         |      ORDER BY COALESCE(p.s6, 0) + c.prior6 DESC, c.lang ASC) AS rn
+         |  FROM documents d CROSS JOIN classes c
+         |  LEFT JOIN partial p ON d.doc_id = p.doc_id AND c.lang = p.lang),
+         |pr AS (SELECT (lang = 'en') AS p, (true_lang = 'en') AS t
+         |  FROM scored WHERE rn = 1),
+         |s AS (SELECT
+         |    CAST(SUM(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS fp,
+         |    CAST(SUM(CASE WHEN NOT p AND t THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS fn,
+         |    CAST(SUM(CASE WHEN NOT p AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS tn
+         |  FROM pr),
+         |x AS (SELECT tp, fp, fn, tn,
+         |    CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS num,
+         |    CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn)
+         |      AS den
+         |  FROM s)
+         |SELECT tp, fp, fn, tn,
+         |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+         |    * ((num * num * 1000000) // den) AS BIGINT) AS mcc2_e6
+         |FROM x""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_mcc" -> mccQ,
     "q_langid_ece" -> langidEce,
     "q_bigram_next" -> bigramNext,
     "q_mcnemar" -> mcnemar,
