@@ -26,6 +26,28 @@ object AnalyticQueries {
     * so the discipline cannot drift). */
   private def r6(c: Column): Column = TextAnalysis.round6(c)
 
+  /** Memoized daily-revenue mean-deviation grid — q_acf_table and
+    * q_ljung_box derive from the IDENTICAL (day, dev = n·cents − Σcents)
+    * frame, so the orders scan + checkpoint run once per session (the
+    * minhashPairsCache pattern; calendar-grid-sized, cheap to pin). */
+  private val devGridCache =
+    new graft.ops.SessionCache[String, org.apache.spark.sql.DataFrame]
+
+  private def dailyDevGrid(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    devGridCache.getOrElseUpdate(spark, dir, {
+      val d380 = DecimalType(38, 0)
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("c"))
+      val st = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      daily.crossJoin(broadcast(st))
+        .select(col("day"),
+          (col("c").cast(d380) * col("n") - col("s")).as("dev"))
+        .localCheckpoint(true)
+    })
+
   // --- statistical aggregates from exact decimal sums -----------------------
 
   /** stddev/variance/correlation per return flag — computed from DECIMAL
@@ -1129,16 +1151,7 @@ object AnalyticQueries {
     * day = day₀ + k — bounded by the calendar at any corpus size. */
   private val acfTable = QueryDef(
     fn = (spark, dir) => {
-      val d380 = DecimalType(38, 0)
-      val daily = Tables.orders(spark, dir)
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
-          .as("c"))
-      val st = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
-      val dev = daily.crossJoin(broadcast(st))
-        .select(col("day"),
-          (col("c").cast(d380) * col("n") - col("s")).as("dev"))
-        .localCheckpoint(false) // grid feeds the denominator AND 7 lags
+      val dev = dailyDevGrid(spark, dir) // memoized with q_ljung_box
       val den = dev.agg(sum(col("dev") * col("dev")).as("den"),
         count(lit(1)).as("n_days"))
       val ks = spark.range(1, 8).select(col("id").as("lag"))
@@ -1195,16 +1208,7 @@ object AnalyticQueries {
     * orders, then calendar-grid work only. */
   private val ljungBox = QueryDef(
     fn = (spark, dir) => {
-      val d380 = DecimalType(38, 0)
-      val daily = Tables.orders(spark, dir)
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
-          .as("c"))
-      val st = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
-      val dev = daily.crossJoin(broadcast(st))
-        .select(col("day"),
-          (col("c").cast(d380) * col("n") - col("s")).as("dev"))
-        .localCheckpoint(false)
+      val dev = dailyDevGrid(spark, dir) // memoized with q_acf_table
       val den = dev.agg(sum(col("dev") * col("dev")).as("den"),
         count(lit(1)).as("n"))
       val ks = spark.range(1, 8).select(col("id").as("lag"))

@@ -206,17 +206,26 @@ object ClassifierQueries {
     * distributed takeOrdered under a strict total order (pmi desc,
     * tok_a, tok_b), never a global sort.
     */
-  private val tokenPmi = QueryDef(
-    fn = (spark, dir) => {
-      val d = Tables.documents(spark, dir)
+  /** Memoized corpus bigram-count table — q_token_pmi and q_bigram_next
+    * derive from the IDENTICAL (a, b, cab) frame, so the tokenize +
+    * bigram shuffle runs once per session (vocabulary²-bounded,
+    * checkpointed). */
+  private def bigramCounts(spark: SparkSession, dir: String): DataFrame =
+    modelCache.getOrElseUpdate(spark, (dir, "bigrams"), {
+      Tables.documents(spark, dir)
         .select(TextAnalysis.tokens(col("text")).as("toks"))
-      val bg = d.filter(size(col("toks")) >= 2)
+        .filter(size(col("toks")) >= 2)
         .select(explode(expr(
           """transform(sequence(1, size(toks) - 1),
             |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"""
             .stripMargin)).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
-      val bc = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+        .localCheckpoint(true)
+    })
+
+  private val tokenPmi = QueryDef(    fn = (spark, dir) => {
+      val bc = bigramCounts(spark, dir)
       val na = bc.groupBy(col("a")).agg(sum(col("cab")).as("nx"))
       val nb = bc.groupBy(col("b")).agg(sum(col("cab")).as("ny"))
       val nn = bc.agg(sum(col("cab")).as("nn"))
@@ -963,16 +972,7 @@ object ClassifierQueries {
     * count table. */
   private val bigramNext = QueryDef(
     fn = (spark, dir) => {
-      val d = Tables.documents(spark, dir)
-        .select(TextAnalysis.tokens(col("text")).as("toks"))
-      val bg = d.filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          """transform(sequence(1, size(toks) - 1),
-            |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"""
-            .stripMargin)).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-      val bc = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-        .localCheckpoint(false) // feeds the marginal AND the successor cut
+      val bc = bigramCounts(spark, dir) // memoized with q_token_pmi
       val na = bc.groupBy(col("a")).agg(sum(col("cab")).as("nx"))
       val top = na
         .withColumn("crank", row_number().over(
