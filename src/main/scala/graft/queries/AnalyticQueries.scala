@@ -1263,6 +1263,58 @@ object AnalyticQueries {
         |    * CAST(tsum AS DOUBLE) > 14.067140 AS reject
         |FROM s""".stripMargin))
 
+  /** Theil's U₂ forecast-skill ratio on the daily-revenue series: the
+    * squared-error ratio of the SEASONAL-naive forecast (x_{t−7}, the
+    * weekly ghost) against the naive forecast (x_{t−1}) — U₂ < 1 means
+    * the weekly pattern genuinely predicts, the go/no-go check before
+    * any fancier model (q_forecast_eval scores absolute errors; U₂ is
+    * the scale-free skill RATIO). Evaluated over days where both lags
+    * exist; cents differences square into DECIMAL(38,0) sums, and the
+    * output u2_sq_e6 = ⌊Σ(x_{t−7}−x_t)²·10⁶ / Σ(x_{t−1}−x_t)²⌋ is one
+    * integral division — no double anywhere; `seasonal_better` compares
+    * the two exact sums directly.
+    *
+    * Scale shape: one partial-aggregatable groupBy(day) over orders;
+    * both lag windows run on the calendar grid. */
+  private val theilU2 = QueryDef(
+    fn = (spark, dir) => {
+      val d380 = DecimalType(38, 0)
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("c"))
+      val w = Window.orderBy(col("day"))
+      val lagged = daily
+        .withColumn("l1", lag(col("c"), 1).over(w))
+        .withColumn("l7", lag(col("c"), 7).over(w))
+        .filter(col("l1").isNotNull && col("l7").isNotNull)
+      val s = lagged.agg(count(lit(1)).as("n_days"),
+        sum((col("l1") - col("c")).cast(d380) * (col("l1") - col("c")))
+          .as("ssq1"),
+        sum((col("l7") - col("c")).cast(d380) * (col("l7") - col("c")))
+          .as("ssq7"))
+      s.select(col("n_days"),
+        expr("(ssq7 * CAST(1000000 AS DECIMAL(38,0))) div ssq1")
+          .as("u2_sq_e6"),
+        (col("ssq7") < col("ssq1")).as("seasonal_better"))
+    },
+    oracle = Some(
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT c, lag(c, 1) OVER (ORDER BY day) AS l1,
+        |    lag(c, 7) OVER (ORDER BY day) AS l7
+        |  FROM daily),
+        |s AS (SELECT COUNT(*) AS n_days,
+        |    SUM(CAST(l1 - c AS HUGEINT) * (l1 - c)) AS ssq1,
+        |    SUM(CAST(l7 - c AS HUGEINT) * (l7 - c)) AS ssq7
+        |  FROM l WHERE l1 IS NOT NULL AND l7 IS NOT NULL)
+        |SELECT n_days,
+        |  CAST((ssq7 * 1000000) // ssq1 AS BIGINT) AS u2_sq_e6,
+        |  ssq7 < ssq1 AS seasonal_better
+        |FROM s""".stripMargin))
+
   /** Deterministic Poisson bootstrap (Chamandy et al., "Estimating
     * Uncertainty for Massive Data Streams", Google TR 2012): a 90% CI for
     * the mean event value WITHOUT resampling passes — each row's weight
@@ -1570,6 +1622,7 @@ object AnalyticQueries {
     "q_autocorr_lag1" -> autocorrLag1,
     "q_acf_table" -> acfTable,
     "q_ljung_box" -> ljungBox,
+    "q_theil_u2" -> theilU2,
     "q_bootstrap_ci" -> bootstrapCi,
     "q_corr_matrix" -> corrMatrix,
     "q_partial_corr" -> partialCorr,
