@@ -18,7 +18,8 @@ object SparkEntry {
       SamplingQueries.defs ++ ExperimentQueries.defs ++ Experiment2Queries.defs ++
       RetrievalEvalQueries.defs ++ Experiment3Queries.defs ++
       IvfMaintenanceQueries.defs ++ TextNoveltyQueries.defs ++
-      AgreementQueries.defs ++ CurationQueries.defs ++ KeywordQueries.defs
+      AgreementQueries.defs ++ CurationQueries.defs ++ KeywordQueries.defs ++
+      TpchShapeQueries.defs ++ CrossRunDedupQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -367,24 +367,30 @@ object Dedup {
     // the contraction below then runs on the ORIENTED pairs directly —
     // half the row volume of the symmetric edge list, and no edge-sized
     // distinct (the single largest shuffle of a components run on a dense
-    // pair graph). The general path symmetrizes + distincts first.
-    // `orientedAll` keeps self-pairs (a,a): the seed below draws its NODE
-    // set from it, so a node appearing ONLY as a self-pair still gets
-    // comp = id in the output (round-12 ADVICE — the pa =!= pb filter
-    // alone silently dropped such nodes). Edges for contraction still
-    // come from the self-free, deduped `oriented`.
-    val orientedAll =
+    // pair graph). The general path symmetrizes + distincts first; the
+    // symmetrized pre-dedup frame is NEVER persisted (round-13 ADVICE —
+    // it is the largest frame of a dense-pair run and was checkpointed
+    // solely to feed the seed's node set; the node set now comes from
+    // the deduped `oriented` plus a tiny distinct projection of
+    // self-pair-only ids, below).
+    val oriented =
       if (uniquePairs) pairs.select(col(aCol).as("pa"), col(bCol).as("pb"))
       else pairs
         .select(least(col(aCol), col(bCol)).as("pa"),
           greatest(col(aCol), col(bCol)).as("pb"))
-        .localCheckpoint(false) // feeds seed node set + the edge dedup
-    val oriented =
-      if (uniquePairs) orientedAll
-      else orientedAll
         .filter(col("pa") =!= col("pb"))
         .distinct()
         .localCheckpoint(false) // feeds seed + both contraction joins
+    // Nodes appearing ONLY as self-pairs (a,a) never reach `oriented`,
+    // yet must still get comp = id in the output (round-12 ADVICE). A
+    // distinct projection of self-pair ids (id-domain-sized, vs the
+    // full pair list) restores them; ids that also carry real edges
+    // merge harmlessly in the seed's groupBy. uniquePairs guarantees
+    // aCol < bCol, so that path has no self-pairs by contract.
+    val selfPairIds =
+      if (uniquePairs) None
+      else Some(pairs.filter(col(aCol) === col(bCol))
+        .select(col(aCol).as("pa")).distinct())
     // STAR CONTRACTION pre-pass: root(v) = min(v, min neighbor) — then
     // rewrite every pair to (root(a), root(b)) and drop self-loops. LSH
     // pair graphs are mostly band-clique stars, so this one edge-sized
@@ -400,8 +406,12 @@ object Dedup {
     // preserves components; the minimum node m of a component has no
     // smaller neighbor, hence root(m) = m — the min over roots IS the min
     // over nodes, and comp(v) = comp(root(v)) composes exactly.
+    val paSide = selfPairIds match {
+      case Some(s) => oriented.select(col("pa")).unionByName(s)
+      case None => oriented.select(col("pa"))
+    }
     val seed = oriented.select(col("pb").as("id"), col("pa").as("nbr"))
-      .unionByName(orientedAll.select(col("pa").as("id"),
+      .unionByName(paSide.select(col("pa").as("id"),
         lit(null).cast(oriented.schema("pa").dataType).as("nbr")))
       .groupBy(col("id"))
       .agg(min(col("nbr")).as("mn")) // min skips nulls

@@ -31,7 +31,7 @@ import scala.collection.concurrent.TrieMap
   * test suite, so a real stop cannot be exercised without tearing down
   * the shared test session).
   */
-final class SessionCache[K, V] {
+final class SessionCache[K, V](name: String = "") {
   private val entries = TrieMap.empty[(SparkSession, K), V]
   private val hooked = TrieMap.empty[SparkSession, SparkListener]
 
@@ -45,7 +45,26 @@ final class SessionCache[K, V] {
       catch { case _: IllegalStateException => () } // context already stopped
       listener
     })
-    entries.getOrElseUpdate((spark, key), build)
+    // first-touch attribution (round-13 verdict task 4): a cold bench
+    // pass attributes every shared memo build to its alphabetical
+    // first-toucher (q_cluster_terms pays the whole minhash chain). One
+    // stderr marker per build makes the cold-pass cost table readable
+    // at a glance without moving builds into untimed warmup (the driver
+    // must keep seeing true first-touch cost).
+    if (entries.contains((spark, key))) entries((spark, key))
+    else entries.synchronized {
+      entries.get((spark, key)) match {
+        case Some(v) => v
+        case None =>
+          val t0 = System.nanoTime()
+          val v = build
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (secs >= 0.05)
+            System.err.println(f"[bench] memo $name$key built in $secs%.2f s")
+          entries.put((spark, key), v)
+          v
+      }
+    }
   }
 
   /** Drop every entry (and the stop hook) belonging to `spark`. */

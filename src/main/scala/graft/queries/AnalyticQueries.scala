@@ -31,7 +31,7 @@ object AnalyticQueries {
     * frame, so the orders scan + checkpoint run once per session (the
     * minhashPairsCache pattern; calendar-grid-sized, cheap to pin). */
   private val devGridCache =
-    new graft.ops.SessionCache[String, org.apache.spark.sql.DataFrame]
+    new graft.ops.SessionCache[String, org.apache.spark.sql.DataFrame]("dev-grid:")
 
   private def dailyDevGrid(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =

@@ -41,7 +41,7 @@ object ClassifierQueries {
   private val V = 200
 
   private val modelCache =
-    new graft.ops.SessionCache[(String, String), DataFrame]
+    new graft.ops.SessionCache[(String, String), DataFrame]("nb-model:")
 
   /** Class-conditional weight table: (lang, token, c, w6, prior6, nl, vs)
     * — one row per (class, vocab token), Laplace-smoothed

@@ -33,7 +33,7 @@ object GraphQueries {
     * once per session, not once per consumer. The checkpointed frame is
     * nation-domain-sized (≤ 625 rows). */
   private[graft] val tradeEdgesCache =
-    new graft.ops.SessionCache[(String, String), org.apache.spark.sql.DataFrame]
+    new graft.ops.SessionCache[(String, String), org.apache.spark.sql.DataFrame]("graph-edges:")
 
   private def tradeEdges(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =

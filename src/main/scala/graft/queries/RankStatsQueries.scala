@@ -614,11 +614,15 @@ object RankStatsQueries {
     * from the marginal grids. All sufficient statistics are exact
     * integers; tau-b's sqrt denominator never materializes: the output
     * is the sign-split squared form tau2_e6 = sign(nc−nd) ·
-    * ⌊(nc−nd)²·10⁶ / (A·B)⌋ with A = n(n−1)−Σtx(tx−1) and
-    * B = n(n−1)−Σty(ty−1) (= 2(n0−n1)·2(n0−n2); the 4s cancel) — pure
-    * DECIMAL(38,0) integral arithmetic, the q_mann_whitney z² pattern.
-    * Exact while (nc−nd)²·10⁶ fits DECIMAL(38,0): n ≲ 3·10⁷ rows
-    * worst-case, far more for any real |tau| ≪ 1.
+    * ⌊4·(nc−nd)²·10⁶ / (A·B)⌋ with A = n(n−1)−Σtx(tx−1) and
+    * B = n(n−1)−Σty(ty−1). A·B = 4(n0−n1)(n0−n2) (the doubled
+    * tie-corrected forms), while nc−nd counts each unordered pair
+    * ONCE, so tau² = (nc−nd)²/((n0−n1)(n0−n2)) = 4(nc−nd)²/(A·B) —
+    * the factor 4 must ride the numerator (a perfectly concordant
+    * tie-free input yields tau2_e6 = 10⁶ exactly). Pure DECIMAL(38,0)
+    * integral arithmetic, the q_mann_whitney z² pattern. Exact while
+    * 4·(nc−nd)²·10⁶ fits DECIMAL(38,0): (nc−nd) ≤ n(n−1)/2 bounds
+    * n ≲ 10⁸ rows worst-case, far more for any real |tau| ≪ 1.
     *
     * Scale shape: one partial-aggregatable groupBy(q, d) over lineitem;
     * the pair stage is the 550²-cell GRID self-join (bounded by the
@@ -658,7 +662,7 @@ object RankStatsQueries {
       s.select(col("n").cast("long").as("n"),
         col("nc").cast("long").as("nc"), col("nd").cast("long").as("nd"),
         (when(col("diff") < 0, -1L).otherwise(1L)
-          * expr("(diff * diff * CAST(1000000 AS DECIMAL(38,0)))"
+          * expr("(diff * diff * CAST(4000000 AS DECIMAL(38,0)))"
             + " div (a2 * b2)")).as("tau2_e6"))
     },
     oracle = Some(
@@ -689,7 +693,7 @@ object RankStatsQueries {
         |SELECT CAST(n AS BIGINT) AS n, CAST(nc AS BIGINT) AS nc,
         |  CAST(nd AS BIGINT) AS nd,
         |  CAST((CASE WHEN diff < 0 THEN -1 ELSE 1 END)
-        |    * ((diff * diff * 1000000) // (a2 * b2)) AS BIGINT) AS tau2_e6
+        |    * ((diff * diff * 4000000) // (a2 * b2)) AS BIGINT) AS tau2_e6
         |FROM s""".stripMargin))
 
   // --- Hodges-Lehmann pseudomedian -------------------------------------------

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.ops.ForwardFill
 import graft.sink.JdbcUpsert
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -510,11 +510,29 @@ object StreamingOps {
     * checkpoint) writing the same `deltaLogPath` would restart ids at 0
     * and overwrite the first stream's deltas. Resume the same
     * checkpoint, or give a new stream a new log.
+    *
+    * COMPACTION (round-13 ADVICE — without it the per-batch re-sum and
+    * the small-file count grow linearly with stream lifetime): every
+    * `compactEvery` batches, all deltas STRICTLY OLDER than the current
+    * batch fold into one base generation written at the reserved
+    * partition `batch_id = -currentBatch`. Readers apply a rule that is
+    * deterministic from partition values alone — effective log = the
+    * most-negative base partition (newest generation) plus every delta
+    * with batch_id ≥ its absolute value — so a crash between writing
+    * the new base and garbage-collecting the folded partitions never
+    * double-counts (GC is hygiene, not correctness). Folding only
+    * batches < current is safe because Structured Streaming replays at
+    * most the LAST uncommitted batch: everything older is committed and
+    * immutable; a replayed current batch re-runs the fold and rewrites
+    * the identical base (idempotent). Per-batch merge cost is now
+    * bounded by one base + ≤ compactEvery recent deltas per touched
+    * cell, for the life of the stream.
     */
   def ivfStateSink(
       assigned: DataFrame, idCol: String, vecCol: String, cellCol: String,
       deltaLogPath: String, statePath: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 16): StreamingQuery =
     assigned.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
@@ -531,10 +549,12 @@ object StreamingOps {
             col("s"), col("n"))
         delta.write.mode("overwrite")
           .parquet(s"$deltaLogPath/batch_id=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactDeltaLog(sess, deltaLogPath, batchId)
         val landed = sess.read.parquet(s"$deltaLogPath/batch_id=$batchId")
         val touched = landed.select(col("cell")).distinct()
         if (touched.head(1).nonEmpty) {
-          val fullLog = sess.read.parquet(deltaLogPath).drop("batch_id")
+          val fullLog = effectiveDeltas(sess, deltaLogPath).drop("batch_id")
           val merged = fullLog
             .join(broadcast(touched), Seq("cell"))
             .groupBy(col("cell"), col("pos"))
@@ -543,4 +563,48 @@ object StreamingOps {
         }
       }
       .start()
+
+  /** The delta log's EFFECTIVE row set under the base-generation rule:
+    * the most-negative `batch_id` partition is the newest compacted base
+    * (covering every batch < |id|); everything at or past |id| is a live
+    * delta. With no base (no negative partition) the whole log is live.
+    * Deterministic from partition values alone — see [[ivfStateSink]]'s
+    * compaction contract. */
+  private[graft] def effectiveDeltas(sess: SparkSession,
+      deltaLogPath: String): DataFrame = {
+    val log = sess.read.parquet(deltaLogPath)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val minId = log.agg(min(col("batch_id"))).head.getLong(0)
+    if (minId < 0)
+      log.filter(col("batch_id") === minId || col("batch_id") >= -minId)
+    else log
+  }
+
+  /** Fold every delta strictly older than `curBatch` (including the
+    * previous base generation) into a new base at `batch_id = -curBatch`,
+    * then garbage-collect the folded partitions. Idempotent under
+    * foreachBatch replay of `curBatch`. */
+  private[graft] def compactDeltaLog(sess: SparkSession,
+      deltaLogPath: String, curBatch: Long): Unit = {
+    val folded = effectiveDeltas(sess, deltaLogPath)
+      .filter(col("batch_id") =!= curBatch)
+      .drop("batch_id")
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+    folded.write.mode("overwrite")
+      .parquet(s"$deltaLogPath/batch_id=${-curBatch}")
+    // GC the folded partitions — best-effort hygiene; the reader rule
+    // above stays correct even if this never runs
+    val root = new org.apache.hadoop.fs.Path(deltaLogPath)
+    val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch_id=")) {
+        name.stripPrefix("batch_id=").toLongOption.foreach { id =>
+          if ((id >= 0 && id < curBatch) || (id < 0 && id != -curBatch))
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
 }

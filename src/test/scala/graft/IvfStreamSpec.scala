@@ -102,4 +102,47 @@ class IvfStreamSpec extends SparkSpec {
     assert(stateOf(statePath) == snapshot,
       "a replayed batch must not double-count")
   }
+
+  test("delta-log compaction bounds the log and preserves batch ≡ stream") {
+    // round-13 ADVICE: without compaction the per-batch re-sum and file
+    // count grow with stream lifetime. compactEvery=2 over 5 batches
+    // forces two fold generations (at batch 2 and batch 4); the state
+    // must still equal the one-shot rebuild, and the surviving log must
+    // be ONE base partition + the post-fold deltas only.
+    implicit val sc = spark.sqlContext
+    val all = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect().toSeq
+    val batches = (0 until 5).map(i => all.filter(_._1 % 5 == i))
+    assert(batches.forall(_.nonEmpty))
+    val (deltaLog, statePath, ckpt) =
+      (tmp("cdelta"), tmp("cstate"), tmp("cckpt"))
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val q = graft.streaming.StreamingOps.ivfStateSink(
+      in.toDF().toDF("vec_id", "embedding", "cell"),
+      "vec_id", "embedding", "cell", deltaLog, statePath, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      compactEvery = 2)
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(stateOf(statePath) == rebuild(all),
+      "state across compaction generations must equal the one-shot build")
+    val partIds = new java.io.File(deltaLog).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted.toSeq
+    assert(partIds.min == -4L,
+      s"newest base generation must be batch_id=-4, got $partIds")
+    assert(partIds.count(_ < 0) == 1,
+      s"older base generations must be garbage-collected: $partIds")
+    assert(partIds.filter(_ >= 0).forall(_ >= 4L),
+      s"folded positive deltas must be gone: $partIds")
+    // and the effective-set reader agrees with the physical layout
+    val eff = graft.streaming.StreamingOps
+      .effectiveDeltas(spark, deltaLog)
+      .select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(eff == partIds,
+      "after GC every surviving partition must be effective")
+  }
 }

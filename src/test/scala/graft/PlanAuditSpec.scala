@@ -25,6 +25,49 @@ class PlanAuditSpec extends SparkSpec {
       "the boundary-bin rank window (partitioned by bin) must exist")
   }
 
+  test("arrival-order cuts never window unpartitioned over documents") {
+    // round-14 rewrite: q_trending_terms / q_vocab_growth derive their
+    // half/decile cuts from the doc_id bin grid (KeywordQueries
+    // .arrivalBuckets); the only windows allowed are per-BIN boundary
+    // ranks. The old plans' global rank showed as
+    // windowspecdefinition(doc_id ASC, ...) — no partition key, so the
+    // spec string STARTED with the order column.
+    Seq("q_trending_terms", "q_vocab_growth").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition(doc_id"),
+        s"$q still global-sorts documents by doc_id")
+    }
+    // WindowLintSpec enforces the same property suite-wide on the
+    // optimized logical plan; this pins the physical form of the two
+    // rewritten queries specifically.
+  }
+
+  test("Q19 disjunctive hulls land in BOTH parquet scans; the join stays hash") {
+    // the side-local hulls are written as redundant conjuncts exactly so
+    // each scan can prune before the join — verify they actually reached
+    // the parquet readers (brand IN-list on the dim, quantity range on
+    // the fact) and nothing degenerated to a nested loop
+    val p = plan("q_disjunctive_pushdown")
+    assert(p.contains("In(p_brand"), "brand hull not pushed to the part scan")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)")
+      && p.contains("LessThanOrEqual(l_quantity,36.0)"),
+      "quantity hull not pushed to the lineitem scan")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("Q2 scalar-MIN decorrelates; Q18 IN-over-HAVING plans as a semi join") {
+    val p2 = plan("q_min_cost_supplier")
+    assert(!p2.contains("CartesianProduct"), "Q2 shape fell to a cartesian")
+    assert(!p2.contains("BroadcastNestedLoopJoin"),
+      "Q2 correlated MIN nested-loops — not decorrelated")
+    assert(p2.contains("HashAggregate"),
+      "Q2's correlated MIN must become a per-part aggregate")
+    val p18 = plan("q_large_volume_orders")
+    assert(p18.contains("LeftSemi"),
+      "Q18's IN must plan as a semi join against the grouped-HAVING aggregate")
+    assert(!p18.contains("CartesianProduct"))
+  }
+
   test("star joins broadcast every dimension, none fall back to sort-merge") {
     val p = plan("q_join_nation_revenue")
     assert(p.contains("BroadcastHashJoin"))

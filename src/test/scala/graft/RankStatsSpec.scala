@@ -132,10 +132,12 @@ class RankStatsSpec extends SparkSpec {
     val a2 = nn * (nn - 1) - ttx
     val b2 = nn * (nn - 1) - tty
     val diff = nc - nd
-    val want = (if (diff < 0) -1 else 1) * (diff * diff * 1000000 / (a2 * b2))
+    val want = (if (diff < 0) -1 else 1) * (diff * diff * 4000000 / (a2 * b2))
     assert(BigInt(row.getAs[Long]("tau2_e6")) === want)
-    // and the squared integer form agrees with the textbook tau-b double
-    val tau = diff.toDouble / math.sqrt(a2.toDouble * b2.toDouble)
+    // and the squared integer form agrees with the textbook tau-b double:
+    // tau_b = 2*diff / sqrt(a2*b2) since a2*b2 = 4(n0-n1)(n0-n2) while
+    // diff counts each unordered pair once
+    val tau = 2.0 * diff.toDouble / math.sqrt(a2.toDouble * b2.toDouble)
     assert(math.abs(math.abs(row.getAs[Long]("tau2_e6")) / 1e6 - tau * tau) < 2e-6)
   }
 
