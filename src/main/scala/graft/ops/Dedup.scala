@@ -323,6 +323,67 @@ object Dedup {
     scored.filter(col("jaccard") >= minJaccard)
   }
 
+  /** The persisted-digest form of a document: (id, minhash signature,
+    * hashed token set) — everything the near-dup operators need, and the
+    * ONLY thing a cross-run or streaming dedup store should hold (the
+    * "digests move, text never does" discipline: 16 longs + one hash per
+    * distinct token, vs re-tokenizing the accumulated corpus per run). */
+  def minhashPrepared(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"),
+      minhashSignature(TextAnalysis.tokenSet(col(textCol)), k).as("sig"),
+      TextAnalysis.hashedTokenSet(col(textCol)).as("toks"))
+
+  /** [[nearDupMinhashIncremental]] with the corpus side arriving as
+    * PERSISTED digests ([[minhashPrepared]] rows read back from a store)
+    * instead of text — the form a streaming or cross-run pipeline
+    * actually executes: the batch pays signature work for ITS OWN rows
+    * only; the accumulated corpus contributes a narrow columnar scan.
+    * Output-identical to the text form on the same documents
+    * (StreamingDedupSpec pins it): the stored sig/toks are pure
+    * functions of the text, and the candidate/verify stages below are
+    * the incremental operator's own, stage for stage. */
+  def nearDupMinhashFromState(
+      newPrepared: DataFrame, corpusPrepared: DataFrame,
+      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must divide evenly into bands=$bands")
+    val rowsPerBand = k / bands
+    val cols = Seq("id", "sig", "toks").map(col)
+    val tagged = newPrepared.select(cols :+ lit(true).as("isnew"): _*)
+      .unionByName(corpusPrepared.select(cols :+ lit(false).as("isnew"): _*))
+      .repartition(col("id")) // one barrier feeds banding + the verify toks
+    val banded = tagged
+      .select(col("id"), col("isnew"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("isnew"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    // x side is NEW only: new×new dedups by id order, new×corpus appears
+    // exactly once — corpus×corpus never meets (the incremental contract)
+    val candidates = banded.filter(col("isnew")).as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") =!= col("y.id") &&
+          (!col("y.isnew") || col("x.id") < col("y.id")))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+      .distinct()
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id")))
+      .distinct()
+    val candToks = tagged.select(col("id"), col("toks")).join(candIds, "id")
+    // same checkpoint barrier as the text operators: the threshold must
+    // not fold into the join condition (interpreted eval)
+    val scored = candidates
+      .join(candToks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(candToks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("toks_a"), col("toks_b")).as("jaccard"))
+      .localCheckpoint(true)
+    scored.filter(col("jaccard") >= minJaccard)
+  }
+
   /** Connected components over an undirected pair graph — the survivor-
     * selection step that turns near-dup PAIRS into dedup DECISIONS: every
     * node gets the minimum id reachable from it (its canonical

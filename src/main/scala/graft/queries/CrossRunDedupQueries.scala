@@ -145,6 +145,56 @@ object CrossRunDedupQueries {
          |LEFT JOIN agg a ON d.doc_id = a.b
          |ORDER BY doc_id""".stripMargin))
 
+  /** Path of the persisted prior-run SIGNATURE store (digest rows —
+    * [[graft.ops.Dedup.minhashPrepared]]), written once per (session,
+    * dir); the session-keyed-path discipline as above. */
+  private val sigStorePath =
+    new graft.ops.SessionCache[String, String]("sig-store:")
+
+  private def persistedSigsPath(spark: SparkSession, dir: String): String =
+    sigStorePath.getOrElseUpdate(spark, dir, {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-sigstore-" +
+        s"${ProcessHandle.current().pid()}-" +
+        s"${java.lang.Integer.toHexString(System.identityHashCode(spark))}-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.ops.Dedup.minhashPrepared(
+          Tables.documents(spark, dir).filter(col("doc_id") % 20 =!= 0),
+          "doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** The digest-path incremental pair pass, hash-gated end to end: the
+    * prior run's SIGNATURE store (not its text!) reloads from parquet
+    * and the new batch pairs against it via
+    * [[graft.ops.Dedup.nearDupMinhashFromState]] — the exact operator
+    * the streaming sink (StreamingOps.minhashStateSink) executes per
+    * micro-batch. The oracle recomputes the pair set from raw text
+    * row-level, so the driver's gate proves the persisted digests carry
+    * the full near-dup semantics across a disk round trip (jaccards
+    * byte-identical, not just pair membership). Same expected output as
+    * q_dedup_minhash_incr — deliberately: two engine paths (text-side
+    * vs digest-store-side), one contract.
+    *
+    * Scale shape: batch-sized signing + band equi-joins against a
+    * narrow columnar digest scan; the corpus's text is never read. */
+  private val dedupStatePairs = QueryDef(
+    fn = (spark, dir) => {
+      val stored = spark.read.parquet(persistedSigsPath(spark, dir))
+        .select(col("id"), col("sig"), col("toks"))
+      val batch = graft.ops.Dedup.minhashPrepared(
+        Tables.documents(spark, dir).filter(col("doc_id") % 20 === 0),
+        "doc_id", "text")
+      graft.ops.Dedup.nearDupMinhashFromState(batch, stored)
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(
+      s"""WITH ${ExtensionQueries.minhashOracle}
+         |SELECT id_a, id_b, jaccard FROM jac
+         |WHERE jaccard >= 0.5 AND (id_a % 20 = 0 OR id_b % 20 = 0)
+         |ORDER BY id_a, id_b""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
-    "q_dedup_cross_run" -> dedupCrossRun)
+    "q_dedup_cross_run" -> dedupCrossRun,
+    "q_dedup_state_pairs" -> dedupStatePairs)
 }

@@ -1079,7 +1079,116 @@ object RankStatsQueries {
         |    * 1000000.0 + 0.5) AS BIGINT) AS v2_e6
         |FROM s""".stripMargin))
 
+  // --- Jonckheere-Terpstra --------------------------------------------------
+
+  /** Jonckheere–Terpstra test for an ORDERED trend (Jonckheere 1954,
+    * Terpstra 1952): do quantities drift monotonically across the 1996
+    * ship months? The a-priori-ordered-alternative sibling of
+    * q_kruskal_wallis (which only detects SOME difference): J = Σ over
+    * ordered group pairs i<j of the Mann-Whitney count
+    * U_ij = #(x_i < x_j) + ½·#(x_i = x_j).
+    *
+    * Both axes are bounded (12 months × ≤50 quantities), so everything
+    * derives from the ≤600-cell (month, quantity) grid: J from one
+    * grid×grid join restricted to g1 < g2 (each ordered group pair's
+    * value-pair mass in one pass), the null mean from group sizes, and
+    * the TIE-CORRECTED variance (the Kendall-form three-term formula)
+    * from the group-size and pooled-value-tie marginals. Integer
+    * discipline: jt2 = 2J (doubles the ½-ties away) and
+    * e4 = 4·E[J] = N²−Σnᵢ² are EXACT BIGINTs; the variance terms are
+    * exact integer sums (< 2⁵³, so their double images are exact) and z
+    * composes through division/sqrt only — IEEE-correctly-rounded on
+    * both engines, the q_anova lint-safe pattern — pinned at 1e-6 with
+    * the identical association order in the oracle. z = (2·jt2 − e4) /
+    * (4·√V), V = S1/72 + S2g·S2t/(36·N(N−1)(N−2)) + S3g·S3t/(8·N(N−1)).
+    *
+    * Scale shape: one partial-aggregatable groupBy(month, qty) over the
+    * year's lineitems; the pair join and every marginal run on the
+    * value-domain grid. */
+  private val jonckheere = QueryDef(
+    fn = (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .filter(year(col("l_shipdate").cast("date")) === 1996)
+        .select(month(col("l_shipdate").cast("date")).cast("long").as("g"),
+          floor(col("l_quantity") + 0.5).cast("long").as("q"))
+      val cells = li.groupBy(col("g"), col("q"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds the pair join twice + 2 marginals
+      val a = cells.select(col("g").as("g1"), col("q").as("q1"),
+        col("c").as("c1"))
+      val b = cells.select(col("g").as("g2"), col("q").as("q2"),
+        col("c").as("c2"))
+      val jt = a.join(b, col("g1") < col("g2"))
+        .agg(sum(when(col("q1") < col("q2"), lit(2L) * col("c1") * col("c2"))
+          .when(col("q1") === col("q2"), col("c1") * col("c2"))
+          .otherwise(0L)).as("jt2"))
+      val gm = cells.groupBy(col("g")).agg(sum(col("c")).as("n"))
+        .agg(sum(col("n")).as("nn"),
+          sum(col("n") * col("n")).as("sn2"),
+          sum(col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)).as("s1g"),
+          sum(col("n") * (col("n") - 1) * (col("n") - 2)).as("s2g"),
+          sum(col("n") * (col("n") - 1)).as("s3g"))
+      val tm = cells.groupBy(col("q")).agg(sum(col("c")).as("t"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("s1t"),
+          sum(col("t") * (col("t") - 1) * (col("t") - 2)).as("s2t"),
+          sum(col("t") * (col("t") - 1)).as("s3t"))
+      jt.crossJoin(broadcast(gm)).crossJoin(broadcast(tm))
+        .withColumn("e4", col("nn") * col("nn") - col("sn2"))
+        .withColumn("s1", expr("nn * (nn - 1) * (2 * nn + 5) - s1g - s1t"))
+        .withColumn("v", expr(
+          "CAST(s1 AS DOUBLE) / 72.0"
+            + " + (CAST(s2g AS DOUBLE) * CAST(s2t AS DOUBLE))"
+            + " / (36.0 * CAST(nn * (nn - 1) * (nn - 2) AS DOUBLE))"
+            + " + (CAST(s3g AS DOUBLE) * CAST(s3t AS DOUBLE))"
+            + " / (8.0 * CAST(nn * (nn - 1) AS DOUBLE))"))
+        .withColumn("zr", expr(
+          "CAST(2 * jt2 - e4 AS DOUBLE) / (4.0 * sqrt(v))"))
+        .select(col("nn").as("n"), col("jt2"), col("e4"),
+          // 1e6 (a DOUBLE literal) — 1000000.0 parses as DECIMAL in
+          // Spark SQL and would leak a DECIMAL emission column
+          expr("floor(zr * 1e6 + 0.5) / 1e6").as("z"),
+          expr("abs(zr) > 1.959964").as("reject"))
+    },
+    oracle = Some(
+      """WITH b AS (SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT)
+        |    AS g, CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE year(CAST(l_shipdate AS DATE)) = 1996),
+        |cells AS (SELECT g, q, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |jt AS (SELECT CAST(SUM(CASE WHEN x.q < y.q THEN 2 * x.c * y.c
+        |    WHEN x.q = y.q THEN x.c * y.c ELSE 0 END) AS BIGINT) AS jt2
+        |  FROM cells x JOIN cells y ON x.g < y.g),
+        |gm AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(n * n) AS BIGINT) AS sn2,
+        |    CAST(SUM(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS s1g,
+        |    CAST(SUM(n * (n - 1) * (n - 2)) AS BIGINT) AS s2g,
+        |    CAST(SUM(n * (n - 1)) AS BIGINT) AS s3g
+        |  FROM (SELECT g, SUM(c) AS n FROM cells GROUP BY 1)),
+        |tm AS (SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS s1t,
+        |    CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS s2t,
+        |    CAST(SUM(t * (t - 1)) AS BIGINT) AS s3t
+        |  FROM (SELECT q, SUM(c) AS t FROM cells GROUP BY 1)),
+        |s AS (SELECT jt2, nn, nn * nn - sn2 AS e4,
+        |    nn * (nn - 1) * (2 * nn + 5) - s1g - s1t AS s1,
+        |    s2g, s2t, s3g, s3t
+        |  FROM jt CROSS JOIN gm CROSS JOIN tm),
+        |v AS (SELECT jt2, nn, e4,
+        |    CAST(s1 AS DOUBLE) / 72.0
+        |      + (CAST(s2g AS DOUBLE) * CAST(s2t AS DOUBLE))
+        |      / (36.0 * CAST(nn * (nn - 1) * (nn - 2) AS DOUBLE))
+        |      + (CAST(s3g AS DOUBLE) * CAST(s3t AS DOUBLE))
+        |      / (8.0 * CAST(nn * (nn - 1) AS DOUBLE)) AS vv
+        |  FROM s),
+        |z AS (SELECT jt2, nn, e4,
+        |    CAST(2 * jt2 - e4 AS DOUBLE) / (4.0 * sqrt(vv)) AS zr
+        |  FROM v)
+        |SELECT nn AS n, jt2, e4,
+        |  floor(zr * 1000000.0 + 0.5) / 1000000.0 AS z,
+        |  abs(zr) > 1.959964 AS reject
+        |FROM z""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_jonckheere" -> jonckheere,
     "q_qq_table" -> qqTable,
     "q_cramers_v" -> cramersV,
     "q_friedman_test" -> friedman,

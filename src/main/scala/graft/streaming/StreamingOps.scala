@@ -564,6 +564,67 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming cross-run near-dup maintenance — the streaming twin of
+    * q_dedup_cross_run, and the always-on form of the daily-ingest dedup
+    * contract: the persisted state is a SIGNATURE store (one
+    * [[graft.ops.Dedup.minhashPrepared]] digest row per document — 16
+    * minhash longs + the hashed token set; text never persists and never
+    * moves) plus a PAIR store of verified near-dup pairs. Per
+    * micro-batch:
+    *
+    *  1. the batch's digests land in the sig store as the batch's OWN
+    *     deterministic `batch_id=N` partition (foreachBatch is
+    *     at-least-once: a replayed batch overwrites its prior digests
+    *     instead of duplicating them — the [[ivfStateSink]] discipline);
+    *  2. the incremental pair pass
+    *     ([[graft.ops.Dedup.nearDupMinhashFromState]]) joins the landed
+    *     batch against all PRIOR digest partitions — batch-sized
+    *     signature work plus band equi-joins against a narrow columnar
+    *     scan; corpus×corpus pairs never recompute;
+    *  3. the new pairs (every verified pair touching a batch doc) land
+    *     in the pair store at the same `batch_id=N` — append-only via
+    *     idempotent partition overwrite, no read-modify-write, so no
+    *     compaction is ever NEEDED for correctness (per-batch cost is
+    *     bounded by batch × store; only file-listing grows with stream
+    *     age — fold old partitions offline if listing ever matters).
+    *
+    * After any number of micro-batches the pair store's union equals
+    * [[graft.ops.Dedup.nearDupMinhash]] over the union of all batches,
+    * byte-identically — StreamingDedupSpec proves it, plus replay
+    * idempotence.
+    */
+  def minhashStateSink(
+      docs: DataFrame, idCol: String, textCol: String,
+      sigStorePath: String, pairStorePath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        graft.ops.Dedup.minhashPrepared(batch, idCol, textCol, k)
+          .write.mode("overwrite")
+          .parquet(s"$sigStorePath/batch_id=$batchId")
+        val landed = sess.read.parquet(s"$sigStorePath/batch_id=$batchId")
+          .select(col("id"), col("sig"), col("toks"))
+        val prior = sess.read.parquet(sigStorePath)
+          .filter(col("batch_id").cast("long") < batchId)
+          .select(col("id"), col("sig"), col("toks"))
+        graft.ops.Dedup
+          .nearDupMinhashFromState(landed, prior, k, bands, minJaccard)
+          .write.mode("overwrite")
+          .parquet(s"$pairStorePath/batch_id=$batchId")
+      }
+      .start()
+
+  /** The accumulated verified pair set a [[minhashStateSink]] stream has
+    * produced so far — the frame downstream dedup decisions read. */
+  def minhashStatePairs(sess: SparkSession, pairStorePath: String): DataFrame =
+    sess.read.parquet(pairStorePath)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
   /** The delta log's EFFECTIVE row set under the base-generation rule:
     * the most-negative `batch_id` partition is the newest compacted base
     * (covering every batch < |id|); everything at or past |id| is a live

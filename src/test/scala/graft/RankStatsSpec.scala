@@ -141,6 +141,44 @@ class RankStatsSpec extends SparkSpec {
     assert(math.abs(math.abs(row.getAs[Long]("tau2_e6")) / 1e6 - tau * tau) < 2e-6)
   }
 
+  test("q_jonckheere matches the row-level textbook replay") {
+    val row = run("q_jonckheere").collect().head
+    val li = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("CAST(month(CAST(l_shipdate AS DATE)) AS INT) AS g",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q",
+        "CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS y")
+      .collect().filter(_.getInt(2) == 1996)
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val n = li.length
+    // brute-force 2J over row pairs: ordered groups, 2·[x<y] + [x=y]
+    var jt2 = BigInt(0)
+    for (i <- li.indices; j <- li.indices; if li(i)._1 < li(j)._1) {
+      if (li(i)._2 < li(j)._2) jt2 += 2
+      else if (li(i)._2 == li(j)._2) jt2 += 1
+    }
+    assert(row.getAs[Long]("n") === n.toLong)
+    assert(BigInt(row.getAs[Long]("jt2")) === jt2)
+    val gs = li.groupBy(_._1).values.map(_.length.toLong)
+    val e4 = n.toLong * n - gs.map(x => x * x).sum
+    assert(row.getAs[Long]("e4") === e4)
+    // textbook tie-corrected variance + z, via the same double formula
+    val ts = li.groupBy(_._2).values.map(_.length.toLong)
+    val nn = n.toLong
+    val s1 = nn * (nn - 1) * (2 * nn + 5) -
+      gs.map(x => x * (x - 1) * (2 * x + 5)).sum -
+      ts.map(x => x * (x - 1) * (2 * x + 5)).sum
+    val v = s1 / 72.0 +
+      (gs.map(x => x * (x - 1) * (x - 2)).sum.toDouble *
+        ts.map(x => x * (x - 1) * (x - 2)).sum.toDouble) /
+        (36.0 * (nn * (nn - 1) * (nn - 2)).toDouble) +
+      (gs.map(x => x * (x - 1)).sum.toDouble *
+        ts.map(x => x * (x - 1)).sum.toDouble) /
+        (8.0 * (nn * (nn - 1)).toDouble)
+    val z = (2 * jt2.toLong - e4).toDouble / (4.0 * math.sqrt(v))
+    assert(math.abs(row.getAs[Double]("z") - z) < 2e-6)
+    assert(row.getAs[Boolean]("reject") === (math.abs(z) > 1.959964))
+  }
+
   test("q_hodges_lehmann matches the brute-force Walsh-average median") {
     val got = run("q_hodges_lehmann").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
