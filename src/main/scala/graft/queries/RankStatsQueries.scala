@@ -1141,13 +1141,19 @@ object RankStatsQueries {
             + " / (36.0 * CAST(nn * (nn - 1) * (nn - 2) AS DOUBLE))"
             + " + (CAST(s3g AS DOUBLE) * CAST(s3t AS DOUBLE))"
             + " / (8.0 * CAST(nn * (nn - 1) AS DOUBLE))"))
+        // V = 0 (every row one value — degenerate) leaves z undefined:
+        // pinned to NULL/false explicitly on both engines rather than
+        // leaning on division-by-zero behavior (the q_capture_recapture
+        // m = 0 discipline)
         .withColumn("zr", expr(
-          "CAST(2 * jt2 - e4 AS DOUBLE) / (4.0 * sqrt(v))"))
+          "CASE WHEN v <= 0.0 THEN CAST(NULL AS DOUBLE)"
+            + " ELSE CAST(2 * jt2 - e4 AS DOUBLE) / (4.0 * sqrt(v)) END"))
         .select(col("nn").as("n"), col("jt2"), col("e4"),
           // 1e6 (a DOUBLE literal) — 1000000.0 parses as DECIMAL in
           // Spark SQL and would leak a DECIMAL emission column
           expr("floor(zr * 1e6 + 0.5) / 1e6").as("z"),
-          expr("abs(zr) > 1.959964").as("reject"))
+          expr("CASE WHEN zr IS NULL THEN false"
+            + " ELSE abs(zr) > 1.959964 END").as("reject"))
     },
     oracle = Some(
       """WITH b AS (SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT)
@@ -1180,15 +1186,186 @@ object RankStatsQueries {
         |      / (8.0 * CAST(nn * (nn - 1) AS DOUBLE)) AS vv
         |  FROM s),
         |z AS (SELECT jt2, nn, e4,
-        |    CAST(2 * jt2 - e4 AS DOUBLE) / (4.0 * sqrt(vv)) AS zr
+        |    CASE WHEN vv <= 0.0 THEN CAST(NULL AS DOUBLE)
+        |      ELSE CAST(2 * jt2 - e4 AS DOUBLE) / (4.0 * sqrt(vv)) END AS zr
         |  FROM v)
         |SELECT nn AS n, jt2, e4,
         |  floor(zr * 1000000.0 + 0.5) / 1000000.0 AS z,
-        |  abs(zr) > 1.959964 AS reject
+        |  CASE WHEN zr IS NULL THEN false
+        |    ELSE abs(zr) > 1.959964 END AS reject
         |FROM z""".stripMargin))
 
+  // --- Page's L ---------------------------------------------------------------
+
+  /** Page's L trend test (Page 1963): the BLOCKED ordered-alternative
+    * sibling of q_jonckheere (and the ordered sibling of
+    * q_friedman_test): within each complete ship YEAR (block), the 12
+    * monthly revenues rank 1..12; L = Σ_j j·R_j with R_j = month j's
+    * rank sum across blocks. A monotone within-year revenue drift pushes
+    * L away from its null mean b·k(k+1)²/4.
+    *
+    * Blocks must be complete for the 1..k rank frame, so years missing a
+    * month are dropped BY DATA (count(distinct month) = 12 — the fixture
+    * cuts 2001 at November, so b = 6 at every SF, derived not assumed).
+    * Rank keys are the exact rev_e6 integers (ties measure-zero, broken
+    * by month deterministically on both engines). Everything integral:
+    * with d = 4L − b·k(k+1)², z² = 9·d²/(b·k²(k+1)²(k−1)) — emitted
+    * sign-split as z2_e6 (the q_mann_whitney pattern) and the 5%
+    * decision cross-multiplied against 3.841459·denominator. No double
+    * anywhere.
+    *
+    * Scale shape: one partial-aggregatable (year, month) revenue rollup;
+    * ranks ride year-partitioned windows on the ≤84-row grid. */
+  private val pageTrend = QueryDef(
+    fn = (spark, dir) => {
+      val vol = (col("l_extendedprice").cast(DecimalType(12, 4))
+        * (lit(1) - col("l_discount").cast(DecimalType(12, 4))))
+      val grid = Tables.lineitem(spark, dir)
+        .select(year(col("l_shipdate").cast("date")).cast("long").as("y"),
+          month(col("l_shipdate").cast("date")).cast("long").as("m"),
+          vol.as("v"))
+        .groupBy(col("y"), col("m"))
+        .agg((sum(col("v")) * 1000000).cast("long").as("rev_e6"))
+      val complete = grid.groupBy(col("y"))
+        .agg(countDistinct(col("m")).as("nm"))
+        .filter(col("nm") === 12).select(col("y"))
+      val ranked = grid.join(broadcast(complete), "y")
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("y"))
+            .orderBy(col("rev_e6").asc, col("m").asc)))
+      val s = ranked.agg(
+        countDistinct(col("y")).as("b"),
+        sum(col("m") * col("r")).as("l"))
+        .withColumn("k", lit(12L))
+        .withColumn("d", expr(
+          "CAST(4 * l - b * k * (k + 1) * (k + 1) AS DECIMAL(38,0))"))
+        .withColumn("den", expr(
+          "CAST(b * k * k * (k + 1) * (k + 1) * (k - 1) AS DECIMAL(38,0))"))
+      s.select(col("b"), col("k"), col("l"),
+        (when(col("d") < 0, -1L).otherwise(1L)
+          * expr("(9 * d * d * CAST(1000000 AS DECIMAL(38,0))) div den"))
+          .as("z2_e6"),
+        expr("9 * d * d * CAST(1000000 AS DECIMAL(38,0))"
+          + " > CAST(3841459 AS DECIMAL(38,0)) * den").as("reject"))
+    },
+    oracle = Some(
+      """WITH g AS (SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT)
+        |    AS y, CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,4)))) * 1000000
+        |      AS BIGINT) AS rev_e6
+        |  FROM lineitem GROUP BY 1, 2),
+        |cy AS (SELECT y FROM g GROUP BY y
+        |  HAVING COUNT(DISTINCT m) = 12),
+        |rk AS (SELECT g.y, g.m, row_number() OVER (
+        |    PARTITION BY g.y ORDER BY g.rev_e6 ASC, g.m ASC) AS r
+        |  FROM g JOIN cy USING (y)),
+        |s AS (SELECT CAST(COUNT(DISTINCT y) AS HUGEINT) AS b,
+        |    CAST(12 AS HUGEINT) AS k,
+        |    CAST(SUM(m * r) AS HUGEINT) AS l
+        |  FROM rk),
+        |t AS (SELECT b, k, l,
+        |    4 * l - b * k * (k + 1) * (k + 1) AS d,
+        |    b * k * k * (k + 1) * (k + 1) * (k - 1) AS den
+        |  FROM s)
+        |SELECT CAST(b AS BIGINT) AS b, CAST(k AS BIGINT) AS k,
+        |  CAST(l AS BIGINT) AS l,
+        |  CAST((CASE WHEN d < 0 THEN -1 ELSE 1 END)
+        |    * ((9 * d * d * 1000000) // den) AS BIGINT) AS z2_e6,
+        |  9 * d * d * 1000000 > 3841459 * den AS reject
+        |FROM t""".stripMargin))
+
+  // --- Cochran's Q ------------------------------------------------------------
+
+  /** Cochran's Q test (Cochran 1950): do k = 3 BINARY order-risk flags —
+    * high priority, any returned line, any 60-days-late line — fire at
+    * different rates, accounting for their within-order correlation?
+    * The binary sibling of q_friedman_test (Q IS Friedman on 0/1
+    * responses) and the blocked complement of q_mcnemar's 2-treatment
+    * case.
+    *
+    * Fully integral: with row sums Rᵢ (flags per order), column sums Cⱼ
+    * and S = ΣCⱼ, Q = (k−1)(k·ΣCⱼ² − S²) / (k·ΣRᵢ − ΣRᵢ²) — emitted
+    * cross-multiplied as q_e6 plus the χ²₂ 5% decision
+    * ((k−1)(kΣC²−S²)·10⁶ > 5991465·denominator), exact DECIMAL(38,0)
+    * end to end. Orders with Rᵢ ∈ {0, k} contribute nothing to either
+    * side (the textbook's concordant-rows remark) but stay in n — the
+    * statistic is identical either way, so nothing is filtered.
+    *
+    * Scale shape: the line-level flags collapse in ONE
+    * partial-aggregatable groupBy(orderkey) over lineitem, join orders
+    * (order-keyed hash join), then a single 5-sum aggregation; the
+    * column grid is 3 values carried as conditional sums. */
+  private val cochranQ = QueryDef(
+    fn = (spark, dir) => {
+      val lateByOrder = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("f_ret"),
+          max(when(col("l_shipdate").cast("date")
+              > expr("CAST(o_orderdate AS DATE) + INTERVAL 60 DAY"), 1L)
+            .otherwise(0L)).as("f_late"),
+          max(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("f_pri"))
+      val s = lateByOrder.agg(
+        count(lit(1)).as("n"),
+        sum(col("f_pri")).as("c1"),
+        sum(col("f_ret")).as("c2"),
+        sum(col("f_late")).as("c3"),
+        sum(col("f_pri") + col("f_ret") + col("f_late")).as("sr"),
+        sum((col("f_pri") + col("f_ret") + col("f_late"))
+          * (col("f_pri") + col("f_ret") + col("f_late"))).as("sr2"))
+      s.select(col("n"), col("c1"), col("c2"), col("c3"),
+          expr("CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)"
+            + " - (c1 + c2 + c3) * (c1 + c2 + c3)) AS DECIMAL(38,0))")
+            .as("num"),
+          expr("CAST(3 * sr - sr2 AS DECIMAL(38,0))").as("den"))
+        .select(col("n"), col("c1"), col("c2"), col("c3"),
+          expr("CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)"
+            + " ELSE CAST((num * CAST(1000000 AS DECIMAL(38,0))) div den"
+            + " AS BIGINT) END").as("q_e6"),
+          expr("CASE WHEN den = 0 THEN false"
+            + " ELSE num * CAST(1000000 AS DECIMAL(38,0))"
+            + " > CAST(5991465 AS DECIMAL(38,0)) * den END").as("reject"))
+    },
+    oracle = Some(
+      """WITH f AS (SELECT o_orderkey,
+        |    MAX(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS f_pri,
+        |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS f_ret,
+        |    MAX(CASE WHEN CAST(l_shipdate AS DATE)
+        |        > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+        |      THEN 1 ELSE 0 END) AS f_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(f_pri) AS HUGEINT) AS c1,
+        |    CAST(SUM(f_ret) AS HUGEINT) AS c2,
+        |    CAST(SUM(f_late) AS HUGEINT) AS c3,
+        |    CAST(SUM(f_pri + f_ret + f_late) AS HUGEINT) AS sr,
+        |    CAST(SUM((f_pri + f_ret + f_late) * (f_pri + f_ret + f_late))
+        |      AS HUGEINT) AS sr2
+        |  FROM f),
+        |t AS (SELECT n, c1, c2, c3,
+        |    2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+        |      - (c1 + c2 + c3) * (c1 + c2 + c3)) AS num,
+        |    3 * sr - sr2 AS den
+        |  FROM s)
+        |SELECT n, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+        |  CAST(c3 AS BIGINT) AS c3,
+        |  CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST((num * 1000000) // den AS BIGINT) END AS q_e6,
+        |  CASE WHEN den = 0 THEN false
+        |    ELSE num * 1000000 > 5991465 * den END AS reject
+        |FROM t""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_cochran_q" -> cochranQ,
     "q_jonckheere" -> jonckheere,
+    "q_page_trend" -> pageTrend,
     "q_qq_table" -> qqTable,
     "q_cramers_v" -> cramersV,
     "q_friedman_test" -> friedman,

@@ -179,6 +179,72 @@ class RankStatsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("reject") === (math.abs(z) > 1.959964))
   }
 
+  test("q_cochran_q matches the textbook blocked-binary replay") {
+    val row = run("q_cochran_q").collect().head
+    val flags = graft.ops.Tables.lineitem(spark, dir)
+      .join(graft.ops.Tables.orders(spark, dir),
+        org.apache.spark.sql.functions.expr("l_orderkey = o_orderkey"))
+      .selectExpr("o_orderkey",
+        "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS p",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r",
+        "CASE WHEN CAST(l_shipdate AS DATE)"
+          + " > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY"
+          + " THEN 1 ELSE 0 END AS lt")
+      .collect()
+      .groupBy(_.getLong(0)).values
+      .map(g => (g.map(_.getInt(1)).max.toLong,
+        g.map(_.getInt(2)).max.toLong, g.map(_.getInt(3)).max.toLong))
+      .toSeq
+    val (c1, c2, c3) = (flags.map(_._1).sum, flags.map(_._2).sum,
+      flags.map(_._3).sum)
+    assert(row.getAs[Long]("n") === flags.size.toLong)
+    assert((row.getAs[Long]("c1"), row.getAs[Long]("c2"),
+      row.getAs[Long]("c3")) === ((c1, c2, c3)))
+    val sr = flags.map(f => f._1 + f._2 + f._3)
+    val num = BigInt(2) * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+      - (c1 + c2 + c3) * (c1 + c2 + c3))
+    val den = BigInt(3 * sr.sum - sr.map(x => x * x).sum)
+    assert(BigInt(row.getAs[Long]("q_e6")) === num * 1000000 / den)
+    assert(row.getAs[Boolean]("reject") === (num * 1000000 > den * 5991465))
+    // and the integral form agrees with the textbook Q double
+    val q = num.toDouble / den.toDouble
+    assert(math.abs(row.getAs[Long]("q_e6") / 1e6 - q) < 2e-6)
+  }
+
+  test("q_page_trend matches the driver-side rank replay") {
+    val row = run("q_page_trend").collect().head
+    // the (year, month) revenue grid via the engine's proven exact-e6
+    // rollup (the oracle independently checks that aggregation); the
+    // RANK/L/z arithmetic is replayed here from scratch
+    val grid = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS y",
+        "CAST(month(CAST(l_shipdate AS DATE)) AS INT) AS m",
+        "CAST(l_extendedprice AS DECIMAL(12,4))"
+          + " * (1 - CAST(l_discount AS DECIMAL(12,4))) AS v")
+      .groupBy("y", "m")
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(SUM(v) * 1000000 AS BIGINT) AS rev_e6"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val complete = grid.groupBy(_._1).filter(_._2.map(_._2).distinct.length == 12)
+    val b = complete.size
+    assert(row.getAs[Long]("b") === b.toLong)
+    assert(row.getAs[Long]("k") === 12L)
+    var l = 0L
+    complete.values.foreach { cells =>
+      cells.sortBy(c => (c._3, c._2)).zipWithIndex.foreach {
+        case ((_, m, _), i) => l += m.toLong * (i + 1)
+      }
+    }
+    assert(row.getAs[Long]("l") === l)
+    val k = 12L
+    val d = BigInt(4 * l - b * k * (k + 1) * (k + 1))
+    val den = BigInt(b.toLong * k * k * (k + 1) * (k + 1) * (k - 1))
+    val want = (if (d < 0) -1 else 1) * (d * d * 9 * 1000000 / den)
+    assert(BigInt(row.getAs[Long]("z2_e6")) === want)
+    assert(row.getAs[Boolean]("reject") ===
+      (d * d * 9 * 1000000 > BigInt(3841459) * den))
+  }
+
   test("q_hodges_lehmann matches the brute-force Walsh-average median") {
     val got = run("q_hodges_lehmann").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
