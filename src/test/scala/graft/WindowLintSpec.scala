@@ -49,10 +49,16 @@ class WindowLintSpec extends SparkSpec {
     case other => other.children.exists(unbounded)
   }
 
+  /** An all-foldable partitionSpec (e.g. partitionBy(lit(1))) is ONE
+    * partition at runtime — the same single reducer as no spec at all;
+    * the lint must not be evadable by a constant key. */
+  private def effectivelyUnpartitioned(w: Window): Boolean =
+    w.partitionSpec.forall(_.foldable)
+
   /** The offending windows of one plan, rendered for the failure message. */
   private def offending(df: DataFrame): Seq[String] =
     df.queryExecution.optimizedPlan.collect {
-      case w: Window if w.partitionSpec.isEmpty && unbounded(w.child) =>
+      case w: Window if effectivelyUnpartitioned(w) && unbounded(w.child) =>
         s"Window(order=${w.orderSpec.map(_.sql).mkString(", ")})"
     }
 
@@ -75,6 +81,14 @@ class WindowLintSpec extends SparkSpec {
       .withColumn("rk", row_number().over(W.orderBy(col("doc_id"))))
     assert(offending(old).nonEmpty,
       "a global row_number over a parquet scan must be flagged")
+  }
+
+  test("a constant partition key does not evade the detector") {
+    val evading = graft.ops.Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(
+        W.partitionBy(lit(1)).orderBy(col("doc_id"))))
+    assert(offending(evading).nonEmpty,
+      "partitionBy(lit(1)) is still one reducer and must be flagged")
   }
 
   test("the detector passes grid-shaped windows (aggregate below the window)") {
