@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.ops.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The round-14 TPC-H shape completion: Q2 / Q11 / Q15 / Q18 / Q19 —
   * the five classic decision-support shapes the warehouse set still
@@ -77,6 +78,51 @@ object TpchShapeQueries {
   private val minCostSupplier = QueryDef(
     fn = (spark, dir) => withViews(spark, dir,
       Seq("lineitem", "supplier", "part", "nation", "region"))(q2Sql),
+    oracle = Some(q2Sql))
+
+  /** The SAME Q2 semantics as [[minCostSupplier]], expressed as the plan
+    * a 100 TB cluster should actually run (the q_corr_agg_fused
+    * discipline): Catalyst decorrelates [[q2Sql]]'s scalar MIN into a
+    * second aggregate over the supply CTE — the CTE is NOT shared, so
+    * the fact side scans and aggregates TWICE. Here the supply frame
+    * builds ONCE and the per-part minimum rides a partkey-partitioned
+    * window on the already-aggregated (part × supplier) frame — one
+    * fact scan, one aggregation shuffle, one domain-sized window, then
+    * the broadcast part join. At 100 TB that halves fact I/O and
+    * removes a full aggregate + sort-merge join lineage. Oracle =
+    * [[q2Sql]] itself, so the driver proves output identity between the
+    * two plans; PlanAuditSpec pins the one-fact-scan property. */
+  private val minCostSupplierFused = QueryDef(
+    fn = (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val supply = Tables.lineitem(spark, dir)
+        .join(Tables.supplier(spark, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("l_partkey").as("partkey"), col("s_suppkey"),
+          col("s_name"), col("n_name"),
+          floor(col("s_acctbal") * 100 + 0.5).cast("long").as("acctbal_e2"))
+        .agg((min(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2))) * 100)
+          .cast("long").as("cost_e2"))
+      val w = Window.partitionBy(col("partkey"))
+      val best = supply
+        .withColumn("mc", min(col("cost_e2")).over(w))
+        .filter(col("cost_e2") === col("mc"))
+      best.join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_type"))),
+          col("partkey") === col("p_partkey"))
+        .select(col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_type"), col("cost_e2"), col("acctbal_e2"))
+        .orderBy(col("acctbal_e2").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
     oracle = Some(q2Sql))
 
   /** TPC-H Q11-shaped important stock: parts whose ASIA-supplied revenue
@@ -350,6 +396,7 @@ object TpchShapeQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "q_min_cost_supplier" -> minCostSupplier,
+    "q_min_cost_supplier_fused" -> minCostSupplierFused,
     "q_national_value_share" -> nationalValueShare,
     "q_top_quarter_supplier" -> topQuarterSupplier,
     "q_large_volume_orders" -> largeVolumeOrders,

@@ -55,6 +55,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("fused Q2 shape reads lineitem once; the subquery form pays two supply builds") {
+    def lineitemScans(name: String): Int =
+      plan(name).linesIterator.count(_.contains("lineitem.parquet"))
+    assert(lineitemScans("q_min_cost_supplier_fused") == 1,
+      "the fused Q2 must build the supply frame from ONE fact scan")
+    assert(lineitemScans("q_min_cost_supplier") == 2,
+      "the subquery Q2 decorrelates into two supply builds (the " +
+        "documented contrast — if Catalyst ever merges them, update " +
+        "the scaladoc trade)")
+    val p = plan("q_min_cost_supplier_fused")
+    assert(p.contains("windowspecdefinition(partkey"),
+      "the per-part minimum must ride a partkey-partitioned window")
+  }
+
   test("Q2 scalar-MIN decorrelates; Q18 IN-over-HAVING plans as a semi join") {
     val p2 = plan("q_min_cost_supplier")
     assert(!p2.contains("CartesianProduct"), "Q2 shape fell to a cartesian")
