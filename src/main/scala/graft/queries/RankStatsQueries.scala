@@ -1275,6 +1275,92 @@ object RankStatsQueries {
         |  9 * d * d * 1000000 > 3841459 * den AS reject
         |FROM t""".stripMargin))
 
+  // --- Kendall's W ------------------------------------------------------------
+
+  /** Kendall's coefficient of concordance W (Kendall & Babington Smith
+    * 1939): how strongly do the complete ship YEARS agree on the
+    * within-year ranking of the 12 months by revenue? The many-rater
+    * ranking-agreement statistic — the rankings sibling of
+    * q_cohens_kappa, on the same blocks × treatments grid as
+    * q_page_trend (which asks for a SPECIFIC monotone order; W asks for
+    * ANY shared order). W = 1 means every year ranks the months
+    * identically; the χ² link χ² = b(k−1)·W gives the Friedman
+    * decision.
+    *
+    * Fully integral: with R_j = month j's rank sum and
+    * d_j = 2R_j − b(k+1) (integer deviations from the null mean),
+    * W = 3·Σd² / (b²·k(k²−1)) and χ² = 3·Σd² / (b·k(k+1)) — both
+    * emitted as exact cross-multiplied ⌊·10⁶⌋ integers, the 5% χ²₁₁
+    * decision compared without any division. No double anywhere.
+    *
+    * Scale shape: the (year, month) revenue rollup + year-partitioned
+    * ranks on the ≤84-row grid (shared shape with q_page_trend);
+    * everything after is a 12-row marginal. */
+  private val kendallW = QueryDef(
+    fn = (spark, dir) => {
+      val vol = (col("l_extendedprice").cast(DecimalType(12, 4))
+        * (lit(1) - col("l_discount").cast(DecimalType(12, 4))))
+      val grid = Tables.lineitem(spark, dir)
+        .select(year(col("l_shipdate").cast("date")).cast("long").as("y"),
+          month(col("l_shipdate").cast("date")).cast("long").as("m"),
+          vol.as("v"))
+        .groupBy(col("y"), col("m"))
+        .agg((sum(col("v")) * 1000000).cast("long").as("rev_e6"))
+      val complete = grid.groupBy(col("y"))
+        .agg(countDistinct(col("m")).as("nm"))
+        .filter(col("nm") === 12).select(col("y"))
+      val ranked = grid.join(broadcast(complete), "y")
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("y"))
+            .orderBy(col("rev_e6").asc, col("m").asc)))
+      // b (complete-year count) is a bounded scalar — collected and
+      // re-injected as a literal (the documented driver-collect
+      // pattern), keeping d_j = 2R_j − b(k+1) a plain scan expression
+      val b = complete.count()
+      val marg = ranked.groupBy(col("m")).agg(sum(col("r")).as("rj"))
+      val s = marg.agg(count(lit(1)).as("k"),
+        sum((lit(2) * col("rj") - lit(b * 13))
+          * (lit(2) * col("rj") - lit(b * 13))).as("sd2"))
+        .withColumn("b", lit(b))
+      s.select(col("b"), col("k"),
+          expr("CAST(3 * sd2 AS DECIMAL(38,0))").as("num"),
+          expr("CAST(b * b * k * (k * k - 1) AS DECIMAL(38,0))").as("denw"),
+          expr("CAST(b * k * (k + 1) AS DECIMAL(38,0))").as("denc"))
+        .select(col("b"), col("k"),
+          expr("CAST((num * CAST(1000000 AS DECIMAL(38,0))) div denw"
+            + " AS BIGINT)").as("w_e6"),
+          expr("CAST((num * CAST(1000000 AS DECIMAL(38,0))) div denc"
+            + " AS BIGINT)").as("chi2_e6"),
+          expr("num * CAST(1000000 AS DECIMAL(38,0))"
+            + " > CAST(19675138 AS DECIMAL(38,0)) * denc").as("reject"))
+    },
+    oracle = Some(
+      """WITH g AS (SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT)
+        |    AS y, CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,4)))) * 1000000
+        |      AS BIGINT) AS rev_e6
+        |  FROM lineitem GROUP BY 1, 2),
+        |cy AS (SELECT y FROM g GROUP BY y
+        |  HAVING COUNT(DISTINCT m) = 12),
+        |rk AS (SELECT g.y, g.m, row_number() OVER (
+        |    PARTITION BY g.y ORDER BY g.rev_e6 ASC, g.m ASC) AS r
+        |  FROM g JOIN cy USING (y)),
+        |bb AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM cy),
+        |mg AS (SELECT m, CAST(SUM(r) AS HUGEINT) AS rj FROM rk GROUP BY m),
+        |s AS (SELECT bb.b, CAST(COUNT(*) AS HUGEINT) AS k,
+        |    SUM((2 * mg.rj - bb.b * 13) * (2 * mg.rj - bb.b * 13)) AS sd2
+        |  FROM mg CROSS JOIN bb GROUP BY bb.b),
+        |t AS (SELECT b, k, 3 * sd2 AS num,
+        |    b * b * k * (k * k - 1) AS denw,
+        |    b * k * (k + 1) AS denc
+        |  FROM s)
+        |SELECT CAST(b AS BIGINT) AS b, CAST(k AS BIGINT) AS k,
+        |  CAST((num * 1000000) // denw AS BIGINT) AS w_e6,
+        |  CAST((num * 1000000) // denc AS BIGINT) AS chi2_e6,
+        |  num * 1000000 > 19675138 * denc AS reject
+        |FROM t""".stripMargin))
+
   // --- Cochran's Q ------------------------------------------------------------
 
   /** Cochran's Q test (Cochran 1950): do k = 3 BINARY order-risk flags —
@@ -1364,6 +1450,7 @@ object RankStatsQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "q_cochran_q" -> cochranQ,
+    "q_kendall_w" -> kendallW,
     "q_jonckheere" -> jonckheere,
     "q_page_trend" -> pageTrend,
     "q_qq_table" -> qqTable,

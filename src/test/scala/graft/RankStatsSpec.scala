@@ -245,6 +245,45 @@ class RankStatsSpec extends SparkSpec {
       (d * d * 9 * 1000000 > BigInt(3841459) * den))
   }
 
+  test("q_kendall_w matches the textbook concordance replay") {
+    val row = run("q_kendall_w").collect().head
+    // same grid derivation as the q_page_trend replay
+    val grid = graft.ops.Tables.lineitem(spark, dir)
+      .selectExpr("CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS y",
+        "CAST(month(CAST(l_shipdate AS DATE)) AS INT) AS m",
+        "CAST(l_extendedprice AS DECIMAL(12,4))"
+          + " * (1 - CAST(l_discount AS DECIMAL(12,4))) AS v")
+      .groupBy("y", "m")
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(SUM(v) * 1000000 AS BIGINT) AS rev_e6"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val complete = grid.groupBy(_._1).filter(_._2.map(_._2).distinct.length == 12)
+    val b = complete.size.toLong
+    val k = 12L
+    assert(row.getAs[Long]("b") === b)
+    assert(row.getAs[Long]("k") === k)
+    val rj = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    complete.values.foreach { cells =>
+      cells.sortBy(c => (c._3, c._2)).zipWithIndex.foreach {
+        case ((_, m, _), i) => rj(m) += (i + 1).toLong
+      }
+    }
+    val sd2 = BigInt((1 to 12).map { m =>
+      val d = 2 * rj(m) - b * (k + 1); d * d
+    }.sum)
+    val num = 3 * sd2 * 1000000
+    assert(BigInt(row.getAs[Long]("w_e6")) === num / (b * b * k * (k * k - 1)))
+    assert(BigInt(row.getAs[Long]("chi2_e6")) === num / (b * k * (k + 1)))
+    assert(row.getAs[Boolean]("reject") ===
+      (num > BigInt(19675138) * (b * k * (k + 1))))
+    // textbook double cross-check: W = 12·S/(b²k(k²−1)), S = Σ(Rj − b(k+1)/2)²
+    val sDbl = (1 to 12).map { m =>
+      val dev = rj(m).toDouble - b * (k + 1) / 2.0; dev * dev
+    }.sum
+    val w = 12.0 * sDbl / (b * b * k * (k * k - 1)).toDouble
+    assert(math.abs(row.getAs[Long]("w_e6") / 1e6 - w) < 2e-6)
+  }
+
   test("q_hodges_lehmann matches the brute-force Walsh-average median") {
     val got = run("q_hodges_lehmann").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
