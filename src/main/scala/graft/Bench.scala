@@ -113,6 +113,18 @@ object Bench {
     // the headline numbers in a compact trailer line that always survives
     // the tail capture.
     println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeats,"excl_pass1":$exclP1,"pass_totals":$totalsJson,"n_queries":${names.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    // Memo-cost trailer (round-14 verdict task 5): the stderr first-touch
+    // markers die with the bench log (only the tail is archived), so the
+    // accumulated per-memo build seconds print as one compact
+    // machine-readable line AFTER the headline trailer. This is the
+    // pass-1-vs-warm attribution record: cold total − warm total ≈ the sum
+    // of these builds.
+    val memoJson = graft.ops.SessionCache.buildSeconds.toSeq.sortBy(_._1)
+      .map { case (n, s) =>
+        "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" +
+          (math.rint(s * 1000) / 1000) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"memo_builds","unit":"sec","builds":$memoJson}""")
     spark.stop()
   }
 }

@@ -1013,13 +1013,18 @@ object Dedup {
     * the oracle-checkable small-scale form; [[simhashPairsBanded]] is the
     * output-identical scale path.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val sigs = simhash64Sigs(df, idCol, textCol)
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame =
+    pairsFromSigs(simhash64Sigs(df, idCol, textCol), maxHamming)
+
+  /** Quadratic Hamming pair join over a prepared (id, sig) frame — the
+    * oracle-checkable small-scale form shared by the text SimHash family
+    * and the multimodal dHash family ([[graft.functions.DHash64Expr]]);
+    * [[bandedPairsFromSigs]] is the output-identical scale path. */
+  def pairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame =
     sigs.as("x").join(sigs.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-  }
 
   /** Banded (pigeonhole) SimHash near-dup pairs — the 100 TB scale path for
     * [[simhashPairs]], output-identical by construction: split the 64-bit
@@ -1076,7 +1081,14 @@ object Dedup {
     * multi-block tables (C(B, B-k) keys), not wider pigeonhole bands.
     */
   def simhashPairsBanded(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame =
+    bandedPairsFromSigs(simhash64Sigs(df, idCol, textCol), maxHamming)
+
+  /** The pigeonhole band join over a prepared (id, sig) frame — shared
+    * by the text SimHash scale path and the multimodal dHash near-dup
+    * (same 64-bit signature algebra, same crossover analysis; see
+    * [[simhashPairsBanded]]'s scaladoc for the measured numbers). */
+  def bandedPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming=$maxHamming must be in [0, 7]: banding the 64-bit " +
         "signature into maxHamming+1 chunks must keep every chunk >= 8 bits " +
@@ -1096,7 +1108,7 @@ object Dedup {
     // sides are identical subtrees, ReuseExchange collapses them, and the
     // corpus is scanned ONCE with signatures computed once — at 100 TB this
     // trades one narrow (id, sig) shuffle for a second full corpus scan.
-    val banded = simhash64Sigs(df, idCol, textCol)
+    val banded = sigs
       .repartition(col("id"))
       .select(col("id"), col("sig"),
         posexplode(array((0 until nChunks).map { i =>
@@ -1121,6 +1133,46 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental banded Hamming pairs against persisted state — the
+    * dHash sibling of [[nearDupMinhashFromState]]: given the LANDED
+    * batch's (id, sig) frame and the PRIOR store's, every qualifying
+    * pair that touches a landed id = landed-internal pairs
+    * ([[bandedPairsFromSigs]]) plus landed×prior cross pairs from the
+    * same pigeonhole band equi-join (first-matching-band dedup, ids
+    * emitted least/greatest so the union over all batches is
+    * row-identical to the one-shot build over the union of batches —
+    * StreamingPhashSpec proves it). Requires landed ∩ prior = ∅ (the
+    * sink's batch_id partitioning guarantees it, replay included). */
+  def bandedPairsFromState(landed: DataFrame, prior: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming=$maxHamming must be in [0, 7]")
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    def mask(w: Int): Long = -1L >>> (64 - w)
+    def explodeBands(df: DataFrame): DataFrame = df
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until nChunks).map { i =>
+          shiftrightunsigned(col("sig"), starts(i)).bitwiseAND(lit(mask(widths(i))))
+        }: _*)).as(Seq("band", "key")))
+    def chunk(sig: Column, i: Int): Column =
+      shiftrightunsigned(sig, starts(i)).bitwiseAND(lit(mask(widths(i))))
+    val firstMatchingBand = (0 until nChunks).reverse
+      .foldLeft(lit(-1)) { (rest, b) =>
+        when(chunk(col("x.sig"), b) === chunk(col("y.sig"), b), lit(b)).otherwise(rest)
+      }
+    val cross = explodeBands(landed.repartition(col("id"))).as("x")
+      .join(explodeBands(prior).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .filter(col("x.band") === firstMatchingBand)
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    bandedPairsFromSigs(landed, maxHamming).unionByName(cross)
   }
 
   /** EXACT edit-distance ≤ 1 self-join via deletion neighborhoods (the

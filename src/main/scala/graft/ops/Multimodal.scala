@@ -127,6 +127,31 @@ object Multimodal {
       .toDF(idCol, "width", "height", "resized")
   }
 
+  /** Perceptual dHash signatures over the payload column: decode (stub)
+    * to the deterministic 9×8 nearest-neighbor thumbnail, then fold the
+    * 72-byte grid into the 64-bit horizontal-gradient signature
+    * ([[graft.functions.DHash64Expr]]). Returns (id, sig) — the frame
+    * [[graft.ops.Dedup.bandedPairsFromSigs]] blocks on. Everything is a
+    * narrow map (batched partition-local resize + one codegen'd
+    * expression); no shuffle until the pair join.
+    */
+  def dhashSigs(
+      df: DataFrame, idCol: String, payloadCol: String,
+      widthCol: String, heightCol: String): DataFrame =
+    resize(df, idCol, payloadCol, widthCol, heightCol, targetW = 9, targetH = 8)
+      .select(col(idCol).as("id"),
+        graft.functions.DHash64Expr.dhash(col("resized")).as("sig"))
+
+  /** [[dhashSigs]] straight from a text-payload document frame: attach
+    * the stand-in payload + header dims, decode, sign. The one-call form
+    * the streaming sink and the query family share. */
+  def dhashSigsFromDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    dhashSigs(
+      withPayload(df, idCol, textCol)
+        .select(col(idCol), col("payload"),
+          col("media_meta.width").as("w"), col("media_meta.height").as("h")),
+      idCol, "payload", "w", "h")
+
   /** "Frame sampling": every `stride`-th fixed-size byte window of the
     * payload, as (id, frame_idx, frame) rows — pure expression arithmetic
     * (posexplode over computed offsets), no UDF, no shuffle.

@@ -32,7 +32,27 @@ import scala.collection.concurrent.TrieMap
   * the shared test session).
   */
 final class SessionCache[K, V](name: String = "") {
-  private val entries = TrieMap.empty[(SparkSession, K), V]
+  /** Per-key lazy holder: the TrieMap insert race is settled by an
+    * atomic `putIfAbsent` on a CHEAP unevaluated holder, and the build
+    * itself runs under the winning holder's own monitor (`lazy val`).
+    * Builds for unrelated keys never serialize, and two caches nesting
+    * into each other lock only their own holders — no cache-wide
+    * monitor, no lock-ordering deadlock (a cycle would require the
+    * builds themselves to be circular, which is a real bug regardless).
+    */
+  private final class Holder(label: String, build: () => V) {
+    lazy val value: V = {
+      val t0 = System.nanoTime()
+      val v = build()
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (secs >= 0.05) {
+        System.err.println(f"[bench] memo $label built in $secs%.2f s")
+        SessionCache.recordBuild(label, secs)
+      }
+      v
+    }
+  }
+  private val entries = TrieMap.empty[(SparkSession, K), Holder]
   private val hooked = TrieMap.empty[SparkSession, SparkListener]
 
   def getOrElseUpdate(spark: SparkSession, key: K, build: => V): V = {
@@ -50,21 +70,12 @@ final class SessionCache[K, V](name: String = "") {
     // first-toucher (q_cluster_terms pays the whole minhash chain). One
     // stderr marker per build makes the cold-pass cost table readable
     // at a glance without moving builds into untimed warmup (the driver
-    // must keep seeing true first-touch cost).
-    if (entries.contains((spark, key))) entries((spark, key))
-    else entries.synchronized {
-      entries.get((spark, key)) match {
-        case Some(v) => v
-        case None =>
-          val t0 = System.nanoTime()
-          val v = build
-          val secs = (System.nanoTime() - t0) / 1e9
-          if (secs >= 0.05)
-            System.err.println(f"[bench] memo $name$key built in $secs%.2f s")
-          entries.put((spark, key), v)
-          v
-      }
-    }
+    // must keep seeing true first-touch cost). The per-name totals also
+    // accumulate in [[SessionCache.buildSeconds]] so Bench can print a
+    // machine-readable memo-cost trailer (round-14 verdict task 5).
+    val holder = entries.getOrElseUpdate(
+      (spark, key), new Holder(s"$name$key", () => build))
+    holder.value
   }
 
   /** Drop every entry (and the stop hook) belonging to `spark`. */
@@ -78,4 +89,25 @@ final class SessionCache[K, V](name: String = "") {
 
   private[graft] def listenerFor(spark: SparkSession): Option[SparkListener] =
     hooked.get(spark)
+}
+
+/** Process-wide memo build-cost ledger. The stderr first-touch markers
+  * die with the bench log (the driver archives only the 2000-byte tail),
+  * so every build ≥0.05 s also lands here; [[graft.Bench]] prints the
+  * accumulated per-name seconds as one compact JSON trailer line that
+  * survives the tail capture. */
+object SessionCache {
+  private val builds =
+    TrieMap.empty[String, Double]
+
+  private[graft] def recordBuild(label: String, secs: Double): Unit =
+    builds.updateWith(label) {
+      case Some(t) => Some(t + secs)
+      case None    => Some(secs)
+    }
+
+  /** Per-label accumulated build seconds since process start. */
+  def buildSeconds: Map[String, Double] = builds.toMap
+
+  private[graft] def resetBuilds(): Unit = builds.clear()
 }

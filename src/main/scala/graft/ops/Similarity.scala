@@ -381,14 +381,17 @@ object Similarity {
     * ~nprobe/n_cells versus brute force, trading recall like any IVF
     * index. Centroid table is tiny — broadcast.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+  /** The probe stage of [[ivfTopK]], exposed so consumers can price the
+    * candidate scan (Σ probed-cell sizes) without re-deriving the cell
+    * ranking: per query, the `nprobe` nearest cells by rounded
+    * centroid cosine (ties to lowest cell) as (query_id, qv, cell). */
+  def probeCells(
+      queries: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String, cellCol: String,
-      k: Int, nprobe: Int = 2): DataFrame = {
+      nprobe: Int): DataFrame = {
     val cAsDouble = cents.select(col(cellCol).as("cell"), col("centroid"))
-    // rank cells per query by cosine(query, centroid); keep nprobe cells
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qCells = qv.join(broadcast(cAsDouble))
+    qv.join(broadcast(cAsDouble))
       .withColumn("ccos", TextAnalysis.round6(
         dotD(col("qv"), col("centroid"))
           / (norm(col("qv")) * normD(col("centroid")))))
@@ -397,6 +400,14 @@ object Similarity {
           .orderBy(col("ccos").desc, col("cell").asc)))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, cellCol: String,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    // rank cells per query by cosine(query, centroid); keep nprobe cells
+    val qCells = probeCells(queries, cents, idCol, vecCol, cellCol, nprobe)
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       col(cellCol).as("cell"))
     val scored = cv.join(qCells, Seq("cell"))

@@ -216,10 +216,14 @@ object ActivityQueries {
   private val maxDrawdown = QueryDef(
     fn = (spark, dir) => {
       val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+      // day-domain-bounded grid, checkpointed: tot / trough / peak all
+      // re-reference it, and without the checkpoint each reference
+      // re-planned the orders scan (6 corpus scans; ScanCountLintSpec)
       val daily = Tables.orders(spark, dir)
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .as("cents"))
+        .localCheckpoint(true)
       val tot = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("t"))
       val wRun = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -44,7 +44,10 @@ object AgreementQueries {
         when(TextAnalysis.tokenCount(col("text")) < 40, 0)
           .when(TextAnalysis.tokenCount(col("text")) < 69, 1)
           .otherwise(2).as("b"))
+      // 9-cell confusion grid, checkpointed: r/c/s all re-reference it,
+      // each re-planning the documents scan (ScanCountLintSpec)
       val g = m.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val r = g.groupBy(col("a").as("k")).agg(sum(col("c")).as("rk"))
       val c = g.groupBy(col("b").as("k")).agg(sum(col("c")).as("ck"))
       val pe = r.join(c, "k")

@@ -1357,6 +1357,10 @@ object AnalyticQueries {
             / col("nw").cast("double") / 10000.0).as("mean_b"))
         .withColumn("rn", row_number().over(
           Window.orderBy(col("mean_b"), col("b"))))
+        // 32-row replica grid, checkpointed: both CI bound filters
+        // re-reference it, and each reference re-planned the events
+        // scan (ScanCountLintSpec)
+        .localCheckpoint(true)
       n.crossJoin(broadcast(means.filter(col("rn") === 2).select(col("mean_b").as("ci_lo"))))
         .crossJoin(broadcast(means.filter(col("rn") === 31).select(col("mean_b").as("ci_hi"))))
     },

@@ -295,23 +295,45 @@ object ClassifierQueries {
         .orderBy("bucket")
     },
     oracle = Some(
+      // Memory-slim formulation (round-14 verdict task 1: the previous
+      // documents-CROSS-JOIN-classes + window form OOM'd the checker's
+      // DuckDB once). `partial` already carries ALL L classes for every
+      // doc with >=1 in-vocab token (w is the dense L x V grid), so the
+      // per-doc top-2 reduces to hash aggregations over partial alone —
+      // no corpus x L window sort — and zero-token docs take the
+      // class-constant prior-only top-2 via LEFT JOIN + COALESCE.
       s"""WITH $nbOracleCtes,
          |tf AS (SELECT doc_id, token, COUNT(*) AS tf
          |       FROM toks GROUP BY doc_id, token),
          |partial AS (SELECT tf.doc_id, w.lang, SUM(tf.tf * w.w6) AS s6
          |            FROM tf JOIN w USING (token) GROUP BY tf.doc_id, w.lang),
          |classes AS (SELECT DISTINCT lang, prior6 FROM w),
-         |scored AS (SELECT d.doc_id, d.lang AS true_lang, c.lang,
-         |    COALESCE(p.s6, 0) + c.prior6 AS score6,
-         |    row_number() OVER (PARTITION BY d.doc_id
-         |      ORDER BY COALESCE(p.s6, 0) + c.prior6 DESC, c.lang ASC) AS rn
-         |  FROM documents d CROSS JOIN classes c
-         |  LEFT JOIN partial p ON d.doc_id = p.doc_id AND c.lang = p.lang),
-         |pd AS (SELECT doc_id,
-         |    MAX(CASE WHEN rn = 1 THEN score6 END) AS s1,
-         |    MAX(CASE WHEN rn = 2 THEN score6 END) AS s2,
-         |    MAX(CASE WHEN rn = 1 AND lang = true_lang THEN 1 ELSE 0 END) AS ok
-         |  FROM scored WHERE rn <= 2 GROUP BY doc_id),
+         |sc AS (SELECT p.doc_id, p.lang, p.s6 + c.prior6 AS score6
+         |       FROM partial p JOIN classes c USING (lang)),
+         |m1 AS (SELECT doc_id, MAX(score6) AS s1 FROM sc GROUP BY doc_id),
+         |bst AS (SELECT sc.doc_id, MIN(sc.lang) AS blang
+         |        FROM sc JOIN m1 USING (doc_id)
+         |        WHERE sc.score6 = m1.s1 GROUP BY sc.doc_id),
+         |m2 AS (SELECT sc.doc_id, MAX(sc.score6) AS s2
+         |       FROM sc JOIN m1 USING (doc_id) JOIN bst USING (doc_id)
+         |       WHERE NOT (sc.score6 = m1.s1 AND sc.lang = bst.blang)
+         |       GROUP BY sc.doc_id),
+         |cp1 AS (SELECT MAX(prior6) AS p1 FROM classes),
+         |cpb AS (SELECT MIN(c.lang) AS plang FROM classes c, cp1
+         |        WHERE c.prior6 = cp1.p1),
+         |cp2 AS (SELECT MAX(c.prior6) AS p2 FROM classes c, cp1, cpb
+         |        WHERE NOT (c.prior6 = cp1.p1 AND c.lang = cpb.plang)),
+         |pd AS (SELECT d.doc_id,
+         |    COALESCE(m1.s1, cp1.p1) AS s1,
+         |    COALESCE(m2.s2, CASE WHEN m1.doc_id IS NULL THEN cp2.p2 END)
+         |      AS s2,
+         |    CASE WHEN COALESCE(bst.blang, cpb.plang) = d.lang
+         |      THEN 1 ELSE 0 END AS ok
+         |  FROM documents d
+         |  LEFT JOIN m1 USING (doc_id)
+         |  LEFT JOIN bst USING (doc_id)
+         |  LEFT JOIN m2 USING (doc_id)
+         |  CROSS JOIN cp1 CROSS JOIN cpb CROSS JOIN cp2),
          |b AS (SELECT LEAST((s1 - s2) // 1000000, 5) AS bucket, ok FROM pd)
          |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
          |  CAST(SUM(ok) AS BIGINT) AS n_correct,
@@ -617,11 +639,18 @@ object ClassifierQueries {
       val c = Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment").as("seg"))
       val j = o.join(c, col("o_custkey") === col("c_custkey"))
+      // ONE fact scan (ScanCountLintSpec): the (seg, y) grid is a
+      // sufficient statistic for the segment and total rollups
+      // (y ∈ {0,1} ⇒ Σy = Σ y·n_rows), so both derive from the ≤10-cell
+      // checkpointed grid instead of re-scanning the join
       val grid = j.groupBy(col("seg"), col("y"))
         .agg(count(lit(1)).as("n_rows"))
-      val segAgg = j.groupBy(col("seg"))
-        .agg(count(lit(1)).as("n_g"), sum(col("y")).as("sum_g"))
-      val tot = j.agg(count(lit(1)).as("tot_n"), sum(col("y")).as("tot_pos"))
+        .localCheckpoint(true)
+      val segAgg = grid.groupBy(col("seg"))
+        .agg(sum(col("n_rows")).as("n_g"),
+          sum(col("y") * col("n_rows")).as("sum_g"))
+      val tot = grid.agg(sum(col("n_rows")).as("tot_n"),
+        sum(col("y") * col("n_rows")).as("tot_pos"))
       grid.join(segAgg, "seg").crossJoin(broadcast(tot))
         .select(col("seg"), col("y"), col("n_rows"),
           expr("(((sum_g - y) * CAST(tot_n AS DECIMAL(38,0))" +

@@ -51,6 +51,10 @@ object Experiment2Queries {
         f9((col("sq_i").cast("double")
           - col("sv_i").cast("double") * col("sv_i").cast("double")
             / col("n_i").cast("double")) / 1e12).as("wt"))
+        // event-type-domain grid, checkpointed: msw and both pair sides
+        // re-reference it, each re-planning the events scan
+        // (3 corpus scans; ScanCountLintSpec)
+        .localCheckpoint(true)
       val msw = withTerm.agg(
         (sum(col("wt")).cast("double")
           / (sum(col("n_i")) - count(lit(1))).cast("double")).as("msw"))
@@ -180,9 +184,13 @@ object Experiment2Queries {
   private val mkTrend = QueryDef(
     fn = (spark, dir) => {
       val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      // day-domain-bounded grid, checkpointed: the pair join (twice),
+      // n, and the tie rollup all re-reference it — each reference
+      // re-planned the orders scan (4 corpus scans; ScanCountLintSpec)
       val daily = Tables.orders(spark, dir)
         .select(to_date(col("o_orderdate")).as("d"), cents.as("cents"))
         .groupBy(col("d")).agg(sum(col("cents")).as("rev"))
+        .localCheckpoint(true)
       val a = daily.select(col("d").as("da"), col("rev").as("ra"))
       val b = daily.select(col("d").as("db"), col("rev").as("rb"))
       val s = a.join(broadcast(b), col("da") < col("db"))
@@ -241,45 +249,53 @@ object Experiment2Queries {
     * out-of-range amounts, enum-domain violations, date-window breaches,
     * and FK orphans, each reported as (check, n_violations, pass).
     *
-    * Scale shape: the five row-local checks fuse into ONE scan of
-    * conditional sums; only the two checks that are genuinely not
-    * row-local — key uniqueness and FK orphanhood — pay their own
-    * key-keyed shuffles (duplicate detection is a keyed count; orphans an
-    * anti join against the broadcast customer key set). The union is on
-    * 7 one-row frames.
+    * Scale shape: ONE orders scan for all seven checks — the FK probe
+    * rides a broadcast left join, key uniqueness needs a
+    * groupBy(o_orderkey) anyway, and the five row-local conditions
+    * travel as per-key partial sums through that same (map-side
+    * combinable) shuffle; a single global fold and a stack() emit the
+    * 7-row report.
     */
   private val contractCheck = QueryDef(
     fn = (spark, dir) => {
+      // all seven checks ride ONE orders scan (round-15 scan-count
+      // lint; the per-family form paid 3): the FK probe is a broadcast
+      // left join tagging each row, the key-uniqueness count needs a
+      // groupBy(o_orderkey) anyway, so the five row-local conditions
+      // travel as per-key partial sums through that same shuffle and
+      // everything folds in one global aggregation
       val o = Tables.orders(spark, dir)
-      val rowLocal = o.agg(
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
-        sum(when(col("o_totalprice") < 0 || col("o_totalprice") > 1000000, 1L)
-          .otherwise(0L)).as("amount_range"),
-        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
-          .as("status_domain"),
-        sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L))
-          .as("priority_format"),
-        sum(when(to_date(col("o_orderdate")) < lit("1990-01-01").cast("date")
-          || to_date(col("o_orderdate")) > lit("2005-12-31").cast("date"), 1L)
-          .otherwise(0L)).as("date_window"))
-      val tall = rowLocal.selectExpr(
-        "stack(5, 'null_key', null_key, 'amount_range', amount_range, " +
+      val perKey = o.join(
+          broadcast(Tables.customer(spark, dir).select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("o_totalprice") < 0 || col("o_totalprice") > 1000000, 1L)
+            .otherwise(0L)).as("p_amount"),
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+            .as("p_status"),
+          sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L))
+            .as("p_prio"),
+          sum(when(to_date(col("o_orderdate")) < lit("1990-01-01").cast("date")
+            || to_date(col("o_orderdate")) > lit("2005-12-31").cast("date"), 1L)
+            .otherwise(0L)).as("p_date"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("p_orphan"))
+      val totals = perKey.agg(
+        sum(when(col("o_orderkey").isNull, col("c")).otherwise(0L)).as("null_key"),
+        sum(col("p_amount")).as("amount_range"),
+        sum(col("p_status")).as("status_domain"),
+        sum(col("p_prio")).as("priority_format"),
+        sum(col("p_date")).as("date_window"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("duplicate_key"),
+        sum(col("p_orphan")).as("fk_customer"))
+      totals.selectExpr(
+        "stack(7, 'null_key', null_key, 'amount_range', amount_range, " +
           "'status_domain', status_domain, 'priority_format', priority_format, " +
-          "'date_window', date_window) AS (check, n_violations)")
+          "'date_window', date_window, 'duplicate_key', duplicate_key, " +
+          "'fk_customer', fk_customer) AS (check, n_violations)")
         .select(col("check"), col("n_violations"),
           (col("n_violations") === 0).as("pass"))
-      val dups = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1)
-        .agg(coalesce(sum(col("c")), lit(0L)).as("n_violations"))
-        .select(lit("duplicate_key").as("check"), col("n_violations"),
-          (col("n_violations") === 0).as("pass"))
-      val orphans = o.join(
-        broadcast(Tables.customer(spark, dir).select(col("c_custkey"))),
-        col("o_custkey") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-        .select(lit("fk_customer").as("check"), col("n_violations"),
-          (col("n_violations") === 0).as("pass"))
-      tall.union(dups).union(orphans).orderBy("check")
+        .orderBy("check")
     },
     oracle = Some(
       """WITH rl AS (SELECT

@@ -627,10 +627,15 @@ object ExperimentQueries {
     * counts — nothing row-level past the first aggregation. */
   private val levene = QueryDef(
     fn = (spark, dir) => {
+      // (flag × quantity)-domain grid (≤ ~150 cells), checkpointed: the
+      // median pass and the deviation join both re-reference it, and
+      // their consumers compound — un-materialized the plan re-scanned
+      // lineitem 4× (ScanCountLintSpec)
       val grid = Tables.lineitem(spark, dir)
         .select(col("l_returnflag").as("g"),
           col("l_quantity").cast("long").as("v"))
         .groupBy(col("g"), col("v")).agg(count(lit(1)).as("t"))
+        .localCheckpoint(true)
       val wRun = Window.partitionBy(col("g")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col("g"))

@@ -1216,10 +1216,14 @@ object ExtensionQueries {
     fn = (spark, dir) => {
       val sample = dedupDocs(spark, dir)
       val comps = minhashComps(spark, dir)
+      // narrow (doc_id, comp, split) frame, checkpointed: the leak
+      // probe joins it twice and the output reads it once — each
+      // reference re-planned the documents scan (ScanCountLintSpec)
       val lab = sample.select(col("doc_id"))
         .join(comps, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
         .withColumn("split", TextAnalysis.assignSplit(col("comp")))
+        .localCheckpoint(true)
       val leak = minhashPairs(spark, dir)
         .join(lab.select(col("doc_id").as("id_a"), col("split").as("pa")), Seq("id_a"))
         .join(lab.select(col("doc_id").as("id_b"), col("split").as("pb")), Seq("id_b"))
@@ -1304,9 +1308,14 @@ object ExtensionQueries {
   private val dedupSrcModularity = QueryDef(
     fn = (spark, dir) => {
       val src = dedupDocs(spark, dir).select(col("doc_id"), col("source"))
+      // pair-count-sized (sa, sb) edge list, checkpointed: m/intra/deg
+      // all re-reference it, and each reference re-planned BOTH source
+      // lookups' documents scans (6 corpus scans; ScanCountLintSpec)
       val pairs = minhashPairs(spark, dir)
         .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
         .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .select(col("sa"), col("sb"))
+        .localCheckpoint(true)
       val m = pairs.agg(count(lit(1)).as("m")).localCheckpoint(true)
       val intra = pairs.filter(col("sa") === col("sb"))
         .groupBy(col("sa").as("source")).agg(count(lit(1)).as("e_s"))
@@ -1696,6 +1705,168 @@ object ExtensionQueries {
         |                   n - 1) AS INTEGER) + 1, 1)), '')
         |  END AS thumb
         |FROM d ORDER BY doc_id""".stripMargin))
+
+  /** Shared (id, sig) dHash frame: stub-decode payloads to the
+    * deterministic 9×8 thumbnail, fold to the 64-bit gradient signature
+    * ([[graft.functions.DHash64Expr]], [[Multimodal.dhashSigs]]). */
+  private def mmDhashFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String, sampled: Boolean): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(spark, dir)
+    val docs = if (sampled) base.filter(col("doc_id") % 2 === 0) else base
+    Multimodal.dhashSigsFromDocs(docs, "doc_id", "text")
+  }
+
+  /** DuckDB twin of the dHash signature chain over `sample`d documents,
+    * as 32-bit halves (the simhash64 convention — no unsigned 64-bit
+    * arithmetic): replicate the 9×8 nearest-neighbor thumbnail byte by
+    * byte (the mmResize oracle's arithmetic at w2=9, h2=8; text is
+    * ASCII, so byte = unicode(char)), one gradient bit per (r, c), then
+    * the two 32-bit words. Empty docs sign to 0 (the DHash64Expr
+    * convention). */
+  private def dhashOracle(sample: String): String =
+    s"""d AS (SELECT doc_id, text, len(text) AS n,
+       |       len(text) % 64 + 1 AS w, len(text) % 48 + 1 AS h
+       |  FROM documents $sample),
+       |px AS (SELECT doc_id, list_transform(range(0, 72), k ->
+       |    unicode(substr(text,
+       |      CAST(least((k // 9) * h // 8 * w + (k % 9) * w // 9, n - 1)
+       |        AS INTEGER) + 1, 1))) AS g
+       |  FROM d WHERE n > 0),
+       |bts AS (SELECT doc_id, list_transform(range(0, 64), j ->
+       |    CASE WHEN g[CAST((j // 8) * 9 + (j % 8) + 1 AS INTEGER)]
+       |           > g[CAST((j // 8) * 9 + (j % 8) + 2 AS INTEGER)]
+       |      THEN 1 ELSE 0 END) AS b
+       |  FROM px),
+       |sg AS (SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 32), j ->
+       |      CAST(b[CAST(j + 33 AS INTEGER)] AS BIGINT)
+       |        * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS sig_hi,
+       |    CAST(list_sum(list_transform(range(0, 32), j ->
+       |      CAST(b[CAST(j + 1 AS INTEGER)] AS BIGINT)
+       |        * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS sig_lo
+       |  FROM bts),
+       |sigs AS (SELECT d.doc_id, COALESCE(sg.sig_hi, 0) AS sig_hi,
+       |    COALESCE(sg.sig_lo, 0) AS sig_lo
+       |  FROM d LEFT JOIN sg USING (doc_id))""".stripMargin
+
+  /** Per-doc perceptual dHash signature (round-14 verdict task 3): the
+    * 64-bit horizontal-gradient hash of the deterministic 9×8 decoded
+    * thumbnail, emitted as 32-bit halves so the oracle never needs
+    * unsigned 64-bit arithmetic. The media-side sibling of
+    * q_dedup_simhash_sigs — gradients survive re-encode/resize/
+    * brightness, so Hamming proximity means perceptual near-duplication.
+    * Scale shape: pure narrow map (batched stub decode + one codegen'd
+    * fold), no shuffle. */
+  private val mmPhash = QueryDef(
+    fn = (spark, dir) =>
+      mmDhashFrame(spark, dir, sampled = false)
+        .select(col("id").as("doc_id"),
+          shiftrightunsigned(col("sig"), 32).as("sig_hi"),
+          col("sig").bitwiseAND(lit(0xffffffffL)).as("sig_lo"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH ${dhashOracle("")}
+         |SELECT doc_id, sig_hi, sig_lo FROM sigs ORDER BY doc_id""".stripMargin))
+
+  /** Exact quadratic dHash Hamming pairs over the pre-sampled
+    * (doc_id % 2) slice — the oracle-checkable baseline twin
+    * ([[Dedup.pairsFromSigs]]); q_media_phash_banded is the
+    * output-identical scale path (JoinLintSpec allowlists this twin,
+    * the q_dedup_simhash_pairs convention). maxHamming = 3: the
+    * banding operating point the SimHash crossover analysis
+    * recommends, shared so the two paths stay comparable. */
+  private val mmPhashPairs = QueryDef(
+    fn = (spark, dir) =>
+      graft.ops.Dedup.pairsFromSigs(mmDhashFrame(spark, dir, sampled = true),
+          maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+    oracle = Some(
+      s"""WITH ${dhashOracle("WHERE doc_id % 2 = 0")}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+         |     + bit_count(xor(a.sig_lo, b.sig_lo)) AS INTEGER) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+         |    + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Memoized full-corpus banded dHash pair set — shared by
+    * q_media_phash_banded and the perceptual-cluster keep decision
+    * (q_media_dedup_keep), the minhashPairs convention. */
+  private def phashPairsMemo(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    minhashPairsCache.getOrElseUpdate(spark, (dir, "phash_pairs"),
+      graft.ops.Dedup.bandedPairsFromSigs(
+          mmDhashFrame(spark, dir, sampled = false), maxHamming = 3)
+        .localCheckpoint(true))
+
+  /** Banded (pigeonhole) dHash near-dup pairs over the FULL corpus —
+    * the 100 TB scale path: 4 chunks × 16 bits, candidates from an
+    * equi-join on (band, chunk value), exact Hamming verified on
+    * candidates only ([[Dedup.bandedPairsFromSigs]], the machinery the
+    * text SimHash family already proves output-identical; an
+    * equivalence spec pins banded ≡ quadratic on the same input). */
+  private val mmPhashBanded = QueryDef(
+    fn = (spark, dir) =>
+      phashPairsMemo(spark, dir)
+        .orderBy("id_a", "id_b"),
+    oracle = Some(
+      s"""WITH ${dhashOracle("")}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+         |     + bit_count(xor(a.sig_lo, b.sig_lo)) AS INTEGER) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+         |    + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Perceptual dedup taken to its KEEP decision — the media-side twin
+    * of q_dedup_components/q_dedup_best_of_cluster: connected components
+    * over the banded dHash pair graph (star contraction + bounded
+    * driver union-find, [[Dedup.connectedComponents]]), every doc
+    * labeled with its perceptual cluster (singletons label themselves),
+    * cluster sizes, and keep = (doc_id = cluster) — the min-id-survives
+    * rule a curation pipeline applies before training. Oracle replays
+    * the whole contract: signature chain, Hamming pairs, recursive-CTE
+    * reachability, min-root labeling, keep rule.
+    *
+    * Scale shape: pairs come from the memoized banded equi-join (never
+    * quadratic); components contract edges before the driver kernel;
+    * the label join back to the corpus is doc-keyed. */
+  private val mmDedupKeep = QueryDef(
+    fn = (spark, dir) => {
+      val comps = minhashPairsCache.getOrElseUpdate(spark, (dir, "phash_comps"),
+        graft.ops.Dedup.connectedComponents(phashPairsMemo(spark, dir),
+            "id_a", "id_b", uniquePairs = true)
+          .withColumnRenamed("id", "doc_id")
+          .localCheckpoint(true))
+      val lab = Tables.documents(spark, dir).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+      val sizes = lab.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      lab.join(sizes, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("n_members"),
+          (col("doc_id") === col("cluster")).as("keep"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE ${dhashOracle("")},
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+         |      + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |s AS (SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY 1)
+         |SELECT doc_id, cluster, n_members, doc_id = cluster AS keep
+         |FROM lab JOIN s USING (cluster) ORDER BY doc_id""".stripMargin))
 
   /** Deterministic Lloyd iterations over the label-seeded cells:
     * recompute centroids, reassign every vector to its nearest centroid by
@@ -2230,6 +2401,128 @@ object ExtensionQueries {
          |FROM agg ORDER BY nprobe""".stripMargin
     })
 
+  /** Two-stage ANN retrieval readout (round-14 verdict task 4): probe p
+    * cells map-side, re-rank the probed candidate set with EXACT cosine,
+    * and report recall@10 against brute force TOGETHER WITH the scanned
+    * fraction — the two numbers a production retrieval operator trades
+    * against each other (q_ivf_multiprobe sweeps recall only). One row
+    * per probe depth p ∈ {2, 3, 5}: n_truth = 8 queries × 10, hits,
+    * recall_e6, scanned_e6 = ⌊Σ probed-cell sizes · 10⁶ / (n_q · n)⌋
+    * (rows READ by the candidate stage, self rows included — the I/O
+    * measure), and two integer cross-multiplied contracts. Floors sit
+    * strictly under the measured minima across the 3 SFs
+    * (recall@10 at sf0.001/0.01/0.1: p=2 0.350/0.375/0.363,
+    * p=3 0.488/0.563/0.475, p=5 0.750/0.725/0.688 → floors
+    * 0.30/0.40/0.60); the scan ceiling rides the near-uniform 10-cell
+    * geometry (measured scanned fraction ≈ p/10 + ~0.002 at every SF →
+    * ceiling 10·scanned ≤ p+2, ~2-cell margin).
+    *
+    * Scale shape: the probe is a broadcast-literal centroid argmax per
+    * query (map-side), candidates come from the cell equi-join (at
+    * 100 TB the corpus is BUCKETED by cell, so the candidate stage reads
+    * ~p/n_cells of it), and the exact re-rank touches candidates only.
+    * Consumes the memoized Lloyd chain + a memoized k=10 brute truth. */
+  private val ivfRerank = QueryDef(
+    fn = (spark, dir) => {
+      val cells = trainedIvfCells(spark, dir, 2)
+      val cents = trainedCentFrame(spark, dir, 3)
+      val qs = trainedIvfCells(spark, dir, 0).filter(col("vec_id") < 8)
+      val truth = minhashPairsCache.getOrElseUpdate(spark, (dir, "ann_truth10"), {
+          val emb = trainedIvfCells(spark, dir, 0)
+          Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+              "vec_id", "embedding", k = 10)
+            .localCheckpoint(true)
+        }).select(col("query_id"), col("neighbor_id"))
+      val sizes = cells.groupBy(col("label").as("cell"))
+        .agg(count(lit(1)).as("cell_n"))
+      val nTotal = cells.agg(count(lit(1)).as("n_corpus"))
+      val perP = Seq(2, 3, 5).map { p =>
+        val reranked = Similarity.ivfTopK(cells, qs, cents,
+            "vec_id", "embedding", "label", k = 10, nprobe = p)
+          .select(col("query_id"), col("neighbor_id"))
+        val rec = truth.join(reranked.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        val scan = Similarity.probeCells(qs, cents,
+            "vec_id", "embedding", "label", nprobe = p)
+          .join(broadcast(sizes), Seq("cell"))
+          .agg(sum(col("cell_n")).as("n_scanned"),
+            countDistinct(col("query_id")).as("n_q"))
+        rec.crossJoin(broadcast(scan)).crossJoin(broadcast(nTotal))
+          .select(lit(p.toLong).as("nprobe"), col("n_truth"), col("hits"),
+            col("n_scanned"), col("n_q"), col("n_corpus"))
+      }
+      perP.reduce(_ union _)
+        .withColumn("recall_e6", expr("hits * 1000000 div n_truth"))
+        .withColumn("scanned_e6",
+          expr("(n_scanned * CAST(1000000 AS BIGINT)) div (n_q * n_corpus)"))
+        .withColumn("recall_ok",
+          col("hits") * 100 >= col("n_truth")
+            * when(col("nprobe") === 2, 30)
+              .when(col("nprobe") === 3, 40)
+              .otherwise(60))
+        .withColumn("scan_ok",
+          col("n_scanned") * 10 <= col("n_q") * col("n_corpus")
+            * (col("nprobe") + 2))
+        .select(col("nprobe"), col("n_truth"), col("hits"),
+          col("recall_e6"), col("scanned_e6"), col("recall_ok"),
+          col("scan_ok"))
+        .orderBy("nprobe")
+    },
+    oracle = Some {
+      val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
+      val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
+      val normQ = s"sqrt(${dDot("qv", "qv")})"
+      s"""WITH ${dLloydCtes(2)},
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY ${dCos("qv", "cv")} DESC, neighbor_id ASC) AS r
+         |    FROM c CROSS JOIN q WHERE query_id <> neighbor_id) WHERE r <= 10),
+         |tc AS (SELECT vec_id AS neighbor_id, e AS cv, cell FROM a2),
+         |sz AS (SELECT cell, COUNT(*) AS cell_n FROM a2 GROUP BY cell),
+         |nt AS (SELECT COUNT(*) AS n_corpus FROM a2),
+         |qc AS (
+         |  SELECT query_id, qv, cell, row_number() OVER (PARTITION BY query_id ORDER BY
+         |      floor(($dotQC / ($normQ * $normC)) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |      cell ASC) AS cr
+         |  FROM q CROSS JOIN cent3),
+         |ps AS (SELECT unnest([2, 3, 5]) AS nprobe),
+         |probe AS (SELECT ps.nprobe, qc.query_id, qc.qv, qc.cell
+         |          FROM qc JOIN ps ON qc.cr <= ps.nprobe),
+         |scan AS (SELECT nprobe, CAST(SUM(sz.cell_n) AS BIGINT) AS n_scanned,
+         |    CAST(COUNT(DISTINCT probe.query_id) AS BIGINT) AS n_q
+         |  FROM probe JOIN sz USING (cell) GROUP BY nprobe),
+         |ivf AS (
+         |  SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT probe.nprobe, probe.query_id, tc.neighbor_id,
+         |      row_number() OVER (PARTITION BY probe.nprobe, probe.query_id
+         |        ORDER BY ${dCos("qv", "cv")} DESC, neighbor_id ASC) AS r
+         |    FROM tc JOIN probe USING (cell)
+         |    WHERE probe.query_id <> tc.neighbor_id) WHERE r <= 10),
+         |agg AS (
+         |  SELECT ps.nprobe, COUNT(*) AS n_truth,
+         |    CAST(SUM(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits
+         |  FROM ps CROSS JOIN brute b
+         |  LEFT JOIN ivf i ON i.nprobe = ps.nprobe
+         |    AND b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |  GROUP BY ps.nprobe)
+         |SELECT CAST(agg.nprobe AS BIGINT) AS nprobe, n_truth, hits,
+         |  CAST(hits * 1000000 // n_truth AS BIGINT) AS recall_e6,
+         |  CAST((n_scanned * 1000000) // (n_q * nt.n_corpus) AS BIGINT)
+         |    AS scanned_e6,
+         |  hits * 100 >= n_truth
+         |    * (CASE agg.nprobe WHEN 2 THEN 30 WHEN 3 THEN 40 ELSE 60 END)
+         |    AS recall_ok,
+         |  n_scanned * 10 <= n_q * nt.n_corpus * (agg.nprobe + 2) AS scan_ok
+         |FROM agg JOIN scan ON agg.nprobe = scan.nprobe CROSS JOIN nt
+         |ORDER BY agg.nprobe""".stripMargin
+    })
+
   /** Paragraph-level exact dedup (Dolma/RefinedWeb-style): split every
     * document into paragraph units, keep only the FIRST global occurrence
     * of each distinct unit (ordered by doc_id, then position), and report
@@ -2395,6 +2688,10 @@ object ExtensionQueries {
         .select(col("doc_id"),
           posexplode(TextAnalysis.shingleHashesFromHashes(col("th"), L)))
         .select(col("doc_id"), col("pos"), col("col").as("g"))
+        // narrow (doc_id, pos, g) window stream, checkpointed: the df
+        // rollup and the flagged semi join both re-reference it, each
+        // re-planning the documents tokenize scan (ScanCountLintSpec)
+        .localCheckpoint(true)
       val dup = grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("g"))
@@ -2725,8 +3022,13 @@ object ExtensionQueries {
       val words = Seq("big", "order", "scan")
       val docs = Tables.documents(spark, dir)
         .filter(lower(col("text")).contains(words.head))
+      // one pass extracts ALL three terms' postings (tiny after the
+      // isin filter), checkpointed — the per-word form re-scanned the
+      // prefiltered docs once per phrase word (ScanCountLintSpec)
       val postings = docs.select(col("doc_id"),
-        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+        .filter(col("tok").isin(words.map(lit): _*))
+        .localCheckpoint(true)
       val parts = words.zipWithIndex.map { case (w, i) =>
         postings.filter(col("tok") === w)
           .select(col("doc_id"), (col("pos") - i).as("anchor"))
@@ -2845,15 +3147,28 @@ object ExtensionQueries {
     * = c/k_used (k_used, not the nominal 64: a sub-k merge is exhaustive
     * and the ratio is then the exact Jaccard); jac_exact divides the same
     * int64s in both engines — bit-identical either way. */
-  private val kmvSetops = QueryDef(
-    fn = (spark, dir) => {
-      val dist = Tables.documents(spark, dir)
+  /** Memoized distinct (source, shingle-hash) frame shared by
+    * [[kmvSetops]] and [[kmvDiff]]: it feeds three consumers per query
+    * (sketch agg + both sides of the exact-intersection self-join), and
+    * without materialization every reference re-planned the documents
+    * scan — 6 corpus scans per query (ScanCountLintSpec). It is already
+    * a shuffle output (distinct) and narrow (string + long), so one
+    * checkpoint per session is the 100 TB shape. */
+  private def kmvSrcDist(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    minhashPairsCache.getOrElseUpdate(spark, (dir, "kmv_src_dist"),
+      Tables.documents(spark, dir)
         .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
         .select(col("source"),
           Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
         .select(col("source"),
           explode(TextAnalysis.shingleHashesFromHashes(col("th"), 3)).as("h"))
         .distinct()
+        .localCheckpoint(true))
+
+  private val kmvSetops = QueryDef(
+    fn = (spark, dir) => {
+      val dist = kmvSrcDist(spark, dir)
       val agg = dist.groupBy(col("source"))
         .agg(graft.functions.KmvSketch.kmv64(col("h")).as("kmv"),
           count(lit(1)).as("n"))
@@ -3078,13 +3393,7 @@ object ExtensionQueries {
     * one join). */
   private val kmvDiff = QueryDef(
     fn = (spark, dir) => {
-      val dist = Tables.documents(spark, dir)
-        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
-        .select(col("source"),
-          Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
-        .select(col("source"),
-          explode(TextAnalysis.shingleHashesFromHashes(col("th"), 3)).as("h"))
-        .distinct()
+      val dist = kmvSrcDist(spark, dir)
       val agg = dist.groupBy(col("source"))
         .agg(graft.functions.KmvSketch.kmv64(col("h")).as("kmv"),
           count(lit(1)).as("n"))
@@ -3914,7 +4223,11 @@ object ExtensionQueries {
     fn = (spark, dir) => {
       val tok = Tables.documents(spark, dir)
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      // vocab×source-domain count table, checkpointed: ns/cq/the final
+      // term join all re-reference it, each re-planning the documents
+      // tokenize scan (4 corpus scans; ScanCountLintSpec)
       val cs = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val ns = cs.groupBy(col("source")).agg(sum(col("c")).cast("double").as("n_s"))
       val cq = cs.groupBy(col("token")).agg(sum(col("c")).cast("double").as("c_q"))
       val nq = cq.agg(sum(col("c_q")).as("n_q"))
@@ -3963,12 +4276,20 @@ object ExtensionQueries {
     fn = (spark, dir) => {
       val d = Tables.documents(spark, dir)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      // the narrow (doc_id, a, b) bigram stream is checkpointed: the
+      // two count tables and the scoring join all re-reference it, and
+      // un-materialized each reference re-planned the documents
+      // tokenize+explode (4 corpus scans; ScanCountLintSpec). One
+      // materialization of three string columns vs three repeated
+      // tokenize passes is the trade a production scorer makes too
+      // (count tables are built once, then the stream re-joins them).
       val bg = d.filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(toks) - 1),
             |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"""
             .stripMargin)).as("p"))
         .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+        .localCheckpoint(true)
       val bc = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
       val uc = bg.groupBy(col("a")).agg(count(lit(1)).as("ca"))
       val v = d.select(explode(col("toks")).as("tok"))
@@ -4463,6 +4784,7 @@ object ExtensionQueries {
     "q_doc_profile" -> docProfile,
     "q_ann_recall" -> annRecall,
     "q_ivf_multiprobe" -> ivfMultiprobe,
+    "q_ivf_rerank" -> ivfRerank,
     "q_text_clean" -> textClean,
     "q_text_redact" -> textRedact,
     "q_stratified_sample" -> stratifiedSample,
@@ -4479,6 +4801,10 @@ object ExtensionQueries {
     "q_multimodal_frames" -> mmFrames,
     "q_multimodal_features" -> mmFeatures,
     "q_multimodal_resize" -> mmResize,
+    "q_media_phash" -> mmPhash,
+    "q_media_phash_pairs" -> mmPhashPairs,
+    "q_media_phash_banded" -> mmPhashBanded,
+    "q_media_dedup_keep" -> mmDedupKeep,
     "q_text_tokens" -> textTokens,
     "q_text_chunks" -> textChunks,
     "q_seq_pack" -> seqPack,

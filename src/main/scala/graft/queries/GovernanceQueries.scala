@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.ops.{Dedup, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Data-governance family: re-identification risk profiling (k-anonymity
@@ -147,13 +148,14 @@ object GovernanceQueries {
     * warehouse runs before trusting a load; here all seven edges in one
     * unioned report.
     *
-    * Scale shape: each edge is a LEFT ANTI join from the child to the
-    * parent's key projection — parents (region/nation/supplier/part/
-    * customer) broadcast; the orders edge shuffles only (l_orderkey)
-    * key columns, never payloads. Counts are partial-aggregatable; the
-    * report is edges-sized (7 rows). The anti join, not EXCEPT, so each
-    * orphan ROW is counted (row-rate, not key-rate) and the distinct-key
-    * view rides the same frame.
+    * Scale shape: the three lineitem edges fuse onto ONE lineitem scan
+    * (a 3-FK-column projection left-joined to each parent key set —
+    * part/supplier broadcast, orders key-pruned — with all six orphan
+    * stats in one aggregation); the orders edge likewise rides one
+    * orders scan. Small-dimension edges keep the per-edge LEFT ANTI
+    * form. Counts are partial-aggregatable; the report is edges-sized
+    * (7 rows). Orphan ROWS are counted (row-rate, not key-rate) and the
+    * distinct-key view rides the same frame.
     *
     * NULL semantics, pinned explicitly (an RI audit exists for dirty
     * data): an "orphan" is a NON-NULL FK value with no parent — NULL-FK
@@ -166,11 +168,10 @@ object GovernanceQueries {
     fn = (spark, dir) => {
       import org.apache.spark.sql.DataFrame
       def audit(name: String, child: DataFrame, fk: String,
-          parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+          parent: DataFrame, pk: String): DataFrame = {
         val keys = parent.select(col(pk)).distinct()
-        val p = if (bcast) broadcast(keys) else keys
         val orphans = child.select(col(fk)).filter(col(fk).isNotNull)
-          .join(p, child(fk) === keys(pk), "left_anti")
+          .join(broadcast(keys), child(fk) === keys(pk), "left_anti")
         val oc = orphans.agg(
           count(lit(1)).as("n_orphan_rows"),
           countDistinct(col(fk)).as("n_orphan_keys"))
@@ -185,14 +186,51 @@ object GovernanceQueries {
       val p = Tables.part(spark, dir)
       val n = Tables.nation(spark, dir)
       val r = Tables.region(spark, dir)
-      Seq(
-        audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey", bcast = false),
-        audit("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey", bcast = true),
-        audit("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey", bcast = true),
-        audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey", bcast = true),
-        audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey", bcast = true),
-        audit("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey", bcast = true),
-        audit("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey", bcast = true))
+      // The three lineitem edges fuse onto ONE fact scan (round-15
+      // scan-count lint; the per-edge form paid 6): one projection of
+      // the three FK columns, one left join per parent key set
+      // (part/supplier broadcast; orders key-pruned shuffle), and all
+      // six orphan statistics in a single aggregation — count(CASE)
+      // not sum(CASE) so an empty child still reports 0, matching the
+      // per-edge anti-join form.
+      def orphan(fk: String, pk: String): Column =
+        when(col(fk).isNotNull && col(pk).isNull, col(fk))
+      val oKeys = o.select(col("o_orderkey")).distinct()
+      val pKeys = p.select(col("p_partkey")).distinct()
+      val sKeys = s.select(col("s_suppkey")).distinct()
+      val liAgg = li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .join(oKeys, col("l_orderkey") === col("o_orderkey"), "left")
+        .join(broadcast(pKeys), col("l_partkey") === col("p_partkey"), "left")
+        .join(broadcast(sKeys), col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          count(orphan("l_orderkey", "o_orderkey")).as("oro_rows"),
+          countDistinct(orphan("l_orderkey", "o_orderkey")).as("oro_keys"),
+          count(orphan("l_partkey", "p_partkey")).as("orp_rows"),
+          countDistinct(orphan("l_partkey", "p_partkey")).as("orp_keys"),
+          count(orphan("l_suppkey", "s_suppkey")).as("ors_rows"),
+          countDistinct(orphan("l_suppkey", "s_suppkey")).as("ors_keys"))
+      val liEdges = liAgg.select(
+        expr("stack(3," +
+          " 'lineitem.l_orderkey->orders', oro_rows, oro_keys," +
+          " 'lineitem.l_partkey->part', orp_rows, orp_keys," +
+          " 'lineitem.l_suppkey->supplier', ors_rows, ors_keys)" +
+          " AS (edge, n_orphan_rows, n_orphan_keys)"),
+        col("n_child").as("n_child_rows"))
+        .select(col("edge"), col("n_child_rows"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+      // orders-as-child: its count and orphan stats ride one scan too
+      val cKeys = c.select(col("c_custkey")).distinct()
+      val oEdge = o.select(col("o_custkey"))
+        .join(broadcast(cKeys), col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_child_rows"),
+          count(orphan("o_custkey", "c_custkey")).as("n_orphan_rows"),
+          countDistinct(orphan("o_custkey", "c_custkey")).as("n_orphan_keys"))
+        .select(lit("orders.o_custkey->customer").as("edge"),
+          col("n_child_rows"), col("n_orphan_rows"), col("n_orphan_keys"))
+      Seq(liEdges, oEdge,
+        audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        audit("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
+        audit("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"))
         .reduce(_ unionByName _)
         .orderBy("edge")
     },
@@ -402,10 +440,16 @@ object GovernanceQueries {
       val forget = Tables.customer(spark, dir)
         .filter(col("c_custkey") % 97 === 0)
         .select(col("c_custkey"))
-      val orders = Tables.orders(spark, dir)
+      // the cascading delete set is ~1/97 of orders and narrow
+      // (o_orderkey only) — checkpointed so the lineitem cascade and the
+      // orders report both read it without re-planning the orders scan
+      // (3 corpus scans; ScanCountLintSpec)
+      val ordersDel = Tables.orders(spark, dir)
         .join(broadcast(forget), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"))
+        .localCheckpoint(true)
       val li = Tables.lineitem(spark, dir)
-        .join(orders.select(col("o_orderkey")),
+        .join(ordersDel,
           col("l_orderkey") === col("o_orderkey"), "left_semi")
       def report(name: String, toDelete: DataFrame, total: DataFrame) = {
         val d = toDelete.agg(count(lit(1)).as("n_delete"))
@@ -416,7 +460,7 @@ object GovernanceQueries {
             / col("n_total").cast("double")).as("share"))
       }
       report("customer", forget, Tables.customer(spark, dir))
-        .unionAll(report("orders", orders, Tables.orders(spark, dir)))
+        .unionAll(report("orders", ordersDel, Tables.orders(spark, dir)))
         .unionAll(report("lineitem", li, Tables.lineitem(spark, dir)))
         .orderBy("table_name")
     },

@@ -335,11 +335,16 @@ object RankStatsQueries {
     */
   private val theilSen = QueryDef(
     fn = (spark, dir) => {
+      // day-domain-bounded grid, checkpointed: d0 / pairs (twice) /
+      // resid all re-reference it — without the checkpoint each
+      // reference re-planned the events scan (6 corpus scans;
+      // ScanCountLintSpec)
       val daily = Tables.events(spark, dir)
         .filter(col("event_type") === "purchase")
         .select(to_date(col("ts")).as("day"),
           floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
         .groupBy(col("day")).agg(sum(col("vq")).cast(d380).as("v"))
+        .localCheckpoint(true)
       val d0 = daily.agg(min(col("day")).as("d0"))
       val pts = daily.crossJoin(broadcast(d0))
         .select(datediff(col("day"), col("d0")).cast("long").as("di"),
@@ -1247,6 +1252,11 @@ object RankStatsQueries {
           .as("z2_e6"),
         expr("9 * d * d * CAST(1000000 AS DECIMAL(38,0))"
           + " > CAST(3841459 AS DECIMAL(38,0)) * den").as("reject"))
+        // degenerate no-complete-year pin (round-14 ADVICE): the
+        // ungrouped agg emits one b=0/null row over an empty grid while
+        // a grouped oracle would emit none — drop it on BOTH engines so
+        // a fixture without a complete ship year stays hash-identical
+        .filter(col("b") > 0)
     },
     oracle = Some(
       """WITH g AS (SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT)
@@ -1273,7 +1283,8 @@ object RankStatsQueries {
         |  CAST((CASE WHEN d < 0 THEN -1 ELSE 1 END)
         |    * ((9 * d * d * 1000000) // den) AS BIGINT) AS z2_e6,
         |  9 * d * d * 1000000 > 3841459 * den AS reject
-        |FROM t""".stripMargin))
+        |FROM t
+        |WHERE b > 0""".stripMargin))
 
   // --- Kendall's W ------------------------------------------------------------
 
@@ -1333,6 +1344,11 @@ object RankStatsQueries {
             + " AS BIGINT)").as("chi2_e6"),
           expr("num * CAST(1000000 AS DECIMAL(38,0))"
             + " > CAST(19675138 AS DECIMAL(38,0)) * denc").as("reject"))
+        // degenerate no-complete-year pin (round-14 ADVICE): with an
+        // empty grid the ungrouped agg emits one k=0/null row, but the
+        // oracle's GROUP BY over the empty marginal emits none — drop
+        // the b=0 row so both engines emit zero rows identically
+        .filter(col("b") > 0)
     },
     oracle = Some(
       """WITH g AS (SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT)
@@ -1359,7 +1375,8 @@ object RankStatsQueries {
         |  CAST((num * 1000000) // denw AS BIGINT) AS w_e6,
         |  CAST((num * 1000000) // denc AS BIGINT) AS chi2_e6,
         |  num * 1000000 > 19675138 * denc AS reject
-        |FROM t""".stripMargin))
+        |FROM t
+        |WHERE b > 0""".stripMargin))
 
   // --- Cochran's Q ------------------------------------------------------------
 

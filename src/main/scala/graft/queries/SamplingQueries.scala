@@ -271,12 +271,17 @@ object SamplingQueries {
       val o = Tables.orders(spark, dir)
         .select(col("o_custkey"),
           TextAnalysis.hashBucket(col("o_custkey"), 5).as("fold"))
+      // customer-domain narrow frame, checkpointed: the leak probe and
+      // the fold rollup both re-reference it (ScanCountLintSpec); the
+      // row total is the sum of per-group counts, so it rides the same
+      // frame instead of a third orders scan
       val perGroup = o.groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("fold")).as("n_folds"),
           min(col("fold")).as("fold"))
+        .localCheckpoint(true)
       val leak = perGroup.agg(max(col("n_folds")).as("max_folds_per_group"))
-      val total = o.agg(count(lit(1)).as("n_total"))
+      val total = perGroup.agg(sum(col("n_rows")).as("n_total"))
       perGroup.groupBy(col("fold"))
         .agg(count(lit(1)).as("n_groups"), sum(col("n_rows")).as("n_rows"))
         .crossJoin(broadcast(total))

@@ -114,6 +114,11 @@ object TextNoveltyQueries {
           posexplode(TextAnalysis.shingleHashesFromHashes(col("th"), 5)))
         .select(col("doc_id"), col("pos"),
           (col("col") * B + (lit(B - 1) - col("pos"))).as("code"))
+        // narrow (doc_id, pos, code) k-gram stream, checkpointed: the
+        // winnow window and the per-doc k-gram count both re-reference
+        // it, each re-planning the documents tokenize scan
+        // (ScanCountLintSpec)
+        .localCheckpoint(true)
       val wFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(Window.currentRow, 3)
       val wDoc = Window.partitionBy(col("doc_id"))

@@ -625,6 +625,53 @@ object StreamingOps {
     sess.read.parquet(pairStorePath)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** Streaming PERCEPTUAL (dHash) dedup over a media stream — the
+    * multimodal sibling of [[minhashStateSink]], same state contract:
+    *
+    *  1. the landed batch's 64-bit dHash signatures
+    *     ([[graft.ops.Multimodal.dhashSigsFromDocs]] — batched stub
+    *     decode, codegen'd gradient fold) write to an append-only
+    *     signature store at `batch_id=N` (idempotent partition
+    *     overwrite; payload bytes never persist, only 8-byte sigs);
+    *  2. the incremental banded pass
+    *     ([[graft.ops.Dedup.bandedPairsFromState]]) emits every
+    *     qualifying Hamming pair touching a landed id — landed-internal
+    *     + landed×prior, both from pigeonhole band equi-joins against
+    *     the narrow columnar signature store, never quadratic;
+    *  3. the pairs land at the same `batch_id=N` — append-only, so no
+    *     compaction is ever NEEDED for correctness.
+    *
+    * After any number of micro-batches the pair store's union equals
+    * [[graft.ops.Dedup.bandedPairsFromSigs]] over the union of batches,
+    * row-identically — StreamingPhashSpec proves it plus replay
+    * idempotence.
+    */
+  def phashStateSink(
+      docs: DataFrame, idCol: String, textCol: String,
+      sigStorePath: String, pairStorePath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxHamming: Int = 3): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        graft.ops.Multimodal.dhashSigsFromDocs(batch, idCol, textCol)
+          .write.mode("overwrite")
+          .parquet(s"$sigStorePath/batch_id=$batchId")
+        val landed = sess.read.parquet(s"$sigStorePath/batch_id=$batchId")
+          .select(col("id"), col("sig"))
+        val prior = sess.read.parquet(sigStorePath)
+          .filter(col("batch_id").cast("long") < batchId)
+          .select(col("id"), col("sig"))
+        graft.ops.Dedup
+          .bandedPairsFromState(landed, prior, maxHamming)
+          .write.mode("overwrite")
+          .parquet(s"$pairStorePath/batch_id=$batchId")
+      }
+      .start()
+
   /** The delta log's EFFECTIVE row set under the base-generation rule:
     * the most-negative `batch_id` partition is the newest compacted base
     * (covering every batch < |id|); everything at or past |id| is a live
@@ -635,7 +682,12 @@ object StreamingOps {
       deltaLogPath: String): DataFrame = {
     val log = sess.read.parquet(deltaLogPath)
       .withColumn("batch_id", col("batch_id").cast("long"))
-    val minId = log.agg(min(col("batch_id"))).head.getLong(0)
+    // min over zero rows is NULL (a zero-data micro-batch can land an
+    // empty delta partition before any real batch) — the raw log is the
+    // correct answer there, not an NPE.
+    val minRow = log.agg(min(col("batch_id"))).head
+    if (minRow.isNullAt(0)) return log
+    val minId = minRow.getLong(0)
     if (minId < 0)
       log.filter(col("batch_id") === minId || col("batch_id") >= -minId)
     else log
@@ -647,17 +699,38 @@ object StreamingOps {
     * foreachBatch replay of `curBatch`. */
   private[graft] def compactDeltaLog(sess: SparkSession,
       deltaLogPath: String, curBatch: Long): Unit = {
-    val folded = effectiveDeltas(sess, deltaLogPath)
-      .filter(col("batch_id") =!= curBatch)
-      .drop("batch_id")
-      .groupBy(col("cell"), col("pos"))
-      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
-    folded.write.mode("overwrite")
-      .parquet(s"$deltaLogPath/batch_id=${-curBatch}")
-    // GC the folded partitions — best-effort hygiene; the reader rule
-    // above stays correct even if this never runs
     val root = new org.apache.hadoop.fs.Path(deltaLogPath)
     val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    val basePath =
+      new org.apache.hadoop.fs.Path(root, s"batch_id=${-curBatch}")
+    // Replay safety: on a foreachBatch replay of a compaction batch
+    // (crash after the fold, before the checkpoint commit) the base
+    // partition already exists AND may be the only surviving copy of
+    // pre-fold history (the crashed run's GC may have deleted the folded
+    // positive deltas). Re-running the fold would read the base while
+    // mode("overwrite") deletes that same directory before the job runs —
+    // reading deleted files, then silently losing history. Idempotent
+    // skip: an existing base IS the fold's output; only re-run GC.
+    val baseExists = fs.exists(basePath)
+    if (!baseExists) {
+      // Stage-then-rename so the fold's source partitions are never the
+      // overwrite target even on exotic replays: materialize the folded
+      // frame to a sibling staging dir, then atomically move it in.
+      val staging =
+        new org.apache.hadoop.fs.Path(root, s".staging_base_${curBatch}")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      val folded = effectiveDeltas(sess, deltaLogPath)
+        .filter(col("batch_id") =!= curBatch)
+        .drop("batch_id")
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      folded.write.mode("overwrite").parquet(staging.toString)
+      if (!fs.rename(staging, basePath))
+        throw new java.io.IOException(
+          s"compactDeltaLog: rename $staging -> $basePath failed")
+    }
+    // GC the folded partitions — best-effort hygiene; the reader rule
+    // above stays correct even if this never runs
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("batch_id=")) {

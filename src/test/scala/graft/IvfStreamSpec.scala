@@ -145,4 +145,67 @@ class IvfStreamSpec extends SparkSpec {
     assert(eff == partIds,
       "after GC every surviving partition must be effective")
   }
+
+  test("compaction replay is crash-safe: base-exists skip preserves history") {
+    // round-14 ADVICE (high): a foreachBatch replay of a compaction batch
+    // — crash after the fold (and possibly after GC), before the
+    // checkpoint commit — re-enters compactDeltaLog with the base
+    // partition already written and the folded positive deltas possibly
+    // deleted. The old fold re-ran with mode("overwrite") targeting its
+    // OWN source partition; Spark deletes the output dir before the job
+    // reads it, so history was silently destroyed. The fix skips the
+    // fold when the base exists and only re-runs GC.
+    def writeDelta(log: String, id: Long, rows: Seq[(Int, Long, Long, Long)]): Unit =
+      rows.toDF("cell", "pos", "s", "n")
+        .write.mode("overwrite").parquet(s"$log/batch_id=$id")
+    def effTotals(log: String): Map[(Int, Long), (Long, Long)] =
+      graft.streaming.StreamingOps.effectiveDeltas(spark, log)
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+    def partIds(log: String): Seq[Long] =
+      new java.io.File(log).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).sorted.toSeq
+
+    // crash AFTER fold + GC (worst case: base is the only copy of history)
+    val logA = tmp("replayA")
+    writeDelta(logA, 0L, Seq((1, 1L, 10L, 2L)))
+    writeDelta(logA, 1L, Seq((1, 1L, 5L, 1L), (2, 1L, 7L, 3L)))
+    writeDelta(logA, 2L, Seq((2, 1L, 1L, 1L)))
+    graft.streaming.StreamingOps.compactDeltaLog(spark, logA, 2L)
+    val want = effTotals(logA)
+    assert(partIds(logA) == Seq(-2L, 2L))
+    // REPLAY of batch 2's compaction — must not re-fold, must not destroy
+    graft.streaming.StreamingOps.compactDeltaLog(spark, logA, 2L)
+    assert(partIds(logA) == Seq(-2L, 2L), "replay must leave the layout")
+    assert(effTotals(logA) == want, "replay must preserve folded history")
+    assert(want((1, 1L)) == ((15L, 3L)) && want((2, 1L)) == ((8L, 4L)))
+
+    // crash AFTER fold, BEFORE GC (base + folded positives both present)
+    val logB = tmp("replayB")
+    writeDelta(logB, 0L, Seq((1, 1L, 10L, 2L)))
+    writeDelta(logB, 1L, Seq((1, 1L, 5L, 1L)))
+    writeDelta(logB, 2L, Seq((1, 1L, 2L, 1L)))
+    graft.streaming.StreamingOps.compactDeltaLog(spark, logB, 2L)
+    // resurrect a folded positive delta as if GC never ran
+    writeDelta(logB, 1L, Seq((1, 1L, 5L, 1L)))
+    graft.streaming.StreamingOps.compactDeltaLog(spark, logB, 2L)
+    assert(partIds(logB) == Seq(-2L, 2L), "replay must finish the GC")
+    assert(effTotals(logB)((1, 1L)) == ((17L, 4L)),
+      "the skipped fold must keep the base authoritative, not re-fold")
+  }
+
+  test("effectiveDeltas tolerates an all-empty delta log (zero-data batch)") {
+    // round-14 ADVICE (low): min(batch_id) over zero rows is NULL — a
+    // zero-data micro-batch can land an empty delta partition before any
+    // real batch; the reader must return the raw (empty) log, not NPE.
+    val log = tmp("emptylog")
+    Seq.empty[(Int, Long, Long, Long)].toDF("cell", "pos", "s", "n")
+      .write.mode("overwrite").parquet(s"$log/batch_id=0")
+    val eff = graft.streaming.StreamingOps.effectiveDeltas(spark, log)
+    assert(eff.count() == 0L)
+  }
 }

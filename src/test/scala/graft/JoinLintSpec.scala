@@ -42,6 +42,10 @@ class JoinLintSpec extends SparkSpec {
     "q_dedup_simhash_h3" ->
       ("same pre-sampled quadratic baseline at maxHamming=3; " +
         "q_dedup_simhash_banded_h3 is the scale path"),
+    "q_media_phash_pairs" ->
+      ("pre-sampled (doc_id % 2) quadratic dHash baseline; " +
+        "q_media_phash_banded is the output-identical scale path " +
+        "(MultimodalDedupSpec equivalence + shared oracle form)"),
     "q_dedup_containment" ->
       ("measured trade on THIS degenerate 31-token corpus: 7M of 12.5M " +
         "pairs qualify, so any index still pays the Θ(output) floor and " +
