@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{Tables, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -223,7 +224,7 @@ object ActivityQueries {
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .as("cents"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "drawdown_daily")
       val tot = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("t"))
       val wRun = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

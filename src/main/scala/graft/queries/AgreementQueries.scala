@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{Tables, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -47,7 +48,7 @@ object AgreementQueries {
       // 9-cell confusion grid, checkpointed: r/c/s all re-reference it,
       // each re-planning the documents scan (ScanCountLintSpec)
       val g = m.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "kappa_grid")
       val r = g.groupBy(col("a").as("k")).agg(sum(col("c")).as("rk"))
       val c = g.groupBy(col("b").as("k")).agg(sum(col("c")).as("ck"))
       val pe = r.join(c, "k")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{RobustStats, Tables, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -1357,10 +1358,10 @@ object AnalyticQueries {
             / col("nw").cast("double") / 10000.0).as("mean_b"))
         .withColumn("rn", row_number().over(
           Window.orderBy(col("mean_b"), col("b"))))
-        // 32-row replica grid, checkpointed: both CI bound filters
+        // 32-row replica grid, memo-checkpointed: both CI bound filters
         // re-reference it, and each reference re-planned the events
         // scan (ScanCountLintSpec)
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "bootstrap_means")
       n.crossJoin(broadcast(means.filter(col("rn") === 2).select(col("mean_b").as("ci_lo"))))
         .crossJoin(broadcast(means.filter(col("rn") === 31).select(col("mean_b").as("ci_hi"))))
     },

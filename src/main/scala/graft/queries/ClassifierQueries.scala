@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{Tables, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -645,7 +646,7 @@ object ClassifierQueries {
       // checkpointed grid instead of re-scanning the join
       val grid = j.groupBy(col("seg"), col("y"))
         .agg(count(lit(1)).as("n_rows"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "target_grid")
       val segAgg = grid.groupBy(col("seg"))
         .agg(sum(col("n_rows")).as("n_g"),
           sum(col("y") * col("n_rows")).as("sum_g"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{Tables, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -51,10 +52,10 @@ object Experiment2Queries {
         f9((col("sq_i").cast("double")
           - col("sv_i").cast("double") * col("sv_i").cast("double")
             / col("n_i").cast("double")) / 1e12).as("wt"))
-        // event-type-domain grid, checkpointed: msw and both pair sides
-        // re-reference it, each re-planning the events scan
+        // event-type-domain grid, memo-checkpointed: msw and both pair
+        // sides re-reference it, each re-planning the events scan
         // (3 corpus scans; ScanCountLintSpec)
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "tukey_grid")
       val msw = withTerm.agg(
         (sum(col("wt")).cast("double")
           / (sum(col("n_i")) - count(lit(1))).cast("double")).as("msw"))
@@ -190,7 +191,7 @@ object Experiment2Queries {
       val daily = Tables.orders(spark, dir)
         .select(to_date(col("o_orderdate")).as("d"), cents.as("cents"))
         .groupBy(col("d")).agg(sum(col("cents")).as("rev"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "mk_daily")
       val a = daily.select(col("d").as("da"), col("rev").as("ra"))
       val b = daily.select(col("d").as("db"), col("rev").as("rb"))
       val s = a.join(broadcast(b), col("da") < col("db"))

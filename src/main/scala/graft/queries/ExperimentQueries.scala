@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{Tables, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -635,7 +636,7 @@ object ExperimentQueries {
         .select(col("l_returnflag").as("g"),
           col("l_quantity").cast("long").as("v"))
         .groupBy(col("g"), col("v")).agg(count(lit(1)).as("t"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "levene_grid")
       val wRun = Window.partitionBy(col("g")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col("g"))

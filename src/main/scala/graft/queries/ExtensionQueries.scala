@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{Dedup, Mixing, Multimodal, Similarity, Sketches, Tables, TextAnalysis}
 import org.apache.spark.sql.functions._
 
@@ -1223,7 +1224,7 @@ object ExtensionQueries {
         .join(comps, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
         .withColumn("split", TextAnalysis.assignSplit(col("comp")))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "component_split_lab")
       val leak = minhashPairs(spark, dir)
         .join(lab.select(col("doc_id").as("id_a"), col("split").as("pa")), Seq("id_a"))
         .join(lab.select(col("doc_id").as("id_b"), col("split").as("pb")), Seq("id_b"))
@@ -1315,7 +1316,7 @@ object ExtensionQueries {
         .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
         .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
         .select(col("sa"), col("sb"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "src_modularity_pairs")
       val m = pairs.agg(count(lit(1)).as("m")).localCheckpoint(true)
       val intra = pairs.filter(col("sa") === col("sb"))
         .groupBy(col("sa").as("source")).agg(count(lit(1)).as("e_s"))
@@ -2688,10 +2689,10 @@ object ExtensionQueries {
         .select(col("doc_id"),
           posexplode(TextAnalysis.shingleHashesFromHashes(col("th"), L)))
         .select(col("doc_id"), col("pos"), col("col").as("g"))
-        // narrow (doc_id, pos, g) window stream, checkpointed: the df
+        // narrow (doc_id, pos, g) window stream, memo-checkpointed: the df
         // rollup and the flagged semi join both re-reference it, each
         // re-planning the documents tokenize scan (ScanCountLintSpec)
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "dedup_substring_grams")
       val dup = grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("g"))
@@ -3028,7 +3029,7 @@ object ExtensionQueries {
       val postings = docs.select(col("doc_id"),
           posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
         .filter(col("tok").isin(words.map(lit): _*))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "phrase_postings")
       val parts = words.zipWithIndex.map { case (w, i) =>
         postings.filter(col("tok") === w)
           .select(col("doc_id"), (col("pos") - i).as("anchor"))
@@ -4227,7 +4228,7 @@ object ExtensionQueries {
       // term join all re-reference it, each re-planning the documents
       // tokenize scan (4 corpus scans; ScanCountLintSpec)
       val cs = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "kl_source_counts")
       val ns = cs.groupBy(col("source")).agg(sum(col("c")).cast("double").as("n_s"))
       val cq = cs.groupBy(col("token")).agg(sum(col("c")).cast("double").as("c_q"))
       val nq = cq.agg(sum(col("c_q")).as("n_q"))
@@ -4289,7 +4290,7 @@ object ExtensionQueries {
             |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"""
             .stripMargin)).as("p"))
         .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "lm_bigrams")
       val bc = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
       val uc = bg.groupBy(col("a")).agg(count(lit(1)).as("ca"))
       val v = d.select(explode(col("toks")).as("tok"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{Dedup, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -447,7 +448,7 @@ object GovernanceQueries {
       val ordersDel = Tables.orders(spark, dir)
         .join(broadcast(forget), col("o_custkey") === col("c_custkey"), "left_semi")
         .select(col("o_orderkey"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "forget_orders")
       val li = Tables.lineitem(spark, dir)
         .join(ordersDel,
           col("l_orderkey") === col("o_orderkey"), "left_semi")

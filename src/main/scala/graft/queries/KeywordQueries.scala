@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{Tables, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -47,12 +48,19 @@ object KeywordQueries {
     * doc_id re-join would trade a pruned scan for a corpus-wide
     * shuffle. At 100 TB the old form was a single-reducer global sort;
     * this is the shape a production splitter runs. */
-  private def arrivalBuckets(df: DataFrame, k: Int): DataFrame = {
+  private def arrivalBuckets(df: DataFrame, k: Int,
+      idsMemoDir: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // narrow ids checkpoint: 8 bytes/row, distributed — every driver
-    // aggregate below reads these blocks, not parquet
-    val ids = df.select(col("doc_id")).localCheckpoint(true)
+    // aggregate below reads these blocks, not parquet. All three caller
+    // queries cut the SAME full doc_id set per dir, so when the caller
+    // passes its dir the frame memoizes per session (GridMemo) instead
+    // of re-materializing on every construction.
+    val ids = idsMemoDir match {
+      case Some(d) => df.select(col("doc_id")).memoCheckpoint(spark, d, "arrival_ids")
+      case None    => df.select(col("doc_id")).localCheckpoint(true)
+    }
     val mm = ids.agg(min(col("doc_id")), max(col("doc_id"))).head
     if (mm.isNullAt(0)) return df.withColumn("bucket", lit(1L)).limit(0)
     val lo = mm.getLong(0)
@@ -197,7 +205,8 @@ object KeywordQueries {
   private val trendingTerms = QueryDef(
     fn = (spark, dir) => {
       val docs = arrivalBuckets(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")), 2)
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), 2,
+        idsMemoDir = Some(dir))
         .select(col("text"), (col("bucket") === 1L).as("early"))
       val tok = docs.select(col("early"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -255,7 +264,7 @@ object KeywordQueries {
         .select(col("source")).distinct()
         .withColumn("idx", (row_number().over(
           Window.orderBy(col("source"))) - 1).cast("int"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "source_idx")
       val masks = Tables.documents(spark, dir)
         .select(col("source"), explode(TextAnalysis.tokens(col("text")))
           .as("token"))
@@ -338,7 +347,8 @@ object KeywordQueries {
   private val vocabGrowth = QueryDef(
     fn = (spark, dir) => {
       val docs = arrivalBuckets(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")), 10)
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), 10,
+        idsMemoDir = Some(dir))
         .select(col("text"), col("bucket").as("decile"))
       val tok = docs.select(col("decile"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -415,7 +425,7 @@ object KeywordQueries {
       val sample = docs.withColumn("h", h)
         .orderBy(col("h"), col("doc_id")).limit(k)
         .select(col("doc_id")).collect().map(_.getLong(0)).sorted
-      val exact = arrivalBuckets(docs, 10)
+      val exact = arrivalBuckets(docs, 10, idsMemoDir = Some(dir))
       if (sample.isEmpty) {
         exact.agg(count(lit(1)).as("n")).select(col("n"),
           lit(0L).as("n_mismatch"), lit(0L).as("mismatch_e6"),

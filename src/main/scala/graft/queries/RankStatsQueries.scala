@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{Tables, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -344,7 +345,7 @@ object RankStatsQueries {
         .select(to_date(col("ts")).as("day"),
           floor(col("value") * 1e6 + 0.5).cast("long").as("vq"))
         .groupBy(col("day")).agg(sum(col("vq")).cast(d380).as("v"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "theil_daily")
       val d0 = daily.agg(min(col("day")).as("d0"))
       val pts = daily.crossJoin(broadcast(d0))
         .select(datediff(col("day"), col("d0")).cast("long").as("di"),

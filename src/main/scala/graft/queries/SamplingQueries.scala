@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{Tables, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -279,7 +280,7 @@ object SamplingQueries {
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("fold")).as("n_folds"),
           min(col("fold")).as("fold"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "kfold_groups")
       val leak = perGroup.agg(max(col("n_folds")).as("max_folds_per_group"))
       val total = perGroup.agg(sum(col("n_rows")).as("n_total"))
       perGroup.groupBy(col("fold"))

