@@ -106,25 +106,48 @@ object Bench {
     val totalsJson = totals.map(t => (math.rint(t * 1000) / 1000).toString)
       .mkString("[", ",", "]")
     val exclP1 = repeats >= 3
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeats,"excl_pass1":$exclP1,"pass_totals":$totalsJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
-    // The driver archives only the LAST 2000 bytes of bench output, and the
-    // line above puts the total in front of a ~15 KB per-query map — so the
-    // totals of rounds 10/11 were unrecoverable from BENCH_rN.json. Repeat
-    // the headline numbers in a compact trailer line that always survives
-    // the tail capture.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeats,"excl_pass1":$exclP1,"pass_totals":$totalsJson,"n_queries":${names.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
-    // Memo-cost trailer (round-14 verdict task 5): the stderr first-touch
-    // markers die with the bench log (only the tail is archived), so the
-    // accumulated per-memo build seconds print as one compact
-    // machine-readable line AFTER the headline trailer. This is the
-    // pass-1-vs-warm attribution record: cold total − warm total ≈ the sum
-    // of these builds.
-    val memoJson = graft.ops.SessionCache.buildSeconds.toSeq.sortBy(_._1)
-      .map { case (n, s) =>
-        "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" +
-          (math.rint(s * 1000) / 1000) }
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeats,"excl_pass1":$exclP1,"pass_totals":$totalsJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Persist the full record (per-query medians AND every raw pass) to a
+    // file so per-query round-over-round regression tables stop depending
+    // on what happens to fit in the driver's 2000-byte stdout tail capture
+    // (round-15 verdict task 6). One JSON object, one line per key group.
+    try {
+      val perPass = passes.zipWithIndex.map { case (p, i) =>
+        val m = names.map(n => "\"" + n + "\":" + p(n)).mkString("{", ",", "}")
+        s""""pass${i + 1}":$m"""
+      }.mkString(",")
+      val full = s"""{"sf":"$sfDir","passes":$repeats,"excl_pass1":$exclP1,"total":$total,"pass_totals":$totalsJson,"failed":$failedJson,"queries":$qs,$perPass}"""
+      val outPath = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(outPath.getParent)
+      java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
+    // Memo-cost trailer (round-14 verdict task 5): the accumulated per-memo
+    // build seconds as one machine-readable line — the pass-1-vs-warm
+    // attribution record (cold total − warm total ≈ the sum of these
+    // builds). Bounded to the top 12 builds by seconds plus an "other" sum,
+    // with the constant sfDir prefix stripped from keys, so the line stays
+    // well under the driver's 2000-byte tail capture (the round-15 full-map
+    // form was ~2 KB and evicted the total trailer). Full detail → stderr.
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    val builds = graft.ops.SessionCache.buildSeconds.toSeq
+      .map { case (n, s) => (n.replace(sfDir + "/", "").replace(sfDir, ""), s) }
+    System.err.println(builds.sortBy(-_._2)
+      .map { case (n, s) => s"[bench] memo-build $n ${r3(s)}s" }.mkString("\n"))
+    val (top, rest) = builds.sortBy(-_._2).splitAt(12)
+    val otherSum = r3(rest.map(_._2).sum)
+    val memoJson = (top.map { case (n, s) => "\"" + esc(n) + "\":" + r3(s) } ++
+      (if (rest.nonEmpty) Seq("\"other\":" + otherSum) else Nil))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"memo_builds","unit":"sec","builds":$memoJson}""")
+    println(s"""{"metric":"memo_builds","unit":"sec","n_builds":${builds.size},"builds":$memoJson}""")
+    // The compact headline trailer prints LAST — the driver archives only
+    // the final 2000 bytes of stdout, and round 15 proved that anything
+    // printed after this line can evict the bench total from the archived
+    // record (BENCH_r15.json had no total). Nothing may print below this.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeats,"excl_pass1":$exclP1,"pass_totals":$totalsJson,"n_queries":${names.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

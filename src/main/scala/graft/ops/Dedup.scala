@@ -621,6 +621,54 @@ object Dedup {
       .select(col("id"), coalesce(col("rcomp"), col("root")).as("comp"))
   }
 
+  /** Incremental component maintenance — today's roots from YESTERDAY'S
+    * persisted roots plus only the edges incident to the new batch
+    * (round-15 verdict task 2; the root-level sibling of the pair-level
+    * increment [[nearDupMinhashFromState]] proves).
+    *
+    * A prior run's `(id, root)` assignment is a fully-contracted star
+    * forest: id—root is a path-compressed witness of every old edge that
+    * mattered, so components of (star edges ∪ batch-incident edges)
+    * equal components of (all old edges ∪ batch-incident edges) — the
+    * union-find argument: replacing a spanning structure of each old
+    * component with its star preserves connectivity, and new edges only
+    * ever merge whole components. Roots are component MINIMA, so
+    * root < id on every star edge — the star frame is already oriented
+    * and duplicate-free, and the batch edges are oriented id_a < id_b
+    * with batch ∩ old = ∅, so the union stays duplicate-free and the
+    * contraction-kernel components path applies directly.
+    *
+    * Cost shape at 100 TB: the old pair graph (edge-scale) is never
+    * touched — inputs are the node-scale root store plus the
+    * batch-incident pairs; IncrementalRootsSpec proves the output ≡ a
+    * full [[connectedComponents]] rebuild over (old ∪ incident) edges,
+    * and `q_dedup_roots_incr` hash-gates the same identity against the
+    * DuckDB oracle's full-graph components.
+    *
+    * `priorRoots`: (id, root) with root = old-component minimum (id =
+    * root rows — singletons — are tolerated and contribute no edge).
+    * `newEdges`: oriented (aCol < bCol, duplicate-free) pairs incident
+    * to the batch. Output: (id, comp) over every node appearing in
+    * either input, comp = the merged component's minimum id.
+    */
+  def incrementalRoots(priorRoots: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val stars = priorRoots
+      .filter(col("root") =!= col("id"))
+      .select(col("root").as("pa"), col("id").as("pb"))
+    val edges = stars.unionByName(
+      newEdges.select(col(aCol).as("pa"), col(bCol).as("pb")))
+    val comps = connectedComponents(edges, "pa", "pb", uniquePairs = true)
+    // singleton prior nodes (id = root, no edge) and edgeless new ids
+    // re-enter via the node union: comp defaults to the node itself
+    val nodes = priorRoots.select(col("id"))
+      .unionByName(newEdges.select(col(aCol).as("id")))
+      .unionByName(newEdges.select(col(bCol).as("id")))
+      .distinct()
+    nodes.join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** Keep one survivor per near-dup cluster: rows whose id is its cluster's
     * canonical (minimum) id survive; ids not in any pair survive trivially.
     */
@@ -1143,8 +1191,12 @@ object Dedup {
     * same pigeonhole band equi-join (first-matching-band dedup, ids
     * emitted least/greatest so the union over all batches is
     * row-identical to the one-shot build over the union of batches —
-    * StreamingPhashSpec proves it). Requires landed ∩ prior = ∅ (the
-    * sink's batch_id partitioning guarantees it, replay included). */
+    * StreamingPhashSpec proves it). Requires landed ∩ prior = ∅: the
+    * sink's batch_id partitioning makes REPLAYS idempotent, but a
+    * source that re-delivers the same id in a LATER batch is outside
+    * the contract (see phashStateSink's id-uniqueness requirement) —
+    * the cross join below still guards id_a ≠ id_b defensively so such
+    * a violation can never emit a degenerate self-pair. */
   def bandedPairsFromState(landed: DataFrame, prior: DataFrame,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
@@ -1166,7 +1218,11 @@ object Dedup {
       }
     val cross = explodeBands(landed.repartition(col("id"))).as("x")
       .join(explodeBands(prior).as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          // defensive: landed ∩ prior = ∅ is the caller's contract, but a
+          // violating source must not produce id_a == id_b hamming-0 rows
+          // (least/greatest would collapse the pair into a self-loop)
+          col("x.id") =!= col("y.id"))
       .filter(col("x.band") === firstMatchingBand)
       .select(least(col("x.id"), col("y.id")).as("id_a"),
         greatest(col("x.id"), col("y.id")).as("id_b"),

@@ -20,10 +20,39 @@ object GridMemo {
   private val cache =
     new SessionCache[(String, String), DataFrame]("grid:")
 
-  /** The checkpointed `build` frame, built once per (session, dir, tag). */
+  // Tag-uniqueness is a convention spread across ~25 call sites in
+  // different files; two queries accidentally reusing a tag with
+  // different build frames would silently hand the first builder's
+  // checkpoint to both. Fail fast instead: record the first caller's
+  // code location per tag and assert every later call for that tag
+  // comes from the same site (sites are static, so a global map is
+  // session-safe — the same code line is the same site in any session).
+  private val sites =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def callSite(): String =
+    Thread.currentThread.getStackTrace.iterator
+      .drop(1) // getStackTrace frame
+      .find(f => !f.getClassName.startsWith("graft.ops.GridMemo") &&
+                 !f.getClassName.startsWith("java.lang.Thread"))
+      .map(f => s"${f.getClassName}.${f.getMethodName}")
+      .getOrElse("<unknown>")
+
+  /** The checkpointed `build` frame, built once per (session, dir, tag).
+    * Throws `IllegalStateException` if two distinct code sites ever use
+    * the same tag — a tag collision would otherwise silently serve one
+    * site's frame to the other. */
   def memo(spark: SparkSession, dir: String, tag: String)
-      (build: => DataFrame): DataFrame =
+      (build: => DataFrame): DataFrame = {
+    val here = callSite()
+    val owner = sites.putIfAbsent(tag, here).getOrElse(here)
+    if (owner != here)
+      throw new IllegalStateException(
+        s"GridMemo tag collision: tag '$tag' is owned by $owner but was " +
+        s"also requested from $here — distinct frames would silently " +
+        "share one checkpoint; pick a unique tag per build site")
     cache.getOrElseUpdate(spark, (dir, tag), build.localCheckpoint(true))
+  }
 
   /** `.memoCheckpoint(spark, dir, "tag")` — the drop-in session-memoized
     * replacement for a per-construction `.localCheckpoint(true)`. */

@@ -42,13 +42,33 @@ final class SessionCache[K, V](name: String = "") {
     */
   private final class Holder(label: String, build: () => V) {
     lazy val value: V = {
+      // SELF-time attribution: builds nest (state-comps → pair-store →
+      // the minhash chain), and wall-clock attribution recorded each
+      // inner build inside every ancestor — the r15 memo trailer's
+      // state-comps 17.2 s was mostly its nested pair-store 10.4 s, and
+      // Σ(builds) overshot the true cold−warm delta. A thread-local
+      // nesting stack subtracts child seconds from the parent, so the
+      // trailer's entries are disjoint and sum to real build wall-clock
+      // (nested builds run on the caller's thread: lazy-val evaluation).
+      val stack = SessionCache.nesting.get()
+      stack.push(new Array[Double](1))
       val t0 = System.nanoTime()
-      val v = build()
-      val secs = (System.nanoTime() - t0) / 1e9
-      if (secs >= 0.05) {
-        System.err.println(f"[bench] memo $label built in $secs%.2f s")
-        SessionCache.recordBuild(label, secs)
-      }
+      val v =
+        try build()
+        finally {
+          val total = (System.nanoTime() - t0) / 1e9
+          val childSecs = stack.pop()(0)
+          if (!stack.isEmpty) stack.peek()(0) += total
+          val self = total - childSecs
+          if (self >= 0.05) {
+            if (childSecs >= 0.05)
+              System.err.println(
+                f"[bench] memo $label built in $self%.2f s (+$childSecs%.2f s nested)")
+            else
+              System.err.println(f"[bench] memo $label built in $self%.2f s")
+            SessionCache.recordBuild(label, self)
+          }
+        }
       v
     }
   }
@@ -99,6 +119,12 @@ final class SessionCache[K, V](name: String = "") {
 object SessionCache {
   private val builds =
     TrieMap.empty[String, Double]
+
+  /** Per-thread stack of child-seconds accumulators for self-time
+    * attribution of nested memo builds (see Holder.value). */
+  private[ops] val nesting =
+    ThreadLocal.withInitial[java.util.ArrayDeque[Array[Double]]](() =>
+      new java.util.ArrayDeque[Array[Double]]())
 
   private[graft] def recordBuild(label: String, secs: Double): Unit =
     builds.updateWith(label) {

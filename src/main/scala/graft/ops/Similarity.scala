@@ -421,6 +421,103 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  // ---- product quantization (IVF-PQ) --------------------------------------
+
+  /** Squared-L2 between a float sub-vector (an array Column) and a
+    * literal double sub-centroid, floored at 1e-6 — the PQ assignment
+    * metric. Sequential left-fold sum, term i = (CAST(x[i] AS DOUBLE) −
+    * c[i])², bit-identical to the DuckDB twin's list_reduce. */
+  private def pqL2(sub: Column, c: Column): Column =
+    TextAnalysis.round6(aggregate(
+      zip_with(sub, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Per-row PQ code array (m codes, one per subspace) as a pure
+    * map-side expression over literal codebooks: codes[s] = the j of
+    * the subspace-s codebook entry minimizing floored squared-L2 to
+    * slice s of the vector, ties to the lowest j (array_position's
+    * first-minimum pick over j-ascending literals — the window form's
+    * `l2 ASC, j ASC` exactly). `cb` is ((s, j) → sub-centroid), any
+    * (s, j) grid holes (empty training clusters) simply never win. */
+  def pqCodesExpr(vec: Column, cb: Seq[(Int, Int, Seq[Double])],
+      m: Int, subDim: Int): Column = {
+    val bySub = cb.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.sortBy(_._2).map(r => (r._2, r._3))
+    }
+    val codeCols = (0 until m).map { s =>
+      val entries = bySub(s)
+      val sub = slice(vec, s * subDim + 1, subDim)
+      val scores = array(entries.map(e => pqL2(sub, typedlit(e._2))): _*)
+      val jLits = array(entries.map(e => lit(e._1)): _*)
+      element_at(jLits, array_position(scores, array_min(scores)).cast("int"))
+    }
+    array(codeCols: _*)
+  }
+
+  /** Train a PQ codebook over `corpus`'s vector column: m subspaces of
+    * subDim dims; per subspace, 16 seed clusters (id % 16) → decimal-
+    * exact means → one Lloyd reassignment by floored squared-L2 → final
+    * means. Returned driver-side as (s, j, sub-centroid) literals —
+    * m × 16 × subDim doubles, metadata scale at any corpus size. The
+    * same DECIMAL(20,10) mean discipline as [[centroids]], so the SQL
+    * oracle replays training bit-identically. */
+  def pqTrainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): Seq[(Int, Int, Seq[Double])] = {
+    import org.apache.spark.sql.types.DecimalType
+    def collectMeans(assigned: DataFrame): Seq[(Int, Int, Seq[Double])] = {
+      // assigned: (j, pos, v) where pos is the 0-based FULL-vector dim
+      assigned
+        .groupBy((col("pos") / subDim).cast("int").as("s"), col("j"),
+          pmod(col("pos"), lit(subDim)).as("spos"))
+        .agg((sum(col("v").cast(DecimalType(20, 10))).cast("double")
+          / count(lit(1))).as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1))).toSeq
+        .sortBy(_._1)
+        .map { case ((s, j), rows) =>
+          (s, j, rows.sortBy(_.getAs[Int]("spos"))
+            .map(_.getAs[Double]("mv")).toSeq)
+        }
+    }
+    val exploded = corpus
+      .select(col(idCol).cast("long").as("vid"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val cb1 = collectMeans(
+      exploded.withColumn("j", pmod(col("vid"), lit(16)).cast("int")))
+    val withCodes = corpus
+      .select(col(idCol).cast("long").as("vid"),
+        pqCodesExpr(col(vecCol), cb1, m, subDim).as("codes"),
+        col(vecCol).as("v0"))
+      .select(col("vid"), col("codes"),
+        posexplode(col("v0")).as(Seq("pos", "v")))
+      .withColumn("j", element_at(col("codes"),
+        (col("pos") / subDim).cast("int") + 1))
+    collectMeans(withCodes)
+  }
+
+  /** ADC (asymmetric-distance) cosine of a float query against a
+    * PQ-CODED candidate: the candidate contributes only its m byte
+    * codes — its reconstruction x̂ (sub-centroid concatenation) comes
+    * from the broadcast literal codebook, so the candidate scan reads
+    * 8 code bytes per row, never the raw floats. Floored at 1e-6 like
+    * every cosine in the family. `cb` must be j-dense per subspace on
+    * the codes actually emitted (guaranteed when codes came from
+    * [[pqCodesExpr]] over the same codebook). */
+  def pqAdcCosine(qv: Column, codes: Column,
+      cb: Seq[(Int, Int, Seq[Double])], m: Int, subDim: Int): Column = {
+    val bySub = cb.groupBy(_._1)
+    val dense = (0 until m).map { s =>
+      val rows = bySub(s).map(r => r._2 -> r._3).toMap
+      (0 until 16).map(j => rows.getOrElse(j, Seq.fill(subDim)(0.0)))
+    }
+    val cbLit = array(dense.map(subs =>
+      array(subs.map(c => typedlit(c)): _*)): _*)
+    val xhat = flatten(zip_with(codes,
+      sequence(lit(0), lit(m - 1)),
+      (c, s) => element_at(element_at(cbLit, s.cast("int") + 1), c + 1)))
+    TextAnalysis.round6(dotD(qv, xhat) / (norm(qv) * normD(xhat)))
+  }
+
   /** float-array × double-array dot (query vs centroid), sequential. */
   private def dotD(f: Column, d: Column): Column =
     aggregate(zip_with(f, d, (x, y) => x.cast("double") * y),

@@ -48,22 +48,40 @@ object CrossRunDedupQueries {
         java.lang.Integer.toHexString(dir.hashCode)
       val state = ExtensionQueries.minhashPairs(spark, dir)
         .filter(col("id_a") % 20 =!= 0 && col("id_b") % 20 =!= 0)
+        // the roots build below re-reads the pair set; without a barrier
+        // it would re-plan the memoized LogicalRDD filter per consumer
+        .localCheckpoint(true)
       graft.sink.IndexStore.writeMinhashPairs(state, path)
+      // The prior run ALSO persists its component roots — the cluster
+      // assignment it computed for its own survivor decision (round-15
+      // verdict task 2). Today's run then loads roots as a node-scale
+      // narrow scan; the edge-scale CC rebuild is gone from the
+      // cross-run read path (CrossRunDedupSpec proves store roots ≡ a
+      // full rebuild over the reloaded pairs).
+      val roots = Dedup.connectedComponents(
+        state.select(col("id_a"), col("id_b")),
+        "id_a", "id_b", uniquePairs = true)
+        .withColumnRenamed("comp", "root")
+      graft.sink.IndexStore.writeMinhashRoots(roots, path + "-roots")
       path
     })
 
+  private[graft] def persistedRootsPath(spark: SparkSession, dir: String): String =
+    persistedPairsPath(spark, dir) + "-roots"
+
   /** Component roots of the PERSISTED state graph (the prior run's
-    * cluster structure), memoized per session — canonical ids are the
+    * cluster structure) — READ from the root store the prior run wrote,
+    * never recomputed from the pair graph (node-scale I/O; the memo
+    * only pins the scan across bench passes). Canonical ids are the
     * cluster-minimum doc_ids of the old corpus. */
   private val stateCompsCache =
     new graft.ops.SessionCache[String, DataFrame]("state-comps:")
 
   private def stateComps(spark: SparkSession, dir: String): DataFrame =
     stateCompsCache.getOrElseUpdate(spark, dir, {
-      val state = graft.sink.IndexStore.readMinhashPairs(
-        spark, persistedPairsPath(spark, dir))
-      Dedup.connectedComponents(state.select(col("id_a"), col("id_b")),
-          "id_a", "id_b", uniquePairs = true)
+      graft.sink.IndexStore.readMinhashRoots(
+          spark, persistedRootsPath(spark, dir))
+        .select(col("id"), col("root").as("comp"))
         .localCheckpoint(true)
     })
 
@@ -112,17 +130,9 @@ object CrossRunDedupQueries {
     },
     oracle = Some(
       s"""WITH RECURSIVE ${ExtensionQueries.minhashOracle},
-         |old_edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM jac
-         |  WHERE jaccard >= 0.5 AND id_a % 20 <> 0 AND id_b % 20 <> 0
-         |  UNION ALL
-         |  SELECT id_b, id_a FROM jac
-         |  WHERE jaccard >= 0.5 AND id_a % 20 <> 0 AND id_b % 20 <> 0),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM old_edges
-         |  UNION
-         |  SELECT e.a, reach.r FROM old_edges e JOIN reach ON reach.id = e.b),
-         |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+         |${ExtensionQueries.componentsOracle(
+             "SELECT id_a AS a, id_b AS b FROM jac " +
+             "WHERE jaccard >= 0.5 AND id_a % 20 <> 0 AND id_b % 20 <> 0")},
          |incr AS (SELECT id_a, id_b FROM jac
          |  WHERE jaccard >= 0.5 AND (id_a % 20 = 0 OR id_b % 20 = 0)),
          |adj AS (
@@ -199,7 +209,40 @@ object CrossRunDedupQueries {
          |WHERE jaccard >= 0.5 AND (id_a % 20 = 0 OR id_b % 20 = 0)
          |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Incremental root maintenance, hash-gated end to end: the NEXT
+    * run's full cluster assignment from the prior run's PERSISTED roots
+    * plus only the batch-incident pair increment
+    * ([[graft.ops.Dedup.incrementalRoots]]) — the edge-scale old pair
+    * graph is never read. The oracle recomputes components over the
+    * FULL pair set row-level, so the driver's gate proves incremental ≡
+    * full rebuild (round-15 verdict task 2's spec obligation, promoted
+    * to an oracle row). Same expected output as q_dedup_components —
+    * deliberately: two engine paths (batch rebuild vs incremental
+    * maintenance), one contract, the q_dedup_state_pairs convention. */
+  private val dedupRootsIncr = QueryDef(
+    fn = (spark, dir) => {
+      val prior = stateComps(spark, dir)
+        .select(col("id"), col("comp").as("root"))
+      val incr = ExtensionQueries.minhashIncrPairs(spark, dir)
+        .select(col("id_a"), col("id_b"))
+      val merged = Dedup.incrementalRoots(prior, incr, "id_a", "id_b")
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .join(merged.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"),
+          (coalesce(col("comp"), col("doc_id")) === col("doc_id")).as("survivor"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE ${ExtensionQueries.minhashOracle},
+         |${ExtensionQueries.componentsFromJac}
+         |SELECT d.id AS doc_id, COALESCE(c.comp, d.id) AS comp,
+         |  (COALESCE(c.comp, d.id) = d.id) AS survivor
+         |FROM docs d LEFT JOIN comp c ON d.id = c.id
+         |ORDER BY doc_id""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_dedup_cross_run" -> dedupCrossRun,
-    "q_dedup_state_pairs" -> dedupStatePairs)
+    "q_dedup_state_pairs" -> dedupStatePairs,
+    "q_dedup_roots_incr" -> dedupRootsIncr)
 }

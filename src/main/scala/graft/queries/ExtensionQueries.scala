@@ -920,10 +920,17 @@ object ExtensionQueries {
            |          FROM bands_all b JOIN bsz USING (band, band_key)
            |          WHERE bsz.n <= $m),""".stripMargin
     }
+    // hdocs/jac0 MATERIALIZED + the intersect/arithmetic split are pure
+    // DuckDB-cost controls, value-identical (cross-checked row-exact at
+    // sf0.01/sf0.1): un-materialized, DuckDB inlines hdocs per join side
+    // and re-evaluates the len(list_intersect(..)) expression once in the
+    // WHERE jaccard filter and again in every consumer projection — the
+    // 6.3M-pair sf0.1 replay measured 100 s; materializing the intersect
+    // size once and deriving jaccard arithmetically in a view runs 8 s.
     s"""docs AS (
        |  SELECT doc_id AS id, ${dTokSet("text")} AS toks
        |  FROM documents),
-       |hdocs AS (
+       |hdocs AS MATERIALIZED (
        |  SELECT id, list_distinct(list_transform(toks, t -> ${dHash32("t")})) AS hs
        |  FROM docs),
        |tok AS (SELECT id, unnest(toks) AS t FROM docs),
@@ -935,12 +942,67 @@ object ExtensionQueries {
        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.band_key = y.band_key AND x.id < y.id),
+       |jac0 AS MATERIALIZED (
+       |  SELECT id_a, id_b, CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS ji,
+       |         len(a.hs) + len(b.hs) AS js
+       |  FROM cand JOIN hdocs a ON cand.id_a = a.id JOIN hdocs b ON cand.id_b = b.id),
        |jac AS (SELECT id_a, id_b,
-       |  floor((CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-       |        / (len(a.hs) + len(b.hs)
-       |           - CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-       |  FROM cand JOIN hdocs a ON cand.id_a = a.id JOIN hdocs b ON cand.id_b = b.id)""".stripMargin
+       |  floor((ji / (js - ji)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+       |  FROM jac0)""".stripMargin
   }
+
+  /** Shared oracle SQL: exact connected components over an ORIENTED
+    * (a < b, duplicate-free) pair query, emitted as a CTE chain ending
+    * in `comp(id, comp)` — comp = the component-minimum id, one row per
+    * node appearing in ≥1 edge (exactly the coverage of the historical
+    * all-nodes recursive reach; consumers COALESCE the edgeless rest).
+    *
+    * This is [[graft.ops.Dedup.connectedComponents]]'s star contraction
+    * re-expressed in plain SQL so the RECURSION runs only on the
+    * contracted kernel: root(v) = least(v, min smaller neighbor) — in
+    * oriented pairs every smaller neighbor of v arrives as (a, v), so
+    * one GROUP BY over the b side (plus a null-neighbor row per a-side
+    * node) computes it; kernel edges are the DISTINCT (root(a), root(b))
+    * rewrites; recursive reach floods the kernel (hundreds of rows on a
+    * near-dup pair corpus); expansion composes comp(v) =
+    * kcomp(root(v)). Correctness is the operator's own argument:
+    * v—root(v) is an edge so contraction preserves components, and the
+    * component minimum has no smaller neighbor so it is its own root —
+    * the min over kernel roots IS the min over nodes. Value-identity vs
+    * the historical every-endpoint-seeded reach is cross-checked
+    * row-exact in DuckDB at sf0.01.
+    *
+    * Why: the historical form seeded reach(id, r) from EVERY edge
+    * endpoint, so the working set was Σ|C|² pairs — on the template
+    * corpus's giant near-dup components that recursion ran ~8 min PER
+    * CONSUMER at sf0.1 (two local DuckDB OOM incidents in two rounds);
+    * this form is edge-linear outside the kernel and runs the whole
+    * consumer in seconds (round-15 verdict task 3). */
+  private[queries] def componentsOracle(orientedSql: String): String =
+    s"""cc_e AS MATERIALIZED ($orientedSql),
+       |cc_roots AS MATERIALIZED (
+       |  SELECT v, LEAST(v, COALESCE(MIN(nbr), v)) AS root FROM (
+       |    SELECT b AS v, a AS nbr FROM cc_e
+       |    UNION ALL
+       |    SELECT a AS v, NULL AS nbr FROM cc_e) GROUP BY v),
+       |cc_k AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(ra.root, rb.root) AS a, GREATEST(ra.root, rb.root) AS b
+       |  FROM cc_e e JOIN cc_roots ra ON e.a = ra.v JOIN cc_roots rb ON e.b = rb.v
+       |  WHERE ra.root <> rb.root),
+       |cc_ks AS (SELECT a, b FROM cc_k UNION ALL SELECT b AS a, a AS b FROM cc_k),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM cc_ks
+       |  UNION
+       |  SELECT e.a, reach.r FROM cc_ks e JOIN reach ON reach.id = e.b),
+       |cc_kcomp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |comp AS (SELECT v AS id, COALESCE(k.comp, cc_roots.root) AS comp
+       |  FROM cc_roots LEFT JOIN cc_kcomp k ON cc_roots.root = k.id)""".stripMargin
+
+  /** [[componentsOracle]] over the verified minhash pair set at the
+    * family's 0.5 threshold — the block every jac-component consumer
+    * embeds. */
+  private[queries] val componentsFromJac: String =
+    componentsOracle("SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5")
 
   /** Verified minhash pair graph over the FULL corpus (unsampled —
     * round 8/9's rolling shingle-hash + banded join made the chain cheap
@@ -1064,15 +1126,7 @@ object ExtensionQueries {
     },
     oracle = Some(
       s"""WITH RECURSIVE $minhashOracle,
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
-         |  UNION ALL
-         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
-         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |$componentsFromJac
          |SELECT d.id AS doc_id, COALESCE(c.comp, d.id) AS comp,
          |  (COALESCE(c.comp, d.id) = d.id) AS survivor
          |FROM docs d LEFT JOIN comp c ON d.id = c.id
@@ -1108,15 +1162,7 @@ object ExtensionQueries {
     },
     oracle = Some(
       s"""WITH RECURSIVE $minhashOracle,
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
-         |  UNION ALL
-         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
-         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |$componentsFromJac,
          |${dQualityCte("")},
          |scored AS (
          |  SELECT q.doc_id, COALESCE(c.comp, q.doc_id) AS comp, q.quality
@@ -1234,15 +1280,7 @@ object ExtensionQueries {
     },
     oracle = Some(
       s"""WITH RECURSIVE $minhashOracle,
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
-         |  UNION ALL
-         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
-         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |$componentsFromJac,
          |lab0 AS (SELECT d.id AS doc_id, COALESCE(c.comp, d.id) AS comp
          |         FROM docs d LEFT JOIN comp c ON d.id = c.id),
          |lab AS (SELECT doc_id, comp,
@@ -1821,6 +1859,212 @@ object ExtensionQueries {
          |    + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
          |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Memoized per-FRAME dHash signature chain (round-15 verdict task 5)
+    * — the video-frame dedup story q_media_phash lacks: every 128-byte
+    * payload frame (stride 96) is stub-decoded as a fixed 16×8 "frame
+    * image", resized to the 9×8 thumbnail, and signed with the same
+    * [[graft.functions.DHash64Expr]] gradient fold. Keyed fid =
+    * doc_id·1024 + frame_idx (frame counts are payload-bytes/96 —
+    * orders of magnitude under the 1024 slot bound on this corpus; a
+    * production container would key (clip_id, frame_no) directly).
+    *
+    * GEOMETRY MATTERS FOR THE SIGNATURE'S ENTROPY — measured: the
+    * first cut reused q_multimodal_frames' 32-byte/8×4 frames, whose
+    * 9×8 thumbnail UPSAMPLES rows (each source row duplicated), so
+    * consecutive thumbnail rows carry identical gradient bits and the
+    * 64-bit sig has ~32 independent bits; the 16-bit band keys then
+    * collapse (Σ bucket² = 75.5M candidates over 28k distinct sigs at
+    * sf0.1, max bucket 1442 — LSH degenerating toward quadratic,
+    * ~11 s/pass). At 16×8 every thumbnail cell samples a distinct
+    * source byte: Σ bucket² = 37k, max bucket 8, the banded join runs
+    * in ~0.1 s warm. ONE narrow chain feeds all three frame queries
+    * (sigs / sampled pairs / containment) — a map-side explode +
+    * batched resize + codegen fold, no shuffle before the pair join,
+    * frame text never persists. */
+  private def frameSigsMemo(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    minhashPairsCache.getOrElseUpdate(spark, (dir, "frame_sigs"), {
+      val frames = Multimodal.frameSample(
+        Multimodal.withPayload(Tables.documents(spark, dir), "doc_id", "text"),
+        "doc_id", "payload", frameBytes = 128, stride = 96)
+      Multimodal.dhashSigs(
+          frames.select((col("doc_id") * 1024 + col("frame_idx")).as("fid"),
+            col("frame"), lit(16).as("w"), lit(8).as("h")),
+          "fid", "frame", "w", "h")
+        .localCheckpoint(true)
+    })
+
+  /** DuckDB twin of the frame-signature chain over `sample`d documents:
+    * the frameSample window arithmetic (128-byte frames, stride 96,
+    * short tail dropped), the mmResize nearest-neighbor thumbnail at
+    * w=16, h=8 → 9×8, then the dhashOracle gradient/halves convention.
+    * len = 128 always, so no empty-payload branch exists here. */
+  private def frameSigsOracle(sample: String): String =
+    s"""fd AS (SELECT doc_id, text FROM documents $sample),
+       |fr AS (SELECT doc_id,
+       |    unnest(range(0, greatest((len(text) - 128) // 96 + 1, 0))) AS frame_idx
+       |  FROM fd),
+       |ft AS (SELECT fr.doc_id, CAST(fr.frame_idx AS INTEGER) AS frame_idx,
+       |    substr(fd.text, CAST(1 + fr.frame_idx * 96 AS INTEGER), 128) AS fx
+       |  FROM fr JOIN fd ON fr.doc_id = fd.doc_id
+       |  WHERE len(substr(fd.text, CAST(1 + fr.frame_idx * 96 AS INTEGER), 128)) = 128),
+       |fpx AS (SELECT doc_id, frame_idx, list_transform(range(0, 72), k ->
+       |    unicode(substr(fx,
+       |      CAST(least(((k // 9) * 8 // 8) * 16 + (k % 9) * 16 // 9, 127)
+       |        AS INTEGER) + 1, 1))) AS g
+       |  FROM ft),
+       |fbts AS (SELECT doc_id, frame_idx, list_transform(range(0, 64), j ->
+       |    CASE WHEN g[CAST((j // 8) * 9 + (j % 8) + 1 AS INTEGER)]
+       |           > g[CAST((j // 8) * 9 + (j % 8) + 2 AS INTEGER)]
+       |      THEN 1 ELSE 0 END) AS b
+       |  FROM fpx),
+       |fsigs AS (SELECT doc_id, frame_idx,
+       |    CAST(list_sum(list_transform(range(0, 32), j ->
+       |      CAST(b[CAST(j + 33 AS INTEGER)] AS BIGINT)
+       |        * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS sig_hi,
+       |    CAST(list_sum(list_transform(range(0, 32), j ->
+       |      CAST(b[CAST(j + 1 AS INTEGER)] AS BIGINT)
+       |        * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS sig_lo
+       |  FROM fbts)""".stripMargin
+
+  /** Per-frame perceptual signatures over the full corpus — the frame
+    * table a video dedup pipeline persists (8 bytes per 128-byte frame;
+    * payload bytes never leave the scan stage). */
+  private val frameDhash = QueryDef(
+    fn = (spark, dir) =>
+      frameSigsMemo(spark, dir)
+        .select(expr("id div 1024").as("doc_id"),
+          pmod(col("id"), lit(1024)).cast("int").as("frame_idx"),
+          shiftrightunsigned(col("sig"), 32).as("sig_hi"),
+          col("sig").bitwiseAND(lit(0xffffffffL)).as("sig_lo"))
+        .orderBy("doc_id", "frame_idx"),
+    oracle = Some(
+      s"""WITH ${frameSigsOracle("")}
+         |SELECT doc_id, frame_idx, sig_hi, sig_lo FROM fsigs
+         |ORDER BY doc_id, frame_idx""".stripMargin))
+
+  /** Exact quadratic CROSS-CLIP frame Hamming pairs over the pre-sampled
+    * (doc_id % 2) slice — the oracle-checkable baseline twin of the
+    * banded path q_frame_containment consumes, on the SAME slice (the
+    * mmPhashPairs convention; JoinLintSpec allowlists the twin).
+    * Within-clip pairs are excluded: overlapping windows of one payload
+    * are trivially near-identical, and the dedup signal is cross-clip
+    * reuse. */
+  private val frameDhashPairs = QueryDef(
+    fn = (spark, dir) =>
+      graft.ops.Dedup.pairsFromSigs(
+          frameSigsMemo(spark, dir)
+            .filter(expr("id div 1024") % 2 === 0),
+          maxHamming = 3)
+        .filter(expr("id_a div 1024") =!= expr("id_b div 1024"))
+        .select(expr("id_a div 1024").as("doc_a"),
+          pmod(col("id_a"), lit(1024)).cast("int").as("frame_a"),
+          expr("id_b div 1024").as("doc_b"),
+          pmod(col("id_b"), lit(1024)).cast("int").as("frame_b"),
+          col("hamming"))
+        .orderBy("doc_a", "frame_a", "doc_b", "frame_b"),
+    oracle = Some(
+      s"""WITH ${frameSigsOracle("WHERE doc_id % 2 = 0")}
+         |SELECT a.doc_id AS doc_a, a.frame_idx AS frame_a,
+         |  b.doc_id AS doc_b, b.frame_idx AS frame_b,
+         |  CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+         |     + bit_count(xor(a.sig_lo, b.sig_lo)) AS INTEGER) AS hamming
+         |FROM fsigs a JOIN fsigs b
+         |  ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+         |    + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
+         |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin))
+
+  /** Clip-level containment from frame matches — the video twin of
+    * q_dedup_containment: over the (doc_id % 2) slice, banded frame
+    * pairs ([[Dedup.bandedPairsFromSigs]] on fids — pigeonhole-exact at
+    * maxHamming 3, never all-pairs) reduce to per-clip-pair coverage:
+    * matched_a = a's distinct frames with ≥1 Hamming-≤3 partner in b,
+    * containment_e6 = max(matched_a/n_frames_a, matched_b/n_frames_b)
+    * as exact integer division — the "clip b contains clip a" score a
+    * video curation pipeline thresholds. Oracle replays the same
+    * algebra from the quadratic pair form (banded ≡ quadratic is
+    * pigeonhole-exact, spec'd for the operator in MultimodalDedupSpec).
+    *
+    * Scale shape: candidates from band equi-joins on 8-byte frame
+    * sigs; the coverage rollup is keyed on (clip_a, clip_b) — match-
+    * density-sized, never frames². The %2 sample bounds the local
+    * DuckDB twin; the engine path is corpus-shape-independent. */
+  private val frameContainment = QueryDef(
+    fn = (spark, dir) => {
+      // DISTINCT-SIG inverted index, not frame-level banding: template
+      // corpora repeat identical frames across hundreds of clips, so a
+      // frame-level band join pays B² candidate rows per hot bucket
+      // (measured 10.8 s/pass at sf0.1 on 29k frames — a genuine
+      // 100 TB scale-killer). Frames with equal sigs are
+      // interchangeable for coverage, so: collapse to (doc, sig,
+      // n_frames) groups, band-join the DISTINCT sigs only (exact-dup
+      // frame mass disappears — pigeonhole still exact at ≤3), close
+      // the match relation with the identity (g, g) arm, expand to the
+      // (matchable sig, clip) inverted index DISTINCTLY, and sum group
+      // sizes per clip pair. Value-identical algebra (the oracle stays
+      // the frame-level quadratic twin); intermediate volume is
+      // match-density-sized, never bucket².
+      val sigs = frameSigsMemo(spark, dir)
+        .filter(expr("id div 1024") % 2 === 0)
+      val dsc = sigs.groupBy(expr("id div 1024").as("doc"), col("sig"))
+        .agg(count(lit(1)).as("nf"))
+        .localCheckpoint(true) // feeds 4 consumers below, narrow
+      val usig = dsc.select(col("sig")).distinct()
+      val nbr = graft.ops.Dedup.bandedPairsFromSigs(
+          usig.select(col("sig").as("id"), col("sig")), maxHamming = 3)
+        .select(col("id_a").as("g"), col("id_b").as("g2"))
+      val sigN = nbr
+        .unionByName(nbr.select(col("g2").as("g"), col("g").as("g2")))
+        .unionByName(usig.select(col("sig").as("g"), col("sig").as("g2")))
+      val matchGB = sigN
+        .join(dsc.select(col("sig").as("g2"), col("doc").as("doc_m")), "g2")
+        .select(col("g"), col("doc_m")).distinct()
+      val cov = dsc
+        .join(matchGB, dsc("sig") === matchGB("g")
+          && dsc("doc") =!= matchGB("doc_m"))
+        .groupBy(col("doc").as("d"), col("doc_m").as("dm"))
+        .agg(sum(col("nf")).as("matched"))
+      val counts = dsc.groupBy(col("doc")).agg(sum(col("nf")).as("nf"))
+      cov.filter(col("d") < col("dm"))
+        .select(col("d").as("doc_a"), col("dm").as("doc_b"),
+          col("matched").as("matched_a"))
+        .join(cov.select(col("dm").as("doc_a"), col("d").as("doc_b"),
+          col("matched").as("matched_b")), Seq("doc_a", "doc_b"))
+        .join(counts.select(col("doc").as("doc_a"), col("nf").as("n_frames_a")),
+          Seq("doc_a"))
+        .join(counts.select(col("doc").as("doc_b"), col("nf").as("n_frames_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          col("n_frames_a"), col("n_frames_b"),
+          col("matched_a"), col("matched_b"),
+          greatest(expr("matched_a * 1000000 div n_frames_a"),
+            expr("matched_b * 1000000 div n_frames_b"))
+            .as("containment_e6"))
+        .orderBy("doc_a", "doc_b")
+    },
+    oracle = Some(
+      s"""WITH ${frameSigsOracle("WHERE doc_id % 2 = 0")},
+         |fp AS (
+         |  SELECT a.doc_id AS doc_a, a.frame_idx AS frame_a,
+         |         b.doc_id AS doc_b, b.frame_idx AS frame_b
+         |  FROM fsigs a JOIN fsigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+         |      + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3),
+         |cnt AS (SELECT doc_id AS doc, COUNT(*) AS nf FROM fsigs GROUP BY doc_id),
+         |cov AS (SELECT doc_a, doc_b,
+         |    COUNT(DISTINCT frame_a) AS matched_a,
+         |    COUNT(DISTINCT frame_b) AS matched_b
+         |  FROM fp GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b,
+         |  ca.nf AS n_frames_a, cb.nf AS n_frames_b,
+         |  matched_a, matched_b,
+         |  greatest(matched_a * 1000000 // ca.nf,
+         |           matched_b * 1000000 // cb.nf) AS containment_e6
+         |FROM cov JOIN cnt ca ON cov.doc_a = ca.doc
+         |         JOIN cnt cb ON cov.doc_b = cb.doc
+         |ORDER BY doc_a, doc_b""".stripMargin))
+
   /** Perceptual dedup taken to its KEEP decision — the media-side twin
     * of q_dedup_components/q_dedup_best_of_cluster: connected components
     * over the banded dHash pair graph (star contraction + bounded
@@ -1856,13 +2100,7 @@ object ExtensionQueries {
          |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.sig_hi, b.sig_hi))
          |      + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM p
-         |  UNION ALL SELECT id_b, id_a FROM p),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
-         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |${componentsOracle("SELECT id_a AS a, id_b AS b FROM p")},
          |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster
          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
          |s AS (SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY 1)
@@ -2522,6 +2760,195 @@ object ExtensionQueries {
          |  n_scanned * 10 <= n_q * nt.n_corpus * (agg.nprobe + 2) AS scan_ok
          |FROM agg JOIN scan ON agg.nprobe = scan.nprobe CROSS JOIN nt
          |ORDER BY agg.nprobe""".stripMargin
+    })
+
+  /** PQ codebook per (session, dir) — the trained sub-centroid literals
+    * are m × 16 × subDim doubles (metadata scale); training runs once
+    * across the PQ family's consumers. */
+  private val pqCbCache =
+    new graft.ops.SessionCache[String, Seq[(Int, Int, Seq[Double])]]("pq-cb:")
+
+  /** IVF-PQ compressed-scan retrieval (round-15 verdict task 4): the
+    * production 100 TB embedding-store design point — the in-cell
+    * candidate scan reads PQ CODES (m = 8 subspaces × 16 centroids →
+    * 8 code bytes/vector, 32× smaller than the 64 × float32 raw row),
+    * scores candidates by ADC cosine against the reconstruction
+    * x̂ = concat(codebook[s][code_s]) from the BROADCAST literal
+    * codebook, exact-re-ranks only the top-30 ADC survivors with true
+    * cosine (raw-vector random access, candidate-sized I/O), and
+    * reports recall@10 vs the memoized brute truth per probe depth
+    * p ∈ {3, 5} plus the compression ratio. Codebook training is the
+    * Lloyd machinery on sub-vector slices: 16 seed clusters (id % 16)
+    * → DECIMAL(20,10)-exact means → one floored-L2² reassignment →
+    * final means ([[Similarity.pqTrainCodebook]]); the oracle replays
+    * training, coding, ADC, and re-rank row-level, so the driver
+    * hash-gates the whole compressed pipeline.
+    *
+    * MEASURED recall@10 (sf0.001/0.01/0.1): p=3 0.475/0.538/0.375,
+    * p=5 0.675/0.675/0.425 → floors 0.30/0.35 strictly under the
+    * per-depth minima 0.375/0.425 (the q_ivf_rerank margin
+    * discipline; an ADC top-30 cut was measured first and lost ~0.2
+    * recall — the re-rank budget is 100). ADC loses recall to the
+    * raw-vector re-rank at the same p (p=5 0.688 → 0.425 at sf0.1:
+    * 16-centroid sub-codebooks on direction-near-uniform 64-dim
+    * vectors are the PQ distortion worst case) — that loss, against a
+    * 32× smaller candidate scan, is exactly the trade the query
+    * quantifies.
+    *
+    * Scale shape: training aggregates are (m·16·subDim)-grid-sized;
+    * codes are a one-pass map-side projection (codegen'd literal
+    * argmin); the candidate stage is the same bucketed cell equi-join
+    * as q_ivf_rerank but over the 8-byte code rows; nothing corpus-
+    * sized shuffles. */
+  private val ivfPqRerank = QueryDef(
+    fn = (spark, dir) => {
+      val (m, subDim, cTop) = (8, 8, 100)
+      val cells = trainedIvfCells(spark, dir, 2)
+      val cents = trainedCentFrame(spark, dir, 3)
+      val qs = trainedIvfCells(spark, dir, 0).filter(col("vec_id") < 8)
+      val cb = pqCbCache.getOrElseUpdate(spark, dir,
+        Similarity.pqTrainCodebook(cells, "vec_id", "embedding", m, subDim))
+      val codes = minhashPairsCache.getOrElseUpdate(spark, (dir, "pq_codes"),
+        cells.select(col("vec_id"), col("label"),
+            Similarity.pqCodesExpr(col("embedding"), cb, m, subDim).as("codes"))
+          .localCheckpoint(true))
+      val truth = minhashPairsCache.getOrElseUpdate(spark, (dir, "ann_truth10"), {
+          val emb = trainedIvfCells(spark, dir, 0)
+          Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+              "vec_id", "embedding", k = 10)
+            .localCheckpoint(true)
+        }).select(col("query_id"), col("neighbor_id"))
+      val raw = cells.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+      // corpus size from the CHECKPOINTED codes frame (one row per
+      // vector) — no extra embeddings scan just to count
+      val nTotal = codes.agg(count(lit(1)).as("n_corpus"))
+      val perP = Seq(3, 5).map { p =>
+        val probed = Similarity.probeCells(qs, cents,
+          "vec_id", "embedding", "label", nprobe = p)
+        val adc = codes
+          .join(probed, codes("label") === probed("cell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .withColumn("adc", Similarity.pqAdcCosine(
+            col("qv"), col("codes"), cb, m, subDim))
+          .withColumn("ar", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("adc").desc, col("vec_id").asc)))
+          .filter(col("ar") <= cTop)
+          .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"))
+        val reranked = adc.join(raw, Seq("neighbor_id"))
+          .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("cos").desc, col("neighbor_id").asc)))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("neighbor_id"))
+        truth.join(reranked.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .select(lit(p.toLong).as("nprobe"), col("n_truth"), col("hits"))
+      }
+      perP.reduce(_ union _)
+        .crossJoin(broadcast(nTotal))
+        .withColumn("recall_e6", expr("hits * 1000000 div n_truth"))
+        .withColumn("recall_ok",
+          col("hits") * 100 >= col("n_truth")
+            * when(col("nprobe") === 3, 30).otherwise(35))
+        .withColumn("bytes_raw", col("n_corpus") * lit(256L))
+        .withColumn("bytes_pq", col("n_corpus") * lit(m.toLong))
+        .withColumn("compression_x", col("bytes_raw") / col("bytes_pq"))
+        .select(col("nprobe"), col("n_truth"), col("hits"),
+          col("recall_e6"), col("recall_ok"), col("n_corpus"),
+          col("bytes_raw"), col("bytes_pq"),
+          col("compression_x").cast("long").as("compression_x"))
+        .orderBy("nprobe")
+    },
+    oracle = Some {
+      val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
+      val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
+      val normQ = s"sqrt(${dDot("qv", "qv")})"
+      // floored squared-L2 between a float sub-vector list and a double
+      // sub-centroid list — the PQ assignment metric, sequential sum
+      def dL2(x: String, c: String) =
+        s"floor((${dSumD(s"list_transform(range(1, len($x) + 1), i -> (CAST($x[i] AS DOUBLE) - $c[i]) * (CAST($x[i] AS DOUBLE) - $c[i]))")}) * 1000000.0 + 0.5) / 1000000.0"
+      s"""WITH ${dLloydCtes(2)},
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY ${dCos("qv", "cv")} DESC, neighbor_id ASC) AS r
+         |    FROM c CROSS JOIN q WHERE query_id <> neighbor_id) WHERE r <= 10),
+         |pqsub AS (SELECT vec_id, CAST((pos - 1) // 8 AS INTEGER) AS s,
+         |    (pos - 1) % 8 AS spos, v
+         |  FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS v
+         |        FROM a2)),
+         |pm1 AS (SELECT s, vec_id % 16 AS j, spos,
+         |    CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM pqsub GROUP BY s, vec_id % 16, spos),
+         |cb1 AS (SELECT s, j, list(m ORDER BY spos) AS sc FROM pm1 GROUP BY s, j),
+         |sv AS (SELECT vec_id, s, list(v ORDER BY spos) AS x
+         |       FROM pqsub GROUP BY vec_id, s),
+         |pqa1 AS (SELECT vec_id, s, j FROM (
+         |    SELECT sv.vec_id, sv.s, cb1.j, row_number() OVER (
+         |      PARTITION BY sv.vec_id, sv.s
+         |      ORDER BY ${dL2("sv.x", "cb1.sc")} ASC, cb1.j ASC) AS r
+         |    FROM sv JOIN cb1 USING (s)) WHERE r = 1),
+         |pm2 AS (SELECT pqsub.s, pqa1.j, pqsub.spos,
+         |    CAST(SUM(CAST(pqsub.v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM pqsub JOIN pqa1 ON pqsub.vec_id = pqa1.vec_id AND pqsub.s = pqa1.s
+         |  GROUP BY pqsub.s, pqa1.j, pqsub.spos),
+         |cb2 AS (SELECT s, j, list(m ORDER BY spos) AS sc FROM pm2 GROUP BY s, j),
+         |codes AS (SELECT vec_id, s, j FROM (
+         |    SELECT sv.vec_id, sv.s, cb2.j, row_number() OVER (
+         |      PARTITION BY sv.vec_id, sv.s
+         |      ORDER BY ${dL2("sv.x", "cb2.sc")} ASC, cb2.j ASC) AS r
+         |    FROM sv JOIN cb2 USING (s)) WHERE r = 1),
+         |xh AS (SELECT codes.vec_id, flatten(list(cb2.sc ORDER BY codes.s)) AS xhat
+         |       FROM codes JOIN cb2 USING (s, j) GROUP BY codes.vec_id),
+         |tcell AS (SELECT vec_id, cell FROM a2),
+         |nt AS (SELECT COUNT(*) AS n_corpus FROM a2),
+         |qc AS (
+         |  SELECT query_id, qv, cell, row_number() OVER (PARTITION BY query_id ORDER BY
+         |      floor(($dotQC / ($normQ * $normC)) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |      cell ASC) AS cr
+         |  FROM q CROSS JOIN cent3),
+         |ps AS (SELECT unnest([3, 5]) AS nprobe),
+         |probe AS (SELECT ps.nprobe, qc.query_id, qc.qv, qc.cell
+         |          FROM qc JOIN ps ON qc.cr <= ps.nprobe),
+         |adc AS (SELECT nprobe, query_id, qv, neighbor_id FROM (
+         |    SELECT probe.nprobe, probe.query_id, probe.qv,
+         |      tcell.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY probe.nprobe, probe.query_id
+         |        ORDER BY ${dCos("probe.qv", "xh.xhat")} DESC, tcell.vec_id ASC) AS ar
+         |    FROM tcell JOIN probe USING (cell)
+         |      JOIN xh ON xh.vec_id = tcell.vec_id
+         |    WHERE probe.query_id <> tcell.vec_id) WHERE ar <= 100),
+         |rr AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT adc.nprobe, adc.query_id, adc.neighbor_id,
+         |      row_number() OVER (PARTITION BY adc.nprobe, adc.query_id
+         |        ORDER BY ${dCos("adc.qv", "c.cv")} DESC, adc.neighbor_id ASC) AS r
+         |    FROM adc JOIN c USING (neighbor_id)) WHERE r <= 10),
+         |agg AS (
+         |  SELECT ps.nprobe, COUNT(*) AS n_truth,
+         |    CAST(SUM(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits
+         |  FROM ps CROSS JOIN brute b
+         |  LEFT JOIN rr i ON i.nprobe = ps.nprobe
+         |    AND b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |  GROUP BY ps.nprobe)
+         |SELECT CAST(nprobe AS BIGINT) AS nprobe, n_truth, hits,
+         |  CAST(hits * 1000000 // n_truth AS BIGINT) AS recall_e6,
+         |  hits * 100 >= n_truth * (CASE nprobe WHEN 3 THEN 30 ELSE 35 END)
+         |    AS recall_ok,
+         |  nt.n_corpus,
+         |  nt.n_corpus * 256 AS bytes_raw,
+         |  nt.n_corpus * 8 AS bytes_pq,
+         |  (nt.n_corpus * 256) // (nt.n_corpus * 8) AS compression_x
+         |FROM agg CROSS JOIN nt ORDER BY nprobe""".stripMargin
     })
 
   /** Paragraph-level exact dedup (Dolma/RefinedWeb-style): split every
@@ -4451,15 +4878,7 @@ object ExtensionQueries {
     },
     oracle = Some(
       s"""WITH RECURSIVE $minhashOracle,
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
-         |  UNION ALL
-         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
-         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |$componentsFromJac,
          |sizes AS (SELECT comp, COUNT(*) AS sz FROM comp GROUP BY comp
          |          HAVING COUNT(*) >= 2),
          |toks AS (SELECT c.comp, unnest(${dToks("d.text")}) AS token
@@ -4670,15 +5089,7 @@ object ExtensionQueries {
     },
     oracle = Some(
       s"""WITH RECURSIVE $minhashOracle,
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
-         |  UNION ALL
-         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
-         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |$componentsFromJac,
          |d AS (SELECT doc_id, source, n_chars,
          |        COALESCE(c.comp, doc_id) <> doc_id AS dupe
          |      FROM documents LEFT JOIN comp c ON documents.doc_id = c.id)
@@ -4718,15 +5129,7 @@ object ExtensionQueries {
     },
     oracle = Some(
       s"""WITH RECURSIVE $minhashOracle,
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.5
-         |  UNION ALL
-         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
-         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |$componentsFromJac,
          |sizes AS (SELECT comp, COUNT(*) AS sz FROM comp GROUP BY comp),
          |hist AS (SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
          |           SUM(sz) AS n_docs_in FROM sizes GROUP BY sz),
@@ -4786,6 +5189,7 @@ object ExtensionQueries {
     "q_ann_recall" -> annRecall,
     "q_ivf_multiprobe" -> ivfMultiprobe,
     "q_ivf_rerank" -> ivfRerank,
+    "q_ivf_pq_rerank" -> ivfPqRerank,
     "q_text_clean" -> textClean,
     "q_text_redact" -> textRedact,
     "q_stratified_sample" -> stratifiedSample,
@@ -4805,6 +5209,9 @@ object ExtensionQueries {
     "q_media_phash" -> mmPhash,
     "q_media_phash_pairs" -> mmPhashPairs,
     "q_media_phash_banded" -> mmPhashBanded,
+    "q_frame_phash" -> frameDhash,
+    "q_frame_phash_pairs" -> frameDhashPairs,
+    "q_frame_containment" -> frameContainment,
     "q_media_dedup_keep" -> mmDedupKeep,
     "q_text_tokens" -> textTokens,
     "q_text_chunks" -> textChunks,

@@ -56,9 +56,15 @@ object KeywordQueries {
     // aggregate below reads these blocks, not parquet. All three caller
     // queries cut the SAME full doc_id set per dir, so when the caller
     // passes its dir the frame memoizes per session (GridMemo) instead
-    // of re-materializing on every construction.
+    // of re-materializing on every construction. The memoized frame is
+    // derived HERE from the dir (Tables.documents), never from the
+    // caller's df — so a future caller passing a filtered frame with
+    // idsMemoDir set cannot poison the shared cache entry (and gets the
+    // documented full-corpus bucket boundaries, the only semantics this
+    // memo key can mean). Callers bucketing a subset must pass None.
     val ids = idsMemoDir match {
-      case Some(d) => df.select(col("doc_id")).memoCheckpoint(spark, d, "arrival_ids")
+      case Some(d) => Tables.documents(spark, d).select(col("doc_id"))
+        .memoCheckpoint(spark, d, "arrival_ids")
       case None    => df.select(col("doc_id")).localCheckpoint(true)
     }
     val mm = ids.agg(min(col("doc_id")), max(col("doc_id"))).head

@@ -2110,7 +2110,13 @@ object WarehouseQueries {
          |  (SELECT * FROM trans UNION ALL SELECT * FROM lastr) GROUP BY 1, 2),
          |outs AS (SELECT src, SUM(n) AS outn FROM allt GROUP BY src),
          |wide AS (SELECT a.src, a.dst, a.n, o.outn FROM allt a JOIN outs o USING (src)),
-         |tm AS (SELECT
+         |-- MATERIALIZED is a pure DuckDB-cost control, value-identical
+         |-- (EXCEPT ALL cross-checked at sf0.01): every base/removal
+         |-- iteration CTE references tm, and un-materialized DuckDB
+         |-- re-inlines the whole events window chain per reference —
+         |-- 302 s at sf0.1 (and 69 s at sf0.01, the driver's gate)
+         |-- collapse to ~1 s with the one-row tm pinned.
+         |tm AS MATERIALIZED (SELECT
          |    $tCols,
          |    MAX(CASE WHEN src = 'click' THEN outn END) AS v_click,
          |    MAX(CASE WHEN src = 'error' THEN outn END) AS v_error,

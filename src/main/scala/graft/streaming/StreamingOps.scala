@@ -645,6 +645,16 @@ object StreamingOps {
     * [[graft.ops.Dedup.bandedPairsFromSigs]] over the union of batches,
     * row-identically — StreamingPhashSpec proves it plus replay
     * idempotence.
+    *
+    * CONTRACT — cross-batch id uniqueness: each media id must arrive in
+    * at most ONE micro-batch. The batch_id partitioning makes REPLAYS of
+    * a batch idempotent, but it cannot make a source that re-delivers
+    * the same id in a later batch safe: the signature store would then
+    * hold the id twice and the pair store would carry duplicate pairs
+    * (the banded join defends against self-pairs, not against
+    * duplicates). Upstream must dedup ids across batches (keep-first or
+    * keep-latest) before this sink, exactly as [[minhashStateSink]]
+    * requires.
     */
   def phashStateSink(
       docs: DataFrame, idCol: String, textCol: String,

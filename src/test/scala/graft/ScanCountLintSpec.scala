@@ -79,6 +79,13 @@ class ScanCountLintSpec extends SparkSpec {
       ("same trainedIvfCells lazy-assignment contract as " +
         "q_ivf_multiprobe: three probe depths derive recall + scanned " +
         "fraction from the one memoized embeddings read"),
+    "q_ivf_pq_rerank" ->
+      ("same trainedIvfCells lazy-assignment contract as q_ivf_rerank: " +
+        "two probe depths' query-side probes plus the exact re-rank's " +
+        "raw-vector lookups all derive from the one memoized embeddings " +
+        "read (codes and corpus count come from the checkpointed code " +
+        "frame, not a scan); at 100 TB the re-rank side is random access " +
+        "into the bucketed raw store, candidate-sized"),
     "q_hard_negatives" ->
       ("same trainedIvfCells lazy-assignment contract: query set, " +
         "candidate set, and re-rank all derive from the memoized " +
