@@ -1990,8 +1990,11 @@ object ExtensionQueries {
     * sigs; the coverage rollup is keyed on (clip_a, clip_b) — match-
     * density-sized, never frames². The %2 sample bounds the local
     * DuckDB twin; the engine path is corpus-shape-independent. */
-  private val frameContainment = QueryDef(
-    fn = (spark, dir) => {
+  /** Memoized clip-pair containment table (unordered) — shared by
+    * q_frame_containment and the keep decision q_frame_dedup_keep. */
+  private def frameCovMemo(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    minhashPairsCache.getOrElseUpdate(spark, (dir, "frame_contain"), {
       // DISTINCT-SIG inverted index, not frame-level banding: template
       // corpora repeat identical frames across hundreds of clips, so a
       // frame-level band join pays B² candidate rows per hot bucket
@@ -2041,8 +2044,12 @@ object ExtensionQueries {
           greatest(expr("matched_a * 1000000 div n_frames_a"),
             expr("matched_b * 1000000 div n_frames_b"))
             .as("containment_e6"))
-        .orderBy("doc_a", "doc_b")
-    },
+        .localCheckpoint(true)
+    })
+
+  private val frameContainment = QueryDef(
+    fn = (spark, dir) =>
+      frameCovMemo(spark, dir).orderBy("doc_a", "doc_b"),
     oracle = Some(
       s"""WITH ${frameSigsOracle("WHERE doc_id % 2 = 0")},
          |fp AS (
@@ -2064,6 +2071,65 @@ object ExtensionQueries {
          |FROM cov JOIN cnt ca ON cov.doc_a = ca.doc
          |         JOIN cnt cb ON cov.doc_b = cb.doc
          |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** Clip-level dedup KEEP decision from frame containment — the video
+    * twin of q_media_dedup_keep: clip pairs at containment ≥ 0.6
+    * (policy threshold; on this synthetic corpus every matching pair
+    * measures containment 1.0 at all three SFs, so the knob is
+    * documented but non-binding) become edges, connected components
+    * label each %2-slice clip with its cluster, min-id survives.
+    * Oracle replays frames → sigs → quadratic pairs → coverage →
+    * threshold → contraction components → keep rule row-level.
+    *
+    * Scale shape: edges are clip-pair-sized (match density), the
+    * component step is [[graft.ops.Dedup.connectedComponents]]'s
+    * contraction + bounded kernel, and the label join back to the
+    * corpus is clip-keyed. */
+  private val frameDedupKeep = QueryDef(
+    fn = (spark, dir) => {
+      val comps = minhashPairsCache.getOrElseUpdate(spark, (dir, "frame_comps"),
+        graft.ops.Dedup.connectedComponents(
+            frameCovMemo(spark, dir)
+              .filter(col("containment_e6") >= 600000L)
+              .select(col("doc_a"), col("doc_b")),
+            "doc_a", "doc_b", uniquePairs = true)
+          .withColumnRenamed("id", "doc_id")
+          .localCheckpoint(true))
+      val lab = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 2 === 0).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+      val sizes = lab.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      lab.join(sizes, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("n_members"),
+          (col("doc_id") === col("cluster")).as("keep"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE ${frameSigsOracle("WHERE doc_id % 2 = 0")},
+         |fp AS (
+         |  SELECT a.doc_id AS doc_a, a.frame_idx AS frame_a,
+         |         b.doc_id AS doc_b, b.frame_idx AS frame_b
+         |  FROM fsigs a JOIN fsigs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+         |      + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3),
+         |fcnt AS (SELECT doc_id AS doc, COUNT(*) AS nf FROM fsigs GROUP BY doc_id),
+         |fcov AS (SELECT doc_a, doc_b,
+         |    COUNT(DISTINCT frame_a) AS matched_a,
+         |    COUNT(DISTINCT frame_b) AS matched_b
+         |  FROM fp GROUP BY doc_a, doc_b),
+         |fedge AS (SELECT doc_a, doc_b FROM fcov
+         |  JOIN fcnt ca ON fcov.doc_a = ca.doc
+         |  JOIN fcnt cb ON fcov.doc_b = cb.doc
+         |  WHERE greatest(matched_a * 1000000 // ca.nf,
+         |                 matched_b * 1000000 // cb.nf) >= 600000),
+         |${componentsOracle("SELECT doc_a AS a, doc_b AS b FROM fedge")},
+         |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+         |  LEFT JOIN comp c ON d.doc_id = c.id),
+         |ls AS (SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY cluster)
+         |SELECT doc_id, cluster, n_members, doc_id = cluster AS keep
+         |FROM lab JOIN ls USING (cluster) ORDER BY doc_id""".stripMargin))
 
   /** Perceptual dedup taken to its KEEP decision — the media-side twin
     * of q_dedup_components/q_dedup_best_of_cluster: connected components
@@ -2768,6 +2834,62 @@ object ExtensionQueries {
   private val pqCbCache =
     new graft.ops.SessionCache[String, Seq[(Int, Int, Seq[Double])]]("pq-cb:")
 
+  private def pqCodebook(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, Int, Seq[Double])] =
+    pqCbCache.getOrElseUpdate(spark, dir,
+      Similarity.pqTrainCodebook(trainedIvfCells(spark, dir, 2),
+        "vec_id", "embedding", 8, 8))
+
+  /** Memoized PQ code table (vec_id, label = trained cell, codes
+    * array<int>[8]) — shared by the ADC re-rank query and the persisted
+    * PQ store. */
+  private def pqCodesMemo(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    minhashPairsCache.getOrElseUpdate(spark, (dir, "pq_codes"), {
+      val cb = pqCodebook(spark, dir)
+      trainedIvfCells(spark, dir, 2)
+        .select(col("vec_id"), col("label"),
+          Similarity.pqCodesExpr(col("embedding"), cb, 8, 8).as("codes"))
+        .localCheckpoint(true)
+    })
+
+  /** Shared oracle CTE chain replaying PQ training + coding over the
+    * trained cells (a2): seed-group means → cb1 → floored-L2² Lloyd
+    * reassignment (pqa1) → cb2 → final codes. Mirrors
+    * [[graft.ops.Similarity.pqTrainCodebook]]/[[Similarity.pqCodesExpr]]
+    * literal-for-literal; consumed by q_ivf_pq_rerank and
+    * q_ivf_pq_persist. */
+  private def pqOracleCtes: String = {
+    def dL2(x: String, c: String) =
+      s"floor((${dSumD(s"list_transform(range(1, len($x) + 1), i -> (CAST($x[i] AS DOUBLE) - $c[i]) * (CAST($x[i] AS DOUBLE) - $c[i]))")}) * 1000000.0 + 0.5) / 1000000.0"
+    s"""pqsub AS (SELECT vec_id, CAST((pos - 1) // 8 AS INTEGER) AS s,
+       |    (pos - 1) % 8 AS spos, v
+       |  FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS v
+       |        FROM a2)),
+       |pm1 AS (SELECT s, vec_id % 16 AS j, spos,
+       |    CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM pqsub GROUP BY s, vec_id % 16, spos),
+       |cb1 AS (SELECT s, j, list(m ORDER BY spos) AS sc FROM pm1 GROUP BY s, j),
+       |sv AS (SELECT vec_id, s, list(v ORDER BY spos) AS x
+       |       FROM pqsub GROUP BY vec_id, s),
+       |pqa1 AS (SELECT vec_id, s, j FROM (
+       |    SELECT sv.vec_id, sv.s, cb1.j, row_number() OVER (
+       |      PARTITION BY sv.vec_id, sv.s
+       |      ORDER BY ${dL2("sv.x", "cb1.sc")} ASC, cb1.j ASC) AS r
+       |    FROM sv JOIN cb1 USING (s)) WHERE r = 1),
+       |pm2 AS (SELECT pqsub.s, pqa1.j, pqsub.spos,
+       |    CAST(SUM(CAST(pqsub.v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM pqsub JOIN pqa1 ON pqsub.vec_id = pqa1.vec_id AND pqsub.s = pqa1.s
+       |  GROUP BY pqsub.s, pqa1.j, pqsub.spos),
+       |cb2 AS (SELECT s, j, list(m ORDER BY spos) AS sc FROM pm2 GROUP BY s, j),
+       |codes AS (SELECT vec_id, s, j FROM (
+       |    SELECT sv.vec_id, sv.s, cb2.j, row_number() OVER (
+       |      PARTITION BY sv.vec_id, sv.s
+       |      ORDER BY ${dL2("sv.x", "cb2.sc")} ASC, cb2.j ASC) AS r
+       |    FROM sv JOIN cb2 USING (s)) WHERE r = 1)""".stripMargin
+  }
+
+
   /** IVF-PQ compressed-scan retrieval (round-15 verdict task 4): the
     * production 100 TB embedding-store design point — the in-cell
     * candidate scan reads PQ CODES (m = 8 subspaces × 16 centroids →
@@ -2806,12 +2928,8 @@ object ExtensionQueries {
       val cells = trainedIvfCells(spark, dir, 2)
       val cents = trainedCentFrame(spark, dir, 3)
       val qs = trainedIvfCells(spark, dir, 0).filter(col("vec_id") < 8)
-      val cb = pqCbCache.getOrElseUpdate(spark, dir,
-        Similarity.pqTrainCodebook(cells, "vec_id", "embedding", m, subDim))
-      val codes = minhashPairsCache.getOrElseUpdate(spark, (dir, "pq_codes"),
-        cells.select(col("vec_id"), col("label"),
-            Similarity.pqCodesExpr(col("embedding"), cb, m, subDim).as("codes"))
-          .localCheckpoint(true))
+      val cb = pqCodebook(spark, dir)
+      val codes = pqCodesMemo(spark, dir)
       val truth = minhashPairsCache.getOrElseUpdate(spark, (dir, "ann_truth10"), {
           val emb = trainedIvfCells(spark, dir, 0)
           Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -2870,10 +2988,6 @@ object ExtensionQueries {
       val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
       val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
       val normQ = s"sqrt(${dDot("qv", "qv")})"
-      // floored squared-L2 between a float sub-vector list and a double
-      // sub-centroid list — the PQ assignment metric, sequential sum
-      def dL2(x: String, c: String) =
-        s"floor((${dSumD(s"list_transform(range(1, len($x) + 1), i -> (CAST($x[i] AS DOUBLE) - $c[i]) * (CAST($x[i] AS DOUBLE) - $c[i]))")}) * 1000000.0 + 0.5) / 1000000.0"
       s"""WITH ${dLloydCtes(2)},
          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -2882,31 +2996,7 @@ object ExtensionQueries {
          |    SELECT query_id, neighbor_id, row_number() OVER (
          |      PARTITION BY query_id ORDER BY ${dCos("qv", "cv")} DESC, neighbor_id ASC) AS r
          |    FROM c CROSS JOIN q WHERE query_id <> neighbor_id) WHERE r <= 10),
-         |pqsub AS (SELECT vec_id, CAST((pos - 1) // 8 AS INTEGER) AS s,
-         |    (pos - 1) % 8 AS spos, v
-         |  FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS v
-         |        FROM a2)),
-         |pm1 AS (SELECT s, vec_id % 16 AS j, spos,
-         |    CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
-         |  FROM pqsub GROUP BY s, vec_id % 16, spos),
-         |cb1 AS (SELECT s, j, list(m ORDER BY spos) AS sc FROM pm1 GROUP BY s, j),
-         |sv AS (SELECT vec_id, s, list(v ORDER BY spos) AS x
-         |       FROM pqsub GROUP BY vec_id, s),
-         |pqa1 AS (SELECT vec_id, s, j FROM (
-         |    SELECT sv.vec_id, sv.s, cb1.j, row_number() OVER (
-         |      PARTITION BY sv.vec_id, sv.s
-         |      ORDER BY ${dL2("sv.x", "cb1.sc")} ASC, cb1.j ASC) AS r
-         |    FROM sv JOIN cb1 USING (s)) WHERE r = 1),
-         |pm2 AS (SELECT pqsub.s, pqa1.j, pqsub.spos,
-         |    CAST(SUM(CAST(pqsub.v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
-         |  FROM pqsub JOIN pqa1 ON pqsub.vec_id = pqa1.vec_id AND pqsub.s = pqa1.s
-         |  GROUP BY pqsub.s, pqa1.j, pqsub.spos),
-         |cb2 AS (SELECT s, j, list(m ORDER BY spos) AS sc FROM pm2 GROUP BY s, j),
-         |codes AS (SELECT vec_id, s, j FROM (
-         |    SELECT sv.vec_id, sv.s, cb2.j, row_number() OVER (
-         |      PARTITION BY sv.vec_id, sv.s
-         |      ORDER BY ${dL2("sv.x", "cb2.sc")} ASC, cb2.j ASC) AS r
-         |    FROM sv JOIN cb2 USING (s)) WHERE r = 1),
+         |$pqOracleCtes,
          |xh AS (SELECT codes.vec_id, flatten(list(cb2.sc ORDER BY codes.s)) AS xhat
          |       FROM codes JOIN cb2 USING (s, j) GROUP BY codes.vec_id),
          |tcell AS (SELECT vec_id, cell FROM a2),
@@ -2950,6 +3040,64 @@ object ExtensionQueries {
          |  (nt.n_corpus * 256) // (nt.n_corpus * 8) AS compression_x
          |FROM agg CROSS JOIN nt ORDER BY nprobe""".stripMargin
     })
+
+  /** Path of the persisted PQ index (cell-partitioned code table +
+    * codebook sidecar), written once per (session, dir) — the
+    * ivf-state-path discipline: session-keyed path so two sessions in
+    * one JVM never share a mode=overwrite store. */
+  private val pqStorePathCache =
+    new graft.ops.SessionCache[String, String]("pq-store:")
+
+  private def persistedPqPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    pqStorePathCache.getOrElseUpdate(spark, dir, {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-pqstore-" +
+        s"${ProcessHandle.current().pid()}-" +
+        s"${java.lang.Integer.toHexString(System.identityHashCode(spark))}-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.sink.IndexStore.writePqCodes(
+        pqCodesMemo(spark, dir)
+          .select(col("vec_id"), col("label").as("cell"), col("codes")),
+        path)
+      val cb = pqCodebook(spark, dir)
+      val spark2 = spark
+      import spark2.implicits._
+      graft.sink.IndexStore.writePqCodebook(
+        cb.toDF("s", "j", "centroid"), path + "-cb")
+      path
+    })
+
+  /** Persisted-PQ-index round trip, hash-gated (the q_ivf_state_persist
+    * convention for the compressed ANN store): train codebooks, code
+    * the corpus, WRITE the code table cell-partitioned plus the
+    * codebook sidecar, READ the codes back, and emit them unnested.
+    * The oracle recomputes training + coding straight from the
+    * embeddings table, so the driver's gate proves the persisted
+    * 8-byte-per-vector form is value-identical to a rebuild after a
+    * disk round trip. IndexStoreSpec additionally proves the codebook's
+    * double coordinates survive parquet bit-exactly and that a
+    * probed-cell read partition-prunes (ADC candidate I/O =
+    * nprobe/n_cells of the store).
+    *
+    * Scale shape: the store IS the 100 TB deployment artifact — codes
+    * are written once at index build, partitioned by cell so the
+    * multi-probe ADC scan reads p of k partitions; the codebook is
+    * m × 16 rows of metadata. */
+  private val ivfPqPersist = QueryDef(
+    fn = (spark, dir) => {
+      val path = persistedPqPath(spark, dir)
+      graft.sink.IndexStore.readPqCodes(spark, path)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          posexplode(col("codes")).as(Seq("s", "code")))
+        .orderBy("vec_id", "s")
+    },
+    oracle = Some(
+      s"""WITH ${dLloydCtes(2)},
+         |$pqOracleCtes
+         |SELECT codes.vec_id, CAST(a2.cell AS INTEGER) AS cell,
+         |  CAST(codes.s AS INTEGER) AS s, CAST(codes.j AS INTEGER) AS code
+         |FROM codes JOIN a2 USING (vec_id)
+         |ORDER BY vec_id, s""".stripMargin))
 
   /** Paragraph-level exact dedup (Dolma/RefinedWeb-style): split every
     * document into paragraph units, keep only the FIRST global occurrence
@@ -5190,6 +5338,7 @@ object ExtensionQueries {
     "q_ivf_multiprobe" -> ivfMultiprobe,
     "q_ivf_rerank" -> ivfRerank,
     "q_ivf_pq_rerank" -> ivfPqRerank,
+    "q_ivf_pq_persist" -> ivfPqPersist,
     "q_text_clean" -> textClean,
     "q_text_redact" -> textRedact,
     "q_stratified_sample" -> stratifiedSample,
@@ -5212,6 +5361,7 @@ object ExtensionQueries {
     "q_frame_phash" -> frameDhash,
     "q_frame_phash_pairs" -> frameDhashPairs,
     "q_frame_containment" -> frameContainment,
+    "q_frame_dedup_keep" -> frameDedupKeep,
     "q_media_dedup_keep" -> mmDedupKeep,
     "q_text_tokens" -> textTokens,
     "q_text_chunks" -> textChunks,

@@ -93,4 +93,41 @@ object IndexStore {
 
   def readMinhashRoots(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Persist the PQ code table `(vec_id, cell, codes array<int>)`
+    * PARTITIONED BY cell — the compressed ANN store's layout contract:
+    * a multi-probe ADC scan reads p of k cell partitions (pruned), and
+    * each row is the 8-byte code vector, never the raw floats. */
+  def writePqCodes(codes: DataFrame, path: String): Unit =
+    codes
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write
+      .partitionBy("cell")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+
+  def readPqCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Reload only the probed cells — `isin` lands in PartitionFilters,
+    * so ADC candidate I/O is nprobe/n_cells of the store
+    * (spec-asserted, the readIvfCells contract). */
+  def readPqCells(spark: SparkSession, path: String,
+      cells: Seq[Int]): DataFrame =
+    readPqCodes(spark, path).filter(col("cell").isin(cells: _*))
+
+  /** Persist the PQ codebook `(s, j, centroid array<double>)` — m × 16
+    * rows, metadata scale; parquet round-trips the double coordinates
+    * bit-exactly (spec-asserted, the IVF-state convention). */
+  def writePqCodebook(cb: DataFrame, path: String): Unit =
+    cb.coalesce(1)
+      .sortWithinPartitions(col("s"), col("j"))
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
+  def readPqCodebook(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

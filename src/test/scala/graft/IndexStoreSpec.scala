@@ -103,4 +103,57 @@ class IndexStoreSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
     assert(survivorIds(reloaded, freshDocs) == survivorIds(rebuilt, freshDocs))
   }
+
+  // ---- PQ store (round-16: the compressed ANN deployment artifact) ----
+
+  test("PQ store: codebook doubles and code table survive the disk round trip bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val emb = (0L until 80L).map(i =>
+        (i, Seq.fill(64)(rnd.nextFloat() - 0.5f), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "cell")
+    val cb = graft.ops.Similarity.pqTrainCodebook(emb, "vec_id", "embedding", 8, 8)
+    val cbPath = tmp("pqcb")
+    graft.sink.IndexStore.writePqCodebook(cb.toDF("s", "j", "centroid"), cbPath)
+    val back = graft.sink.IndexStore.readPqCodebook(spark, cbPath)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+    assert(back.keySet == cb.map(e => (e._1, e._2)).toSet)
+    cb.foreach { case (si, j, c) =>
+      val rb = back((si, j))
+      assert(rb.length == c.length)
+      c.indices.foreach(i => assert(
+        java.lang.Double.doubleToLongBits(rb(i)) ==
+          java.lang.Double.doubleToLongBits(c(i)),
+        s"codebook coord ($si,$j,$i) must be BYTE-identical after the round trip"))
+    }
+    val codes = emb.select(col("vec_id"), col("cell"),
+      graft.ops.Similarity.pqCodesExpr(col("embedding"), cb, 8, 8).as("codes"))
+    val codesPath = tmp("pqcodes")
+    graft.sink.IndexStore.writePqCodes(codes, codesPath)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(key(graft.sink.IndexStore.readPqCodes(spark, codesPath)) == key(codes))
+  }
+
+  test("PQ store: probed-cell read partition-prunes") {
+    import spark.implicits._
+    val emb = (0L until 60L).map(i =>
+        (i, Seq.fill(64)((i % 7).toFloat / 7f), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "cell")
+    val cb = graft.ops.Similarity.pqTrainCodebook(emb, "vec_id", "embedding", 8, 8)
+    val path = tmp("pqprune")
+    graft.sink.IndexStore.writePqCodes(
+      emb.select(col("vec_id"), col("cell"),
+        graft.ops.Similarity.pqCodesExpr(col("embedding"), cb, 8, 8).as("codes")),
+      path)
+    val probed = graft.sink.IndexStore.readPqCells(spark, path, Seq(1, 4))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"cell filter must land in PartitionFilters, got:\n$plan")
+    assert(probed.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(1, 4))
+  }
+
 }
