@@ -444,6 +444,10 @@ object Similarity {
     val bySub = cb.groupBy(_._1).map { case (s, rows) =>
       s -> rows.sortBy(_._2).map(r => (r._2, r._3))
     }
+    require((0 until m).forall(bySub.contains),
+      s"pqCodesExpr: codebook must cover all $m subspaces " +
+        s"(got ${bySub.keySet.toSeq.sorted.mkString(",")}) — train on a " +
+        "non-empty corpus with pqTrainCodebook")
     val codeCols = (0 until m).map { s =>
       val entries = bySub(s)
       val sub = slice(vec, s * subDim + 1, subDim)
