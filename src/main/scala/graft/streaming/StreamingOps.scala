@@ -656,6 +656,47 @@ object StreamingOps {
     * keep-latest) before this sink, exactly as [[minhashStateSink]]
     * requires.
     */
+  /** Streaming PQ coding into the cell-partitioned compressed store —
+    * the ingest path of the IVF-PQ lifecycle (train → code → persist →
+    * ADC query; `q_ivf_pq_persist` gates the batch form of this store):
+    * each micro-batch of (id, cell, vector) rows is coded MAP-SIDE
+    * against the FROZEN broadcast codebook
+    * ([[graft.ops.Similarity.pqCodesExpr]] — a production IVF-PQ store
+    * freezes its codebooks at train time; retraining is an offline
+    * rebuild, never an ingest-path mutation) and lands at
+    * `batch_id=N/cell=K` (idempotent partition overwrite; raw floats
+    * never persist, only the m code bytes). Reads filter on `cell` and
+    * partition-prune ACROSS batches (cell is a partition column at
+    * every generation), so ADC candidate I/O stays nprobe/n_cells of
+    * the accumulated store. After any number of micro-batches the
+    * store's codes equal one-shot coding of the union —
+    * StreamingPqSpec proves it plus replay idempotence and the pruned
+    * read.
+    *
+    * Same cross-batch id-uniqueness contract as [[minhashStateSink]] /
+    * [[phashStateSink]]: replays of a batch are idempotent; a source
+    * re-delivering an id in a LATER batch must be deduped upstream.
+    */
+  def pqStateSink(
+      vecs: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      codebook: Seq[(Int, Int, Seq[Double])], m: Int, subDim: Int,
+      codeStorePath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .select(col(idCol).as("vec_id"), col(cellCol).as("cell"),
+            graft.ops.Similarity
+              .pqCodesExpr(col(vecCol), codebook, m, subDim).as("codes"))
+          .write.mode("overwrite")
+          .partitionBy("cell")
+          .parquet(s"$codeStorePath/batch_id=$batchId")
+      }
+      .start()
+
   def phashStateSink(
       docs: DataFrame, idCol: String, textCol: String,
       sigStorePath: String, pairStorePath: String, checkpointDir: String,

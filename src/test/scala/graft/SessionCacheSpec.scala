@@ -53,4 +53,41 @@ class SessionCacheSpec extends SparkSpec {
       graft.queries.GraphQueries.tradeEdgesCache)
     caches.foreach(c => assert(c.sessionEntryCount(spark.newSession()) == 0))
   }
+
+  test("nested memo builds record disjoint SELF-times") {
+    // round-16: the memo-cost trailer must sum to real build wall-clock,
+    // so a build nested inside another must be subtracted from its
+    // parent's recorded seconds (no delta-read needed: the label names
+    // below are unique to this test, and the ledger is per-label)
+    val outer = new graft.ops.SessionCache[String, Int]("spec-nest-outer:")
+    val inner = new graft.ops.SessionCache[String, Int]("spec-nest-inner:")
+    val got = outer.getOrElseUpdate(spark, "k", {
+      Thread.sleep(150)
+      inner.getOrElseUpdate(spark, "k", { Thread.sleep(150); 1 }) + 1
+    })
+    assert(got == 2)
+    val b = graft.ops.SessionCache.buildSeconds
+    val o = b("spec-nest-outer:k")
+    val i = b("spec-nest-inner:k")
+    assert(i >= 0.14, s"inner self-time must be its own sleep, got $i")
+    assert(o >= 0.14, s"outer self-time must include its own sleep, got $o")
+    assert(o < 0.14 + i,
+      s"outer ($o) must EXCLUDE the nested inner build ($i) — " +
+        "wall-clock attribution would double-count")
+  }
+
+  test("GridMemo fails fast when two call sites share a tag") {
+    import graft.ops.GridMemo
+    val dir = "/tmp/spec-gridmemo-collision"
+    def siteA() = GridMemo.memo(spark, dir, "spec_collision_tag")(
+      spark.range(1).toDF("x"))
+    def siteB() = GridMemo.memo(spark, dir, "spec_collision_tag")(
+      spark.range(2).toDF("x"))
+    assert(siteA().count() == 1)
+    val e = intercept[IllegalStateException] { siteB() }
+    assert(e.getMessage.contains("spec_collision_tag"))
+    // the owning site keeps working (and still serves the memo)
+    assert(siteA().count() == 1)
+  }
+
 }
