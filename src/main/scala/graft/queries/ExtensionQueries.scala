@@ -3099,6 +3099,91 @@ object ExtensionQueries {
          |FROM codes JOIN a2 USING (vec_id)
          |ORDER BY vec_id, s""".stripMargin))
 
+  /** ADC retrieval FROM THE PERSISTED STORE with partition-pruned
+    * probes — q_ivf_pq_rerank's production read path: the probe stage
+    * picks p = 3 cells per query map-side, the UNION of probed cells
+    * (≤ n_cells values, metadata) prunes the cell-partitioned code
+    * store ([[graft.sink.IndexStore.readPqCells]] — the `isin` lands in
+    * PartitionFilters, so candidate I/O is |∪cells|/n_cells of the
+    * store), ADC scores the 8-byte code rows against the broadcast
+    * codebook, and exact cosine re-ranks the ADC top-100 into each
+    * query's top-10. Emits the ranked neighbor rows themselves (the
+    * annIvf convention), so the driver hash-gates the store-backed
+    * retrieval end to end — training, coding, the disk round trip,
+    * probing, ADC, and re-rank. */
+  private val ivfPqProbe = QueryDef(
+    fn = (spark, dir) => {
+      val (m, subDim, p, cTop) = (8, 8, 3, 100)
+      val path = persistedPqPath(spark, dir)
+      val cents = trainedCentFrame(spark, dir, 3)
+      val qs = trainedIvfCells(spark, dir, 0).filter(col("vec_id") < 8)
+      val cb = pqCodebook(spark, dir)
+      // tiny (n_queries × p) frame: feeds the pruned-cell collect AND
+      // the candidate join; checkpointed so the probe ranking runs once
+      val probed = Similarity.probeCells(qs, cents,
+          "vec_id", "embedding", "label", nprobe = p)
+        .localCheckpoint(true)
+      val probedCells = probed.select(col("cell")).distinct()
+        .collect().map(_.get(0) match {
+          case i: Int => i
+          case l: Long => l.toInt
+        }).toSeq.sorted
+      val codes = graft.sink.IndexStore.readPqCells(spark, path, probedCells)
+      val adc = codes.join(probed, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("adc", Similarity.pqAdcCosine(
+          col("qv"), col("codes"), cb, m, subDim))
+        .withColumn("ar", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("adc").desc, col("vec_id").asc)))
+        .filter(col("ar") <= cTop)
+        .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"))
+      val raw = trainedIvfCells(spark, dir, 2)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      adc.join(raw, Seq("neighbor_id"))
+        .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id").asc)))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some {
+      val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
+      val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
+      val normQ = s"sqrt(${dDot("qv", "qv")})"
+      s"""WITH ${dLloydCtes(2)},
+         |$pqOracleCtes,
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |xh AS (SELECT codes.vec_id, flatten(list(cb2.sc ORDER BY codes.s)) AS xhat
+         |       FROM codes JOIN cb2 USING (s, j) GROUP BY codes.vec_id),
+         |tcell AS (SELECT vec_id, cell FROM a2),
+         |qc AS (
+         |  SELECT query_id, qv, cell, row_number() OVER (PARTITION BY query_id ORDER BY
+         |      floor(($dotQC / ($normQ * $normC)) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |      cell ASC) AS cr
+         |  FROM q CROSS JOIN cent3),
+         |probe AS (SELECT query_id, qv, cell FROM qc WHERE cr <= 3),
+         |adc AS (SELECT query_id, qv, neighbor_id FROM (
+         |    SELECT probe.query_id, probe.qv, tcell.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY probe.query_id
+         |        ORDER BY ${dCos("probe.qv", "xh.xhat")} DESC, tcell.vec_id ASC) AS ar
+         |    FROM tcell JOIN probe USING (cell)
+         |      JOIN xh ON xh.vec_id = tcell.vec_id
+         |    WHERE probe.query_id <> tcell.vec_id) WHERE ar <= 100)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT adc.query_id, adc.neighbor_id, ${dCos("adc.qv", "c.cv")} AS cos,
+         |    row_number() OVER (PARTITION BY adc.query_id
+         |      ORDER BY ${dCos("adc.qv", "c.cv")} DESC, adc.neighbor_id ASC) AS rank
+         |  FROM adc JOIN c USING (neighbor_id))
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    })
+
   /** Paragraph-level exact dedup (Dolma/RefinedWeb-style): split every
     * document into paragraph units, keep only the FIRST global occurrence
     * of each distinct unit (ordered by doc_id, then position), and report
@@ -5339,6 +5424,7 @@ object ExtensionQueries {
     "q_ivf_rerank" -> ivfRerank,
     "q_ivf_pq_rerank" -> ivfPqRerank,
     "q_ivf_pq_persist" -> ivfPqPersist,
+    "q_ivf_pq_probe" -> ivfPqProbe,
     "q_text_clean" -> textClean,
     "q_text_redact" -> textRedact,
     "q_stratified_sample" -> stratifiedSample,
