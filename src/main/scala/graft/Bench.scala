@@ -70,7 +70,31 @@ object Bench {
       case None => _ => true
     }
     val names = SparkEntry.queries.keys.toSeq.filter(nameFilter).sorted
+    // Per-pass CALIBRATION workload (round-16 verdict task 1): the driver
+    // box swings up to 2.8x between passes of one run on identical code
+    // (judge's r16 re-run: pass totals [376.8, 203.5, 577.5] s), so an
+    // archived total is uninterpretable without its own drift normalizer.
+    // Two pinned controls run at the top of every pass — a pure-CPU
+    // codegen sum (JIT/box contention) and a fixed parquet scan (I/O +
+    // page cache) — and their per-pass seconds ship in BOTH trailers:
+    // any consumer can divide a pass total by its calibration to separate
+    // box drift from code regressions. One untimed calibration below
+    // warms the scan's footer cache so pass 1's control is not a cold-I/O
+    // outlier.
+    def calibrate(): (Double, Double) = {
+      val t0 = System.nanoTime()
+      spark.range(0, 200000000L).selectExpr("sum(id)").collect()
+      val tRange = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_quantity)", "count(distinct l_orderkey)").collect()
+      val tScan = (System.nanoTime() - t1) / 1e9
+      (tRange, tScan)
+    }
+    try calibrate() catch { case _: Throwable => () } // untimed warm
+    val cals = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val passes = (1 to repeats).map { _ =>
+      cals += (try calibrate() catch { case _: Throwable => (-1.0, -1.0) })
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -101,12 +125,23 @@ object Bench {
     val failedJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totals = passes.map(_.values.sum)
     val total = if (names.nonEmpty) median(timed.map(_.values.sum)) else 0.0
+    // value_min = MIN over the warm passes (round-16 verdict task 1): the
+    // median of n drifted passes can still archive a phantom regression
+    // (r16: median 987 s on a box whose best warm pass was 203.5 s); the
+    // min is the drift-resistant lower envelope — a code regression raises
+    // the min, box contention cannot lower it.
+    val valueMin =
+      if (names.nonEmpty) timed.map(_.values.sum).min else 0.0
     // Double.toString, not printf formatting: %f is default-locale-sensitive
     // and a comma-decimal locale would corrupt the JSON line the driver parses
-    val totalsJson = totals.map(t => (math.rint(t * 1000) / 1000).toString)
+    def r3d(d: Double) = (math.rint(d * 1000) / 1000).toString
+    val totalsJson = totals.map(r3d).mkString("[", ",", "]")
+    // cal = per-pass [range-sum secs, parquet-scan secs] controls, pass 1
+    // included — the archive's built-in drift normalizer.
+    val calJson = cals.map { case (r, s) => s"[${r3d(r)},${r3d(s)}]" }
       .mkString("[", ",", "]")
     val exclP1 = repeats >= 3
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeats,"excl_pass1":$exclP1,"pass_totals":$totalsJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"value_min":${r3d(valueMin)},"unit":"sec","passes":$repeats,"excl_pass1":$exclP1,"pass_totals":$totalsJson,"cal":$calJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(fullLine)
     // Persist the full record (per-query medians AND every raw pass) to a
     // file so per-query round-over-round regression tables stop depending
@@ -117,10 +152,16 @@ object Bench {
         val m = names.map(n => "\"" + n + "\":" + p(n)).mkString("{", ",", "}")
         s""""pass${i + 1}":$m"""
       }.mkString(",")
-      val full = s"""{"sf":"$sfDir","passes":$repeats,"excl_pass1":$exclP1,"total":$total,"pass_totals":$totalsJson,"failed":$failedJson,"queries":$qs,$perPass}"""
-      val outPath = java.nio.file.Paths.get("target", "bench_full.json")
+      val full = s"""{"sf":"$sfDir","passes":$repeats,"excl_pass1":$exclP1,"total":$total,"value_min":${r3d(valueMin)},"pass_totals":$totalsJson,"cal":$calJson,"failed":$failedJson,"queries":$qs,$perPass}"""
+      // cwd-relative "target" made the record land wherever the driver
+      // happened to launch from; an env override anchors it, and the
+      // ABSOLUTE path is logged either way so the artifact is findable.
+      val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target")
+      val outPath = java.nio.file.Paths.get(outDir, "bench_full.json")
+        .toAbsolutePath
       java.nio.file.Files.createDirectories(outPath.getParent)
       java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
+      System.err.println(s"[bench] full record written to $outPath")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
     }
@@ -147,7 +188,7 @@ object Bench {
     // the final 2000 bytes of stdout, and round 15 proved that anything
     // printed after this line can evict the bench total from the archived
     // record (BENCH_r15.json had no total). Nothing may print below this.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeats,"excl_pass1":$exclP1,"pass_totals":$totalsJson,"n_queries":${names.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"value_min":${r3d(valueMin)},"unit":"sec","passes":$repeats,"excl_pass1":$exclP1,"pass_totals":$totalsJson,"cal":$calJson,"n_queries":${names.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,7 +35,13 @@ object GridMemo {
       .drop(1) // getStackTrace frame
       .find(f => !f.getClassName.startsWith("graft.ops.GridMemo") &&
                  !f.getClassName.startsWith("java.lang.Thread"))
-      .map(f => s"${f.getClassName}.${f.getMethodName}")
+      // file:line in the key, not just class.method: two memo calls with
+      // the same tag but different build frames INSIDE one method (or
+      // routed through a shared helper) are exactly the silent-sharing
+      // hazard this gate exists for. File + line are stable within a JVM,
+      // which is all the session-scoped sites map needs.
+      .map(f => s"${f.getClassName}.${f.getMethodName}" +
+        s"(${f.getFileName}:${f.getLineNumber})")
       .getOrElse("<unknown>")
 
   /** The checkpointed `build` frame, built once per (session, dir, tag).

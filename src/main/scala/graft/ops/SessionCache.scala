@@ -53,14 +53,21 @@ final class SessionCache[K, V](name: String = "") {
       val stack = SessionCache.nesting.get()
       stack.push(new Array[Double](1))
       val t0 = System.nanoTime()
+      // Ledger-on-success only: a failed lazy val re-evaluates on the next
+      // access, so recording in the failure path would double-count a
+      // fail-then-retry build's seconds in the bench memo trailer. The
+      // nesting-stack maintenance stays in finally regardless — a throwing
+      // child must still pop its accumulator and charge its wall-clock to
+      // the parent, or the parent's self-time would go negative.
+      var ok = false
       val v =
-        try build()
+        try { val r = build(); ok = true; r }
         finally {
           val total = (System.nanoTime() - t0) / 1e9
           val childSecs = stack.pop()(0)
           if (!stack.isEmpty) stack.peek()(0) += total
           val self = total - childSecs
-          if (self >= 0.05) {
+          if (ok && self >= 0.05) {
             if (childSecs >= 0.05)
               System.err.println(
                 f"[bench] memo $label built in $self%.2f s (+$childSecs%.2f s nested)")

@@ -510,15 +510,31 @@ object Similarity {
   def pqAdcCosine(qv: Column, codes: Column,
       cb: Seq[(Int, Int, Seq[Double])], m: Int, subDim: Int): Column = {
     val bySub = cb.groupBy(_._1)
+    // pqCodesExpr's guard, mirrored: a persisted code store read against a
+    // stale/mismatched codebook must fail fast, not mis-rank. Driver-side,
+    // every subspace must exist; row-side, a code with no (s, j) entry is a
+    // NULL slot in the literal grid and raises instead of substituting a
+    // zero sub-vector (zeros could drive normD(x̂) → 0: a NULL/NaN cosine
+    // that silently falls out of the ranking).
+    require((0 until m).forall(bySub.contains),
+      s"pqAdcCosine: codebook must cover all $m subspaces " +
+        s"(got ${bySub.keySet.toSeq.sorted.mkString(",")}) — stale codebook?")
     val dense = (0 until m).map { s =>
       val rows = bySub(s).map(r => r._2 -> r._3).toMap
-      (0 until 16).map(j => rows.getOrElse(j, Seq.fill(subDim)(0.0)))
+      (0 until 16).map(j => rows.get(j))
     }
     val cbLit = array(dense.map(subs =>
-      array(subs.map(c => typedlit(c)): _*)): _*)
-    val xhat = flatten(zip_with(codes,
-      sequence(lit(0), lit(m - 1)),
-      (c, s) => element_at(element_at(cbLit, s.cast("int") + 1), c + 1)))
+      array(subs.map {
+        case Some(c) => typedlit(c)
+        case None    => lit(null).cast("array<double>")
+      }: _*)): _*)
+    val subs = zip_with(codes, sequence(lit(0), lit(m - 1)),
+      (c, s) => element_at(element_at(cbLit, s.cast("int") + 1), c + 1))
+    val xhat = flatten(when(!exists(subs, x => x.isNull), subs)
+      .otherwise(raise_error(concat(
+        lit("pqAdcCosine: code hit a codebook hole (codes "),
+        codes.cast("string"),
+        lit(") — codes were coded against a different codebook")))))
     TextAnalysis.round6(dotD(qv, xhat) / (norm(qv) * normD(xhat)))
   }
 

@@ -656,6 +656,32 @@ object StreamingOps {
     * keep-latest) before this sink, exactly as [[minhashStateSink]]
     * requires.
     */
+  def phashStateSink(
+      docs: DataFrame, idCol: String, textCol: String,
+      sigStorePath: String, pairStorePath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxHamming: Int = 3): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        graft.ops.Multimodal.dhashSigsFromDocs(batch, idCol, textCol)
+          .write.mode("overwrite")
+          .parquet(s"$sigStorePath/batch_id=$batchId")
+        val landed = sess.read.parquet(s"$sigStorePath/batch_id=$batchId")
+          .select(col("id"), col("sig"))
+        val prior = sess.read.parquet(sigStorePath)
+          .filter(col("batch_id").cast("long") < batchId)
+          .select(col("id"), col("sig"))
+        graft.ops.Dedup
+          .bandedPairsFromState(landed, prior, maxHamming)
+          .write.mode("overwrite")
+          .parquet(s"$pairStorePath/batch_id=$batchId")
+      }
+      .start()
+
   /** Streaming PQ coding into the cell-partitioned compressed store —
     * the ingest path of the IVF-PQ lifecycle (train → code → persist →
     * ADC query; `q_ivf_pq_persist` gates the batch form of this store):
@@ -694,32 +720,6 @@ object StreamingOps {
           .write.mode("overwrite")
           .partitionBy("cell")
           .parquet(s"$codeStorePath/batch_id=$batchId")
-      }
-      .start()
-
-  def phashStateSink(
-      docs: DataFrame, idCol: String, textCol: String,
-      sigStorePath: String, pairStorePath: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow(),
-      maxHamming: Int = 3): StreamingQuery =
-    docs.writeStream
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sess = batch.sparkSession
-        graft.ops.Multimodal.dhashSigsFromDocs(batch, idCol, textCol)
-          .write.mode("overwrite")
-          .parquet(s"$sigStorePath/batch_id=$batchId")
-        val landed = sess.read.parquet(s"$sigStorePath/batch_id=$batchId")
-          .select(col("id"), col("sig"))
-        val prior = sess.read.parquet(sigStorePath)
-          .filter(col("batch_id").cast("long") < batchId)
-          .select(col("id"), col("sig"))
-        graft.ops.Dedup
-          .bandedPairsFromState(landed, prior, maxHamming)
-          .write.mode("overwrite")
-          .parquet(s"$pairStorePath/batch_id=$batchId")
       }
       .start()
 
