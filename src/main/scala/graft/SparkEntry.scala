@@ -21,9 +21,24 @@ object SparkEntry {
       AgreementQueries.defs ++ CurationQueries.defs ++ KeywordQueries.defs ++
       TpchShapeQueries.defs ++ CrossRunDedupQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    CoreQueries.defs("f1_locf_events").fn(spark, "/root/testdata/sf0.001")
+  /** Flagship smoke on /root/testdata/sf0.001; driver checks rows>0.
+    * One row from each of the engine's three pillars — reference-parity
+    * LOCF, exact dedup, ANN retrieval — gated so the row is emitted ONLY
+    * when every pillar returns data: a broken pillar (not just a broken
+    * flagship) makes the smoke return 0 rows and fail (round-16 verdict
+    * task 6). The cross joins attach one-row scalar aggregates. */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dir = "/root/testdata/sf0.001"
+    val locf = CoreQueries.defs("f1_locf_events").fn(spark, dir)
+    val dedup = ExtensionQueries.defs("q_dedup_exact_docs").fn(spark, dir)
+    val ann = ExtensionQueries.defs("q_sim_ann_brute").fn(spark, dir)
+    locf.agg(count(lit(1)).as("locf_rows"))
+      .crossJoin(dedup.agg(count(lit(1)).as("dedup_rows")))
+      .crossJoin(ann.agg(count(lit(1)).as("ann_rows")))
+      .filter(col("locf_rows") > 0 && col("dedup_rows") > 0 &&
+        col("ann_rows") > 0)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -507,35 +507,96 @@ object Similarity {
     * every cosine in the family. `cb` must be j-dense per subspace on
     * the codes actually emitted (guaranteed when codes came from
     * [[pqCodesExpr]] over the same codebook). */
-  def pqAdcCosine(qv: Column, codes: Column,
-      cb: Seq[(Int, Int, Seq[Double])], m: Int, subDim: Int): Column = {
+  /** The codebook as a dense m × 16 literal grid with NULL at (s, j)
+    * holes (empty training clusters) — shared by the ADC scorers. NULL,
+    * never a zero fill: a code read against a stale/mismatched codebook
+    * must surface, not score a zero sub-vector (which could drive
+    * normD(x̂) → 0 and produce a NULL/NaN cosine that silently falls out
+    * of the ranking). Driver-side, every subspace must exist. */
+  private def pqCbGrid(fn: String, cb: Seq[(Int, Int, Seq[Double])],
+      m: Int): IndexedSeq[IndexedSeq[Option[Seq[Double]]]] = {
     val bySub = cb.groupBy(_._1)
-    // pqCodesExpr's guard, mirrored: a persisted code store read against a
-    // stale/mismatched codebook must fail fast, not mis-rank. Driver-side,
-    // every subspace must exist; row-side, a code with no (s, j) entry is a
-    // NULL slot in the literal grid and raises instead of substituting a
-    // zero sub-vector (zeros could drive normD(x̂) → 0: a NULL/NaN cosine
-    // that silently falls out of the ranking).
     require((0 until m).forall(bySub.contains),
-      s"pqAdcCosine: codebook must cover all $m subspaces " +
+      s"$fn: codebook must cover all $m subspaces " +
         s"(got ${bySub.keySet.toSeq.sorted.mkString(",")}) — stale codebook?")
-    val dense = (0 until m).map { s =>
+    (0 until m).map { s =>
       val rows = bySub(s).map(r => r._2 -> r._3).toMap
       (0 until 16).map(j => rows.get(j))
     }
-    val cbLit = array(dense.map(subs =>
+  }
+
+  private def pqCbLit(grid: IndexedSeq[IndexedSeq[Option[Seq[Double]]]]): Column =
+    array(grid.map(subs =>
       array(subs.map {
         case Some(c) => typedlit(c)
         case None    => lit(null).cast("array<double>")
       }: _*)): _*)
+
+  def pqAdcCosine(qv: Column, codes: Column,
+      cb: Seq[(Int, Int, Seq[Double])], m: Int, subDim: Int): Column = {
+    val cbLit = pqCbLit(pqCbGrid("pqAdcCosine", cb, m))
     val subs = zip_with(codes, sequence(lit(0), lit(m - 1)),
       (c, s) => element_at(element_at(cbLit, s.cast("int") + 1), c + 1))
+    // pqCodesExpr's guard, mirrored: a code with no (s, j) entry is a NULL
+    // slot in the literal grid and raises instead of mis-ranking.
     val xhat = flatten(when(!exists(subs, x => x.isNull), subs)
       .otherwise(raise_error(concat(
         lit("pqAdcCosine: code hit a codebook hole (codes "),
         codes.cast("string"),
         lit(") — codes were coded against a different codebook")))))
     TextAnalysis.round6(dotD(qv, xhat) / (norm(qv) * normD(xhat)))
+  }
+
+  /** Per-query ADC lookup table (IVFADC, Jégou et al. 2011, public):
+    * lut[s][j] = (query slice s) · (sub-centroid s,j), the m × 16 grid of
+    * partial dots computed ONCE per query row — candidate scoring then
+    * costs m table lookups + adds instead of reconstructing and dotting
+    * the full x̂ per candidate ([[pqAdcCosineLut]]). Each partial is the
+    * same sequential within-subspace double fold as [[pqAdcCosine]]'s
+    * sub-vector terms; codebook holes are NULL entries (guarded at
+    * lookup). One small lambda body over the 2-D literal — the
+    * [[assignExpr]] codegen discipline — not m × 16 unrolled folds. */
+  def pqQueryLut(qv: Column, cb: Seq[(Int, Int, Seq[Double])],
+      m: Int, subDim: Int): Column = {
+    val cbLit = pqCbLit(pqCbGrid("pqQueryLut", cb, m))
+    // zip_with(slice, NULL, ·) is NULL, so holes propagate without a
+    // per-entry conditional in the generated code
+    transform(cbLit, (subs, s) =>
+      transform(subs, c => dotD(slice(qv, s * subDim + 1, lit(subDim)), c)))
+  }
+
+  /** LUT-based ADC cosine: scores a PQ-coded candidate from a
+    * precomputed [[pqQueryLut]] column and the query's precomputed norm.
+    * dot(q, x̂) = Σ_s lut[s][code_s] and ‖x̂‖² = Σ_s ‖c_{s,code_s}‖², both
+    * summed by a sequential fold in subspace order (s ascending); the
+    * sub-centroid squared norms are driver-side literals folded in the
+    * same within-subspace order. NOTE the grouping differs from
+    * [[pqAdcCosine]]'s flat 64-term folds — per-subspace partials summed
+    * across subspaces — so values can differ by ~1 ulp pre-rounding;
+    * MultimodalDedupSpec pins post-round6 equality on real data and the
+    * q_ivf_pq_* oracles replay THIS grouping term-for-term. A code with
+    * no codebook entry hits a NULL norm slot and raises (the
+    * [[pqAdcCosine]] stale-codebook guard). */
+  def pqAdcCosineLut(lut: Column, qNorm: Column, codes: Column,
+      cb: Seq[(Int, Int, Seq[Double])], m: Int, subDim: Int): Column = {
+    val grid = pqCbGrid("pqAdcCosineLut", cb, m)
+    val nsqLit = array(grid.map(subs => array(subs.map {
+      case Some(c) => lit(c.foldLeft(0.0)((a, v) => a + v * v))
+      case None    => lit(null).cast("double")
+    }: _*)): _*)
+    val nsqRow = zip_with(codes, sequence(lit(0), lit(m - 1)),
+      (c, s) => element_at(element_at(nsqLit, s.cast("int") + 1), c + 1))
+    val nsqChecked = when(!exists(nsqRow, x => x.isNull), nsqRow)
+      .otherwise(raise_error(concat(
+        lit("pqAdcCosineLut: code hit a codebook hole (codes "),
+        codes.cast("string"),
+        lit(") — codes were coded against a different codebook"))))
+    val dotSum = aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(element_at(lut, s.cast("int") + 1), c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val nsqSum = aggregate(nsqChecked, lit(0.0), (acc, v) => acc + v)
+    TextAnalysis.round6(dotSum / (qNorm * sqrt(nsqSum)))
   }
 
   /** float-array × double-array dot (query vs centroid), sequential. */

@@ -2889,6 +2889,24 @@ object ExtensionQueries {
        |    FROM sv JOIN cb2 USING (s)) WHERE r = 1)""".stripMargin
   }
 
+  /** LUT-order ADC oracle tables, replaying
+    * [[graft.ops.Similarity.pqAdcCosineLut]]'s grouping term-for-term:
+    * `pqn` = per-(s, j) sub-centroid squared norm (sequential
+    * within-subspace fold), `qlut` = per-(query, s, j) partial dot of the
+    * query's 8-dim slice with the sub-centroid (same fold). Consumers sum
+    * each candidate's m partials with a sequential s-ascending fold —
+    * dSumD over `list(... ORDER BY s)` — NOT the flat 64-term fold of the
+    * reconstruction form, so the SQL stays bit-identical to the Spark
+    * side. Requires [[pqOracleCtes]]' cb2 and a prior `q (query_id, qv)`
+    * CTE. */
+  private def pqLutCtes: String =
+    s"""pqn AS (SELECT s, j,
+       |    ${dSumD("list_transform(range(1, len(sc) + 1), i -> sc[i] * sc[i])")} AS nsq
+       |  FROM cb2),
+       |qlut AS (SELECT q.query_id, cb2.s, cb2.j,
+       |    ${dSumD("list_transform(range(1, 9), i -> CAST(qv[cb2.s * 8 + i] AS DOUBLE) * sc[i])")} AS pd
+       |  FROM q CROSS JOIN cb2)""".stripMargin
+
 
   /** IVF-PQ compressed-scan retrieval (round-15 verdict task 4): the
     * production 100 TB embedding-store design point — the in-cell
@@ -2942,13 +2960,19 @@ object ExtensionQueries {
       // vector) — no extra embeddings scan just to count
       val nTotal = codes.agg(count(lit(1)).as("n_corpus"))
       val perP = Seq(3, 5).map { p =>
+        // LUT-order ADC (round-16 verdict task 2): the m × 16 partial-dot
+        // table and the query norm are computed ONCE per probed row
+        // (n_q × p rows), so each candidate costs m lookups + adds
+        // instead of a 64-dim x̂ reconstruction + dot.
         val probed = Similarity.probeCells(qs, cents,
-          "vec_id", "embedding", "label", nprobe = p)
+            "vec_id", "embedding", "label", nprobe = p)
+          .withColumn("lut", Similarity.pqQueryLut(col("qv"), cb, m, subDim))
+          .withColumn("qnorm", Similarity.norm(col("qv")))
         val adc = codes
           .join(probed, codes("label") === probed("cell"))
           .filter(col("query_id") =!= col("vec_id"))
-          .withColumn("adc", Similarity.pqAdcCosine(
-            col("qv"), col("codes"), cb, m, subDim))
+          .withColumn("adc", Similarity.pqAdcCosineLut(
+            col("lut"), col("qnorm"), col("codes"), cb, m, subDim))
           .withColumn("ar", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("query_id"))
@@ -2997,8 +3021,7 @@ object ExtensionQueries {
          |      PARTITION BY query_id ORDER BY ${dCos("qv", "cv")} DESC, neighbor_id ASC) AS r
          |    FROM c CROSS JOIN q WHERE query_id <> neighbor_id) WHERE r <= 10),
          |$pqOracleCtes,
-         |xh AS (SELECT codes.vec_id, flatten(list(cb2.sc ORDER BY codes.s)) AS xhat
-         |       FROM codes JOIN cb2 USING (s, j) GROUP BY codes.vec_id),
+         |$pqLutCtes,
          |tcell AS (SELECT vec_id, cell FROM a2),
          |nt AS (SELECT COUNT(*) AS n_corpus FROM a2),
          |qc AS (
@@ -3009,14 +3032,23 @@ object ExtensionQueries {
          |ps AS (SELECT unnest([3, 5]) AS nprobe),
          |probe AS (SELECT ps.nprobe, qc.query_id, qc.qv, qc.cell
          |          FROM qc JOIN ps ON qc.cr <= ps.nprobe),
+         |cadc AS (SELECT probe.nprobe, probe.query_id, tcell.vec_id AS neighbor_id,
+         |    ${dSumD("list(qlut.pd ORDER BY codes.s)")} AS dotq,
+         |    ${dSumD("list(pqn.nsq ORDER BY codes.s)")} AS nsq
+         |  FROM tcell JOIN probe USING (cell)
+         |    JOIN codes ON codes.vec_id = tcell.vec_id
+         |    JOIN qlut ON qlut.query_id = probe.query_id
+         |      AND qlut.s = codes.s AND qlut.j = codes.j
+         |    JOIN pqn ON pqn.s = codes.s AND pqn.j = codes.j
+         |  WHERE probe.query_id <> tcell.vec_id
+         |  GROUP BY probe.nprobe, probe.query_id, tcell.vec_id),
          |adc AS (SELECT nprobe, query_id, qv, neighbor_id FROM (
-         |    SELECT probe.nprobe, probe.query_id, probe.qv,
-         |      tcell.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY probe.nprobe, probe.query_id
-         |        ORDER BY ${dCos("probe.qv", "xh.xhat")} DESC, tcell.vec_id ASC) AS ar
-         |    FROM tcell JOIN probe USING (cell)
-         |      JOIN xh ON xh.vec_id = tcell.vec_id
-         |    WHERE probe.query_id <> tcell.vec_id) WHERE ar <= 100),
+         |    SELECT cadc.nprobe, cadc.query_id, q.qv, cadc.neighbor_id,
+         |      row_number() OVER (PARTITION BY cadc.nprobe, cadc.query_id
+         |        ORDER BY floor((cadc.dotq / (sqrt(${dDot("q.qv", "q.qv")})
+         |          * sqrt(cadc.nsq))) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |        cadc.neighbor_id ASC) AS ar
+         |    FROM cadc JOIN q ON q.query_id = cadc.query_id) WHERE ar <= 100),
          |rr AS (SELECT nprobe, query_id, neighbor_id FROM (
          |    SELECT adc.nprobe, adc.query_id, adc.neighbor_id,
          |      row_number() OVER (PARTITION BY adc.nprobe, adc.query_id
@@ -3119,9 +3151,14 @@ object ExtensionQueries {
       val qs = trainedIvfCells(spark, dir, 0).filter(col("vec_id") < 8)
       val cb = pqCodebook(spark, dir)
       // tiny (n_queries × p) frame: feeds the pruned-cell collect AND
-      // the candidate join; checkpointed so the probe ranking runs once
+      // the candidate join; checkpointed so the probe ranking runs once.
+      // The ADC lookup table + query norm materialize INTO the
+      // checkpoint (m × 16 doubles per probed row), so candidate scoring
+      // is m lookups + adds per code row (round-16 verdict task 2).
       val probed = Similarity.probeCells(qs, cents,
           "vec_id", "embedding", "label", nprobe = p)
+        .withColumn("lut", Similarity.pqQueryLut(col("qv"), cb, m, subDim))
+        .withColumn("qnorm", Similarity.norm(col("qv")))
         .localCheckpoint(true)
       val probedCells = probed.select(col("cell")).distinct()
         .collect().map(_.get(0) match {
@@ -3131,8 +3168,8 @@ object ExtensionQueries {
       val codes = graft.sink.IndexStore.readPqCells(spark, path, probedCells)
       val adc = codes.join(probed, Seq("cell"))
         .filter(col("query_id") =!= col("vec_id"))
-        .withColumn("adc", Similarity.pqAdcCosine(
-          col("qv"), col("codes"), cb, m, subDim))
+        .withColumn("adc", Similarity.pqAdcCosineLut(
+          col("lut"), col("qnorm"), col("codes"), cb, m, subDim))
         .withColumn("ar", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("query_id"))
@@ -3160,8 +3197,7 @@ object ExtensionQueries {
          |$pqOracleCtes,
          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-         |xh AS (SELECT codes.vec_id, flatten(list(cb2.sc ORDER BY codes.s)) AS xhat
-         |       FROM codes JOIN cb2 USING (s, j) GROUP BY codes.vec_id),
+         |$pqLutCtes,
          |tcell AS (SELECT vec_id, cell FROM a2),
          |qc AS (
          |  SELECT query_id, qv, cell, row_number() OVER (PARTITION BY query_id ORDER BY
@@ -3169,13 +3205,23 @@ object ExtensionQueries {
          |      cell ASC) AS cr
          |  FROM q CROSS JOIN cent3),
          |probe AS (SELECT query_id, qv, cell FROM qc WHERE cr <= 3),
+         |cadc AS (SELECT probe.query_id, tcell.vec_id AS neighbor_id,
+         |    ${dSumD("list(qlut.pd ORDER BY codes.s)")} AS dotq,
+         |    ${dSumD("list(pqn.nsq ORDER BY codes.s)")} AS nsq
+         |  FROM tcell JOIN probe USING (cell)
+         |    JOIN codes ON codes.vec_id = tcell.vec_id
+         |    JOIN qlut ON qlut.query_id = probe.query_id
+         |      AND qlut.s = codes.s AND qlut.j = codes.j
+         |    JOIN pqn ON pqn.s = codes.s AND pqn.j = codes.j
+         |  WHERE probe.query_id <> tcell.vec_id
+         |  GROUP BY probe.query_id, tcell.vec_id),
          |adc AS (SELECT query_id, qv, neighbor_id FROM (
-         |    SELECT probe.query_id, probe.qv, tcell.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY probe.query_id
-         |        ORDER BY ${dCos("probe.qv", "xh.xhat")} DESC, tcell.vec_id ASC) AS ar
-         |    FROM tcell JOIN probe USING (cell)
-         |      JOIN xh ON xh.vec_id = tcell.vec_id
-         |    WHERE probe.query_id <> tcell.vec_id) WHERE ar <= 100)
+         |    SELECT cadc.query_id, q.qv, cadc.neighbor_id,
+         |      row_number() OVER (PARTITION BY cadc.query_id
+         |        ORDER BY floor((cadc.dotq / (sqrt(${dDot("q.qv", "q.qv")})
+         |          * sqrt(cadc.nsq))) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |        cadc.neighbor_id ASC) AS ar
+         |    FROM cadc JOIN q ON q.query_id = cadc.query_id) WHERE ar <= 100)
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
          |  SELECT adc.query_id, adc.neighbor_id, ${dCos("adc.qv", "c.cv")} AS cos,
          |    row_number() OVER (PARTITION BY adc.query_id

@@ -162,4 +162,63 @@ class MultimodalDedupSpec extends SparkSpec {
     }
   }
 
+  test("PQ: LUT-based ADC equals the reconstruction form after rounding") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(41)
+    val emb = (0L until 150L).map(i =>
+        (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding", 8, 8)
+    val coded = emb.select(col("vec_id"),
+        Similarity.pqCodesExpr(col("embedding"), cb, 8, 8).as("codes"))
+      .localCheckpoint(true)
+    // one query column per row pairing (every vector scores every code row
+    // through a small cross of 5 queries × 150 candidates)
+    val qs = (200L until 205L).map(i =>
+      (i, Seq.fill(64)(rnd.nextFloat() - 0.5f))).toDF("query_id", "qv")
+    val both = coded.crossJoin(
+        qs.withColumn("lut", Similarity.pqQueryLut(col("qv"), cb, 8, 8))
+          .withColumn("qnorm", Similarity.norm(col("qv"))))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.pqAdcCosine(col("qv"), col("codes"), cb, 8, 8).as("ref"),
+        Similarity.pqAdcCosineLut(col("lut"), col("qnorm"), col("codes"),
+          cb, 8, 8).as("lut_adc"))
+      .collect()
+    assert(both.length == 750)
+    both.foreach { r =>
+      // the LUT form sums per-subspace partials (grouping differs from
+      // the flat 64-term fold by ~1 ulp pre-rounding); post-round6 the
+      // two scorers must agree — this is the pin the q_ivf_pq_* oracle
+      // rewrite to LUT order relies on
+      assert(r.getAs[Double]("ref") == r.getAs[Double]("lut_adc"),
+        s"LUT/reconstruction ADC divergence at ${r.getAs[Long]("query_id")}/" +
+          s"${r.getAs[Long]("vec_id")}")
+    }
+  }
+
+  test("PQ: LUT ADC raises on a codebook hole instead of mis-ranking") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(43)
+    val emb = (0L until 40L).map(i =>
+        (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding", 8, 8)
+    val coded = emb.select(col("vec_id"),
+        Similarity.pqCodesExpr(col("embedding"), cb, 8, 8).as("codes"))
+      .localCheckpoint(true)
+    // a codebook missing some (s, j) entries the codes actually use
+    val usedJ = coded.select(explode(col("codes"))).distinct()
+      .as[Int].collect().max
+    val holed = cb.filterNot { case (s, j, _) => s == 0 && j == usedJ }
+    val q = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val ex = intercept[Exception] {
+      coded.select(Similarity.pqAdcCosineLut(
+        Similarity.pqQueryLut(typedlit(q), holed, 8, 8),
+        lit(math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)),
+        col("codes"), holed, 8, 8).as("adc")).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("codebook hole"),
+      s"expected the stale-codebook guard, got: ${ex.getMessage}")
+  }
+
 }
