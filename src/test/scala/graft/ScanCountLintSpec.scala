@@ -90,7 +90,34 @@ class ScanCountLintSpec extends SparkSpec {
       ("same trainedIvfCells lazy-assignment contract: query set, " +
         "candidate set, and re-rank all derive from the memoized " +
         "embeddings read; PlanAuditSpec separately pins its " +
-        "no-cartesian candidate generation"))
+        "no-cartesian candidate generation"),
+    "q_ivf_pq_residual" ->
+      ("same trainedIvfCells lazy-assignment contract as " +
+        "q_ivf_pq_rerank (audited x4 = its twin's count): two probe " +
+        "depths' query sides plus the exact re-rank's raw-vector " +
+        "lookups over the one memoized embeddings read; residual codes " +
+        "come from the checkpointed code frame, not a scan"))
+
+  /** Round-17 re-audit ratchet: every allowlist entry's justification
+    * was re-verified against the HEAD plan and its ACTUAL per-table
+    * scan count pinned here — an entry whose count silently grows past
+    * what its prose justifies now fails instead of hiding behind the
+    * blanket exemption. (q_corr_agg_subquery's exact count of 3 is
+    * already pinned by PlanAuditSpec; it is ratcheted here too for
+    * completeness.) */
+  private val auditedCounts: Map[String, (String, Int)] = Map(
+    "q_corr_agg_subquery" -> ("lineitem", 3),
+    "q_sole_late_supplier" -> ("lineitem", 3),
+    "q_large_volume_orders" -> ("lineitem", 3),
+    "q_profile_table" -> ("orders", 4),
+    "q_dedup_ngram_jaccard" -> ("documents", 4),
+    "q_ivf_multiprobe" -> ("embeddings", 6),
+    "q_label_noise" -> ("embeddings", 6),
+    "q_semdedup" -> ("embeddings", 3),
+    "q_ivf_rerank" -> ("embeddings", 15),
+    "q_ivf_pq_rerank" -> ("embeddings", 4),
+    "q_hard_negatives" -> ("embeddings", 4),
+    "q_ivf_pq_residual" -> ("embeddings", 4))
 
   /** Per-fact-table scan counts in the query's optimized logical plan. */
   private def scanCounts(df: DataFrame): Map[String, Int] = {
@@ -124,6 +151,22 @@ class ScanCountLintSpec extends SparkSpec {
   test("allowlist stays closed: every entry is a registered query") {
     val unknown = allowlist.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"stale allowlist entries: $unknown")
+    val unaudited = allowlist.keySet -- auditedCounts.keySet
+    assert(unaudited.isEmpty,
+      s"allowlist entries without an audited scan-count pin: $unaudited")
+  }
+
+  test("allowlisted queries stay at their audited scan counts") {
+    val drifted = auditedCounts.toSeq.sortBy(_._1).flatMap {
+      case (name, (table, maxN)) =>
+        val got = scanCounts(SparkEntry.queries(name)(spark, dir))
+          .getOrElse(table, 0)
+        if (got > maxN) Some(s"$name -> $table x$got (audited x$maxN)")
+        else None
+    }
+    assert(drifted.isEmpty,
+      "allowlisted scan counts grew past their audited pins — re-justify " +
+        s"or fuse: ${drifted.mkString("; ")}")
   }
 
   test("the detector flags a triple-scan union") {
