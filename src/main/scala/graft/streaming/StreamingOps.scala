@@ -625,6 +625,133 @@ object StreamingOps {
     sess.read.parquet(pairStorePath)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** [[minhashStateSink]] plus streaming ROOT maintenance (round-16
+    * verdict task 4): each micro-batch additionally folds its incident
+    * verified pairs into a persisted component-roots store via
+    * [[graft.ops.Dedup.incrementalRoots]] — the same node-scale
+    * increment the batch cross-run path runs (`q_dedup_roots_incr`),
+    * so the streaming store always holds the CURRENT cluster
+    * assignment and the edge-scale accumulated pair graph is never
+    * re-read by root maintenance. Steps 1-3 are [[minhashStateSink]]
+    * verbatim; step 4:
+    *
+    *  4. the previous roots SNAPSHOT (node-scale) unions with the
+    *     batch's landed pairs through [[graft.ops.Dedup.incrementalRoots]]
+    *     and lands as a full snapshot at `batch_id=N`
+    *     ([[graft.sink.IndexStore.writeMinhashRoots]] layout); older
+    *     generations except the immediate predecessor are GC'd.
+    *
+    * Replay safety: a foreachBatch replay of batch N re-reads the
+    * PREDECESSOR snapshot (GC always keeps it) and the deterministically
+    * rewritten `batch_id=N` pair partition, so the recomputed snapshot N
+    * is byte-identical — and merging edges already reflected in a
+    * snapshot is a no-op on the partition structure, so even a replay
+    * against an already-written snapshot N converges. After any number
+    * of micro-batches the newest snapshot equals connected components
+    * over the one-shot pair graph of the union of batches —
+    * StreamingDedupSpec proves it plus replay idempotence, and
+    * `q_dedup_roots_stream` oracle-gates the streamed assignment against
+    * a row-level full-graph rebuild.
+    *
+    * Same cross-batch id-uniqueness contract as [[minhashStateSink]].
+    */
+  def rootsStateSink(
+      docs: DataFrame, idCol: String, textCol: String,
+      sigStorePath: String, pairStorePath: String, rootsStorePath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        graft.ops.Dedup.minhashPrepared(batch, idCol, textCol, k)
+          .write.mode("overwrite")
+          .parquet(s"$sigStorePath/batch_id=$batchId")
+        val landed = sess.read.parquet(s"$sigStorePath/batch_id=$batchId")
+          .select(col("id"), col("sig"), col("toks"))
+        val prior = sess.read.parquet(sigStorePath)
+          .filter(col("batch_id").cast("long") < batchId)
+          .select(col("id"), col("sig"), col("toks"))
+        graft.ops.Dedup
+          .nearDupMinhashFromState(landed, prior, k, bands, minJaccard)
+          .write.mode("overwrite")
+          .parquet(s"$pairStorePath/batch_id=$batchId")
+        foldRootsSnapshot(sess, pairStorePath, rootsStorePath, batchId)
+      }
+      .start()
+
+  /** Step 4 of [[rootsStateSink]], exposed for replay tests: fold the
+    * landed `batch_id=N` pairs into a new roots snapshot from the
+    * newest prior snapshot, then GC dead generations. */
+  private[graft] def foldRootsSnapshot(sess: SparkSession,
+      pairStorePath: String, rootsStorePath: String, batchId: Long): Unit = {
+    val newEdges = sess.read
+      .parquet(s"$pairStorePath/batch_id=$batchId")
+      .select(col("id_a"), col("id_b"))
+    val priorRoots = latestRootsBefore(sess, rootsStorePath, batchId)
+      // no prior snapshot: an empty (id, root) frame of the pair id type
+      .getOrElse(newEdges.select(col("id_a").as("id"),
+        col("id_a").as("root")).limit(0))
+    val roots = graft.ops.Dedup
+      .incrementalRoots(priorRoots, newEdges, "id_a", "id_b")
+      .select(col("id"), col("comp").as("root"))
+    graft.sink.IndexStore.writeMinhashRoots(
+      roots, s"$rootsStorePath/batch_id=$batchId")
+    gcRootSnapshots(sess, rootsStorePath, batchId)
+  }
+
+  private def snapshotIds(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    fs.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch_id=")) n.stripPrefix("batch_id=").toLongOption
+      else None
+    }
+
+  /** The newest roots snapshot strictly BEFORE `batchId` — the fold's
+    * prior state (on a replay of batch N this is still the snapshot the
+    * original run read, because GC keeps the immediate predecessor). */
+  private[graft] def latestRootsBefore(sess: SparkSession,
+      rootsStorePath: String, batchId: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(rootsStorePath)
+    val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else snapshotIds(fs, root).filter(_ < batchId).maxOption
+      .map(b => sess.read.parquet(s"$rootsStorePath/batch_id=$b")
+        .select(col("id"), col("root")))
+  }
+
+  /** Keep snapshot `curBatch` and its immediate predecessor (a
+    * foreachBatch replay of `curBatch` re-reads the predecessor); older
+    * generations are dead. Best-effort hygiene — the newest-snapshot
+    * reader rule stays correct even if this never runs. */
+  private def gcRootSnapshots(sess: SparkSession, rootsStorePath: String,
+      curBatch: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(rootsStorePath)
+    val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val ids = snapshotIds(fs, root)
+    val keep = (ids.filter(_ < curBatch).sorted.lastOption.toSeq :+ curBatch).toSet
+    ids.filterNot(keep).foreach(i =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch_id=$i"), true))
+  }
+
+  /** The root store's CURRENT cluster assignment: the newest snapshot —
+    * one node-scale narrow scan, never a component rebuild. */
+  def minhashStateRoots(sess: SparkSession, rootsStorePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(rootsStorePath)
+    val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"minhashStateRoots: no store at $rootsStorePath")
+    val latest = snapshotIds(fs, root).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"minhashStateRoots: no snapshot under $rootsStorePath"))
+    sess.read.parquet(s"$rootsStorePath/batch_id=$latest")
+      .select(col("id"), col("root"))
+  }
+
   /** Streaming PERCEPTUAL (dHash) dedup over a media stream — the
     * multimodal sibling of [[minhashStateSink]], same state contract:
     *

@@ -84,4 +84,49 @@ class StreamingDedupSpec extends SparkSpec {
       graft.streaming.StreamingOps.minhashStatePairs(spark, pairStore))
     assert(replayed == oneShot, "a replayed batch must not change the store")
   }
+
+  test("streamed roots snapshot equals full-graph components; replay idempotent") {
+    implicit val sc = spark.sqlContext
+    val all = graft.ops.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val batches = (0 until 3).map(i => all.filter(_._1 % 3 == i))
+    assert(batches.forall(_.nonEmpty))
+    val (sigStore, pairStore, rootsStore, ckpt) =
+      (tmp("rsigs"), tmp("rpairs"), tmp("roots"), tmp("rckpt"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.rootsStateSink(
+      in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", sigStore, pairStore, rootsStore, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def rootSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = rootSet(
+      graft.streaming.StreamingOps.minhashStateRoots(spark, rootsStore))
+    val oneShotPairs = graft.ops.Dedup.nearDupMinhash(
+      all.toDF("doc_id", "text"), "doc_id", "text",
+      k = 16, bands = 4, minJaccard = 0.5)
+    val oneShot = rootSet(graft.ops.Dedup.connectedComponents(
+      oneShotPairs.select(col("id_a"), col("id_b")),
+      "id_a", "id_b", uniquePairs = true))
+    assert(streamed.nonEmpty, "sf0.001 must produce near-dup clusters")
+    assert(streamed == oneShot,
+      "roots after 3 micro-batches must equal the one-shot component build")
+    // GC keeps only the newest snapshot and its immediate predecessor
+    val gens = new java.io.File(rootsStore).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(gens == Seq("batch_id=1", "batch_id=2"),
+      s"GC must keep exactly the last two generations, got $gens")
+    // replay the LAST batch's fold exactly as a foreachBatch retry would:
+    // the predecessor snapshot is still there, the pair partition is
+    // deterministic, so the recomputed snapshot must not change the state
+    graft.streaming.StreamingOps.foldRootsSnapshot(
+      spark, pairStore, rootsStore, 2L)
+    val replayed = rootSet(
+      graft.streaming.StreamingOps.minhashStateRoots(spark, rootsStore))
+    assert(replayed == oneShot, "a replayed fold must not change the store")
+  }
 }
