@@ -45,16 +45,37 @@ def cal_median(rec):
     return statistics.median(totals) if totals else None
 
 
+def per_query(rec):
+    """Per-query seconds: MIN over warm passes when the raw pass data is
+    in the record (a 2-warm-pass median flags any single spiked pass as
+    a 4x regression; the min is the spike-resistant envelope — a real
+    regression raises every pass), else the record's median map."""
+    import re
+    passes = sorted(k for k in rec if re.fullmatch(r"pass\d+", k))
+    if len(passes) >= 2:
+        warm = passes[1:] if rec.get("excl_pass1") else passes
+        qs = {}
+        for q in rec["queries"]:
+            vals = [rec[p][q] for p in warm if q in rec[p]]
+            qs[q] = min(vals) if vals else rec["queries"][q]
+        return qs
+    return dict(rec["queries"])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--min-delta", type=float, default=0.15,
+                    help="ignore regressions whose absolute increase is "
+                         "under this many seconds (task-scheduling "
+                         "granularity dominates sub-100ms queries)")
     ap.add_argument("--md", help="also write the table to this file")
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
-    oq, nq = old["queries"], new["queries"]
+    oq, nq = per_query(old), per_query(new)
     shared = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
@@ -89,8 +110,10 @@ def main():
 
     thr = args.threshold
     out = [(q, r, r / drift) for q, r in ratios.items()]
-    regressed = sorted((t for t in out if t[2] > thr),
-                       key=lambda t: -t[2])
+    regressed = sorted(
+        (t for t in out
+         if t[2] > thr and nq[t[0]] - oq[t[0]] >= args.min_delta),
+        key=lambda t: -t[2])
     improved = sorted((t for t in out if t[2] < 1 / thr),
                       key=lambda t: t[2])
 
