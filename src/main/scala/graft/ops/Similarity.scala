@@ -614,7 +614,15 @@ object Similarity {
     * join — probed cell = candidate cell); the reconstruction is
     * x̂ = centroid + r̂ where r̂ concatenates the residual codebook's
     * sub-centroids. Same sequential 64-term dot/norm folds and 1e-6
-    * floor as [[pqAdcCosine]]; same NULL-hole stale-codebook guard. */
+    * floor as [[pqAdcCosine]]; same NULL-hole stale-codebook guard.
+    *
+    * Deliberately the reconstruction form, not a LUT: a residual LUT
+    * needs dot(q, x̂) = dot(q, c) + Σ_s lut_r AND a norm cross-term
+    * table ‖x̂‖² = ‖c‖² + 2·Σ_s (c_s·r̂_s) + Σ_s ‖r̂_s‖² keyed by
+    * (cell, s, j) — an n_cells × m × 16 literal that grows with the
+    * coarse index. At this query's measured 0.46 s warm the
+    * reconstruction is not the bottleneck; revisit if residual ADC
+    * ever dominates a profile. */
   def pqAdcCosineResidual(qv: Column, centroid: Column, codes: Column,
       cb: Seq[(Int, Int, Seq[Double])], m: Int, subDim: Int): Column = {
     val cbLit = pqCbLit(pqCbGrid("pqAdcCosineResidual", cb, m))

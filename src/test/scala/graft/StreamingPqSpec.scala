@@ -69,4 +69,44 @@ class StreamingPqSpec extends SparkSpec {
     assert(probed.select("cell").distinct().collect()
       .map(_.getInt(0)).toSet == Set(1, 3))
   }
+
+  test("residual ingest: the sink is codebook-agnostic — streamed residual codes equal one-shot") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(61)
+    // two cells with distinct means so residuals differ from raw vectors
+    val cents: Map[Int, Double] = Map(0 -> 0.3, 1 -> -0.3)
+    val all = (0L until 80L).map { i =>
+      val cell = (i % 2).toInt
+      (i, Seq.fill(64)(rnd.nextFloat() - 0.5f + cents(cell).toFloat), cell)
+    }
+    val corpus = all.toDF("vec_id", "embedding", "cell")
+    val centLits = array(Seq(0, 1).map(c =>
+      typedlit(Seq.fill(64)(cents(c)))): _*)
+    def withResid(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("resid", graft.ops.Similarity.pqResidual(
+        col("embedding"), element_at(centLits, col("cell") + 1)))
+    // residual codebook trained once up front, frozen — the IVFADC
+    // ingest path is pqStateSink UNCHANGED, fed the resid column: the
+    // sink codes whatever vector column it is given against whatever
+    // codebook it was frozen with
+    val cbr = graft.ops.Similarity.pqTrainCodebook(
+      withResid(corpus), "vec_id", "resid", 16, 4)
+    val (store, ckpt) = (tmp("rescodes"), tmp("resckpt"))
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val q = graft.streaming.StreamingOps.pqStateSink(
+      withResid(in.toDF().toDF("vec_id", "embedding", "cell")),
+      "vec_id", "resid", "cell", cbr, 16, 4, store, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    val batches = (0 until 3).map(i => all.filter(_._1 % 3 == i))
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = codeMap(spark.read.parquet(store))
+    val oneShot = codeMap(withResid(corpus).select(col("vec_id"), col("cell"),
+      graft.ops.Similarity.pqCodesExpr(col("resid"), cbr, 16, 4).as("codes")))
+    assert(streamed == oneShot,
+      "streamed residual store must equal one-shot residual coding")
+    assert(streamed.size == 80 &&
+      streamed.values.forall(cs => cs.length == 16 && cs.forall(j => j >= 0 && j < 16)))
+  }
 }
