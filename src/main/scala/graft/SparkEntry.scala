@@ -19,7 +19,8 @@ object SparkEntry {
       RetrievalEvalQueries.defs ++ Experiment3Queries.defs ++
       IvfMaintenanceQueries.defs ++ TextNoveltyQueries.defs ++
       AgreementQueries.defs ++ CurationQueries.defs ++ KeywordQueries.defs ++
-      TpchShapeQueries.defs ++ CrossRunDedupQueries.defs
+      TpchShapeQueries.defs ++ CrossRunDedupQueries.defs ++
+      KnnGraphQueries.defs ++ MaxScoreQueries.defs
 
   /** Flagship smoke on /root/testdata/sf0.001; driver checks rows>0.
     * One row from each of the engine's three pillars — reference-parity

@@ -192,6 +192,216 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** The AND-OR sign-LSH key frame (id, l, bucket) — one row per (vector,
+    * table), the narrow index both [[lshTopK]] variants build inline and
+    * the streaming kNN maintenance persists incrementally. Same per-row
+    * width check (a too-narrow vector would bucket on NULL signs and
+    * silently merge high tables into one degenerate bucket). */
+  def signKeys(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, tables: Int): DataFrame = {
+    require(nBits >= 1 && tables >= 1,
+      s"nBits=$nBits and tables=$tables must both be >= 1")
+    val needDims = tables * nBits
+    val v = when(size(col(vecCol)) >= needDims, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"signKeys: tables*nBits = $needDims sign dims but vector has "),
+        coalesce(size(col(vecCol)).cast("string"), lit("NULL (null vector)")))))
+    df.select(col(idCol).as("id"),
+      posexplode(array((0 until tables).map { l =>
+        signBucketAt(v, l * nBits, nBits)
+      }: _*)).as(Seq("l", "bucket")))
+  }
+
+  /** LSH-seeded k-nearest-neighbor GRAPH: every corpus row is a query,
+    * candidates come from the AND-OR sign-LSH bucket family ([[lshTopKSelf]]
+    * with an all-rows query predicate), and each node keeps its k best
+    * candidates by exact cosine. This is the seed graph for NN-descent
+    * refinement ([[nnDescentRound]]) and the building block of kNN-graph
+    * consumers (graph clustering, semantic dedup, diversity sampling).
+    *
+    * Scale shape: identical to [[lshTopKSelf]] — the bucket index is
+    * n·tables narrow rows computed once, the candidate join is an
+    * equi-join on (table, bucket), and per-node top-k is a partitioned
+    * rank window (map-side-limited by WindowGroupLimit). Nothing is
+    * quadratic in n; the candidate mass is Σ_buckets b² which the
+    * (nBits, tables) operating point controls. Nodes whose buckets are
+    * all singletons get no edges — NN-descent's reverse-edge expansion
+    * is the standard recovery for exactly that.
+    *
+    * Returns (node_id, neighbor_id, cos, rank ≤ k).
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nBits: Int = 8, tables: Int = 8): DataFrame =
+    lshTopKSelf(corpus, lit(true), idCol, vecCol, k, nBits, tables)
+      .withColumnRenamed("query_id", "node_id")
+
+  /** One NN-descent refinement round (Dong, Moses & Li, WWW 2011 — "a
+    * neighbor of a neighbor is likely a neighbor"): candidates for node u
+    * are u's current neighbors PLUS every two-hop endpoint over the
+    * SYMMETRIZED edge set (forward ∪ reverse edges — reverse edges are
+    * what reconnect nodes the LSH seeding left isolated), re-ranked by
+    * exact cosine, keeping the top k.
+    *
+    * Scale shape: the graph is node-scale (≤ n·k edges); symmetrization
+    * doubles it; the two-hop expansion is a self-equi-join on the shared
+    * middle node — ≤ n·(2k)² candidate rows, NEVER n². Scoring fetches
+    * the two vectors by id equi-join (the [[lshTopK]] discipline: ids
+    * travel through the joins, vectors attach once at the end). Each
+    * round is one shuffle-bounded pass; callers iterate rounds until the
+    * graph stops improving (recall-vs-truth is the stop metric —
+    * q_knn_recall's contract measures one round's lift).
+    *
+    * Returns (node_id, neighbor_id, cos, rank ≤ k).
+    */
+  def nnDescentRound(corpus: DataFrame, graph: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val e = graph.select(col("node_id"), col("neighbor_id"))
+    val sym = e.union(
+        e.select(col("neighbor_id").as("node_id"), col("node_id").as("neighbor_id")))
+      .distinct()
+    val hops = sym
+      .join(sym.select(col("node_id").as("mid"), col("neighbor_id").as("hop")),
+        col("neighbor_id") === col("mid"))
+      .filter(col("node_id") =!= col("hop"))
+      .select(col("node_id"), col("hop").as("neighbor_id"))
+    val cand = e.union(hops).distinct()
+    val scored = cand
+      .join(corpus.select(col(idCol).as("node_id"), col(vecCol).as("qv")), "node_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos").isNotNull)
+    val w = Window.partitionBy(col("node_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("node_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Graph-guided ANN beam search (the NSW/HNSW base-layer search of
+    * Malkov et al. re-expressed as bounded-round dataflow): each query
+    * starts from a fixed ENTRY node set, and every round expands the
+    * current beam by its graph neighbors (symmetrized edges), re-scores
+    * by exact cosine against the query vector, and keeps the best `beam`
+    * nodes. Because the previous beam is always in the candidate set,
+    * the beam's k-th best cosine is monotonically non-decreasing round
+    * over round; `rounds` is FIXED (not convergence-driven) so an SQL
+    * oracle can replay the search round-for-round.
+    *
+    * This is the READ path of the kNN-graph index ([[knnGraph]] +
+    * [[nnDescentRound]] build it): per round, the frontier is
+    * |Q|·beam·2k candidate rows through one equi-join on the node id —
+    * query-scale, never corpus-scale. The corpus is touched only by the
+    * id-equi-join that attaches candidate vectors (the [[lshTopK]]
+    * discipline), so a 100 TB corpus costs each round one narrow
+    * shuffled lookup of |Q|·beam·2k ids, not a scan. The symmetrized
+    * edge frame is node-scale (≤ 2·n·k rows) and checkpointed once —
+    * all `rounds` iterations reuse the materialization.
+    *
+    * Returns the final beam: (query_id, neighbor_id, cos, rank ≤ beam),
+    * self-matches excluded.
+    */
+  def graphSearch(corpus: DataFrame, graph: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, entries: DataFrame,
+      beam: Int, rounds: Int): DataFrame = {
+    require(beam >= 1 && rounds >= 0,
+      s"beam=$beam must be >= 1 and rounds=$rounds >= 0")
+    val e = graph.select(col("node_id"), col("neighbor_id"))
+    val sym = e.union(
+        e.select(col("neighbor_id").as("node_id"), col("node_id").as("neighbor_id")))
+      .distinct()
+      .localCheckpoint(true)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("node_id"), col(vecCol).as("cv"))
+    def topBeam(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(broadcast(q), "query_id")
+        .join(c, "node_id")
+        .filter(col("node_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .filter(col("cos").isNotNull)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("node_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= beam)
+        .select("query_id", "node_id", "cos", "rank")
+    }
+    val b0 = topBeam(q.select(col("query_id"))
+      .crossJoin(broadcast(entries.select(col(idCol).as("node_id")))))
+    val bFinal = (1 to rounds).foldLeft(b0) { (b, _) =>
+      val frontier = b.select(col("query_id"), col("node_id"))
+        .join(sym, "node_id")
+        .select(col("query_id"), col("neighbor_id").as("node_id"))
+      topBeam(b.select(col("query_id"), col("node_id")).union(frontier).distinct())
+    }
+    bFinal.withColumnRenamed("node_id", "neighbor_id")
+  }
+
+  /** PQ-scored graph-ANN beam search — the DiskANN design point
+    * (Subramanya et al., NeurIPS 2019, public): identical traversal to
+    * [[graphSearch]], but every beam round scores candidates by LUT-ADC
+    * cosine over their m PQ CODE BYTES ([[pqAdcCosineLut]] against the
+    * broadcast codebook + the per-query [[pqQueryLut]] table computed
+    * once), and only the FINAL beam is exact-re-ranked against raw
+    * vectors. Traversal I/O is therefore code-table-sized (m bytes per
+    * candidate, 32× under the raw float rows at m = 8); the raw store
+    * is touched once, for ≤ beam rows per query — the memory/IO shape
+    * that lets a graph index serve a corpus whose vectors don't fit
+    * hot storage. The ADC ranking can diverge from exact ranking (that
+    * is the quantization trade); the exact re-rank bounds the damage to
+    * "the true neighbor must merely REACH the final beam, not win every
+    * intermediate round". Returns (query_id, neighbor_id, cos exact,
+    * rank ≤ k).
+    */
+  def graphSearchAdc(corpus: DataFrame, graph: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, entries: DataFrame,
+      codes: DataFrame, cb: Seq[(Int, Int, Seq[Double])],
+      m: Int, subDim: Int, beam: Int, rounds: Int, k: Int): DataFrame = {
+    require(beam >= 1 && rounds >= 0 && k >= 1 && k <= beam,
+      s"need beam=$beam >= 1, rounds=$rounds >= 0, 1 <= k=$k <= beam")
+    val e = graph.select(col("node_id"), col("neighbor_id"))
+    val sym = e.union(
+        e.select(col("neighbor_id").as("node_id"), col("node_id").as("neighbor_id")))
+      .distinct()
+      .localCheckpoint(true)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("lut", pqQueryLut(col("qv"), cb, m, subDim))
+      .withColumn("qnorm", norm(col("qv")))
+    val cd = codes.select(col(idCol).as("node_id"), col("codes"))
+    def topBeamAdc(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(broadcast(q.select(col("query_id"), col("lut"), col("qnorm"))), "query_id")
+        .join(cd, "node_id")
+        .filter(col("node_id") =!= col("query_id"))
+        .withColumn("adc",
+          pqAdcCosineLut(col("lut"), col("qnorm"), col("codes"), cb, m, subDim))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").desc, col("node_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= beam)
+        .select("query_id", "node_id")
+    }
+    val b0 = topBeamAdc(q.select(col("query_id"))
+      .crossJoin(broadcast(entries.select(col(idCol).as("node_id")))))
+    val bFinal = (1 to rounds).foldLeft(b0) { (b, _) =>
+      val frontier = b.join(sym, "node_id")
+        .select(col("query_id"), col("neighbor_id").as("node_id"))
+      topBeamAdc(b.union(frontier).distinct())
+    }
+    val c = corpus.select(col(idCol).as("node_id"), col(vecCol).as("cv"))
+    val rr = bFinal
+      .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+      .join(c, "node_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node_id").asc)
+    rr.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node_id").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
   /** Column-wise centroids per cell from a labeled corpus — the IVF
     * "training" step, here using a provided coarse label. Per-dimension
     * sums go through DECIMAL(20,10) so partial-aggregation order cannot

@@ -50,17 +50,17 @@ object ExtensionQueries {
 
   /** sequential double dot product of two float lists (same order as the
     * Spark zip_with/aggregate — bit-identical). */
-  private def dDot(a: String, b: String) =
+  private[queries] def dDot(a: String, b: String) =
     dSumD(s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
 
-  private def dCos(a: String, b: String) =
+  private[queries] def dCos(a: String, b: String) =
     s"floor((${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))) * 1000000.0 + 0.5) / 1000000.0"
 
   /** AND-OR sign-LSH key family: `tables` keys per vector, table l packing
     * the sign bits of dims [l*nBits, (l+1)*nBits) and fused with the table
     * index as key = l * 2^nBits + bucket — equivalent to the Spark side's
     * (l, bucket) equi-join pair since bucket < 2^nBits. */
-  private def dLshKeys(e: String, tables: Int, nBits: Int) =
+  private[queries] def dLshKeys(e: String, tables: Int, nBits: Int) =
     s"""list_transform(range(0, $tables), l -> l * ${1 << nBits} +
        |  list_reduce(list_concat([CAST(0 AS BIGINT)],
        |    list_transform(range(0, $nBits), i ->
@@ -2239,7 +2239,7 @@ object ExtensionQueries {
     * of a${i-1} and a$i = the rounded-cosine reassignment; plus the final
     * centroid set cent${iters+1} over a$iters (what the probe step uses).
     * Mirrors the hash-gate-proven q_ivf_kmeans_assign single-step SQL. */
-  private def dLloydCtes(iters: Int): String = {
+  private[queries] def dLloydCtes(iters: Int): String = {
     def centBlock(i: Int, from: String) =
       s"""ce$i AS (SELECT cell, generate_subscripts(e, 1) AS pos, unnest(e) AS v FROM $from),
          |cm$i AS (SELECT cell, pos,
@@ -2834,7 +2834,7 @@ object ExtensionQueries {
   private val pqCbCache =
     new graft.ops.SessionCache[String, Seq[(Int, Int, Seq[Double])]]("pq-cb:")
 
-  private def pqCodebook(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def pqCodebook(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(Int, Int, Seq[Double])] =
     pqCbCache.getOrElseUpdate(spark, dir,
       Similarity.pqTrainCodebook(trainedIvfCells(spark, dir, 2),
@@ -2843,7 +2843,7 @@ object ExtensionQueries {
   /** Memoized PQ code table (vec_id, label = trained cell, codes
     * array<int>[8]) — shared by the ADC re-rank query and the persisted
     * PQ store. */
-  private def pqCodesMemo(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def pqCodesMemo(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     minhashPairsCache.getOrElseUpdate(spark, (dir, "pq_codes"), {
       val cb = pqCodebook(spark, dir)
@@ -2859,7 +2859,7 @@ object ExtensionQueries {
     * [[graft.ops.Similarity.pqTrainCodebook]]/[[Similarity.pqCodesExpr]]
     * literal-for-literal; consumed by q_ivf_pq_rerank and
     * q_ivf_pq_persist. */
-  private def pqOracleCtes: String = pqOracleCtesFrom(
+  private[queries] def pqOracleCtes: String = pqOracleCtesFrom(
     "SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS v FROM a2")
 
   /** [[pqOracleCtes]] generalized over its (vec_id, pos, v) source and
@@ -2916,7 +2916,7 @@ object ExtensionQueries {
     * reconstruction form, so the SQL stays bit-identical to the Spark
     * side. Requires [[pqOracleCtes]]' cb2 and a prior `q (query_id, qv)`
     * CTE. */
-  private def pqLutCtes: String =
+  private[queries] def pqLutCtes: String =
     s"""pqn AS (SELECT s, j,
        |    ${dSumD("list_transform(range(1, len(sc) + 1), i -> sc[i] * sc[i])")} AS nsq
        |  FROM cb2),

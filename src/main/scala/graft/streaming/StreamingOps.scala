@@ -752,6 +752,148 @@ object StreamingOps {
       .select(col("id"), col("root"))
   }
 
+  /** Streaming kNN-GRAPH maintenance — the ANN-index sibling of
+    * [[rootsStateSink]], same snapshot-generation state contract. The
+    * persisted state is a VECTOR store (append-only `batch_id=N`
+    * partitions of (id, vec) — the raw corpus the index serves) plus a
+    * GRAPH store of full per-node top-k snapshots. Per micro-batch:
+    *
+    *  1. the batch's vectors land as their own deterministic
+    *     `batch_id=N` partition (idempotent overwrite on replay — the
+    *     [[ivfStateSink]] discipline);
+    *  2. candidate edges INCIDENT to the batch come from the sign-LSH
+    *     bucket equi-join of the landed batch's keys against the keys
+    *     of everything landed so far ([[graft.ops.Similarity.signKeys]]
+    *     recomputed map-side from the narrow vector store — cheaper
+    *     than persisting the 8×-exploded key rows), in BOTH
+    *     orientations: a new node builds its own list AND may enter an
+    *     old node's list. batch×store work, never store×store;
+    *  3. the previous graph snapshot (node-scale, ≤ n·k rows) unions
+    *     with the incident scored edges, per-node top-k re-ranks, and
+    *     the result lands as a full snapshot at `batch_id=N`; older
+    *     generations except the immediate predecessor are GC'd.
+    *
+    * After any number of micro-batches the newest snapshot equals
+    * [[graft.ops.Similarity.knnGraph]] over the union of all batches,
+    * byte-identically: a candidate pair (u,v) is considered exactly
+    * when its LATER endpoint lands, the merge keeps per-node top-k
+    * under the same (cos desc, neighbor asc) comparator, and re-scored
+    * cosines are bit-identical to stored ones (same fused expression).
+    * StreamingKnnSpec proves N batches ≡ one-shot plus replay
+    * idempotence and the GC invariant; `q_knn_graph_stream` oracle-gates
+    * the streamed snapshot against the row-level one-shot replay.
+    *
+    * Replay safety: a foreachBatch replay of batch N re-reads the
+    * predecessor snapshot (GC always keeps it), the deterministically
+    * rewritten `batch_id=N` vector partition, and the prior vector
+    * partitions — so the recomputed snapshot N is byte-identical.
+    * Cross-batch id-uniqueness contract as [[minhashStateSink]].
+    */
+  def knnStateSink(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      vecStorePath: String, graphStorePath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      k: Int = 16, nBits: Int = 8, tables: Int = 8): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .write.mode("overwrite")
+          .parquet(s"$vecStorePath/batch_id=$batchId")
+        foldKnnSnapshot(sess, vecStorePath, graphStorePath, batchId,
+          k, nBits, tables)
+      }
+      .start()
+
+  /** Steps 2-3 of [[knnStateSink]], exposed for replay tests: score the
+    * batch-incident candidate edges and fold them with the predecessor
+    * snapshot into snapshot `batchId`, then GC dead generations. */
+  private[graft] def foldKnnSnapshot(sess: SparkSession,
+      vecStorePath: String, graphStorePath: String, batchId: Long,
+      k: Int, nBits: Int, tables: Int): Unit = {
+    import graft.ops.Similarity
+    val landed = sess.read.parquet(s"$vecStorePath/batch_id=$batchId")
+      .select(col("id"), col("vec"))
+    val all = sess.read.parquet(vecStorePath)
+      .filter(col("batch_id").cast("long") <= batchId)
+      .select(col("id"), col("vec"))
+    val newKeys = Similarity.signKeys(landed, "id", "vec", nBits, tables)
+    val allKeys = Similarity.signKeys(all, "id", "vec", nBits, tables)
+    val incidentNew = newKeys.withColumnRenamed("id", "node_id")
+      .join(allKeys.withColumnRenamed("id", "neighbor_id"), Seq("l", "bucket"))
+      .filter(col("node_id") =!= col("neighbor_id"))
+      .select(col("node_id"), col("neighbor_id"))
+    val incident = incidentNew
+      .union(incidentNew.select(col("neighbor_id").as("node_id"),
+        col("node_id").as("neighbor_id")))
+      .distinct()
+    val scored = incident
+      .join(all.select(col("id").as("node_id"), col("vec").as("qv")), "node_id")
+      .join(all.select(col("id").as("neighbor_id"), col("vec").as("cv")),
+        "neighbor_id")
+      .select(col("node_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos").isNotNull)
+    val prior = latestKnnBefore(sess, graphStorePath, batchId)
+      .getOrElse(scored.limit(0))
+    // prior ∪ incident may repeat a pair (both endpoints old, re-bucketed
+    // never happens — but a REPLAY folds edges already in the snapshot);
+    // cosines of repeats are bit-identical (same fused expression over
+    // the same stored floats), so a max-aggregate dedups deterministically
+    val merged = prior.select(col("node_id"), col("neighbor_id"), col("cos"))
+      .union(scored)
+      .groupBy(col("node_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val snapshot = merged
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("node_id"), col("neighbor_id"), col("cos"), col("rank"))
+    snapshot.write.mode("overwrite")
+      .parquet(s"$graphStorePath/batch_id=$batchId")
+    gcKnnSnapshots(sess, graphStorePath, batchId)
+  }
+
+  /** The newest graph snapshot strictly BEFORE `batchId`. */
+  private[graft] def latestKnnBefore(sess: SparkSession,
+      graphStorePath: String, batchId: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(graphStorePath)
+    val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else snapshotIds(fs, root).filter(_ < batchId).maxOption
+      .map(b => sess.read.parquet(s"$graphStorePath/batch_id=$b")
+        .select(col("node_id"), col("neighbor_id"), col("cos"), col("rank")))
+  }
+
+  private def gcKnnSnapshots(sess: SparkSession, graphStorePath: String,
+      curBatch: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(graphStorePath)
+    val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val ids = snapshotIds(fs, root)
+    val keep = (ids.filter(_ < curBatch).sorted.lastOption.toSeq :+ curBatch).toSet
+    ids.filterNot(keep).foreach(i =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch_id=$i"), true))
+  }
+
+  /** The graph store's CURRENT kNN graph: the newest snapshot — one
+    * node-scale narrow scan, never an index rebuild. */
+  def knnStateGraph(sess: SparkSession, graphStorePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(graphStorePath)
+    val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"knnStateGraph: no store at $graphStorePath")
+    val latest = snapshotIds(fs, root).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"knnStateGraph: no snapshot under $graphStorePath"))
+    sess.read.parquet(s"$graphStorePath/batch_id=$latest")
+      .select(col("node_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Streaming PERCEPTUAL (dHash) dedup over a media stream — the
     * multimodal sibling of [[minhashStateSink]], same state contract:
     *
