@@ -20,7 +20,7 @@ object SparkEntry {
       IvfMaintenanceQueries.defs ++ TextNoveltyQueries.defs ++
       AgreementQueries.defs ++ CurationQueries.defs ++ KeywordQueries.defs ++
       TpchShapeQueries.defs ++ CrossRunDedupQueries.defs ++
-      KnnGraphQueries.defs ++ MaxScoreQueries.defs
+      KnnGraphQueries.defs ++ MaxScoreQueries.defs ++ AnnEvalQueries.defs
 
   /** Flagship smoke on /root/testdata/sf0.001; driver checks rows>0.
     * One row from each of the engine's three pillars — reference-parity

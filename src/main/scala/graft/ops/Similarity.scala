@@ -51,6 +51,24 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     TextAnalysis.round6(nanToNull(graft.functions.CosineSimilarity.cosineFast(a, b)))
 
+  /** Asymmetric scalar-quantization cosine: a RAW float query against an
+    * int8 code array. The per-vector quantization scale cancels in the
+    * cosine ratio, so this IS the SQ8 approximate score — integer-valued
+    * dot and candidate norm (engine-exact term products), one floored
+    * division. Zero-norm codes map to NULL like [[cosine]]. */
+  def cosineInt(qv: Column, codes: Column): Column = {
+    val dotQC = aggregate(
+      zip_with(qv, codes, (x, c) => x.cast("double") * c.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val normC = sqrt(aggregate(codes,
+      lit(0.0), (acc, c) => acc + c.cast("double") * c.cast("double")))
+    // guard the divisor rather than the quotient: under ANSI mode (the
+    // Spark 4 default this library runs with) 0/0 raises DIVIDE_BY_ZERO
+    // before nanToNull could see the NaN
+    val denom = norm(qv) * normC
+    TextAnalysis.round6(when(denom > 0, dotQC / denom))
+  }
+
   /** Exact brute-force top-k: for every query row, the k nearest corpus rows
     * by cosine (self-match excluded), ties broken by corpus id ascending.
     * The query side should be small — Catalyst broadcasts it under the join
