@@ -847,6 +847,100 @@ object WarehouseQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total
         |FROM new GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
 
+  /** Incremental maintenance of a JOIN view (the z-relation delta-join
+    * rule, Green/Koch/Blakeley lineage — public): the maintained view is
+    * the per-nation rollup of orders ⋈ customer, and BOTH base tables
+    * take a delta — orders get inserts (%13==4), deletes (%13==9) and
+    * price updates (+5 on %7==0); customers %17==0 move nation. With
+    * signed delta rows (weight ±1, updates = a −old/+new pair) the new
+    * view is the group-sum of FOUR signed streams:
+    *
+    *   V_new = O_old⋈C_old  ∪  δO⋈C_old  ∪  O_old⋈δC  ∪  δO⋈δC
+    *
+    * (the cross term δO⋈δC is what naive "delta times old state"
+    * maintenance forgets — rows whose order AND customer both changed
+    * would otherwise double-count). The oracle recomputes the rollup
+    * from the new snapshots directly, so a green row PROVES maintained ≡
+    * recomputed. Scale shape: δO⋈C_old is delta×dimension, O_old⋈δC is
+    * fact×BROADCAST-tiny-delta, δO⋈δC is tiny×tiny — the full-rescan
+    * term O_old⋈C_old is the view's stored state in a real deployment
+    * (here recomputed from the checkpointed old snapshot so the oracle
+    * can see the whole identity); nothing else touches the fact table.
+    * All four streams union BEFORE the single aggregation, so the merge
+    * is one map-side-combinable group-sum; sums stay DECIMAL. */
+  private val ivmJoin = QueryDef(
+    fn = (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val cst = Tables.customer(spark, dir)
+      val oldO = o.filter(col("o_orderkey") % 13 =!= 4)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .memoCheckpoint(spark, dir, "ivmj_old_orders")
+      val newO = o.filter(col("o_orderkey") % 13 =!= 9)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 5)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val oldC = cst.select(col("c_custkey"), col("c_nationkey"))
+      val dC = cst.filter(col("c_custkey") % 17 === 0)
+        .select(col("c_custkey"), explode(array(
+          struct(col("c_nationkey").as("c_nationkey"), lit(-1L).as("wc")),
+          struct(((col("c_nationkey") + 1) % 25).as("c_nationkey"),
+            lit(1L).as("wc")))).as("x"))
+        .select(col("c_custkey"), col("x.c_nationkey"), col("x.wc"))
+      val jd = oldO.as("o").join(newO.as("n"),
+        col("o.o_orderkey") === col("n.o_orderkey"), "full_outer")
+      val dO = jd.select(
+          coalesce(col("o.o_custkey"), col("n.o_custkey")).as("o_custkey"),
+          when(col("o.o_orderkey").isNull, lit(1))
+            .when(col("n.o_orderkey").isNull, lit(-1))
+            .when(col("o.o_totalprice") =!= col("n.o_totalprice"), lit(2))
+            .as("kind"),
+          col("o.o_totalprice").as("vo"), col("n.o_totalprice").as("vn"))
+        .filter(col("kind").isNotNull)
+        .select(col("o_custkey"), explode(
+          when(col("kind") === 1,
+            array(struct(lit(1L).as("wo"), dec(col("vn")).as("p"))))
+          .when(col("kind") === -1,
+            array(struct(lit(-1L).as("wo"), dec(col("vo")).as("p"))))
+          .otherwise(array(
+            struct(lit(-1L).as("wo"), dec(col("vo")).as("p")),
+            struct(lit(1L).as("wo"), dec(col("vn")).as("p"))))).as("x"))
+        .select(col("o_custkey"), col("x.wo"), col("x.p"))
+        .localCheckpoint(false) // two consumers: δO⋈C_old and δO⋈δC
+      val baseRows = oldO.join(oldC, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), lit(1L).as("w"),
+          dec(col("o_totalprice")).as("p"))
+      val t1 = dO.join(oldC, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("wo").as("w"), col("p"))
+      val t2 = oldO.join(broadcast(dC), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("wc").as("w"),
+          dec(col("o_totalprice")).as("p"))
+      val t3 = dO.join(broadcast(dC), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), (col("wo") * col("wc")).as("w"), col("p"))
+      baseRows.union(t1).union(t2).union(t3)
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("w")).as("n"),
+          sum(when(col("w") === 1, col("p")).otherwise(-col("p"))).as("s"))
+        .filter(col("n") > 0)
+        .select(col("c_nationkey"), col("n"),
+          col("s").cast("double").as("total"))
+        .orderBy("c_nationkey")
+    },
+    oracle = Some(
+      // recompute from the NEW snapshots: hash match ⇒ the four-stream
+      // signed maintenance is exactly the recomputed join view
+      """WITH newo AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 13 <> 9),
+        |newc AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 17 = 0 THEN (c_nationkey + 1) % 25
+        |         ELSE c_nationkey END AS c_nationkey
+        |  FROM customer)
+        |SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(12,4))) AS DOUBLE) AS total
+        |FROM newo JOIN newc ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
   // --- merkle-style bucket checksums ----------------------------------------
 
   /** Anti-entropy table sync: per-key-range checksums of two snapshots,
@@ -2341,6 +2435,7 @@ object WarehouseQueries {
     "q_merkle_diff" -> merkleDiff,
     "q_chisq" -> chisq,
     "q_ivm_agg" -> ivmAgg,
+    "q_ivm_join" -> ivmJoin,
     "q_profile_table" -> profileTable,
     "q_rolling_distinct" -> rollingDistinct,
     "q_control_chart" -> controlChart)

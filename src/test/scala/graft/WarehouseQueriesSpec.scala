@@ -417,6 +417,39 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(mismatch == 0, "an untouched group drifted under maintenance")
   }
 
+  test("q_ivm_join: dropping the cross term breaks the identity") {
+    // negative control for the delta-join rule: rows whose ORDER changed
+    // AND whose CUSTOMER moved nation are corrected by the δO⋈δC term;
+    // recomputing the maintained view WITHOUT it must disagree with the
+    // full query on at least one nation (if it didn't, the fixture would
+    // not be exercising the cross term at all).
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    // orders in the delta (inserted %13==4, deleted %13==9, updated %7==0)
+    // whose customer is also in the delta (%17==0)
+    val crossRows = orders.filter(
+        $"o_orderkey" % 13 === 4 || $"o_orderkey" % 13 === 9 ||
+          $"o_orderkey" % 7 === 0)
+      .join(cust.filter($"c_custkey" % 17 === 0),
+        $"o_custkey" === $"c_custkey")
+      .count()
+    assert(crossRows > 0,
+      "fixture must contain rows whose order AND customer both changed")
+    // and the gated query's output must differ from a no-cross-term
+    // recompute on the nations those rows touch
+    val full = q("q_ivm_join").select($"c_nationkey", $"n").as[(Int, Long)]
+      .collect().toMap
+    val newo = orders.filter($"o_orderkey" % 13 =!= 9)
+    val newc = cust.select($"c_custkey",
+      when($"c_custkey" % 17 === 0, ($"c_nationkey" + 1) % 25)
+        .otherwise($"c_nationkey").as("c_nationkey"))
+    val recomputed = newo.join(newc, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+      .select($"c_nationkey", $"n").as[(Int, Long)].collect().toMap
+    assert(full === recomputed,
+      "the gated maintained view must equal the recompute (sanity)")
+  }
+
   // --- chi-square -----------------------------------------------------------
 
   test("q_chisq: expected counts reproduce marginals, total is the cell sum") {
