@@ -140,7 +140,75 @@ object MaxScoreQueries {
          |CROSS JOIN (SELECT COUNT(*) AS n_candidates FROM cand) c
          |CROSS JOIN theta t""".stripMargin))
 
+  // path memo for the real-stream fixture (the streamedGraphPath pattern)
+  private val streamIdxPath =
+    new graft.ops.SessionCache[String, String]("bm25-stream-path:")
+
+  /** Runs a REAL file-source stream of the documents table (3
+    * single-file parquet batches, doc_id % 3) through
+    * [[graft.streaming.StreamingOps.invertedStateSink]] once per
+    * (session, dir), returning the index store path. */
+  private def streamedIndexPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    streamIdxPath.getOrElseUpdate(spark, dir, {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bm25stream-" +
+        s"${ProcessHandle.current().pid()}-" +
+        s"${java.lang.Integer.toHexString(System.identityHashCode(spark))}-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val fs = new org.apache.hadoop.fs.Path(base + "-src")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("-src", "-idx", "-ckpt").foreach(s =>
+        fs.delete(new org.apache.hadoop.fs.Path(base + s), true))
+      val srcDir = new org.apache.hadoop.fs.Path(base + "-src")
+      fs.mkdirs(srcDir)
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      (0 until 3).foreach { i =>
+        val stage = new org.apache.hadoop.fs.Path(s"$base-stage-$i")
+        docs.filter(col("doc_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = fs.listStatus(stage).map(_.getPath)
+          .find(p => p.getName.startsWith("part-") &&
+            p.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+        fs.rename(part,
+          new org.apache.hadoop.fs.Path(srcDir, f"batch-$i%03d.parquet"))
+        fs.delete(stage, true)
+      }
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      graft.streaming.StreamingOps.invertedStateSink(
+        stream, "doc_id", "text", base + "-idx", base + "-ckpt")
+        .awaitTermination() // AvailableNow drains the 3 files and stops
+      base + "-idx"
+    })
+
+  /** The STREAMING twin of the exhaustive BM25 ranking, hash-gated end
+    * to end: a real [[graft.streaming.StreamingOps.invertedStateSink]]
+    * run folds three micro-batches of the documents table into the
+    * persisted inverted index (postings + df/global stat snapshots),
+    * and the query serves top-10 FROM that state
+    * ([[graft.streaming.StreamingOps.invertedStateBm25]]). The oracle
+    * is the one-shot exhaustive scorer over the full table, so the
+    * driver's gate proves that N micro-batches of streaming index
+    * maintenance produce BIT-identical BM25 scores to a batch rebuild —
+    * corpus stats (df, avgdl) drift with every arriving batch, and the
+    * snapshot fold absorbs exactly that drift. */
+  private val bm25Stream = QueryDef(
+    fn = (spark, dir) =>
+      graft.streaming.StreamingOps.invertedStateBm25(
+          spark, streamedIndexPath(spark, dir), TERMS, K)
+        .orderBy("rn"),
+    oracle = Some(
+      s"""WITH $dPerTerm,
+         |scored AS (SELECT doc_id, SUM(s) AS score FROM per_term GROUP BY doc_id)
+         |SELECT doc_id, CAST(score * 1000000 AS BIGINT) AS score_micros,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rn
+         |FROM scored QUALIFY rn <= $K ORDER BY rn""".stripMargin))
+
   val defs: Map[String, QueryDef] = Map(
     "q_bm25_maxscore" -> bm25MaxScore,
-    "q_maxscore_prune_stats" -> maxScoreStats)
+    "q_maxscore_prune_stats" -> maxScoreStats,
+    "q_bm25_stream" -> bm25Stream)
 }

@@ -894,6 +894,145 @@ object StreamingOps {
       .select(col("node_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Streaming INVERTED-INDEX maintenance — the text-retrieval sibling of
+    * [[knnStateSink]], same snapshot-generation state contract. The
+    * persisted state under `indexPath` is:
+    *
+    *  - `tf/batch_id=N` — (doc_id, token, tf): the batch's postings,
+    *    append-only, idempotent per-batch overwrite (at 100 TB this
+    *    store is additionally bucketed by token, so a term read prunes
+    *    to its buckets instead of scanning batches);
+    *  - `dl/batch_id=N` — (doc_id, dl): per-doc lengths, append-only;
+    *  - `df/batch_id=N` — FULL vocabulary (token, df) snapshot:
+    *    previous snapshot ∪ the batch's df delta, group-summed
+    *    (vocabulary-scale, not corpus-scale);
+    *  - `global/batch_id=N` — one row (n_docs, sum_dl).
+    *
+    * N micro-batches ≡ one one-shot index build, exactly: postings and
+    * doc lengths are per-doc facts that land once (cross-batch doc-id
+    * uniqueness contract as [[minhashStateSink]]), and df / n_docs /
+    * sum_dl are associative integer counts over disjoint doc sets, so
+    * the folded snapshots equal the one-shot counts. BM25 scores
+    * recomputed from the maintained stats ([[invertedStateBm25]]) are
+    * therefore BIT-identical to the one-shot scorer's — the corpus
+    * statistics a streaming text index must keep fresh (df, avgdl)
+    * drift with every batch, and this is the state shape that absorbs
+    * that drift as a vocabulary-scale merge instead of a corpus rescan.
+    * `q_bm25_stream` oracle-gates the streamed index against the
+    * one-shot exhaustive ranking; StreamingInvertedSpec proves
+    * N batches ≡ one-shot, replay idempotence, and the GC invariant.
+    * GC keeps each snapshot's immediate predecessor, so a foreachBatch
+    * replay of batch N recomputes snapshot N byte-identically. */
+  def invertedStateSink(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        val toks = batch.select(col(idCol).as("doc_id"),
+          graft.ops.TextAnalysis.tokens(col(textCol)).as("toks"))
+        toks.select(col("doc_id"), explode(col("toks")).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+          .write.mode("overwrite")
+          .parquet(s"$indexPath/tf/batch_id=$batchId")
+        toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+          .write.mode("overwrite")
+          .parquet(s"$indexPath/dl/batch_id=$batchId")
+        foldTextStats(sess, indexPath, batchId)
+      }
+      .start()
+
+  /** The stats fold of [[invertedStateSink]], exposed for replay tests:
+    * derive the landed batch's df delta and length totals from its OWN
+    * tf/dl partitions (so a replay re-derives identical deltas), merge
+    * with the predecessor snapshots, land generation `batchId`, GC. */
+  private[graft] def foldTextStats(sess: SparkSession,
+      indexPath: String, batchId: Long): Unit = {
+    val tfN = sess.read.parquet(s"$indexPath/tf/batch_id=$batchId")
+    val dlN = sess.read.parquet(s"$indexPath/dl/batch_id=$batchId")
+    val dfDelta = tfN.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val df = latestSnapshotBefore(sess, s"$indexPath/df", batchId)
+      .map(_.select(col("token"), col("df")).union(dfDelta))
+      .getOrElse(dfDelta)
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+    df.write.mode("overwrite").parquet(s"$indexPath/df/batch_id=$batchId")
+    val gDelta = dlN.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val g = latestSnapshotBefore(sess, s"$indexPath/global", batchId)
+      .map(_.select(col("n_docs"), col("sum_dl")).union(gDelta)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+      .getOrElse(gDelta)
+    g.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/global/batch_id=$batchId")
+    gcRootSnapshots(sess, s"$indexPath/df", batchId)
+    gcRootSnapshots(sess, s"$indexPath/global", batchId)
+  }
+
+  /** The newest snapshot strictly before `batchId` under a generation
+    * store, whatever its schema ([[latestRootsBefore]] generalized). */
+  private def latestSnapshotBefore(sess: SparkSession,
+      storePath: String, batchId: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else snapshotIds(fs, root).filter(_ < batchId).maxOption
+      .map(b => sess.read.parquet(s"$storePath/batch_id=$b"))
+  }
+
+  /** BM25 top-k served FROM the maintained inverted-index state: term
+    * postings read from the tf store (token-pruned — at scale a
+    * token-bucketed read, never a corpus scan), df and the global
+    * (n_docs, Σdl) from the NEWEST snapshots. The score expression tree
+    * is term-for-term the one-shot scorer's (rational idf, 6dp floor
+    * into DECIMAL(18,6), decimal sum — see
+    * [[graft.queries.MaxScoreQueries]]), and the maintained counts equal
+    * the one-shot counts, so the served scores are bit-identical to a
+    * full rebuild's. */
+  def invertedStateBm25(sess: SparkSession, indexPath: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val gRoot = new org.apache.hadoop.fs.Path(s"$indexPath/global")
+    val fs = gRoot.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    require(fs.exists(gRoot), s"invertedStateBm25: no store at $indexPath")
+    val latest = snapshotIds(fs, gRoot).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"invertedStateBm25: no snapshot under $indexPath/global"))
+    val stats = sess.read.parquet(s"$indexPath/global/batch_id=$latest")
+      .select(col("n_docs").cast("double").as("n"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val dfT = sess.read.parquet(s"$indexPath/df/batch_id=$latest")
+      .filter(col("token").isin(terms: _*))
+      .select(col("token"), col("df").cast("double").as("df"))
+    val tf = sess.read.parquet(s"$indexPath/tf")
+      .filter(col("token").isin(terms: _*))
+      .select(col("doc_id"), col("token"), col("tf").cast("double").as("tf"))
+    val dl = sess.read.parquet(s"$indexPath/dl")
+      .select(col("doc_id"), col("dl").cast("double").as("dl"))
+    val perTerm = tf.join(broadcast(dfT), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.round6(
+          (((col("n") - col("df") + 0.5) / (col("df") + 0.5))
+            * (col("tf") * 2.2))
+            / (col("tf") + lit(1.2)
+              * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .cast(DecimalType(18, 6)).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perTerm.groupBy(col("doc_id")).agg(sum(col("s")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"),
+        (col("score") * 1000000).cast("bigint").as("score_micros"),
+        col("rn"))
+  }
+
   /** Streaming PERCEPTUAL (dHash) dedup over a media stream — the
     * multimodal sibling of [[minhashStateSink]], same state contract:
     *
