@@ -4934,31 +4934,79 @@ object ExtensionQueries {
         .orderBy("step")
     },
     oracle = Some {
-      val rounds = (1 to 5).map { r =>
-        s"""p$r AS (SELECT cs[i] AS a, cs[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
-           |       FROM ch${r - 1}, unnest(range(1, len(cs))) t(i) GROUP BY 1, 2),
-           |t$r AS (SELECT a, b, n FROM p$r WHERE a <> b
-           |        ORDER BY n DESC, a, b LIMIT 1),
-           |ch$r AS (SELECT cnt, list_filter(
-           |         list_transform(range(1, len(cs) + 1), i ->
-           |           CASE WHEN i < len(cs) AND cs[i] = t.a AND cs[i+1] = t.b
-           |                THEN t.a || t.b
-           |                WHEN i > 1 AND cs[i-1] = t.a AND cs[i] = t.b
-           |                THEN NULL
-           |                ELSE cs[i] END),
-           |         x -> x IS NOT NULL) AS cs
-           |       FROM ch${r - 1} CROSS JOIN t$r t)""".stripMargin
-      }.mkString(",\n")
       val steps = (1 to 5).map(r =>
         s"SELECT CAST($r AS INTEGER) AS step, a, b, n FROM t$r")
         .mkString("\nUNION ALL\n")
-      s"""WITH w AS (SELECT unnest(${dToks("text")}) AS word FROM documents),
-         |wf AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
-         |ch0 AS (SELECT cnt, regexp_split_to_array(word, '') AS cs FROM wf),
-         |$rounds
+      s"""WITH $dBpeChain
          |$steps
          |ORDER BY step""".stripMargin
     })
+
+  /** The k = 5 chained BPE rounds as CTEs (ch0 = char split of the word
+    * vocabulary, p$r/t$r/ch$r per round) — shared by the trainer's and
+    * the encoder's oracles. */
+  private def dBpeChain: String = {
+    val rounds = (1 to 5).map { r =>
+      s"""p$r AS (SELECT cs[i] AS a, cs[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+         |       FROM ch${r - 1}, unnest(range(1, len(cs))) t(i) GROUP BY 1, 2),
+         |t$r AS (SELECT a, b, n FROM p$r WHERE a <> b
+         |        ORDER BY n DESC, a, b LIMIT 1),
+         |ch$r AS (SELECT cnt, list_filter(
+         |         list_transform(range(1, len(cs) + 1), i ->
+         |           CASE WHEN i < len(cs) AND cs[i] = t.a AND cs[i+1] = t.b
+         |                THEN t.a || t.b
+         |                WHEN i > 1 AND cs[i-1] = t.a AND cs[i] = t.b
+         |                THEN NULL
+         |                ELSE cs[i] END),
+         |         x -> x IS NOT NULL) AS cs
+         |       FROM ch${r - 1} CROSS JOIN t$r t)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT unnest(${dToks("text")}) AS word FROM documents),
+       |wf AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+       |ch0 AS (SELECT cnt, regexp_split_to_array(word, '') AS cs FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  /** ENCODE the corpus with the k = 5 trained merges and report the
+    * token-budget compression: total symbol count before (characters)
+    * and after (BPE symbols), weighted by word frequency — i.e. the
+    * corpus length a downstream token budget would be charged under the
+    * trained tokenizer vs raw characters. The ratio is integer-exact
+    * (×1e6 integer division). Training and encoding share the SAME
+    * vocabulary-sized chain (the corpus is scanned once for word
+    * frequencies; every round is a vocab-scale rewrite), so "encode the
+    * corpus" costs no corpus-scale second pass — the per-word final
+    * symbol count multiplied by the word's frequency IS the corpus
+    * encoding length. Oracle replays the identical 5 rounds. */
+  private val bpeEncode = QueryDef(
+    fn = (spark, dir) => {
+      val K = 5
+      val wf0 = bpeWordFreq(spark, dir)
+      var wf = wf0
+      for (_ <- 1 to K) {
+        val (ma, mb, _) = bpeTopPair(bpePairCounts(wf, "cs"), "q_bpe_encode")
+        wf = wf.withColumn("cs", bpeApplyMerge("cs", ma, mb))
+          .localCheckpoint(false)
+      }
+      val before = wf0.agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * size(col("cs"))).as("symbols_before"))
+      val after = wf.agg(sum(col("cnt") * size(col("cs"))).as("symbols_after"))
+      before.crossJoin(after)
+        .select(col("n_words"), col("symbols_before"), col("symbols_after"),
+          (col("symbols_before") - col("symbols_after")).as("saved"),
+          expr("symbols_after * 1000000 div symbols_before").as("ratio_e6"))
+    },
+    oracle = Some(
+      s"""WITH $dBpeChain,
+         |be AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |         CAST(SUM(cnt * len(cs)) AS BIGINT) AS symbols_before
+         |       FROM ch0),
+         |af AS (SELECT CAST(SUM(cnt * len(cs)) AS BIGINT) AS symbols_after
+         |       FROM ch5)
+         |SELECT n_words, symbols_before, symbols_after,
+         |  symbols_before - symbols_after AS saved,
+         |  symbols_after * 1000000 // symbols_before AS ratio_e6
+         |FROM be CROSS JOIN af""".stripMargin))
 
   /** Zipf-law fit over the token frequency distribution: log-log OLS of
     * ln(count) on ln(rank) for the top-100 tokens — the standard corpus
@@ -5645,6 +5693,7 @@ object ExtensionQueries {
     "q_cms_join_size" -> cmsJoinSize,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_merge_step" -> bpeMergeStep,
+    "q_bpe_encode" -> bpeEncode,
     "q_bpe_train_k" -> bpeTrainK,
     "q_kl_divergence" -> klDivergence,
     "q_emb_drift" -> embDrift,
