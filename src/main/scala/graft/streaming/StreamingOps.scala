@@ -1001,7 +1001,12 @@ object StreamingOps {
     val latest = snapshotIds(fs, gRoot).maxOption.getOrElse(
       throw new IllegalStateException(
         s"invertedStateBm25: no snapshot under $indexPath/global"))
+    // the snapshot is one row BY CONSTRUCTION (a global aggregate landed
+    // on disk); limit(1) encodes that contract in the plan — a corrupted
+    // multi-row snapshot cannot fan the cross-attachment out, and the
+    // boundedness is visible to plan lints (the on-disk Aggregate is not)
     val stats = sess.read.parquet(s"$indexPath/global/batch_id=$latest")
+      .limit(1)
       .select(col("n_docs").cast("double").as("n"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
