@@ -3247,6 +3247,108 @@ object ExtensionQueries {
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     })
 
+  /** Tombstone-aware retrieval from the persisted PQ store — the DELETE
+    * half of index maintenance (q_ivf_upsert covers adds): an ANN store
+    * cannot rewrite cell partitions per delete, so deletes land as a
+    * TOMBSTONE SET and the read path must exclude them. This query runs
+    * q_ivf_pq_probe's exact store-backed pipeline with a deterministic
+    * tombstone set (vec_id % 31 = 5, ~3% of the corpus) anti-joined at
+    * the CANDIDATE stage — on the 8-byte code rows inside the probed
+    * cells, so the filter costs candidate-sized work with a broadcast
+    * id set (bounded by the delete rate), never a store rewrite or a
+    * post-re-rank patch (filtering AFTER top-k would under-fill k, the
+    * q_ann_filtered post-filter failure). The oracle replays the chain
+    * with deleted ids excluded from the candidate set; a deleted id
+    * appearing in any emitted top-10 would hash-break the row, so the
+    * gate proves the exclusion end to end. Compaction (rewriting cells
+    * to drop tombstoned rows once the set grows) is the
+    * q_compaction_plan discipline applied to this store. */
+  private val ivfPqTombstone = QueryDef(
+    fn = (spark, dir) => {
+      val (m, subDim, p, cTop) = (8, 8, 3, 100)
+      val path = persistedPqPath(spark, dir)
+      val cents = trainedCentFrame(spark, dir, 3)
+      val qs = trainedIvfCells(spark, dir, 0).filter(col("vec_id") < 8)
+      val cb = pqCodebook(spark, dir)
+      val tombstones = trainedIvfCells(spark, dir, 0)
+        .filter(col("vec_id") % 31 === 5)
+        .select(col("vec_id"))
+      val probed = Similarity.probeCells(qs, cents,
+          "vec_id", "embedding", "label", nprobe = p)
+        .withColumn("lut", Similarity.pqQueryLut(col("qv"), cb, m, subDim))
+        .withColumn("qnorm", Similarity.norm(col("qv")))
+        .localCheckpoint(true)
+      val probedCells = probed.select(col("cell")).distinct()
+        .collect().map(_.get(0) match {
+          case i: Int => i
+          case l: Long => l.toInt
+        }).toSeq.sorted
+      val codes = graft.sink.IndexStore.readPqCells(spark, path, probedCells)
+        .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+      val adc = codes.join(probed, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("adc", Similarity.pqAdcCosineLut(
+          col("lut"), col("qnorm"), col("codes"), cb, m, subDim))
+        .withColumn("ar", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("adc").desc, col("vec_id").asc)))
+        .filter(col("ar") <= cTop)
+        .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"))
+      val raw = trainedIvfCells(spark, dir, 2)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      adc.join(raw, Seq("neighbor_id"))
+        .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id").asc)))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some {
+      val dotQC = dSumD("list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * centroid[i])")
+      val normC = s"sqrt(${dSumD("list_transform(range(1, len(centroid) + 1), i -> centroid[i] * centroid[i])")})"
+      val normQ = s"sqrt(${dDot("qv", "qv")})"
+      s"""WITH ${dLloydCtes(2)},
+         |$pqOracleCtes,
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |$pqLutCtes,
+         |tcell AS (SELECT vec_id, cell FROM a2 WHERE vec_id % 31 <> 5),
+         |qc AS (
+         |  SELECT query_id, qv, cell, row_number() OVER (PARTITION BY query_id ORDER BY
+         |      floor(($dotQC / ($normQ * $normC)) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |      cell ASC) AS cr
+         |  FROM q CROSS JOIN cent3),
+         |probe AS (SELECT query_id, qv, cell FROM qc WHERE cr <= 3),
+         |cadc AS (SELECT probe.query_id, tcell.vec_id AS neighbor_id,
+         |    ${dSumD("list(qlut.pd ORDER BY codes.s)")} AS dotq,
+         |    ${dSumD("list(pqn.nsq ORDER BY codes.s)")} AS nsq
+         |  FROM tcell JOIN probe USING (cell)
+         |    JOIN codes ON codes.vec_id = tcell.vec_id
+         |    JOIN qlut ON qlut.query_id = probe.query_id
+         |      AND qlut.s = codes.s AND qlut.j = codes.j
+         |    JOIN pqn ON pqn.s = codes.s AND pqn.j = codes.j
+         |  WHERE probe.query_id <> tcell.vec_id
+         |  GROUP BY probe.query_id, tcell.vec_id),
+         |adc AS (SELECT query_id, qv, neighbor_id FROM (
+         |    SELECT cadc.query_id, q.qv, cadc.neighbor_id,
+         |      row_number() OVER (PARTITION BY cadc.query_id
+         |        ORDER BY floor((cadc.dotq / (sqrt(${dDot("q.qv", "q.qv")})
+         |          * sqrt(cadc.nsq))) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |        cadc.neighbor_id ASC) AS ar
+         |    FROM cadc JOIN q ON q.query_id = cadc.query_id) WHERE ar <= 100)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT adc.query_id, adc.neighbor_id, ${dCos("adc.qv", "c.cv")} AS cos,
+         |    row_number() OVER (PARTITION BY adc.query_id
+         |      ORDER BY ${dCos("adc.qv", "c.cv")} DESC, adc.neighbor_id ASC) AS rank
+         |  FROM adc JOIN c USING (neighbor_id))
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    })
+
   /** The trained corpus with each row's cell CENTROID (literal lookup,
     * map-side) and its residual x − centroid — IVFADC's encoding input.
     * A lazy projection over the memoized Lloyd chain; nothing
@@ -5727,6 +5829,7 @@ object ExtensionQueries {
     "q_ivf_pq_rerank" -> ivfPqRerank,
     "q_ivf_pq_persist" -> ivfPqPersist,
     "q_ivf_pq_probe" -> ivfPqProbe,
+    "q_ivf_pq_tombstone" -> ivfPqTombstone,
     "q_ivf_pq_residual" -> ivfPqResidual,
     "q_text_clean" -> textClean,
     "q_text_redact" -> textRedact,
