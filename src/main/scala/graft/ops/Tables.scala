@@ -8,6 +8,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `PushedFilters`/narrow `ReadSchema` in `.explain("formatted")`.
   */
 object Tables {
+  /** Inferred parquet schema per (path, mtime, type-affecting confs).
+    *
+    * `spark.read.parquet(path)` runs FOOTER-BASED SCHEMA INFERENCE on
+    * every call — a driver-coordinated job costing a measured ~70-80 ms
+    * per call even for a one-file table (MicroProf, sf0.1: construction
+    * 82 ms inferred vs 7.7 ms with a supplied schema; a trivial
+    * scan-sum query drops 222 ms → 109 ms end-to-end). With ~600+
+    * loader calls per bench pass that inference is tens of seconds of
+    * pure metadata rework per pass, and at 100 TB it is a full
+    * footer-listing job per query construction — the cost a production
+    * catalog/metastore exists to amortize. This cache IS that catalog:
+    * schemas only (never data, never results — every query still
+    * computes from the parquet inputs), keyed on the file's mtime so a
+    * rewritten file re-infers, plus the two confs that change what type
+    * inference produces (nanos-as-long, NTZ inference).
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String), org.apache.spark.sql.types.StructType]
+
+  private def inferredSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val confKey =
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") + "|" +
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") + "|" +
+        spark.conf.get("spark.sql.timestampType", "TIMESTAMP_LTZ")
+    val mtime = new java.io.File(path).lastModified()
+    schemaCache.getOrElseUpdate((path, mtime, confKey),
+      spark.read.parquet(path).schema)
+  }
+
+  /** A/B escape hatch for measurement only (see MicroProf): bypasses the
+    * schema cache so the inferred-vs-supplied cost can be compared inside
+    * one JVM. */
+  private[graft] def schemaCacheDisabled: Boolean =
+    java.lang.Boolean.getBoolean("graft.tables.noSchemaCache")
+
   /** Reads a harness table, normalizing any TIMESTAMP_NTZ column to
     * TimestampType. The driver's parquet writer has flipped
     * `isAdjustedToUTC` between rounds; with the session timezone pinned to
@@ -17,7 +53,10 @@ object Tables {
     * naive timestamps — still hash-matches.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val raw =
+      if (schemaCacheDisabled) spark.read.parquet(path)
+      else spark.read.schema(inferredSchema(spark, path)).parquet(path)
     raw.schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
     }.foldLeft(raw) { (df, c) =>

@@ -5602,9 +5602,20 @@ object ExtensionQueries {
     fn = (spark, dir) => {
       val d126 = org.apache.spark.sql.types.DecimalType(12, 6)
       val pairs = minhashPairs(spark, dir)
+      // narrow EAGER checkpoint: the signature frame feeds BOTH join
+      // sides (id_a and id_b), and the two branches can never share an
+      // exchange (different join keys) — without the barrier the
+      // corpus-sized tokenize + 16-way minhash chain runs twice per
+      // pass. Eager, not lazy: the two join inputs materialize as
+      // CONCURRENT stages, and a lazy checkpoint lets both race into
+      // the uncached RDD and compute the chain twice anyway (measured:
+      // the lazy form REGRESSED this query 1.76 → 2.8 s). At 100 TB
+      // this halves the dominant full-corpus signature passes (guide
+      // §2.4's "compute the proxy once" discipline).
       val sigs = dedupDocs(spark, dir)
         .select(col("doc_id"),
           Dedup.minhashSignature(TextAnalysis.tokenSet(col("text")), 16).as("sig"))
+        .localCheckpoint(true)
       pairs
         .join(sigs.select(col("doc_id").as("ia"), col("sig").as("sa")),
           col("id_a") === col("ia"))

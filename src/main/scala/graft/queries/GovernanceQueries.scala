@@ -168,17 +168,28 @@ object GovernanceQueries {
   private val fkOrphans = QueryDef(
     fn = (spark, dir) => {
       import org.apache.spark.sql.DataFrame
+      // One scan per child edge (the oEdge form, applied to the small
+      // dims too): the old per-edge shape paid an anti join PLUS a
+      // separate whole-child count scan PLUS a crossJoin to glue them —
+      // 2 scans and ~6 exchanges per edge. A left join against the
+      // distinct parent keys keeps every child row exactly once (keys
+      // are distinct by construction), so one aggregate yields all three
+      // statistics: count(*) = child rows, count(CASE fk NOT NULL AND pk
+      // NULL) = orphan rows (CASE yields NULL for matched/NULL-FK rows,
+      // which count skips), countDistinct over the same CASE = orphan
+      // keys. Identical to the anti-join form row-for-row.
       def audit(name: String, child: DataFrame, fk: String,
           parent: DataFrame, pk: String): DataFrame = {
         val keys = parent.select(col(pk)).distinct()
-        val orphans = child.select(col(fk)).filter(col(fk).isNotNull)
-          .join(broadcast(keys), child(fk) === keys(pk), "left_anti")
-        val oc = orphans.agg(
-          count(lit(1)).as("n_orphan_rows"),
-          countDistinct(col(fk)).as("n_orphan_keys"))
-        val cc = child.agg(count(lit(1)).as("n_child_rows"))
-        cc.crossJoin(oc).select(lit(name).as("edge"), col("n_child_rows"),
-          col("n_orphan_rows"), col("n_orphan_keys"))
+        child.select(col(fk))
+          .join(broadcast(keys), child(fk) === keys(pk), "left")
+          .agg(count(lit(1)).as("n_child_rows"),
+            count(when(col(fk).isNotNull && col(pk).isNull, col(fk)))
+              .as("n_orphan_rows"),
+            countDistinct(when(col(fk).isNotNull && col(pk).isNull, col(fk)))
+              .as("n_orphan_keys"))
+          .select(lit(name).as("edge"), col("n_child_rows"),
+            col("n_orphan_rows"), col("n_orphan_keys"))
       }
       val li = Tables.lineitem(spark, dir)
       val o = Tables.orders(spark, dir)

@@ -2019,8 +2019,20 @@ object WarehouseQueries {
         .groupBy(col("l_partkey"), col("wk"))
         .agg(sum(col("q")).as("net"))
       val wp = Window.partitionBy(col("l_partkey")).orderBy(col("wk"))
+      // EAGER checkpoint barrier: `bal` feeds TWO consumers (the top-20
+      // ranking and the final detail join), and the planner duplicated
+      // the whole scan + weekly-agg + window chain under both (IoProf:
+      // 1.2M records read = 2 full lineitem scans; AQE exchange reuse
+      // does not fire because the inner join pushes IsNotNull(l_partkey)
+      // into the probe branch only, de-canonicalizing the twins). One
+      // materialization of the aggregated (partkey × week) frame serves
+      // both; eager, not lazy, so the two consumer stages cannot race
+      // into the uncached RDD and each compute the chain anyway. At
+      // 100 TB this halves fact I/O and the (partkey, wk) shuffle
+      // (guide §2.4 "remove shuffles outright").
       val bal = weekly.withColumn("balance", sum(col("net")).over(
         wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint(true)
       val top = bal
         .groupBy(col("l_partkey"))
         .agg(max_by(col("balance"), col("wk")).as("final_bal"))

@@ -528,6 +528,24 @@ object StreamingOps {
     * bounded by one base + ≤ compactEvery recent deltas per touched
     * cell, for the life of the stream.
     */
+  /** Fan a micro-batch out to the session's parallelism before heavy
+    * per-batch work. File-source micro-batches arrive with as few
+    * partitions as FILES (the AvailableNow + maxFilesPerTrigger=1 shape
+    * delivers exactly ONE), so every map-side stage of the sink —
+    * tokenize + minhash signing, PQ coding, LSH sign keys, perceptual
+    * hashing — otherwise runs as a single task on one core while the
+    * rest of the cluster idles (guide §2.5 input skew: "one huge
+    * unsplittable file … repartition immediately after the read";
+    * measured: the 3-batch roots-sink build dropped 46 s → single-digit
+    * seconds at 32 cores). Round-robin repartition is deterministic
+    * under task retry (sort-before-repartition, SPARK-23207), and every
+    * sink's persisted contract is row-SET equality per batch_id
+    * partition, never row order. The written partitions also come out
+    * at cluster parallelism, so downstream state re-reads parallelize
+    * without a second repartition. */
+  private def fanOut(batch: DataFrame): DataFrame =
+    batch.repartition(batch.sparkSession.sparkContext.defaultParallelism)
+
   def ivfStateSink(
       assigned: DataFrame, idCol: String, vecCol: String, cellCol: String,
       deltaLogPath: String, statePath: String, checkpointDir: String,
@@ -537,7 +555,8 @@ object StreamingOps {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = fanOut(batch0)
         val sess = batch.sparkSession
         val delta = batch
           .select(col(cellCol).as("cell"),
@@ -602,7 +621,8 @@ object StreamingOps {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = fanOut(batch0)
         val sess = batch.sparkSession
         graft.ops.Dedup.minhashPrepared(batch, idCol, textCol, k)
           .write.mode("overwrite")
@@ -665,7 +685,8 @@ object StreamingOps {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = fanOut(batch0)
         val sess = batch.sparkSession
         graft.ops.Dedup.minhashPrepared(batch, idCol, textCol, k)
           .write.mode("overwrite")
@@ -798,7 +819,8 @@ object StreamingOps {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = fanOut(batch0)
         val sess = batch.sparkSession
         batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
           .write.mode("overwrite")
@@ -931,7 +953,8 @@ object StreamingOps {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = fanOut(batch0)
         val sess = batch.sparkSession
         val toks = batch.select(col(idCol).as("doc_id"),
           graft.ops.TextAnalysis.tokens(col(textCol)).as("toks"))
@@ -1078,7 +1101,8 @@ object StreamingOps {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = fanOut(batch0)
         val sess = batch.sparkSession
         graft.ops.Multimodal.dhashSigsFromDocs(batch, idCol, textCol)
           .write.mode("overwrite")
@@ -1125,8 +1149,8 @@ object StreamingOps {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        fanOut(batch0)
           .select(col(idCol).as("vec_id"), col(cellCol).as("cell"),
             graft.ops.Similarity
               .pqCodesExpr(col(vecCol), codebook, m, subDim).as("codes"))
