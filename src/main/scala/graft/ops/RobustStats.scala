@@ -217,6 +217,63 @@ object RobustStats {
     }
   }
 
+  /** [[rankValues]] for SEVERAL metrics of ONE frame in two jobs TOTAL —
+    * the fused form a multi-metric quantiler (RFM's three quartile sets)
+    * should run: the per-metric frames stack via one explode (metric
+    * name becomes the group key, each metric keeps its own bucket
+    * width), so the bucket histogram for every metric rides ONE
+    * aggregation job and the in-bucket value pass rides ONE more —
+    * instead of 2 jobs PER metric (q_rfm_segments: 6 driver-synchronous
+    * jobs → 2; at scale, k metrics cost k full passes → 1 stacked pass
+    * of the same total row volume, minus (k−1) per-job fixed costs and
+    * (k−1) scans of the source frame). Result values are identical to k
+    * independent [[rankValues]] calls (RobustStatsSpec pins it).
+    *
+    * `metrics`: (name, unscaled-long column, bucket width); names must
+    * be unique. `ranksOf` maps each metric's row count n to its target
+    * ranks, as in [[rankValues]]. Returns name → values in ranksOf
+    * order.
+    */
+  def rankValuesMulti(df: DataFrame,
+      metrics: Seq[(String, Column, Long)],
+      ranksOf: Long => Seq[Long]): Map[String, Seq[Long]] = {
+    require(metrics.map(_._1).distinct.size == metrics.size,
+      "rankValuesMulti: metric names must be unique")
+    val widths = metrics.map { case (g, _, w) => g -> w }.toMap
+    val stacked = df.select(explode(array(metrics.map { case (g, u, w) =>
+      struct(lit(g).as("g"), u.cast("long").as("u"),
+        bucketOf(u, w).as("bkt"))
+    }: _*)).as("m")).select(col("m.g").as("g"), col("m.u").as("u"),
+      col("m.bkt").as("bkt"))
+    // job 1: every metric's bucket histogram in one aggregation
+    val counts = stacked.groupBy(col("g"), col("bkt"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      }
+    val located = counts.map { case (g, bs) =>
+      val n = bs.map(_._2).sum
+      g -> ranksOf(n).map(t => t -> rankBucket(bs, t))
+    }
+    // job 2: every metric's in-bucket value counts in one pass
+    val pred = located.map { case (g, ls) =>
+      col("g") === lit(g) && col("bkt").isin(ls.map(_._2._1).distinct: _*)
+    }.reduce(_ || _)
+    val vals = stacked.filter(pred)
+      .groupBy(col("g"), col("u")).agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      }
+    located.map { case (g, ls) =>
+      g -> ls.map { case (t, (b0, cBefore)) =>
+        pickAtRank(vals(g).filter(v => Math.floorDiv(v._1, widths(g)) == b0),
+          cBefore, t)
+      }
+    }
+  }
+
   /** Exact lower median per group in two jobs (bucket pass + in-bucket
     * pass). See the object doc for the scale argument.
     */

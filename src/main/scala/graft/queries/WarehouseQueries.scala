@@ -1662,12 +1662,17 @@ object WarehouseQueries {
           (col("m") * lit(10000)).cast("long").as("mu"),
           lit("all").as("g"))
         .localCheckpoint(false)
-      def quartiles(u: Column, width: Long): Seq[Long] =
-        RobustStats.rankValues(cust, "g", u, width,
-          n => (1 to 3).map(i => math.max(1L, i * n / 4)))("all")
-      val rb = quartiles(col("r"), 32L)
-      val fb = quartiles(col("f"), 4L)
-      val mb = quartiles(col("mu"), 16000000L)
+      // fused 3-metric quartiler: one stacked histogram job + one stacked
+      // value job instead of 2 jobs PER metric (6 → 2 driver-synchronous
+      // jobs, 6 → 2 passes over the customer frame; values identical to
+      // the per-metric calls — RobustStatsSpec pins it)
+      val bounds = RobustStats.rankValuesMulti(cust,
+        Seq(("r", col("r"), 32L), ("f", col("f"), 4L),
+          ("mu", col("mu"), 16000000L)),
+        n => (1 to 3).map(i => math.max(1L, i * n / 4)))
+      val rb = bounds("r")
+      val fb = bounds("f")
+      val mb = bounds("mu")
       def score(c: Column, bs: Seq[Long]): Column =
         bs.foldLeft(lit(0)) { (acc, b) => acc + when(c > lit(b), 1).otherwise(0) }
       cust

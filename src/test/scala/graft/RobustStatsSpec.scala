@@ -76,4 +76,35 @@ class RobustStatsSpec extends SparkSpec {
     assert(m.med === brute(us)._2)
     assert(m.n === 301L)
   }
+
+  test("rankValuesMulti equals per-metric rankValues (fused 2-job form)") {
+    val rnd = new scala.util.Random(19)
+    // three metrics of one frame with very different ranges and widths —
+    // the q_rfm_segments shape (recency/frequency/monetary), including
+    // negative values to exercise the floorDiv in-bucket filter
+    val rows = (0 until 500).map { _ =>
+      (rnd.nextInt(400).toLong - 50L,
+        (1 + rnd.nextInt(12)).toLong,
+        rnd.nextInt(2000000).toLong)
+    }
+    val df = rows.toDF("r", "f", "mu")
+    val ranksOf: Long => Seq[Long] =
+      n => (1 to 3).map(i => math.max(1L, i * n / 4))
+    val fused = RobustStats.rankValuesMulti(df,
+      Seq(("r", col("r"), 32L), ("f", col("f"), 4L), ("mu", col("mu"), 160000L)),
+      ranksOf)
+    def single(name: String, u: org.apache.spark.sql.Column, w: Long) =
+      RobustStats.rankValues(
+        df.select(lit("all").as("g"), u.as("u")), "g", col("u"), w, ranksOf)("all")
+    assert(fused("r") === single("r", col("r"), 32L))
+    assert(fused("f") === single("f", col("f"), 4L))
+    assert(fused("mu") === single("mu", col("mu"), 160000L))
+    // and against brute-force sorted picks
+    def bruteQ(us: Seq[Long]): Seq[Long] = {
+      val s = us.sorted; ranksOf(us.size.toLong).map(t => s((t - 1).toInt))
+    }
+    assert(fused("r") === bruteQ(rows.map(_._1)))
+    assert(fused("f") === bruteQ(rows.map(_._2)))
+    assert(fused("mu") === bruteQ(rows.map(_._3)))
+  }
 }
